@@ -1,0 +1,198 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Dedup
+
+/** Training-data pipeline queries (the north-star ops of BASELINE.json):
+  * text analysis, exact + near dedup, similarity search, multimodal
+  * plumbing — each over the documents/embeddings testdata, with DuckDB
+  * oracles wherever the semantics are SQL-expressible.
+  */
+object LlmQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // Token counting + basic text stats.
+    ("q30_text_token_stats", (s: SparkSession, d: String) => {
+      t(s, d, "documents").select(
+          col("doc_id"),
+          TextOps.nTokens(col("text")).as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          TextOps.nLongTokens(col("text")).as("n_long_tokens"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars_calc,
+        CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+          x -> length(x) >= 6)) AS BIGINT) AS n_long_tokens
+      FROM documents ORDER BY doc_id""")),
+
+    // Quality scoring: stopword/punct signals, exact-int ratios.
+    ("q31_text_quality", (s: SparkSession, d: String) => {
+      t(s, d, "documents").select(
+          col("doc_id"),
+          TextOps.nTokens(col("text")).as("n_tokens"),
+          TextOps.nStopwords(col("text")).as("n_stop"),
+          TextOps.nPunct(col("text")).as("n_punct"),
+          TextOps.stopwordRatio(col("text")).as("stop_ratio"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+          x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop,
+        CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+        CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+          x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+          / len(regexp_split_to_array(trim(text), '\s+')) AS stop_ratio
+      FROM documents ORDER BY doc_id""")),
+
+    // Language ID (deterministic n-gram/stopword heuristic).
+    ("q32_text_langid", (s: SparkSession, d: String) => {
+      t(s, d, "documents").select(
+          col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH sc AS (SELECT doc_id,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> x IN ('the','and','of','is','a'))) AS en,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> x IN ('der','die','und','das','ist'))) AS de,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> x IN ('le','la','et','les','est'))) AS fr,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> x IN ('el','los','las','y','es'))) AS es,
+          regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk
+        FROM documents)
+      SELECT doc_id,
+        CASE WHEN has_cjk THEN 'zh'
+             WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+             WHEN de >= fr AND de >= es THEN 'de'
+             WHEN fr >= es THEN 'fr'
+             ELSE 'es' END AS lang_pred
+      FROM sc ORDER BY doc_id""")),
+
+    // Document fingerprint (rolling/content hash).
+    ("q33_text_fingerprint", (s: SparkSession, d: String) => {
+      t(s, d, "documents").select(
+          col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      FROM documents ORDER BY doc_id""")),
+
+    // Exact dedup over fingerprint groups: deterministic keeper + group size.
+    ("q34_dedup_exact_docs", (s: SparkSession, d: String) => {
+      t(s, d, "documents")
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+        .orderBy("fp")
+    }, Some("""
+      SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        CAST(MIN(doc_id) AS BIGINT) AS keeper, COUNT(*) AS n
+      FROM documents GROUP BY 1 ORDER BY fp""")),
+
+    // Exact word-3gram Jaccard near-dup pairs (inverted-index join).
+    ("q35_dedup_ngram_jaccard", (s: SparkSession, d: String) => {
+      NearDup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 0.5)
+        .orderBy("d1", "d2")
+    }, Some("""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                 FROM documents),
+      g AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+            FROM t),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+      inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT d1, d2,
+        CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+      FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+      WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
+      ORDER BY d1, d2""")),
+
+    // MinHash + LSH banding near-dup candidates (hash-family dependent —
+    // rows-only check; the scalatest spec verifies recall vs exact Jaccard).
+    ("q36_dedup_minhash_lsh", (s: SparkSession, d: String) => {
+      NearDup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 3, bands = 16, rowsPerBand = 4, tau = 0.5)
+        .orderBy("d1", "d2")
+    }, None),
+
+    // SimHash near-dup pairs via 16-bit chunk blocking (rows-only; spec
+    // verifies the Hamming bound and blocking exactness).
+    ("q37_dedup_simhash", (s: SparkSession, d: String) => {
+      NearDup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxDist = 3)
+        .orderBy("d1", "d2")
+    }, None),
+
+    // Brute-force cosine top-k (ANN baseline). Rank-only output: double
+    // arithmetic both sides, margins >> double noise.
+    ("q38_knn_brute_cosine", (s: SparkSession, d: String) => {
+      Similarity.bruteTopK(t(s, d, "embeddings"), col("vec_id") < 10, k = 5)
+        .orderBy("query_id", "rank")
+    }, Some("""
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      q AS (SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < 10),
+      scored AS (SELECT q.query_id, b.vec_id,
+          list_cosine_similarity(b.e, q.qe) AS sim
+        FROM base b, q WHERE b.vec_id <> q.query_id),
+      r AS (SELECT query_id, vec_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        FROM scored)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // IVF-style ANN (centroid cells + nprobe) — approximate by design;
+    // rows-only check, spec verifies recall vs brute force.
+    ("q39_knn_ivf", (s: SparkSession, d: String) => {
+      Similarity.ivfTopK(t(s, d, "embeddings"), "label", col("vec_id") < 10,
+          k = 5, nprobe = 3)
+        .orderBy("query_id", "rank")
+    }, None),
+
+    // Embedding near-dup pairs (cosine >= tau), cell-blocked.
+    ("q40_embed_neardup", (s: SparkSession, d: String) => {
+      Similarity.nearDupPairs(t(s, d, "embeddings"), "label", tau = 0.25)
+        .orderBy("v1", "v2")
+    }, Some("""
+      SELECT a.vec_id AS v1, b.vec_id AS v2
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25
+      ORDER BY v1, v2""")),
+
+    // Multimodal plumbing: binary payload column + stubbed decode.
+    ("q41_multimodal_stub", (s: SparkSession, d: String) => {
+      Multimodal.decodeStubColumns(
+          Multimodal.withBinaryPayload(t(s, d, "documents")))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        64 + CAST(octet_length(encode(text)) AS BIGINT) % 512 AS width,
+        64 + (CAST(octet_length(encode(text)) AS BIGINT) // 7) % 512 AS height,
+        CAST(3 AS BIGINT) AS channels,
+        md5(text) AS fingerprint
+      FROM documents ORDER BY doc_id""")),
+
+    // Generalized JSON-STAT cube flatten (P1/P2) on an inline fixture —
+    // rows-only here; the scalatest spec pins exact expected rows.
+    ("q42_jsonstat_flatten", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val cube = Seq(graft.ops.JsonStatFixture.json).toDF("js")
+      graft.ops.JsonStat.flatten(cube, "js",
+          Seq("OMRÅDE", "BILTYPE", "BRUG", "EJER", "DRIV", "ContentsCode", "Tid"))
+        .orderBy("Tid")
+    }, None)
+  )
+}

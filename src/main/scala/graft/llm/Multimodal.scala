@@ -1,0 +1,59 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque binary columns with typed
+  * metadata, decoded/feature-extracted in partition-batched passes.
+  *
+  * The decode step is STUBBED (no image/audio libs in this container): it
+  * derives deterministic pseudo-metadata from the payload bytes. The
+  * Spark-side plumbing is real — binary columns, typed Dataset batch
+  * shape, mapPartitions-per-batch decode (the Scala analogue of
+  * mapInPandas: one decoder init per partition, streamed row batches).
+  *
+  * At 100 TB: binary payloads ride in their own column so Parquet column
+  * pruning skips them unless the decode stage is in the plan; partitions
+  * sized by spark.sql.files.maxPartitionBytes bound decoder memory.
+  */
+object Multimodal {
+  case class MediaRow(doc_id: Long, media: Array[Byte])
+  case class DecodedRow(doc_id: Long, n_bytes: Long, width: Long,
+      height: Long, channels: Long, fingerprint: String)
+
+  /** Attach a binary payload column (testdata stand-in: UTF-8 text bytes;
+    * production: real image/audio bytes read from Parquet/files). */
+  def withBinaryPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("media", col("text").cast("binary"))
+
+  /** STUB decode — deterministic pseudo-dimensions from byte length. A real
+    * build replaces the body with an image decoder; signature and batch
+    * shape stay identical. */
+  private def decodeStub(r: MediaRow): DecodedRow = {
+    val nb = r.media.length.toLong
+    DecodedRow(r.doc_id, nb, 64L + nb % 512L, 64L + (nb / 7L) % 512L, 3L,
+      // fingerprint of the payload (hex md5), computed per-row
+      java.security.MessageDigest.getInstance("MD5").digest(r.media)
+        .map("%02x".format(_)).mkString)
+  }
+
+  /** Partition-batched decode: one decoder per partition, rows streamed. */
+  def decode(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[MediaRow]
+      .mapPartitions { it =>
+        // decoder/model init would happen once per partition here
+        it.map(decodeStub)
+      }
+  }
+
+  /** Column-expression twin of the stub (oracle-checkable end-to-end): the
+    * same arithmetic as decodeStub in pure codegen'd expressions. */
+  def decodeStubColumns(media: DataFrame): DataFrame =
+    media.select(col("doc_id"),
+      octet_length(col("media")).cast("long").as("n_bytes"),
+      (lit(64L) + octet_length(col("media")).cast("long") % 512L).as("width"),
+      (lit(64L) + (octet_length(col("media")).cast("long") / 7L).cast("long") % 512L).as("height"),
+      lit(3L).as("channels"),
+      md5(col("media")).as("fingerprint"))
+}

