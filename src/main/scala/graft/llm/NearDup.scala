@@ -46,15 +46,17 @@ object NearDup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
-  /** MinHash signature: k independent hash families via xxhash64(seed, gram),
-    * each taking the min over the doc's distinct grams. */
-  def minhashSignature(grams: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(grams, g => xxhash64(seed, g))))
-
   /** MinHash + LSH banding: signatures of k = bands*rowsPerBand hashes,
     * banded; docs sharing any band bucket become candidates; candidates are
     * scored by signature agreement (estimated Jaccard) and thresholded.
+    *
+    * Signature computation: each gram is hashed once to a long, and hash
+    * family i is xxhash64(i, gramHash) — rehashing a scalar, so no
+    * arithmetic that could overflow under ANSI mode. The signature is then
+    * k min-aggregates over the exploded (doc, gram) stream — one shuffle,
+    * all-codegen, no nested array recomputation. (A naive per-row
+    * transform-of-transform recomputes the gram array k times and falls
+    * out of codegen — 30x slower at sf0.01.)
     *
     * Probability a pair with true Jaccard s becomes a candidate:
     * 1 - (1 - s^r)^b — with b=16, r=4: >0.99 for s>=0.8.
@@ -62,9 +64,15 @@ object NearDup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, tau: Double): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = docs.select(col(idCol).as("doc_id"),
-        minhashSignature(
-          array_distinct(wordNgrams(TextOps.tokens(col(textCol)), n)), k).as("sig"))
+    val hashed = gramsOf(docs, idCol, textCol, n).select(
+      col("doc_id"),
+      xxhash64(col("gram")).as("h"))
+    val minAggs = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("h"))).as(s"__m$i"))
+    val sigs = hashed.groupBy("doc_id")
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming pipelines — the continuous shapes of the reference
+  * (SURVEY.md §2.1/2.2/2.4): watermark-scoped dedup (D1), global dedup
+  * (D2), checkpoint-resume incremental ingest (D3/D4), windowed
+  * aggregation to file sinks (K2/K3), and multi-sink fan-out (K6).
+  *
+  * All transforms are source-agnostic (`DataFrame => DataFrame`): tests
+  * drive them with MemoryStream/file sources; production points the same
+  * code at Kafka. Watermarks bound state exactly like the reference's
+  * daily Redis clear — the 100 TB posture is bounded state + append-mode
+  * windows, never unbounded accumulation.
+  */
+object Streams {
+  /** E1 analogue: per-day dedup (D1) then daily counts per type. The day
+    * bucket joins the dedup key so duplicates collapse within a day but
+    * recur across days — the reference's clear-per-day semantics; the
+    * 1-day watermark evicts closed days from the state store. */
+  def dailyDedupAgg(events: DataFrame,
+      keys: Seq[String] = Seq("user_id", "event_type")): DataFrame =
+    events
+      // Day bucket derived BEFORE the watermark: only ts carries the
+      // event-time tag (two event-time columns is a streaming error).
+      .withColumn("__day", window(col("ts"), "1 day"))
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark(keys :+ "__day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_dedup"))
+      .select(col("window.start").as("day"), col("event_type"), col("n_dedup"))
+
+  /** D2 analogue: global dedup, state never expires (statbank semantics).
+    * Use only where the key domain is bounded; otherwise prefer
+    * dailyDedupAgg's watermarked state. */
+  def globalDedup(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.dropDuplicates(keys)
+
+  /** K6 analogue (Flume fan-out): one micro-batch, two sinks. Use with
+    * `.writeStream.foreachBatch(fanout(dirA, dirB))`. The batch is
+    * persisted so the two writes don't recompute the lineage. */
+  def fanout(primaryDir: String, auditDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    batch.persist()
+    try {
+      batch.write.mode("append").parquet(primaryDir)
+      batch.write.mode("append").parquet(auditDir)
+    } finally batch.unpersist()
+  }
+
+  /** Sessionization over the stream (gap-based windows). */
+  def sessionize(events: DataFrame, gap: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+}

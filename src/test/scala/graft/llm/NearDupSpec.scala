@@ -1,0 +1,57 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class NearDupSpec extends SparkSpec {
+
+  private lazy val docs = Tables(spark, sfDir, "documents")
+
+  test("MinHash-LSH candidates cover all high-Jaccard pairs (recall)") {
+    val exact = NearDup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    val lsh = NearDup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 4, tau = 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exact -- lsh
+    assert(missed.isEmpty,
+      s"LSH missed ${missed.size}/${exact.size} pairs with Jaccard >= 0.8: $missed")
+  }
+
+  test("MinHash signature agreement estimates Jaccard within tolerance") {
+    val exact = NearDup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    val lsh = NearDup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4, 0.0)
+    val joined = exact.join(lsh, Seq("d1", "d2"))
+      .select(abs(col("jaccard") - col("est_jaccard")).as("err"))
+      .agg(max("err")).head.getDouble(0)
+    assert(joined < 0.25, s"max |jaccard - est| = $joined")
+  }
+
+  test("SimHash chunk blocking is exact for Hamming <= 3 (vs brute force)") {
+    val sigs = docs.select(col("doc_id"),
+      NearDup.simhash64(TextOps.tokens(col("text"))).as("sig"))
+    val brute = sigs.as("a").join(sigs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        expr("bit_count(a.sig ^ b.sig)").as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = NearDup.simhashPairs(docs, "doc_id", "text", 3)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute,
+      s"blocking mismatch: only-brute=${brute -- blocked} only-blocked=${blocked -- brute}")
+  }
+
+  test("word n-grams: count and content") {
+    import spark.implicits._
+    val toks = Seq("a b c d").toDF("text")
+      .select(NearDup.wordNgrams(TextOps.tokens(col("text")), 3).as("g"))
+      .as[Seq[String]].head()
+    assert(toks == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("text")
+      .select(NearDup.wordNgrams(TextOps.tokens(col("text")), 3).as("g"))
+      .as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables(spark, sfDir, "embeddings")
+
+  test("brute-force top-k: k rows per query, no self-matches") {
+    val out = Similarity.bruteTopK(emb, col("vec_id") < 10, k = 5)
+    val perQuery = out.groupBy("query_id").count().collect()
+    assert(perQuery.length == 10)
+    assert(perQuery.forall(_.getLong(1) == 5))
+    assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
+  }
+
+  test("IVF ANN: nprobe=all equals brute force; nprobe=3 has useful recall") {
+    val brute = Similarity.bruteTopK(emb, col("vec_id") < 10, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Exactness property: probing every cell must reproduce brute force.
+    val full = Similarity.ivfTopK(emb, "label", col("vec_id") < 10, k = 5,
+        nprobe = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute, "nprobe = ncells must equal brute force")
+    val ivf = Similarity.ivfTopK(emb, "label", col("vec_id") < 10, k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    // These embeddings are weakly clustered (max intra-cell cosine ~0.47),
+    // so 3/10 cells yields partial recall; the scan reduction is 10/3.
+    assert(recall >= 0.4, s"recall@5 = $recall")
+  }
+
+  test("cosine of identical vectors is ~1, orthogonal is ~0") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1f, 0f, 2f), Seq(1f, 0f, 2f)),
+      (Seq(1f, 0f, 0f), Seq(0f, 1f, 0f))
+    ).toDF("a", "b")
+    val sims = df.select(Similarity.cosine(col("a"), col("b")).as("s"))
+      .as[Double].collect()
+    assert(math.abs(sims(0) - 1.0) < 1e-12)
+    assert(math.abs(sims(1)) < 1e-12)
+  }
+
+  test("near-dup pairs are symmetric-free and above threshold") {
+    val pairs = Similarity.nearDupPairs(emb, "label", tau = 0.25)
+    assert(pairs.filter(col("v1") >= col("v2")).count() == 0)
+  }
+}

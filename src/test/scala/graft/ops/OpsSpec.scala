@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P5 canonical key is invariant to column selection order") {
+    val df1 = Seq((1L, "click", 42L)).toDF("event_id", "event_type", "user_id")
+    val df2 = df1.select("user_id", "event_id", "event_type")
+    val k1 = df1.select(Keys.canonicalKey(df1).as("k")).head.getString(0)
+    val k2 = df2.select(Keys.canonicalKey(df2).as("k")).head.getString(0)
+    assert(k1 == k2)
+  }
+
+  test("P5 canonical key is sensitive to any value change") {
+    val a = Seq((1L, "click")).toDF("event_id", "event_type")
+      .select(Keys.canonicalKey(Seq("event_id", "event_type")).as("k")).head.getString(0)
+    val b = Seq((1L, "clack")).toDF("event_id", "event_type")
+      .select(Keys.canonicalKey(Seq("event_id", "event_type")).as("k")).head.getString(0)
+    assert(a != b)
+  }
+
+  test("D1 per-window dedup: collapse within a day, survive across days") {
+    val df = Seq(
+      ("2024-01-01 10:00:00", 1L, "click"),
+      ("2024-01-01 14:00:00", 1L, "click"), // same-day dup -> collapsed
+      ("2024-01-02 09:00:00", 1L, "click"), // next-day recurrence -> survives
+      ("2024-01-01 11:00:00", 2L, "view")
+    ).toDF("ts", "user_id", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Dedup.exact(df, Seq("user_id", "event_type"),
+      DedupScope.PerWindow("ts", "1 day"))
+    assert(out.count() == 3)
+    val global = Dedup.exact(df, Seq("user_id", "event_type"), DedupScope.Global)
+    assert(global.count() == 2)
+  }
+
+  test("dedup idempotence: f(f(x)) = f(x)") {
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("k", "v")
+    val once = Dedup.exact(df, Seq("k", "v"), DedupScope.Global)
+    val twice = Dedup.exact(once, Seq("k", "v"), DedupScope.Global)
+    assert(once.count() == twice.count())
+  }
+
+  test("keeperFirst keeps the minimal-order row per key") {
+    val df = Seq((1L, 30L, "c"), (1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "z"))
+      .toDF("k", "ord", "v")
+    val out = Dedup.keeperFirst(df, Seq("k"), "ord")
+      .orderBy("k").select("v").as[String].collect()
+    assert(out.toSeq == Seq("a", "z"))
+  }
+
+  test("D3 checkpointFilter drops processed units") {
+    val units = Seq("d1", "d2", "d3").toDF("day")
+    val processed = Seq("d1", "d3").toDF("day")
+    val out = Dedup.checkpointFilter(units, processed, Seq("day"))
+      .as[String].collect()
+    assert(out.toSeq == Seq("d2"))
+  }
+
+  test("as-of join: inclusive tie, carry-forward, null when no right row") {
+    val left = Seq(
+      (100L, 1L, "2024-01-01 10:00:00"),
+      (101L, 1L, "2024-01-01 12:00:00"),
+      (102L, 2L, "2024-01-01 10:00:00") // user 2 has no views
+    ).toDF("event_id", "user_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val right = Seq(
+      (1L, "2024-01-01 09:00:00"),
+      (1L, "2024-01-01 10:00:00"), // tie with left@10:00 -> inclusive
+      (1L, "2024-01-01 11:00:00")
+    ).toDF("user_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = AsOf.lastRightTs(left, right, "user_id", "ts")
+      .orderBy("event_id")
+      .select(date_format(col("asof_ts"), "HH:mm").as("t"))
+      .as[String].collect()
+    assert(out.toSeq == Seq("10:00", "11:00", null))
+  }
+}

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** Streaming semantics driven through file sources (public API only):
+  * watermarked per-day dedup (D1), global dedup (D2), checkpoint-resume
+  * (D3/D4), fan-out (K6). */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType)))
+
+  private def eventsDf(rows: Seq[(String, Long, String)]): DataFrame =
+    rows.toDF("ts", "user_id", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("D1 streaming: dedup within day, survive across days, append on watermark close") {
+    val srcDir = tmp("src"); val outDir = tmp("out"); val ckDir = tmp("ck")
+    eventsDf(Seq(
+      ("2024-01-01 10:00:00", 1L, "click"),
+      ("2024-01-01 14:00:00", 1L, "click"), // same-day dup
+      ("2024-01-02 09:00:00", 1L, "click"), // cross-day recurrence
+      ("2024-01-01 11:00:00", 2L, "view")
+    )).coalesce(1).write.mode("append").parquet(srcDir)
+
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = Streams.dailyDedupAgg(stream)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir).start()
+    q.processAllAvailable()
+    // Flush: an event far past the watermark closes days 1-2.
+    eventsDf(Seq(("2024-01-10 00:00:00", 9L, "flush")))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.read.parquet(outDir)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_dedup"))
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(
+      ("2024-01-01", "click", 1L), // dup collapsed
+      ("2024-01-01", "view", 1L),
+      ("2024-01-02", "click", 1L)  // recurrence survived
+    ))
+  }
+
+  test("D2 streaming: global dedup across micro-batches") {
+    val srcDir = tmp("src"); val outDir = tmp("out"); val ckDir = tmp("ck")
+    eventsDf(Seq(("2024-01-01 10:00:00", 1L, "click")))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = Streams.globalDedup(stream, Seq("user_id", "event_type"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir).start()
+    q.processAllAvailable()
+    // Second batch: one dup (dropped), one new key.
+    eventsDf(Seq(
+      ("2024-01-05 10:00:00", 1L, "click"),
+      ("2024-01-05 11:00:00", 2L, "view")
+    )).coalesce(1).write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(outDir).count() == 2)
+  }
+
+  test("D3/D4 checkpoint-resume: restart reprocesses nothing") {
+    val srcDir = tmp("src"); val outDir = tmp("out"); val ckDir = tmp("ck")
+    def start() = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+      stream.writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir).start()
+    }
+    eventsDf(Seq(("2024-01-01 10:00:00", 1L, "click")))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    eventsDf(Seq(("2024-01-02 10:00:00", 2L, "view")))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    // Exactly-once to the file sink: 2 rows, not 3.
+    assert(spark.read.parquet(outDir).count() == 2)
+  }
+
+  test("K6 fan-out: both sinks receive every micro-batch") {
+    val srcDir = tmp("src"); val a = tmp("a"); val b = tmp("b"); val ckDir = tmp("ck")
+    eventsDf(Seq(
+      ("2024-01-01 10:00:00", 1L, "click"),
+      ("2024-01-01 11:00:00", 2L, "view")
+    )).coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = stream.writeStream
+      .foreachBatch(Streams.fanout(a, b) _)
+      .option("checkpointLocation", ckDir).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(a).count() == 2)
+    assert(spark.read.parquet(b).count() == 2)
+  }
+
+  test("streaming sessionize emits closed sessions") {
+    val srcDir = tmp("src"); val outDir = tmp("out"); val ckDir = tmp("ck")
+    eventsDf(Seq(
+      ("2024-01-01 10:00:00", 1L, "a"),
+      ("2024-01-01 10:30:00", 1L, "b"), // same session (gap < 1h)
+      ("2024-01-01 13:00:00", 1L, "c")  // new session
+    )).coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = Streams.sessionize(stream)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir).start()
+    q.processAllAvailable()
+    eventsDf(Seq(("2024-01-10 00:00:00", 9L, "flush")))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(outDir)
+      .filter(col("user_id") === 1)
+      .select("n_events").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+}
