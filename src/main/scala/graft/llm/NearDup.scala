@@ -13,12 +13,21 @@ import org.apache.spark.sql.functions._
   * linear in corpus size for bounded bucket sizes).
   */
 object NearDup {
-  /** Word n-grams over whitespace tokens (cased — parity with the oracle). */
-  def wordNgrams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
+  /** Word n-grams over whitespace tokens (cased — parity with the oracle).
+    *
+    * Built as a fold of zip_withs against shifted views of the token array:
+    * gram_i = toks[i] + " " + toks[i+1] + ... — O(len) array operations per
+    * document instead of the O(len*n) per-gram slicing of the naive
+    * transform(sequence)(slice) formulation (zip_with null-pads the shorter
+    * side; nulls propagate through concat and are filtered at the end). */
+  def wordNgrams(toks: Column, n: Int): Column = {
+    val joined = (1 until n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), size(toks)),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(toks) >= n, filter(joined, g => g.isNotNull))
       .otherwise(array(array_join(toks, " ")))
+  }
 
   private def gramsOf(docs: DataFrame, idCol: String, textCol: String, n: Int) =
     docs.select(col(idCol).as("doc_id"),
@@ -30,7 +39,10 @@ object NearDup {
     * division — deterministic across engines). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double): DataFrame = {
+    // The gram index feeds three plan branches (both join sides + sizes):
+    // materialize it once. At 100 TB this is the persisted inverted index.
     val grams = gramsOf(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = grams.as("a")
       .join(grams.as("b"),
@@ -95,15 +107,26 @@ object NearDup {
       .select(col("d1"), col("d2"), col("est_jaccard"))
   }
 
-  /** 64-bit SimHash over whitespace tokens: per bit, the sign of the sum of
-    * +-1 votes from each token's hash bit; bits assembled into one long. */
-  def simhash64(toks: Column): Column = {
-    val bits = (0 until 64).map { i =>
-      when(aggregate(toks, lit(0L),
-        (acc, t) => acc + when(shiftright(xxhash64(t), i).bitwiseAND(1) === 1, 1L)
-          .otherwise(-1L)) > 0, 1L).otherwise(0L)
-    }
-    bits.foldLeft(lit(0L))((acc, b) => shiftleft(acc, 1) + b)
+  /** 64-bit SimHash signatures per document: per bit, the sign of the sum
+    * of +-1 votes from each token occurrence's hash bit (term-frequency
+    * weighted, the standard formulation).
+    *
+    * Computed as explode -> one hash per token -> 64 codegen'd sums in a
+    * single groupBy — the same one-shuffle shape as the MinHash signatures.
+    * (A per-row expression tree with 64 nested aggregates over the token
+    * array stays interpreted and is ~10x slower.) */
+  def simhashSignatures(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val hashed = docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        .as(s"__b$i"))
+    val agg = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).foldLeft(lit(0L))((acc, i) =>
+      shiftleft(acc, 1) + when(col(s"__b$i") > 0, 1L).otherwise(0L))
+    agg.select(col("doc_id"), sig.as("sig"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, found via
@@ -113,8 +136,8 @@ object NearDup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int): DataFrame = {
     require(maxDist <= 3, "chunk blocking is exact only for maxDist <= 3")
-    val sigs = docs.select(col(idCol).as("doc_id"),
-      simhash64(TextOps.tokens(col(textCol))).as("sig"))
+    val sigs = simhashSignatures(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkStructs = (0 until 4).map { j =>
       struct(lit(j).as("chunk_id"),
         shiftright(col("sig"), j * 16).bitwiseAND(0xFFFFL).as("chunk"))

@@ -29,8 +29,7 @@ class NearDupSpec extends SparkSpec {
   }
 
   test("SimHash chunk blocking is exact for Hamming <= 3 (vs brute force)") {
-    val sigs = docs.select(col("doc_id"),
-      NearDup.simhash64(TextOps.tokens(col("text"))).as("sig"))
+    val sigs = NearDup.simhashSignatures(docs, "doc_id", "text")
     val brute = sigs.as("a").join(sigs.as("b"),
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
