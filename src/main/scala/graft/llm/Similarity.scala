@@ -103,6 +103,35 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
   }
 
+  /** Brute-force top-k via the bounded-heap TopKCosine aggregator
+    * (§2.6 custom typed aggregate): same result as bruteTopK, but the
+    * shuffle carries O(k) state per (partition, query) instead of every
+    * scored candidate — the formulation that wins once candidates per
+    * query outgrow memory. */
+  def bruteTopKAgg(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("nn"))
+    val q = base.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nn").as("qn"))
+    val scored = base.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        (dotD(col("embedding"), col("q_emb")) /
+          (sqrt(col("nn")) * sqrt(col("qn")))).as("sim"))
+      .as[(Long, Long, Double)]
+    val topk = new TopKCosine(k).toColumn
+    scored.groupByKey(_._1)
+      .mapValues { case (_, id, sim) => Scored(id, sim) }
+      .agg(topk.name("topk"))
+      .toDF("query_id", "topk")
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.neighbor_id").as("neighbor_id"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= tau, blocked by a cell key
     * (label here; LSH hyperplane buckets in the general case) so the pair
     * space is per-cell, not corpus-square. */

@@ -49,6 +49,28 @@ object Streams {
     } finally batch.unpersist()
   }
 
+  /** K5 analogue (Redis HSET upsert): last-write-wins keyed upsert of each
+    * micro-batch into a Parquet state table via foreachBatch — existing
+    * rows whose key reappears are replaced, others are carried over. At
+    * scale this is a MERGE into a transactional table format; the
+    * read-antijoin-union-rewrite below is the plain-Parquet equivalent. */
+  def upsertBatch(stateDir: String, keys: Seq[String])(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val incoming = batch.dropDuplicates(keys).persist()
+    try {
+      val merged =
+        try {
+          val existing = spark.read.parquet(stateDir)
+          existing.join(incoming.select(keys.map(col): _*), keys, "left_anti")
+            .unionByName(incoming)
+        } catch { case _: org.apache.spark.sql.AnalysisException => incoming }
+      val tmp = stateDir + ".tmp"
+      merged.write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).write.mode("overwrite").parquet(stateDir)
+    } finally incoming.unpersist()
+  }
+
   /** Sessionization over the stream (gap-based windows). */
   def sessionize(events: DataFrame, gap: String = "1 hour"): DataFrame =
     events

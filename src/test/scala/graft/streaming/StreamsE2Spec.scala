@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ops.AvroSerDe
+import graft.schemas.Contracts
+
+/** E2 pipeline parity (SURVEY §3): topic -> Avro decode -> typed rows ->
+  * file sink, driven as a stream of (key, value-binary) frames through the
+  * same AvroSerDe used in batch. */
+class StreamsE2Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("E2: streamed Avro frames decode to contract rows in a file sink") {
+    val srcDir = Files.createTempDirectory("avro-src").toString
+    val outDir = Files.createTempDirectory("avro-out").toString
+    val ckDir = Files.createTempDirectory("avro-ck").toString
+    val avro = AvroSerDe.avroSchemaFor("CI", Contracts.consumptionIndustry)
+
+    // Producer leg (K1): contract rows -> keyed Avro frames, landed as files
+    // (the Kafka topic stand-in).
+    val rows = Seq(
+      ("2024-12-01T10:00", "2024-12-01T11:00", "101", "Erhverv", 1234.5f),
+      ("2024-12-01T11:00", "2024-12-01T12:00", "155", "Privat", 0.25f))
+    AvroSerDe.encode(
+        rows.toDF("HourUTC", "HourDK", "MunicipalityNo", "Branche", "ConsumptionkWh"),
+        avro, keyCol = "HourUTC")
+      .write.mode("append").parquet(srcDir)
+
+    // Consumer leg (E2): readStream -> decode -> parquet sink.
+    val frames = spark.readStream
+      .schema("key STRING, value BINARY").parquet(srcDir)
+    val q = AvroSerDe.decode(frames, avro, Contracts.consumptionIndustry)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val back = spark.read.parquet(outDir)
+      .as[(String, String, String, String, Float)].collect().toSet
+    assert(back == rows.toSet)
+  }
+
+  test("K5: foreachBatch keyed upsert is last-write-wins") {
+    val srcDir = Files.createTempDirectory("up-src").toString
+    val stateDir = Files.createTempDirectory("up-state").toString + "/state"
+    val ckDir = Files.createTempDirectory("up-ck").toString
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema("k STRING, v LONG").parquet(srcDir)
+      val q = stream.writeStream
+        .foreachBatch(Streams.upsertBatch(stateDir, Seq("k")) _)
+        .option("checkpointLocation", ckDir).start()
+      q.processAllAvailable(); q.stop()
+    }
+    Seq(("a", 1L), ("b", 1L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    Seq(("b", 2L), ("c", 1L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    val state = spark.read.parquet(stateDir)
+      .as[(String, Long)].collect().toMap
+    assert(state == Map("a" -> 1L, "b" -> 2L, "c" -> 1L))
+  }
+}
