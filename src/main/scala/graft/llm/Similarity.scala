@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions.cosineSim
+
 /** Vector similarity search over an Array[Float] embedding column.
   *
   * - Brute-force top-k: broadcast the (small) query set against the corpus,
@@ -36,14 +38,11 @@ object Similarity {
     * neighbor_id (scores excluded — last-bit float noise is expected to
     * differ across engines; ranking is margin-stable). */
   def bruteTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val base = emb.select(col("vec_id"), col("embedding"),
-      norm2(col("embedding")).as("nn"))
+    val base = emb.select(col("vec_id"), col("embedding"))
     val q = base.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("nn").as("qn"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scored = base.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("sim",
-        dotD(col("embedding"), col("q_emb")) / (sqrt(col("nn")) * sqrt(col("qn"))))
+      .withColumn("sim", cosineSim(col("embedding"), col("q_emb")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -66,38 +65,32 @@ object Similarity {
     * cells. Recall traded for a ~ncells/nprobe scan reduction. */
   def ivfTopK(emb: DataFrame, cellSource: String, queryPred: Column,
       k: Int, nprobe: Int): DataFrame = {
-    val cents = broadcast(centroids(emb, cellSource))
-    val base = emb.select(col("vec_id"), col("embedding"),
-      norm2(col("embedding")).as("nn"))
+    val cents = broadcast(centroids(emb, cellSource)
+      .select(col("cell"), col("centroid").cast("array<float>").as("centroid")))
+    val base = emb.select(col("vec_id"), col("embedding"))
     // Assign every vector to its nearest centroid (cosine).
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cell"))
     val assigned = base.join(cents)
-      .withColumn("csim",
-        dotD(col("embedding"), col("centroid")) /
-          (sqrt(col("nn")) * sqrt(norm2(col("centroid")))))
+      .withColumn("csim", cosineSim(col("embedding"), col("centroid")))
       .withColumn("crn", row_number().over(wAssign))
       .filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nn"), col("cell"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
     // Each query probes its nprobe nearest cells.
     val q = assigned.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("nn").as("qn"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("cell"))
     val probed = q.join(cents)
-      .withColumn("csim",
-        dotD(col("q_emb"), col("centroid")) /
-          (sqrt(col("qn")) * sqrt(norm2(col("centroid")))))
+      .withColumn("csim", cosineSim(col("q_emb"), col("centroid")))
       .withColumn("crn", row_number().over(wProbe))
       .filter(col("crn") <= nprobe)
-      .select(col("query_id"), col("q_emb"), col("qn"), col("cell"))
+      .select(col("query_id"), col("q_emb"), col("cell"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim",
-        dotD(col("embedding"), col("q_emb")) / (sqrt(col("nn")) * sqrt(col("qn"))))
+      .withColumn("sim", cosineSim(col("embedding"), col("q_emb")))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
@@ -111,16 +104,13 @@ object Similarity {
   def bruteTopKAgg(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val base = emb.select(col("vec_id"), col("embedding"),
-      norm2(col("embedding")).as("nn"))
+    val base = emb.select(col("vec_id"), col("embedding"))
     val q = base.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("nn").as("qn"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scored = base.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"),
         col("vec_id").as("neighbor_id"),
-        (dotD(col("embedding"), col("q_emb")) /
-          (sqrt(col("nn")) * sqrt(col("qn")))).as("sim"))
+        cosineSim(col("embedding"), col("q_emb")).as("sim"))
       .as[(Long, Long, Double)]
     val topk = new TopKCosine(k).toColumn
     scored.groupByKey(_._1)
@@ -136,14 +126,11 @@ object Similarity {
     * (label here; LSH hyperplane buckets in the general case) so the pair
     * space is per-cell, not corpus-square. */
   def nearDupPairs(emb: DataFrame, cellCol: String, tau: Double): DataFrame = {
-    val base = emb.select(col("vec_id"), col("embedding"), col(cellCol).as("cell"),
-      norm2(col("embedding")).as("nn"))
+    val base = emb.select(col("vec_id"), col("embedding"), col(cellCol).as("cell"))
     base.as("a")
       .join(base.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim",
-        dotD(col("a.embedding"), col("b.embedding")) /
-          (sqrt(col("a.nn")) * sqrt(col("b.nn"))))
+      .withColumn("sim", cosineSim(col("a.embedding"), col("b.embedding")))
       .filter(col("sim") >= tau)
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
   }
