@@ -417,16 +417,24 @@ object RelQueries {
         CAST(CAST(value AS REAL) AS DOUBLE) AS consumption_kwh
       FROM events ORDER BY event_id""")),
 
-    // §2.5 streaming-shape in batch — session windows (1h gap), oracle via
-    // gaps-and-islands.
+    // §2.5 streaming-shape in batch — session windows (1h gap) via
+    // gaps-and-islands window functions (same result as session_window,
+    // but stays in plain codegen'd windows; the streaming layer uses
+    // session_window proper — see streaming.Streams.sessionize).
     ("q24_session_window", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("user_id").orderBy("ts")
       t(s, d, "events")
-        .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(col("user_id"),
-          col("session_window.start").as("session_start"),
-          col("session_window.end").as("session_end"),
-          col("n_events"))
+        .select(col("user_id"), col("ts"))
+        .withColumn("new_s", when(lag(col("ts"), 1).over(w).isNull ||
+            col("ts") >= lag(col("ts"), 1).over(w) + expr("INTERVAL 1 HOUR"),
+          1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_s"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min(col("ts")).as("session_start"),
+          (max(col("ts")) + expr("INTERVAL 1 HOUR")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "session_start", "session_end", "n_events")
         .orderBy("user_id", "session_start")
     }, Some("""
       WITH x AS (SELECT user_id, ts,
