@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.ops.{Dedup, DedupScope, Keys}
+import graft.llm.{NearDup, TextOps}
+
+/** Property-based laws (SURVEY §5.3): dedup idempotence, canonical-key
+  * stability under column reordering, the D1 dedup-scope law, and n-gram
+  * shape invariants. Sample counts kept small — each case runs Spark jobs.
+  */
+object GraftProps extends Properties("graft") {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val token: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString).map(_.take(8))
+  private val rowGen: Gen[(Long, String, Long)] =
+    for { id <- Gen.choose(0L, 50L); s <- token; v <- Gen.choose(0L, 5L) }
+      yield (id, s, v)
+
+  property("P5: canonical key invariant under column selection order") =
+    Prop.forAll(Gen.nonEmptyListOf(rowGen).map(_.take(10))) { rows =>
+      val df = rows.toDF("a", "b", "c")
+      val k1 = df.select(Keys.canonicalKey(Seq("a", "b", "c")).as("k"))
+        .as[String].collect().toSeq
+      val k2 = df.select("c", "a", "b")
+        .select(Keys.canonicalKey(Seq("c", "a", "b")).as("k"))
+        .as[String].collect().toSeq
+      k1 == k2
+    }
+
+  property("D2: dedup is idempotent, f(f(x)) = f(x)") =
+    Prop.forAll(Gen.listOf(rowGen).map(_.take(20))) { rows =>
+      val df = rows.toDF("a", "b", "c")
+      val once = Dedup.exact(df, Seq("a", "b"), DedupScope.Global)
+      Dedup.exact(once, Seq("a", "b"), DedupScope.Global).count() == once.count()
+    }
+
+  private val dayGen = Gen.choose(1, 5).map(d => f"2024-01-$d%02d 12:00:00")
+  private val tsRowGen = for { d <- dayGen; id <- Gen.choose(0L, 3L) } yield (d, id)
+
+  property("D1 vs D2 scope law: per-window keeps at least as many rows") =
+    Prop.forAll(Gen.nonEmptyListOf(tsRowGen).map(_.take(25))) { rows =>
+      val df = rows.toDF("ts", "k").withColumn("ts", col("ts").cast("timestamp"))
+      val perDay = Dedup.exact(df, Seq("k"), DedupScope.PerWindow("ts", "1 day")).count()
+      val global = Dedup.exact(df, Seq("k"), DedupScope.Global).count()
+      val distinctDayKey = df
+        .select(date_format(col("ts"), "yyyy-MM-dd"), col("k")).distinct().count()
+      perDay >= global && perDay == distinctDayKey
+    }
+
+  property("n-grams: count and arity invariants") =
+    Prop.forAll(Gen.nonEmptyListOf(token).map(_.take(15))) { toks =>
+      val text = toks.mkString(" ")
+      val grams = Seq(text).toDF("t")
+        .select(NearDup.wordNgrams(TextOps.tokens(col("t")), 3).as("g"))
+        .as[Seq[String]].head()
+      if (toks.length >= 3)
+        grams.length == toks.length - 2 &&
+          grams.forall(_.split(" ").length == 3)
+      else grams == Seq(toks.mkString(" "))
+    }
+
+  property("P5: single-value change always changes the key") =
+    Prop.forAll(rowGen, Gen.choose(100L, 200L)) { case ((a, b, c), delta) =>
+      val k1 = Seq((a, b, c)).toDF("a", "b", "c")
+        .select(Keys.canonicalKey(Seq("a", "b", "c")).as("k")).as[String].head()
+      val k2 = Seq((a + delta, b, c)).toDF("a", "b", "c")
+        .select(Keys.canonicalKey(Seq("a", "b", "c")).as("k")).as[String].head()
+      k1 != k2
+    }
+}
