@@ -35,13 +35,17 @@ object NearDup {
 
   /** Exact n-gram Jaccard similar pairs (doc_id ordered, jaccard >= tau).
     * Inverted-index join on the gram: only docs sharing at least one gram
-    * ever meet. Output: d1, d2, jaccard (exact int counts, one double
-    * division — deterministic across engines). */
+    * ever meet. The join key is the gram's 64-bit hash, not the string —
+    * an 8-byte shuffle key instead of ~20-byte text (collision odds among
+    * distinct grams are ~|grams|^2 / 2^65 — vanishing, and a collision
+    * only merges two gram postings). Output: d1, d2, jaccard (exact int
+    * counts, one double division — deterministic across engines). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double): DataFrame = {
     // The gram index feeds three plan branches (both join sides + sizes):
     // materialize it once. At 100 TB this is the persisted inverted index.
     val grams = gramsOf(docs, idCol, textCol, n)
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = grams.as("a")

@@ -417,6 +417,57 @@ object RelQueries {
         CAST(CAST(value AS REAL) AS DOUBLE) AS consumption_kwh
       FROM events ORDER BY event_id""")),
 
+    // §2.5 aggregation — grouping sets (beyond rollup/cube).
+    ("q25_grouping_sets", (s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem")
+      li.createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    }, Some(s"""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        CAST(SUM($oQty) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // §2.3 P1 in reverse — unpivot (wide measures -> long rows), the
+    // JSON-STAT zip's relational dual.
+    ("q26_unpivot", (s: SparkSession, d: String) => {
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          expr("""stack(4, 'disc', l_discount, 'price', l_extendedprice,
+                           'qty', l_quantity, 'tax', l_tax) AS (measure, val)"""))
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    }, Some("""
+      SELECT l_orderkey, l_linenumber, measure, val FROM (
+        SELECT l_orderkey, l_linenumber, 'disc' AS measure, l_discount AS val FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'qty', l_quantity FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem)
+      ORDER BY l_orderkey, l_linenumber, measure""")),
+
+    // §2.5 — the SQL surface + correlated-subquery decorrelation (Catalyst
+    // rewrites the NOT EXISTS into a left_anti join).
+    ("q27_sql_decorrelated", (s: SparkSession, d: String) => {
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      t(s, d, "supplier").createOrReplaceTempView("supplier")
+      s.sql("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM supplier
+                          WHERE s_nationkey = c_nationkey AND s_acctbal > 8000)
+        ORDER BY c_custkey""")
+    }, Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM supplier
+                        WHERE s_nationkey = c_nationkey AND s_acctbal > 8000)
+      ORDER BY c_custkey""")),
+
     // §2.5 streaming-shape in batch — session windows (1h gap) via
     // gaps-and-islands window functions (same result as session_window,
     // but stays in plain codegen'd windows; the streaming layer uses
