@@ -22,12 +22,15 @@ object LlmQueries {
       t(s, d, "documents").select(
           col("doc_id"),
           TextOps.nTokens(col("text")).as("n_tokens"),
+          TextOps.nSubTokens(col("text")).as("n_subtokens"),
           length(col("text")).cast("long").as("n_chars_calc"),
           TextOps.nLongTokens(col("text")).as("n_long_tokens"))
         .orderBy("doc_id")
     }, Some("""
       SELECT doc_id,
         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]'))
+          AS BIGINT) AS n_subtokens,
         CAST(length(text) AS BIGINT) AS n_chars_calc,
         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
           x -> length(x) >= 6)) AS BIGINT) AS n_long_tokens

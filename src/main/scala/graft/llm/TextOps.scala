@@ -17,6 +17,14 @@ object TextOps {
 
   def nTokens(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** BPE-ish subtoken estimate: count of letter-runs, digit-runs, and
+    * individual punctuation marks — the shape of a GPT-style pre-tokenizer,
+    * cheap enough to run over 100 TB as a single codegen'd regexp pass.
+    * (A real tokenizer plugs in behind the same column contract.) */
+  def nSubTokens(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]"), lit(0)))
+      .cast("long")
+
   /** English-ish stopword list used by the quality score. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 

@@ -1,0 +1,48 @@
+package graft
+
+/** Plan-quality regression guards: the physical plans the engine depends on
+  * for 100 TB viability — pushdown, pruning, broadcast, partial
+  * aggregation — asserted against the actual executed plans so a refactor
+  * that silently degrades a plan fails here, not in production. */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: filter and column pruning reach the parquet scan") {
+    val p = plan("q01_agg_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"))
+    // 7 of 11 lineitem columns read
+    assert(p.contains("ReadSchema") && !p.contains("l_partkey"))
+  }
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    val p = plan("q01_agg_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+
+  test("q02: dimension joins are broadcast, not shuffled") {
+    val p = plan("q02_join_broadcast_star")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q04/q05: semi and anti joins stay semi/anti in the physical plan") {
+    assert(plan("q04_join_semi").contains("LeftSemi"))
+    assert(plan("q05_join_anti").contains("LeftAnti"))
+  }
+
+  test("q30: text ops are a single projection over the scan, no agg shuffle") {
+    val p = plan("q30_text_token_stats")
+    assert(p.contains("Project") && p.contains("FileScan"))
+    assert(!p.contains("Exchange hashpartitioning")) // only the sort's range exchange
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>")) // pruned
+  }
+
+  test("q38: query side is broadcast against the corpus scan") {
+    assert(plan("q38_knn_brute_cosine").contains("BroadcastNestedLoopJoin") ||
+      plan("q38_knn_brute_cosine").contains("BroadcastHashJoin"))
+  }
+}
