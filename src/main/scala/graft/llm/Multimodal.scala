@@ -47,6 +47,41 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: recompute target dimensions preserving aspect, payload
+    * untouched (a real build transcodes; the plumbing — schema in/out,
+    * per-partition batching — is what this exercises). */
+  def resizeStub(spark: SparkSession, media: DataFrame,
+      maxSide: Long): Dataset[DecodedRow] = {
+    import spark.implicits._
+    decode(spark, media).map { d =>
+      val scale = maxSide.toDouble / math.max(d.width, d.height)
+      if (scale >= 1.0) d
+      else d.copy(width = (d.width * scale).toLong,
+        height = (d.height * scale).toLong)
+    }
+  }
+
+  case class FrameRow(doc_id: Long, frame_idx: Long, frame_fingerprint: String)
+
+  /** STUB frame sampling ("video" payloads): emit `n` evenly-spaced frame
+    * fingerprints per payload — the one-row-to-many-frames batch shape of
+    * a real frame sampler, with a deterministic fake extractor. */
+  def frameSampleStub(spark: SparkSession, media: DataFrame,
+      n: Int): Dataset[FrameRow] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[MediaRow]
+      .flatMap { r =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        (0 until n).map { i =>
+          md.reset()
+          md.update(r.media)
+          md.update(i.toByte)
+          FrameRow(r.doc_id, i.toLong,
+            md.digest().map("%02x".format(_)).mkString)
+        }
+      }
+  }
+
   /** Column-expression twin of the stub (oracle-checkable end-to-end): the
     * same arithmetic as decodeStub in pure codegen'd expressions. */
   def decodeStubColumns(media: DataFrame): DataFrame =

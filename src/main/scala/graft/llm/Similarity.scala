@@ -60,13 +60,58 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("centroid"))
 
+  /** Deterministic mini k-means over the embedding column (Lloyd's, cosine
+    * assignment, `iters` rounds): init = the k lowest vec_ids, then
+    * assign-and-average entirely in DataFrame ops — no collect of vectors,
+    * so the corpus never touches the driver. Used to derive IVF cells when
+    * no natural cell key exists; at 100 TB you run this on a sample and
+    * broadcast the result, which is exactly what the loop does (centroids
+    * are k rows). */
+  def kmeansCells(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    var cents = base.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cell"), col("embedding").cast("array<float>").as("centroid"))
+    for (_ <- 1 to iters) {
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cell"))
+      val assigned = base.join(broadcast(cents))
+        .withColumn("csim", cosineSim(col("embedding"), col("centroid")))
+        .withColumn("crn", row_number().over(wAssign))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      cents = assigned.select(col("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"),
+          transform(col("pm"), p => p.getField("m")).cast("array<float>").as("centroid"))
+    }
+    cents
+  }
+
+  /** IVF top-k over k-means cells (no natural cell column needed). */
+  def ivfTopKKmeans(emb: DataFrame, ncells: Int, iters: Int,
+      queryPred: Column, k: Int, nprobe: Int): DataFrame = {
+    val cells = kmeansCells(emb, ncells, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cells.count() // materialize once; reused by assignment + probing
+    ivfWithCells(emb, cells, queryPred, k, nprobe)
+  }
+
   /** IVF-style ANN: assign corpus vectors to nearest centroid cell, probe
     * the `nprobe` nearest cells per query, exact top-k inside the probed
     * cells. Recall traded for a ~ncells/nprobe scan reduction. */
   def ivfTopK(emb: DataFrame, cellSource: String, queryPred: Column,
-      k: Int, nprobe: Int): DataFrame = {
-    val cents = broadcast(centroids(emb, cellSource)
-      .select(col("cell"), col("centroid").cast("array<float>").as("centroid")))
+      k: Int, nprobe: Int): DataFrame =
+    ivfWithCells(emb,
+      centroids(emb, cellSource)
+        .select(col("cell"), col("centroid").cast("array<float>").as("centroid")),
+      queryPred, k, nprobe)
+
+  private def ivfWithCells(emb: DataFrame, cellsDf: DataFrame,
+      queryPred: Column, k: Int, nprobe: Int): DataFrame = {
+    val cents = broadcast(cellsDf)
     val base = emb.select(col("vec_id"), col("embedding"))
     // Assign every vector to its nearest centroid (cosine).
     val wAssign = Window.partitionBy(col("vec_id"))

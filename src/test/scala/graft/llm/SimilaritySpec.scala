@@ -46,6 +46,23 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(sims(1)) < 1e-12)
   }
 
+  test("k-means IVF: nprobe=all equals brute force; partial probe has recall") {
+    val brute = Similarity.bruteTopK(emb, col("vec_id") < 10, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.ivfTopKKmeans(emb, ncells = 8, iters = 2,
+        queryPred = col("vec_id") < 10, k = 5, nprobe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute, "nprobe = ncells must equal brute force")
+    val partial = Similarity.ivfTopKKmeans(emb, ncells = 8, iters = 2,
+        queryPred = col("vec_id") < 10, k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect partial).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall@5 = $recall")
+  }
+
   test("near-dup pairs are symmetric-free and above threshold") {
     val pairs = Similarity.nearDupPairs(emb, "label", tau = 0.25)
     assert(pairs.filter(col("v1") >= col("v2")).count() == 0)

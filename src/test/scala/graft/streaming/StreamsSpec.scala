@@ -107,6 +107,23 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(b).count() == 2)
   }
 
+  test("D5: maxFilesPerTrigger paces ingestion into multiple micro-batches") {
+    val srcDir = tmp("src"); val outDir = tmp("out"); val ckDir = tmp("ck")
+    eventsDf(Seq(("2024-01-01 10:00:00", 1L, "a")))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    eventsDf(Seq(("2024-01-02 10:00:00", 2L, "b")))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = stream.writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(outDir).count() >= 2)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "rate limit should split input across micro-batches")
+  }
+
   test("streaming sessionize emits closed sessions") {
     val srcDir = tmp("src"); val outDir = tmp("out"); val ckDir = tmp("ck")
     eventsDf(Seq(
