@@ -163,6 +163,14 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }, None),
 
+    // Random-hyperplane LSH ANN (angular buckets + exact rerank) —
+    // approximate by design; rows-only, spec verifies recall vs brute.
+    ("q43_knn_lsh", (s: SparkSession, d: String) => {
+      Similarity.lshTopK(t(s, d, "embeddings"), dim = 64,
+          queryPred = col("vec_id") < 10, k = 5)
+        .orderBy("query_id", "rank")
+    }, None),
+
     // Embedding near-dup pairs (cosine >= tau), cell-blocked.
     ("q40_embed_neardup", (s: SparkSession, d: String) => {
       Similarity.nearDupPairs(t(s, d, "embeddings"), "label", tau = 0.25)

@@ -167,6 +167,44 @@ object Similarity {
         col("col.neighbor_id").as("neighbor_id"))
   }
 
+  /** Random-hyperplane LSH ANN: each vector gets `tables` short bit
+    * signatures from fixed pseudo-random hyperplanes (seeded, shipped as
+    * array literals — deterministic across runs and retries); query and
+    * corpus vectors sharing any (table, signature) bucket become
+    * candidates, reranked exactly. The angular-LSH alternative to IVF:
+    * P(candidate) = 1 - (1 - p^bits)^tables with p = 1 - angle/pi, so
+    * bits trades scan reduction for recall as the corpus grows. */
+  def lshTopK(emb: DataFrame, dim: Int, queryPred: Column, k: Int,
+      tables: Int = 16, bitsPerTable: Int = 4, seed: Long = 42L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val planes: IndexedSeq[IndexedSeq[Array[Float]]] =
+      IndexedSeq.fill(tables)(IndexedSeq.fill(bitsPerTable)(
+        Array.fill(dim)((rng.nextDouble() * 2 - 1).toFloat)))
+    def sigFor(v: Column, t: Int): Column =
+      (0 until bitsPerTable).foldLeft(lit(0)) { (acc, b) =>
+        acc * 2 + when(dotD(v, typedLit(planes(t)(b).toSeq)) > 0, 1).otherwise(0)
+      }
+    def bucketed(df: DataFrame, vCol: String): DataFrame =
+      df.select(col("*"), explode(array((0 until tables).map(t =>
+          struct(lit(t).as("table_id"), sigFor(col(vCol), t).as("sig"))): _*))
+        .as("tb"))
+        .select(df.columns.map(col) :+ col("tb.table_id") :+ col("tb.sig"): _*)
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val q = bucketed(base.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")), "q_emb")
+    val corpus = bucketed(base, "embedding")
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    corpus.join(broadcast(q), Seq("table_id", "sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id", "embedding", "q_emb")
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("sim", cosineSim(col("embedding"), col("q_emb")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= tau, blocked by a cell key
     * (label here; LSH hyperplane buckets in the general case) so the pair
     * space is per-cell, not corpus-square. */

@@ -468,6 +468,19 @@ object RelQueries {
                         WHERE s_nationkey = c_nationkey AND s_acctbal > 8000)
       ORDER BY c_custkey""")),
 
+    // §2.5 — pivot (long -> wide), the unpivot dual.
+    ("q28_pivot", (s: SparkSession, d: String) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(qty).cast("double"))
+        .orderBy("l_returnflag")
+    }, Some(s"""
+      SELECT l_returnflag,
+        CAST(SUM(CASE WHEN l_linestatus = 'F' THEN $oQty END) AS DOUBLE) AS F,
+        CAST(SUM(CASE WHEN l_linestatus = 'O' THEN $oQty END) AS DOUBLE) AS O
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // §2.5 streaming-shape in batch — session windows (1h gap) via
     // gaps-and-islands window functions (same result as session_window,
     // but stays in plain codegen'd windows; the streaming layer uses

@@ -63,6 +63,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall@5 = $recall")
   }
 
+  test("hyperplane LSH: useful recall vs brute force at default params") {
+    val brute = Similarity.bruteTopK(emb, col("vec_id") < 10, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, dim = 64, col("vec_id") < 10, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@5 = $recall")
+  }
+
   test("near-dup pairs are symmetric-free and above threshold") {
     val pairs = Similarity.nearDupPairs(emb, "label", tau = 0.25)
     assert(pairs.filter(col("v1") >= col("v2")).count() == 0)
