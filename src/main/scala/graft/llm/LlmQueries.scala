@@ -196,6 +196,15 @@ object LlmQueries {
         md5(text) AS fingerprint
       FROM documents ORDER BY doc_id""")),
 
+    // Rolling (Rabin-Karp) document fingerprint via the native codegen'd
+    // expression — rows-only (polynomial-mod loops aren't DuckDB SQL);
+    // RollingHashSpec pins it against a BigInt reference implementation.
+    ("q44_rolling_fingerprint", (s: SparkSession, d: String) => {
+      t(s, d, "documents").select(col("doc_id"),
+          graft.functions.RollingHash.rollingHash(col("text")).as("fp64"))
+        .orderBy("doc_id")
+    }, None),
+
     // Generalized JSON-STAT cube flatten (P1/P2) on an inline fixture —
     // rows-only here; the scalatest spec pins exact expected rows.
     ("q42_jsonstat_flatten", (s: SparkSession, d: String) => {

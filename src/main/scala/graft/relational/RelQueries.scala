@@ -481,6 +481,23 @@ object RelQueries {
         CAST(SUM(CASE WHEN l_linestatus = 'O' THEN $oQty END) AS DOUBLE) AS O
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // §2.5 aggregation — exact interpolated percentiles (both engines use
+    // the linear-interpolation definition; inputs are integral doubles so
+    // the interpolation arithmetic is exact).
+    ("q29_percentiles", (s: SparkSession, d: String) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.5) AS median_qty,
+        quantile_cont(l_quantity, 0.9) AS p90_qty,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // §2.5 streaming-shape in batch — session windows (1h gap) via
     // gaps-and-islands window functions (same result as session_window,
     // but stays in plain codegen'd windows; the streaming layer uses

@@ -71,6 +71,30 @@ object Streams {
     } finally incoming.unpersist()
   }
 
+  /** Bespoke keyed state via flatMapGroupsWithState (the escape hatch the
+    * reference's Redis counters map to when dropDuplicates/windows don't
+    * fit): running per-user event count + cumulative value, one output row
+    * per input batch per active user. State is a two-field case class —
+    * O(1) per key, watermark-safe under GroupStateTimeout in production. */
+  def runningUserTotals(spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    case class In(user_id: Long, value: Double)
+    val typed = events.select(col("user_id"), col("value")).as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { r => n += 1; v += r._2 }
+          state.update((n, v))
+          Iterator((user, n, v))
+      }
+      .toDF("user_id", "n_events", "total_value")
+  }
+
   /** Sessionization over the stream (gap-based windows). */
   def sessionize(events: DataFrame, gap: String = "1 hour"): DataFrame =
     events

@@ -124,6 +124,29 @@ class StreamsSpec extends SparkSpec {
       "rate limit should split input across micro-batches")
   }
 
+  test("flatMapGroupsWithState: running per-user totals across batches") {
+    val srcDir = tmp("src"); val outDir = tmp("out"); val ckDir = tmp("ck")
+    def push(rows: Seq[(String, Long, String, Double)]): Unit =
+      rows.toDF("ts", "user_id", "event_type", "value")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    val schemaV = StructType(schema.fields :+ StructField("value", DoubleType))
+    push(Seq(("2024-01-01 10:00:00", 1L, "a", 2.0),
+             ("2024-01-01 11:00:00", 1L, "a", 3.0)))
+    val stream = spark.readStream.schema(schemaV).parquet(srcDir)
+    val q = Streams.runningUserTotals(spark, stream)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir).start()
+    q.processAllAvailable()
+    push(Seq(("2024-01-01 12:00:00", 1L, "a", 5.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(outDir)
+      .as[(Long, Long, Double)].collect().toSet
+    // batch 1 emits (1,2,5.0); batch 2 resumes state and emits (1,3,10.0)
+    assert(rows == Set((1L, 2L, 5.0), (1L, 3L, 10.0)))
+  }
+
   test("streaming sessionize emits closed sessions") {
     val srcDir = tmp("src"); val outDir = tmp("out"); val ckDir = tmp("ck")
     eventsDf(Seq(
