@@ -57,7 +57,9 @@ object Streams {
   def upsertBatch(stateDir: String, keys: Seq[String])(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val incoming = batch.dropDuplicates(keys).persist()
+    // P7: state rows carry their ingest time, as the reference's Redis
+    // upsert injects utcnow (fetch_data_energinet.py:44).
+    val incoming = graft.ops.Keys.ingestTag(batch.dropDuplicates(keys)).persist()
     try {
       val merged =
         try {

@@ -61,8 +61,11 @@ class StreamsE2Spec extends SparkSpec {
     Seq(("b", 2L), ("c", 1L)).toDF("k", "v")
       .coalesce(1).write.mode("append").parquet(srcDir)
     run()
-    val state = spark.read.parquet(stateDir)
-      .as[(String, Long)].collect().toMap
+    val stateDf = spark.read.parquet(stateDir)
+    val state = stateDf.select("k", "v").as[(String, Long)].collect().toMap
     assert(state == Map("a" -> 1L, "b" -> 2L, "c" -> 1L))
+    // P7: every state row carries its ingest timestamp.
+    assert(stateDf.schema.fieldNames.contains("ingested_at"))
+    assert(stateDf.filter(col("ingested_at").isNull).count() == 0)
   }
 }
