@@ -481,6 +481,63 @@ object RelQueries {
         CAST(SUM(CASE WHEN l_linestatus = 'O' THEN $oQty END) AS DOUBLE) AS O
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // §2.5 joins — left outer with null-coalescing aggregation.
+    ("q45_join_left_outer", (s: SparkSession, d: String) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_big"),
+          coalesce(sum(Exact.dec(col("o_totalprice"))), lit(0))
+            .cast("double").as("big_total"))
+        .orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_big,
+        CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS big_total
+      FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+        ON o_custkey = c_custkey
+      GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // §2.5 joins — full outer (nation coverage union of both sides).
+    ("q46_join_full_outer", (s: SparkSession, d: String) => {
+      val cn = t(s, d, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("c_cnt"))
+      val sn = t(s, d, "supplier").groupBy(col("s_nationkey").as("nk2"))
+        .agg(count(lit(1)).as("s_cnt"))
+      cn.join(sn, cn("nk") === sn("nk2"), "full_outer")
+        .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+          coalesce(col("c_cnt"), lit(0L)).as("c_cnt"),
+          coalesce(col("s_cnt"), lit(0L)).as("s_cnt"))
+        .orderBy("nationkey")
+    }, Some("""
+      SELECT COALESCE(cn.nk, sn.nk2) AS nationkey,
+        CAST(COALESCE(cn.c_cnt, 0) AS BIGINT) AS c_cnt,
+        CAST(COALESCE(sn.s_cnt, 0) AS BIGINT) AS s_cnt
+      FROM (SELECT c_nationkey AS nk, COUNT(*) AS c_cnt FROM customer GROUP BY 1) cn
+      FULL OUTER JOIN
+           (SELECT s_nationkey AS nk2, COUNT(*) AS s_cnt FROM supplier GROUP BY 1) sn
+        ON cn.nk = sn.nk2
+      ORDER BY nationkey""")),
+
+    // §2.3 — math scalars restricted to IEEE-exact operations (sqrt, abs,
+    // floor/ceil, modulo): deterministic across engines, unlike libm
+    // transcendentals.
+    ("q47_scalar_math", (s: SparkSession, d: String) => {
+      t(s, d, "part").select(col("p_partkey"),
+          sqrt(col("p_retailprice")).as("sq"),
+          abs(col("p_retailprice") - 1000.0).as("dev"),
+          floor(col("p_retailprice")).cast("long").as("fl"),
+          ceil(col("p_retailprice")).cast("long").as("ce"),
+          (col("p_size") % 7).as("szmod"))
+        .orderBy("p_partkey")
+    }, Some("""
+      SELECT p_partkey, sqrt(p_retailprice) AS sq,
+        abs(p_retailprice - 1000.0) AS dev,
+        CAST(floor(p_retailprice) AS BIGINT) AS fl,
+        CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+        p_size % 7 AS szmod
+      FROM part ORDER BY p_partkey""")),
+
     // §2.5 aggregation — exact interpolated percentiles (both engines use
     // the linear-interpolation definition; inputs are integral doubles so
     // the interpolation arithmetic is exact).
