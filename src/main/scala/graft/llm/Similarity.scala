@@ -180,9 +180,11 @@ object Similarity {
     val planes: IndexedSeq[IndexedSeq[Array[Float]]] =
       IndexedSeq.fill(tables)(IndexedSeq.fill(bitsPerTable)(
         Array.fill(dim)((rng.nextDouble() * 2 - 1).toFloat)))
+    // sign(dot) == sign(cosine) (norms are positive), so the fused
+    // codegen'd cosine expression computes the hyperplane bit.
     def sigFor(v: Column, t: Int): Column =
       (0 until bitsPerTable).foldLeft(lit(0)) { (acc, b) =>
-        acc * 2 + when(dotD(v, typedLit(planes(t)(b).toSeq)) > 0, 1).otherwise(0)
+        acc * 2 + when(cosineSim(v, typedLit(planes(t)(b).toSeq)) > 0, 1).otherwise(0)
       }
     def bucketed(df: DataFrame, vCol: String): DataFrame =
       df.select(col("*"), explode(array((0 until tables).map(t =>

@@ -1,0 +1,132 @@
+package graft.sources.v2
+
+import java.time.LocalDate
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 connector for the paginated day-window REST scan — the
+  * at-scale form of S1/S3 (SURVEY §2.1): one InputPartition per event-time
+  * day, so each day's fetch executes ON AN EXECUTOR (the driver-side
+  * `Sources.incrementalIngest` loop is the small-scale variant; this is
+  * what 100 TB of backfill needs — a thousand day-windows fan out across
+  * the cluster, with per-partition retry for free).
+  *
+  * The HTTP GET is stubbed with a deterministic in-process generator (no
+  * egress in this container): `DayWindowReader.fetchDay` is the seam where
+  * the real `GET API_URL?start=<day>&end=<day+1>` call goes — partition
+  * boundaries, schema, pruning, and task layout are all real.
+  *
+  * Column pruning is pushed into the reader (SupportsPushDownRequiredColumns):
+  * a query projecting one column materializes one column.
+  *
+  * Usage: spark.read.format("graft.sources.v2.DayWindowSource")
+  *   .option("from", "2024-01-01").option("to", "2024-01-07").load()
+  */
+class DayWindowSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DayWindowSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new DayWindowTable(properties.get("from"), properties.get("to"))
+}
+
+object DayWindowSource {
+  /** The ConsumptionIndustry shape (reference avro-schema contract). */
+  val schema: StructType = StructType(Seq(
+    StructField("HourUTC", StringType, nullable = false),
+    StructField("MunicipalityNo", StringType, nullable = false),
+    StructField("Branche", StringType, nullable = false),
+    StructField("ConsumptionkWh", FloatType, nullable = false)))
+}
+
+class DayWindowTable(from: String, to: String) extends Table with SupportsRead {
+  require(from != null && to != null, "options 'from' and 'to' are required")
+  override def name(): String = s"daywindow[$from..$to]"
+  override def schema(): StructType = DayWindowSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DayWindowScanBuilder(from, to)
+}
+
+class DayWindowScanBuilder(from: String, to: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = DayWindowSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new DayWindowScan(from, to, required)
+}
+
+class DayWindowScan(from: String, to: String, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String = s"DayWindowScan[$from..$to]"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val start = LocalDate.parse(from)
+    val end = LocalDate.parse(to)
+    Iterator.iterate(start)(_.plusDays(1)).takeWhile(!_.isAfter(end))
+      .map(d => DayPartition(d.toString,
+        required.fieldNames): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DayWindowReaderFactory
+}
+
+case class DayPartition(day: String, cols: Array[String]) extends InputPartition
+
+class DayWindowReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new DayWindowReader(partition.asInstanceOf[DayPartition])
+}
+
+object DayWindowReader {
+  val municipalities: Seq[String] = Seq("101", "155", "630")
+  val branches: Seq[String] = Seq("Erhverv", "Privat")
+
+  /** STUB fetch — deterministic synthetic records for one day. The real
+    * implementation issues the day-window HTTP request here (on the
+    * executor) and parses the `records` envelope (ops.Normalize). */
+  def fetchDay(day: String): Iterator[(String, String, String, Float)] =
+    for {
+      h <- (0 until 24).iterator
+      m <- municipalities.iterator
+      b <- branches.iterator
+    } yield {
+      val hour = f"${day}T$h%02d:00"
+      val v = math.abs((day, h, m, b).hashCode % 1000000) / 100.0f
+      (hour, m, b, v)
+    }
+}
+
+class DayWindowReader(p: DayPartition) extends PartitionReader[InternalRow] {
+  private val it = DayWindowReader.fetchDay(p.day)
+  private var current: (String, String, String, Float) = _
+
+  override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
+
+  override def get(): InternalRow = {
+    val vals: Array[Any] = p.cols.map {
+      case "HourUTC"        => UTF8String.fromString(current._1)
+      case "MunicipalityNo" => UTF8String.fromString(current._2)
+      case "Branche"        => UTF8String.fromString(current._3)
+      case "ConsumptionkWh" => current._4
+    }
+    InternalRow.fromSeq(vals.toIndexedSeq)
+  }
+
+  override def close(): Unit = ()
+}
