@@ -54,7 +54,7 @@ class DayWindowTable(from: String, to: String) extends Table with SupportsRead {
   override def name(): String = s"daywindow[$from..$to]"
   override def schema(): StructType = DayWindowSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DayWindowScanBuilder(from, to)
 }
@@ -80,6 +80,43 @@ class DayWindowScan(from: String, to: String, required: StructType)
       .map(d => DayPartition(d.toString,
         required.fieldNames): InputPartition)
       .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DayWindowReaderFactory
+
+  /** S3 as a streaming source: offsets are day indexes relative to `from`,
+    * so a restarted query resumes at the first unprocessed day — the
+    * reference's Redis day-checkpoint (D3) as Structured Streaming
+    * checkpointing. Extending `to` on restart ingests only the new days. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new DayWindowMicroBatch(from, to, required)
+}
+
+class DayWindowMicroBatch(from: String, to: String, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class DayOffset(idx: Long) extends Offset {
+    override def json(): String = idx.toString
+  }
+  private val startDate = LocalDate.parse(from)
+  private val nDays: Long =
+    java.time.temporal.ChronoUnit.DAYS.between(startDate, LocalDate.parse(to)) + 1
+
+  override def initialOffset(): Offset = DayOffset(-1L)
+  override def latestOffset(): Offset = DayOffset(nDays - 1)
+  override def deserializeOffset(json: String): Offset = DayOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[DayOffset].idx
+    val e = end.asInstanceOf[DayOffset].idx
+    ((s + 1) to e).map(i =>
+      DayPartition(startDate.plusDays(i).toString,
+        required.fieldNames): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -31,6 +31,25 @@ class DayWindowSourceSpec extends SparkSpec {
       !plan.contains("HourUTC"), s"pruning missing in: $plan")
   }
 
+  test("S3/D3 streaming: self-checkpointing resume ingests only new days") {
+    val outDir = java.nio.file.Files.createTempDirectory("dw-out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("dw-ck").toString
+    def run(to: String): Unit = {
+      val stream = spark.readStream.format("graft.sources.v2.DayWindowSource")
+        .option("from", "2024-01-01").option("to", to).load()
+      val q = stream.writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir).start()
+      q.processAllAvailable(); q.stop()
+    }
+    run("2024-01-03")
+    assert(spark.read.parquet(outDir).count() == 3L * 144)
+    // Restart with an extended range, same checkpoint: only days 4-5 land.
+    run("2024-01-05")
+    val df = spark.read.parquet(outDir)
+    assert(df.count() == 5L * 144)
+    assert(df.select(substring(col("HourUTC"), 1, 10)).distinct().count() == 5)
+  }
+
   test("deterministic across reads and composes with engine ops") {
     val a = read("2024-01-03", "2024-01-03").collect().toSet
     val b = read("2024-01-03", "2024-01-03").collect().toSet
