@@ -18,4 +18,13 @@ object Sinks {
 
   def readDay(spark: SparkSession, path: String, day: String): DataFrame =
     spark.read.parquet(path).filter(col("day") === day)
+
+  /** Bucketed table write: co-locates rows by join key at write time so
+    * repeated fact-fact joins on that key run with NO exchange — the
+    * pre-shuffle trade that pays for itself after one join at 100 TB.
+    * Both sides must use the same bucket count. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.bucketBy(buckets, key).sortBy(key)
+      .format("parquet").mode("overwrite").saveAsTable(table)
 }

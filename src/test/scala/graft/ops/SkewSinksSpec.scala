@@ -31,6 +31,41 @@ class SkewSinksSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  private def dropBucketTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete()
+    }
+    if (loc.exists()) rm(loc)
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    dropBucketTable("orders_bkt"); dropBucketTable("cust_bkt")
+    val ev = Tables(spark, sfDir, "orders")
+    Sinks.writeBucketed(ev, "orders_bkt", "o_custkey", 8)
+    Sinks.writeBucketed(Tables(spark, sfDir, "customer")
+      .withColumnRenamed("c_custkey", "o_custkey"), "cust_bkt", "o_custkey", 8)
+    // Force the shuffle-join path — otherwise broadcast makes this vacuous.
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_bkt")
+        .join(spark.table("cust_bkt"), "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      // correctness unchanged vs unbucketed join
+      val expected = Tables(spark, sfDir, "orders").join(
+        Tables(spark, sfDir, "customer").withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey").count()
+      assert(joined.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("day-partitioned sink enables partition pruning") {
     val path = Files.createTempDirectory("daypart").toString + "/events"
     val ev = Tables(spark, sfDir, "events")
