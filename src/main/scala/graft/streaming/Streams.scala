@@ -70,6 +70,12 @@ object Streams {
       val tmp = stateDir + ".tmp"
       merged.write.mode("overwrite").parquet(tmp)
       spark.read.parquet(tmp).write.mode("overwrite").parquet(stateDir)
+      // best-effort cleanup of the indirection dir
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
     } finally incoming.unpersist()
   }
 

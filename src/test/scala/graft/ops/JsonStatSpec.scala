@@ -43,6 +43,23 @@ class JsonStatSpec extends SparkSpec {
       ("A2", "B1", 4L), ("A2", "B2", 5L), ("A2", "B3", 6L)))
   }
 
+  test("missing dimension yields null labels, rows preserved (P2 defaults)") {
+    val json =
+      """{"dataset": {"label": "t", "source": "s", "updated": "u",
+        |  "extension": {"px": {"tableid": "T", "decimals": 0}},
+        |  "dimension": {
+        |    "Tid": {"category": {"label": {"2024M10": "2024M10", "2024M11": "2024M11"}}}
+        |  },
+        |  "value": [1, 2]}}""".stripMargin
+    // OMRÅDE is absent from the document (reference statbank rows get
+    // None via .get defaults, fetch_data_statbank.py:59-62).
+    val out = JsonStat.flatten(Seq(json).toDF("js"), "js", Seq("OMRÅDE", "Tid"))
+      .orderBy("value").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[String]("OMRÅDE") == null))
+    assert(out.map(_.getAs[String]("Tid")).toSeq == Seq("2024M10", "2024M11"))
+  }
+
   test("P2 code fallback: 20225 preferred, 20200 fallback") {
     import org.apache.spark.sql.functions._
     val df = Seq(
