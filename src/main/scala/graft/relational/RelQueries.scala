@@ -538,6 +538,27 @@ object RelQueries {
         p_size % 7 AS szmod
       FROM part ORDER BY p_partkey""")),
 
+    // §2.5 window — RANGE frame with interval bounds (value-based frame,
+    // peers included; complements q07's ROWS frame).
+    ("q48_window_range_frame", (s: SparkSession, d: String) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) OVER (
+            PARTITION BY l_suppkey ORDER BY l_shipdate
+            RANGE BETWEEN INTERVAL '7' DAY PRECEDING AND CURRENT ROW)
+          AS DOUBLE) AS qty_7d
+        FROM lineitem
+        ORDER BY l_suppkey, l_orderkey, l_linenumber""")
+    }, Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) OVER (
+          PARTITION BY l_suppkey ORDER BY l_shipdate
+          RANGE BETWEEN INTERVAL '7' DAY PRECEDING AND CURRENT ROW)
+        AS DOUBLE) AS qty_7d
+      FROM lineitem
+      ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
+
     // §2.5 aggregation — exact interpolated percentiles (both engines use
     // the linear-interpolation definition; inputs are integral doubles so
     // the interpolation arithmetic is exact).
