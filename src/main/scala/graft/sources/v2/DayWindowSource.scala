@@ -56,18 +56,59 @@ class DayWindowTable(from: String, to: String) extends Table with SupportsRead {
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DayWindowScanBuilder(from, to)
+    new DayWindowScanBuilder(from, to,
+      Option(options.get("daysPerTrigger")).map(_.toInt))
 }
 
-class DayWindowScanBuilder(from: String, to: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+class DayWindowScanBuilder(from: String, to: String,
+    daysPerTrigger: Option[Int] = None)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = DayWindowSource.schema
+  private var pushed: Array[Filter] = Array.empty
+  private var dayLo: String = from
+  private var dayHi: String = to
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new DayWindowScan(from, to, required)
+
+  /** Day-partition pruning from HourUTC bounds: an ISO hour string's first
+    * 10 chars are its day, and ISO strings sort chronologically, so range
+    * predicates on HourUTC narrow the day-window list. All filters are
+    * also left as residuals (we return them from pushFilters), so Spark
+    * re-applies them exactly — pushdown here only skips whole partitions
+    * that cannot match. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def day(v: Any): String = v.toString.take(10)
+    filters.foreach {
+      case GreaterThanOrEqual("HourUTC", v) => if (day(v) > dayLo) dayLo = day(v)
+      case GreaterThan("HourUTC", v)        => if (day(v) > dayLo) dayLo = day(v)
+      case LessThanOrEqual("HourUTC", v)    => if (day(v) < dayHi) dayHi = day(v)
+      case LessThan("HourUTC", v)           => if (day(v) < dayHi) dayHi = day(v)
+      case EqualTo("HourUTC", v) =>
+        if (day(v) > dayLo) dayLo = day(v)
+        if (day(v) < dayHi) dayHi = day(v)
+      case _ => ()
+    }
+    pushed = filters.filter {
+      case GreaterThanOrEqual("HourUTC", _) | GreaterThan("HourUTC", _) |
+           LessThanOrEqual("HourUTC", _) | LessThan("HourUTC", _) |
+           EqualTo("HourUTC", _) => true
+      case _ => false
+    }
+    filters // everything stays a residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new DayWindowScan(dayLo, dayHi, required, daysPerTrigger)
 }
 
-class DayWindowScan(from: String, to: String, required: StructType)
+class DayWindowScan(from: String, to: String, required: StructType,
+    daysPerTrigger: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String = s"DayWindowScan[$from..$to]"
@@ -91,12 +132,14 @@ class DayWindowScan(from: String, to: String, required: StructType)
     * checkpointing. Extending `to` on restart ingests only the new days. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new DayWindowMicroBatch(from, to, required)
+    new DayWindowMicroBatch(from, to, required, daysPerTrigger)
 }
 
-class DayWindowMicroBatch(from: String, to: String, required: StructType)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+class DayWindowMicroBatch(from: String, to: String, required: StructType,
+    daysPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private case class DayOffset(idx: Long) extends Offset {
     override def json(): String = idx.toString
@@ -107,6 +150,16 @@ class DayWindowMicroBatch(from: String, to: String, required: StructType)
 
   override def initialOffset(): Offset = DayOffset(-1L)
   override def latestOffset(): Offset = DayOffset(nDays - 1)
+
+  /** D5 as admission control: at most daysPerTrigger day-windows per
+    * micro-batch (the reference's fetch pacing, here as source-side
+    * rate limiting instead of sleeps). */
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[DayOffset].idx
+    val pace = daysPerTrigger.map(_.toLong).getOrElse(nDays)
+    DayOffset(math.min(start + pace, nDays - 1))
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def deserializeOffset(json: String): Offset = DayOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

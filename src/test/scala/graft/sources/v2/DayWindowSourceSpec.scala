@@ -50,6 +50,36 @@ class DayWindowSourceSpec extends SparkSpec {
     assert(df.select(substring(col("HourUTC"), 1, 10)).distinct().count() == 5)
   }
 
+  test("HourUTC range filters prune whole day partitions") {
+    val base = read("2024-01-01", "2024-01-10")
+    val filtered = base.filter(col("HourUTC") >= "2024-01-04T00:00" &&
+      col("HourUTC") < "2024-01-06T00:00")
+    // 10 days narrowed to 3 partitions (days 04..06 — lower bound exact,
+    // upper bound conservative to the day granularity).
+    assert(filtered.rdd.getNumPartitions == 3,
+      s"got ${filtered.rdd.getNumPartitions} partitions")
+    // Residual filters still applied exactly: only days 04 and 05 rows.
+    val days = filtered.select(substring(col("HourUTC"), 1, 10)).distinct()
+      .as[String].collect().sorted
+    assert(days.toSeq == Seq("2024-01-04", "2024-01-05"))
+    assert(filtered.count() == 2L * 144)
+  }
+
+  test("daysPerTrigger paces the stream one day per micro-batch (D5)") {
+    val outDir = java.nio.file.Files.createTempDirectory("dw-pace-out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("dw-pace-ck").toString
+    val stream = spark.readStream.format("graft.sources.v2.DayWindowSource")
+      .option("from", "2024-01-01").option("to", "2024-01-03")
+      .option("daysPerTrigger", "1").load()
+    val q = stream.writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(outDir).count() == 3L * 144)
+    assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+      "each day should land in its own micro-batch")
+  }
+
   test("deterministic across reads and composes with engine ops") {
     val a = read("2024-01-03", "2024-01-03").collect().toSet
     val b = read("2024-01-03", "2024-01-03").collect().toSet
