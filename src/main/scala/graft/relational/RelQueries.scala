@@ -559,6 +559,58 @@ object RelQueries {
       FROM lineitem
       ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
 
+    // §2.5 — TPC-H Q3-shaped shipping priority (3-way join, filter on all
+    // three tables, revenue ranking with deterministic tiebreak).
+    ("q49_tpch_q3_shape", (s: SparkSession, d: String) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+      val li = t(s, d, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(revenue).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }, Some(s"""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+        CAST(SUM($oRev) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // §2.5 — TPC-H Q5-shaped local supplier volume (6-way join incl. the
+    // correlated c_nationkey = s_nationkey condition).
+    ("q50_tpch_q5_shape", (s: SparkSession, d: String) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      val li = t(s, d, "lineitem"); val su = t(s, d, "supplier")
+      val n = t(s, d, "nation"); val r = t(s, d, "region")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .groupBy(col("n_name"))
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }, Some(s"""
+      SELECT n_name, CAST(SUM($oRev) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY n_name ORDER BY n_name""")),
+
     // §2.5 aggregation — exact interpolated percentiles (both engines use
     // the linear-interpolation definition; inputs are integral doubles so
     // the interpolation arithmetic is exact).
