@@ -196,6 +196,14 @@ object LlmQueries {
         md5(text) AS fingerprint
       FROM documents ORDER BY doc_id""")),
 
+    // General (label-free) embedding near-dup via hyperplane-LSH blocking —
+    // approximate recall by design; rows-only, spec measures recall and
+    // verifies precision 1 vs brute force.
+    ("q51_embed_neardup_lsh", (s: SparkSession, d: String) => {
+      Similarity.nearDupPairsLsh(t(s, d, "embeddings"), dim = 64, tau = 0.25)
+        .orderBy("v1", "v2")
+    }, None),
+
     // Rolling (Rabin-Karp) document fingerprint via the native codegen'd
     // expression — rows-only (polynomial-mod loops aren't DuckDB SQL);
     // RollingHashSpec pins it against a BigInt reference implementation.

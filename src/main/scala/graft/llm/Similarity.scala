@@ -207,9 +207,40 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
   }
 
+  /** General embedding near-dup (no cell column needed): candidates are
+    * pairs sharing any hyperplane-LSH bucket, verified with exact cosine —
+    * precision 1 by construction, recall set by (tables, bitsPerTable).
+    * The pair space is per-bucket, never corpus-square. */
+  def nearDupPairsLsh(emb: DataFrame, dim: Int, tau: Double,
+      tables: Int = 16, bitsPerTable: Int = 4, seed: Long = 42L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val planes: IndexedSeq[IndexedSeq[Array[Float]]] =
+      IndexedSeq.fill(tables)(IndexedSeq.fill(bitsPerTable)(
+        Array.fill(dim)((rng.nextDouble() * 2 - 1).toFloat)))
+    def sigFor(v: Column, t: Int): Column =
+      (0 until bitsPerTable).foldLeft(lit(0)) { (acc, b) =>
+        acc * 2 + when(cosineSim(v, typedLit(planes(t)(b).toSeq)) > 0, 1).otherwise(0)
+      }
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("table_id"), sigFor(col("embedding"), t).as("sig"))): _*))
+          .as("tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.table_id").as("table_id"), col("tb.sig").as("sig"))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.table_id") === col("b.table_id") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        col("a.embedding").as("e1"), col("b.embedding").as("e2"))
+      .dropDuplicates("v1", "v2")
+      .filter(cosineSim(col("e1"), col("e2")) >= tau)
+      .select(col("v1"), col("v2"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= tau, blocked by a cell key
-    * (label here; LSH hyperplane buckets in the general case) so the pair
-    * space is per-cell, not corpus-square. */
+    * (label here; LSH hyperplane buckets in the general case — see
+    * nearDupPairsLsh) so the pair space is per-cell, not corpus-square. */
   def nearDupPairs(emb: DataFrame, cellCol: String, tau: Double): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"), col(cellCol).as("cell"))
     base.as("a")

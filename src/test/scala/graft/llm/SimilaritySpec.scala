@@ -74,6 +74,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 = $recall")
   }
 
+  test("LSH near-dup: precision 1 vs brute force, measurable recall") {
+    val brute = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(Similarity.cosine(col("a.embedding"), col("b.embedding")) >= 0.25)
+      .select(col("a.vec_id"), col("b.vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.nearDupPairsLsh(emb, dim = 64, tau = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((lsh -- brute).isEmpty, "every reported pair must be a true pair")
+    assert(brute.nonEmpty)
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall = $recall")
+  }
+
   test("near-dup pairs are symmetric-free and above threshold") {
     val pairs = Similarity.nearDupPairs(emb, "label", tau = 0.25)
     assert(pairs.filter(col("v1") >= col("v2")).count() == 0)
