@@ -192,15 +192,22 @@ object Similarity {
         .as("tb"))
         .select(df.columns.map(col) :+ col("tb.table_id") :+ col("tb.sig"): _*)
     val base = emb.select(col("vec_id"), col("embedding"))
+    // Buckets carry ONLY ids — the embedding arrays never ride the
+    // candidate-join shuffle; they are re-attached after pair dedup.
     val q = bucketed(base.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")), "q_emb")
-    val corpus = bucketed(base, "embedding")
+      .select("query_id", "table_id", "sig")
+    val corpus = bucketed(base, "embedding").select("vec_id", "table_id", "sig")
+    val cand = corpus.join(broadcast(q), Seq("table_id", "sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+      .dropDuplicates("query_id", "vec_id")
+    val qe = base.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    corpus.join(broadcast(q), Seq("table_id", "sig"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id", "embedding", "q_emb")
-      .dropDuplicates("query_id", "vec_id")
+    cand.join(base, Seq("vec_id"))
+      .join(broadcast(qe), Seq("query_id"))
       .withColumn("sim", cosineSim(col("embedding"), col("q_emb")))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
@@ -221,19 +228,25 @@ object Similarity {
       (0 until bitsPerTable).foldLeft(lit(0)) { (acc, b) =>
         acc * 2 + when(cosineSim(v, typedLit(planes(t)(b).toSeq)) > 0, 1).otherwise(0)
       }
-    val bucketed = emb.select(col("vec_id"), col("embedding"),
+    // Buckets carry ONLY ids; candidate pairs dedup on (v1, v2) before
+    // the embeddings are joined back for exact verification — the
+    // candidate shuffle is two longs per row, not two 64-float arrays.
+    val bucketed = emb.select(col("vec_id"),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("table_id"), sigFor(col("embedding"), t).as("sig"))): _*))
           .as("tb"))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"),
         col("tb.table_id").as("table_id"), col("tb.sig").as("sig"))
-    bucketed.as("a")
+    val cand = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.table_id") === col("b.table_id") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        col("a.embedding").as("e1"), col("b.embedding").as("e2"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
       .dropDuplicates("v1", "v2")
+    val e = emb.select(col("vec_id"), col("embedding"))
+    cand
+      .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1")), Seq("v1"))
+      .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2")), Seq("v2"))
       .filter(cosineSim(col("e1"), col("e2")) >= tau)
       .select(col("v1"), col("v2"))
   }
