@@ -611,6 +611,55 @@ object RelQueries {
       WHERE r_name = 'EUROPE'
       GROUP BY n_name ORDER BY n_name""")),
 
+    // §2.5 — TPC-H Q10-shaped returned-item customer ranking.
+    ("q54_tpch_q10_shape", (s: SparkSession, d: String) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      val li = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(sum(revenue).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }, Some(s"""
+      SELECT c_custkey, c_name, CAST(SUM($oRev) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey, c_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // §2.5 — TPC-H Q12-shaped conditional counting (CASE aggregation).
+    ("q55_tpch_q12_shape", (s: SparkSession, d: String) => {
+      val o = t(s, d, "orders"); val li = t(s, d, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("l_quantity") >= 25, 1L).otherwise(0L)).as("high_cnt"),
+          sum(when(col("l_quantity") < 25, 1L).otherwise(0L)).as("low_cnt"))
+        .orderBy("o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority,
+        CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS high_cnt,
+        CAST(SUM(CASE WHEN l_quantity < 25 THEN 1 ELSE 0 END) AS BIGINT) AS low_cnt
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // §2.5 — TPC-H Q14-shaped ratio (promo revenue share; division of two
+    // exact-decimal-derived doubles is deterministic).
+    ("q56_tpch_q14_shape", (s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem"); val p = t(s, d, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .agg((sum(when(col("p_type") === "PROMO", revenue)
+            .otherwise(lit(0).cast("decimal(3,2)"))).cast("double") /
+          sum(revenue).cast("double")).as("promo_share"))
+    }, Some(s"""
+      SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $oRev
+                           ELSE CAST(0 AS DECIMAL(3,2)) END) AS DOUBLE)
+             / CAST(SUM($oRev) AS DOUBLE) AS promo_share
+      FROM lineitem JOIN part ON l_partkey = p_partkey""")),
+
     // §2.5 aggregation — exact interpolated percentiles (both engines use
     // the linear-interpolation definition; inputs are integral doubles so
     // the interpolation arithmetic is exact).
