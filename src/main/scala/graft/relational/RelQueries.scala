@@ -660,6 +660,39 @@ object RelQueries {
              / CAST(SUM($oRev) AS DOUBLE) AS promo_share
       FROM lineitem JOIN part ON l_partkey = p_partkey""")),
 
+    // §2.5 — TPC-H Q18-shaped large-volume orders (HAVING on an exact
+    // aggregate).
+    ("q57_tpch_q18_shape", (s: SparkSession, d: String) => {
+      val o = t(s, d, "orders"); val li = t(s, d, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_totalprice"))
+        .agg(sum(qty).as("__sq"))
+        .filter(col("__sq") > 150)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("__sq").cast("double").as("sum_qty"))
+        .orderBy("o_orderkey")
+    }, Some(s"""
+      SELECT o_orderkey, o_totalprice, CAST(SUM($oQty) AS DOUBLE) AS sum_qty
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderkey, o_totalprice
+      HAVING SUM($oQty) > 150
+      ORDER BY o_orderkey""")),
+
+    // §2.5 — uncorrelated scalar subquery filter (balance above the global
+    // mean; the mean is an exact-decimal ratio, identical in both engines).
+    ("q58_scalar_subquery", (s: SparkSession, d: String) => {
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      s.sql("""
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                                  / COUNT(*) FROM customer)
+        ORDER BY c_custkey""")
+    }, Some("""
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                                / COUNT(*) FROM customer)
+      ORDER BY c_custkey""")),
+
     // §2.5 aggregation — exact interpolated percentiles (both engines use
     // the linear-interpolation definition; inputs are integral doubles so
     // the interpolation arithmetic is exact).

@@ -79,6 +79,26 @@ object Streams {
     } finally incoming.unpersist()
   }
 
+  /** Stream-stream inner join (the ksqlDB stream-join surface): purchases
+    * matched to the same user's views within the preceding hour. Both
+    * sides are watermarked so the join state is bounded — Spark drops
+    * buffered rows once they can no longer match (the time-range condition
+    * plus watermarks gives the state eviction bound). */
+  def purchaseViewJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", "1 hour")
+    purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("p_id"), col("v_id"), col("p_ts"), col("v_ts"))
+  }
+
   /** Bespoke keyed state via flatMapGroupsWithState (the escape hatch the
     * reference's Redis counters map to when dropDuplicates/windows don't
     * fit): running per-user event count + cumulative value, one output row

@@ -147,6 +147,35 @@ class StreamsSpec extends SparkSpec {
     assert(rows == Set((1L, 2L, 5.0), (1L, 3L, 10.0)))
   }
 
+  test("stream-stream join: purchases match prior-hour views, state bounded") {
+    val srcDir = tmp("src"); val outDir = tmp("out"); val ckDir = tmp("ck")
+    def push(rows: Seq[(String, Long, String, Long)]): Unit =
+      rows.map { case (ts, u, t, id) => (ts, u, t, id) }
+        .toDF("ts", "user_id", "event_type", "event_id")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    val sch = StructType(Seq(
+      StructField("ts", TimestampType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("event_id", LongType)))
+    push(Seq(
+      ("2024-01-01 10:00:00", 1L, "view", 100L),     // within the hour
+      ("2024-01-01 08:00:00", 1L, "view", 101L),     // too old -> no match
+      ("2024-01-01 10:30:00", 1L, "purchase", 200L),
+      ("2024-01-01 10:30:00", 2L, "purchase", 201L)  // no views -> dropped
+    ))
+    val stream = spark.readStream.schema(sch).parquet(srcDir)
+    val q = Streams.purchaseViewJoin(stream)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir).start()
+    q.processAllAvailable()
+    push(Seq(("2024-01-02 00:00:00", 9L, "view", 999L))) // watermark flush
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(outDir)
+      .select("p_id", "v_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((200L, 100L)))
+  }
+
   test("streaming sessionize emits closed sessions") {
     val srcDir = tmp("src"); val outDir = tmp("out"); val ckDir = tmp("ck")
     eventsDf(Seq(
