@@ -37,10 +37,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
 
+  // Null (not NaN) on degenerate inputs: a zero-norm or empty vector would
+  // yield NaN, and Spark orders NaN above every double, so one bad embedding
+  // would win every descending-similarity top-k. Mismatched dimensions are a
+  // data error, not a prefix match — also null. Null sims sort last under
+  // desc and fail >= filters, which is the semantics every consumer wants.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -49,7 +57,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    if (nx == 0.0 || ny == 0.0) null
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -60,14 +69,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
       s"""
-        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
-        |  double xv = (double) $a.getFloat($i);
-        |  double yv = (double) $b.getFloat($i);
-        |  $dot += xv * yv; $nx += xv * xv; $ny += yv * yv;
+        |int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    double xv = (double) $a.getFloat($i);
+        |    double yv = (double) $b.getFloat($i);
+        |    $dot += xv * yv; $nx += xv * xv; $ny += yv * yv;
+        |  }
+        |  if ($nx == 0.0 || $ny == 0.0) {
+        |    ${ev.isNull} = true;
+        |  } else {
+        |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+        |  }
         |}
-        |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
       """.stripMargin
     })
 

@@ -39,27 +39,52 @@ object NearDup {
     * an 8-byte shuffle key instead of ~20-byte text (collision odds among
     * distinct grams are ~|grams|^2 / 2^65 — vanishing, and a collision
     * only merges two gram postings). Output: d1, d2, jaccard (exact int
-    * counts, one double division — deterministic across engines). */
+    * counts, one double division — deterministic across engines).
+    *
+    * `maxDf` caps a gram's document frequency before candidate generation
+    * (stop-gram pruning): a gram appearing in f documents emits f(f-1)/2
+    * candidate pairs from one posting list, so a single ubiquitous gram is a
+    * quadratic blowup — the cap bounds every posting list. Recall contract
+    * under a cap: per-document sizes are still computed from the UNPRUNED
+    * index, but n_common counts only kept grams, so the reported jaccard is
+    * a lower bound and a pair whose shared grams are all above the cap is
+    * missed. maxDf = None disables pruning (exact; the verification
+    * baseline for the LSH/SimHash variants). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, tau: Double): DataFrame = {
-    // The gram index feeds three plan branches (both join sides + sizes):
-    // materialize it once. At 100 TB this is the persisted inverted index.
+      n: Int, tau: Double, maxDf: Option[Long] = None): DataFrame = {
+    // The gram index feeds several plan branches (both join sides, sizes,
+    // the df filter): materialize it once. At 100 TB this is the persisted
+    // inverted index.
     val grams = gramsOf(docs, idCol, textCol, n)
       .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = grams.as("a")
-      .join(grams.as("b"),
+    val index = maxDf.fold(grams) { cap =>
+      val kept = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= cap).select("gram")
+      grams.join(kept, "gram")
+    }
+    val inter = index.as("a")
+      .join(index.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1"))), "d1")
-      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2"))), "d2")
+    // No broadcast hint on sizes: it has one row per document, which is
+    // unbounded at corpus scale — AQE broadcasts it only when it actually
+    // fits, and shuffle-joins otherwise.
+    val out = inter
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("sz1") + col("sz2") - col("n_common")))
       .filter(col("jaccard") >= tau)
       .select(col("d1"), col("d2"), col("jaccard"))
+    // Materialize the (small — pairs above tau) result eagerly so the
+    // gram-index cache can be released instead of accumulating across
+    // queries in a long-lived session.
+    val res = out.localCheckpoint(true)
+    grams.unpersist()
+    res
   }
 
   /** MinHash + LSH banding: signatures of k = bands*rowsPerBand hashes,
@@ -150,7 +175,7 @@ object NearDup {
       explode(array(chunkStructs: _*)).as("cc"))
       .select(col("doc_id"), col("sig"),
         col("cc.chunk_id").as("chunk_id"), col("cc.chunk").as("chunk"))
-    chunked.as("a")
+    val out = chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk_id") === col("b.chunk_id") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -158,5 +183,9 @@ object NearDup {
         expr("bit_count(a.sig ^ b.sig)").as("hamming"))
       .dropDuplicates("d1", "d2")
       .filter(col("hamming") <= maxDist)
+    // Eager-materialize the small pair set, then release the signature cache.
+    val res = out.localCheckpoint(true)
+    sigs.unpersist()
+    res
   }
 }

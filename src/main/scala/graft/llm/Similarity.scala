@@ -71,6 +71,7 @@ object Similarity {
     val base = emb.select(col("vec_id"), col("embedding"))
     var cents = base.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cell"), col("embedding").cast("array<float>").as("centroid"))
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("csim").desc, col("cell"))
@@ -79,6 +80,10 @@ object Similarity {
         .withColumn("crn", row_number().over(wAssign))
         .filter(col("crn") === 1)
         .select(col("vec_id"), col("embedding"), col("cell"))
+      // Eager-materialize the k-row centroid frame each round: lineage is
+      // truncated so the plan stays flat at any iteration count (without
+      // this, each Lloyd's round stacks the full assign+average subtree
+      // onto the next round's plan).
       cents = assigned.select(col("cell"),
           posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
@@ -86,18 +91,17 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"),
           transform(col("pm"), p => p.getField("m")).cast("array<float>").as("centroid"))
+        .localCheckpoint(true)
     }
     cents
   }
 
   /** IVF top-k over k-means cells (no natural cell column needed). */
   def ivfTopKKmeans(emb: DataFrame, ncells: Int, iters: Int,
-      queryPred: Column, k: Int, nprobe: Int): DataFrame = {
-    val cells = kmeansCells(emb, ncells, iters)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cells.count() // materialize once; reused by assignment + probing
-    ivfWithCells(emb, cells, queryPred, k, nprobe)
-  }
+      queryPred: Column, k: Int, nprobe: Int): DataFrame =
+    // kmeansCells returns an eagerly-materialized k-row frame, so both the
+    // assignment and probing branches reuse it without recompute.
+    ivfWithCells(emb, kmeansCells(emb, ncells, iters), queryPred, k, nprobe)
 
   /** IVF-style ANN: assign corpus vectors to nearest centroid cell, probe
     * the `nprobe` nearest cells per query, exact top-k inside the probed

@@ -60,25 +60,35 @@ object AvroSerDe {
   }
 
   /** P4: decode a binary Avro `value` column back to contract columns. */
-  def decode(df: DataFrame, schemaJson: String, sparkSchema: StructType): DataFrame = {
+  def decode(df: DataFrame, schemaJson: String, sparkSchema: StructType): DataFrame =
+    decodeEvolved(df, schemaJson, schemaJson, sparkSchema)
+
+  /** P4 + D6 "latest version wins": decode bytes written under
+    * `writerSchemaJson` through `readerSchemaJson` — Avro schema resolution
+    * defaults fields the writer didn't emit and skips fields the reader
+    * dropped, which is exactly what happens when the registry's latest
+    * version differs from the version a record was produced under
+    * (fetch_data_energinet.py:220-244). Values are mapped into the Spark row
+    * BY FIELD NAME (not position), so a reordered Avro schema cannot
+    * silently shift values into the wrong columns. */
+  def decodeEvolved(df: DataFrame, writerSchemaJson: String,
+      readerSchemaJson: String, sparkSchema: StructType): DataFrame = {
     implicit val enc = RowEncoder.encoderFor(sparkSchema)
-    val n = sparkSchema.fields.length
+    val names = sparkSchema.fields.map(_.name)
     df.select(col("value")).mapPartitions { rows =>
-      val schema = new Schema.Parser().parse(schemaJson)
-      val reader = new GenericDatumReader[GenericRecord](schema)
+      val writerSchema = new Schema.Parser().parse(writerSchemaJson)
+      val readerSchema = new Schema.Parser().parse(readerSchemaJson)
+      val reader = new GenericDatumReader[GenericRecord](writerSchema, readerSchema)
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](0)
         val decoder = DecoderFactory.get().binaryDecoder(bytes, null)
         val rec = reader.read(null, decoder)
-        val out = new Array[Any](n)
-        var i = 0
-        while (i < n) {
-          val v = rec.get(schema.getFields.get(i).name())
-          out(i) = v match {
+        val out = names.map { name =>
+          val v = if (readerSchema.getField(name) == null) null else rec.get(name)
+          v match {
             case u: org.apache.avro.util.Utf8 => u.toString
             case other                        => other
           }
-          i += 1
         }
         Row.fromSeq(out.toIndexedSeq)
       }

@@ -34,9 +34,34 @@ object JsonStat {
     def dimLabels(d: String): Column =
       from_json(get_json_object(js, s"$$.dataset.dimension.$d.category.label"), labelMap)
 
+    // JSON-STAT defines a category's position via category.index (object
+    // {code: pos} or array [code, ...]) — NOT via the insertion order of the
+    // category.label object, which real cubes are free to emit in any order.
+    // Build the label array in index order when an index is present; fall
+    // back to label insertion order only when it is absent (the spec allows
+    // omitting index for single-category dimensions).
+    def orderedLabels(d: String, labels: Column): Column = {
+      val idxObj = from_json(
+        get_json_object(js, s"$$.dataset.dimension.$d.category.index"),
+        MapType(StringType, LongType))
+      val idxArr = from_json(
+        get_json_object(js, s"$$.dataset.dimension.$d.category.index"),
+        ArrayType(StringType))
+      // Object form: sort (pos, code) entries by pos, then look each code up
+      // in the label map. array_sort on structs orders by the first field.
+      val byObj = transform(
+        array_sort(transform(map_entries(idxObj),
+          e => struct(e.getField("value").as("i"), e.getField("key").as("c")))),
+        s => element_at(labels, s.getField("c")))
+      val byArr = transform(idxArr, c => element_at(labels, c))
+      when(idxObj.isNotNull, byObj)
+        .when(idxArr.isNotNull, byArr)
+        .otherwise(map_values(labels))
+    }
+
     val withDims = dims.foldLeft(df) { (acc, d) =>
-      acc.withColumn(s"__lbl_$d", dimLabels(d))
-        .withColumn(s"__sz_$d", size(map_values(col(s"__lbl_$d"))))
+      acc.withColumn(s"__lbl_$d", orderedLabels(d, dimLabels(d)))
+        .withColumn(s"__sz_$d", size(col(s"__lbl_$d")))
     }
     // Row-major divisors, built right-to-left: div_last = 1,
     // div_j = div_{j+1} * size_{j+1}.
@@ -57,7 +82,7 @@ object JsonStat {
 
     val dimCols = dims.map { d =>
       val idx = (col("__pos") / col(s"__div_$d")).cast("long") % col(s"__sz_$d")
-      element_at(map_values(col(s"__lbl_$d")), (idx + 1).cast("int")).as(d)
+      element_at(col(s"__lbl_$d"), (idx + 1).cast("int")).as(d)
     }
     val metaCols = Seq(
       get_json_object(js, "$.dataset.label").as("label"),

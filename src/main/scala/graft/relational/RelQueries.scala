@@ -390,8 +390,12 @@ object RelQueries {
 
     // §2.4 D3 — processed-window checkpoint skip (anti-join on the day log).
     ("q22_checkpoint_antijoin", (s: SparkSession, d: String) => {
+      // Both anti-join sides derive from the same day list; persist it so the
+      // events table is scanned once (the list is one row per distinct day —
+      // metadata-sized, so the cached blocks are negligible).
       val days = t(s, d, "events")
         .select(date_format(col("ts"), "yyyy-MM-dd").as("day")).distinct()
+        .persist()
       val processed = days.filter(col("day") < "2024-01-15")
       Dedup.checkpointFilter(days, processed, Seq("day")).orderBy("day")
     }, Some("""
@@ -611,14 +615,24 @@ object RelQueries {
       WHERE r_name = 'EUROPE'
       GROUP BY n_name ORDER BY n_name""")),
 
-    // §2.5 — TPC-H Q10-shaped returned-item customer ranking.
+    // §2.5 — TPC-H Q10-shaped returned-item customer ranking. At-scale plan:
+    // lineitem (the fact, ~4 rows/order) is pre-aggregated to one exact
+    // revenue row per order BEFORE touching orders/customer, so the wide
+    // joins see |orders|-sized inputs, not |lineitem|-sized ones. The sum of
+    // per-order decimal sums equals the flat sum exactly (decimal addition is
+    // associative), so the oracle is unchanged.
     ("q54_tpch_q10_shape", (s: SparkSession, d: String) => {
       val c = t(s, d, "customer"); val o = t(s, d, "orders")
-      val li = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
-      c.join(o, c("c_custkey") === o("o_custkey"))
-        .join(li, o("o_orderkey") === li("l_orderkey"))
-        .groupBy(col("c_custkey"), col("c_name"))
-        .agg(sum(revenue).cast("double").as("revenue"))
+      val ordRev = t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(revenue).as("__orev"))
+      val custRev = o.join(ordRev, o("o_orderkey") === ordRev("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("__orev")).as("__crev"))
+      c.join(custRev, c("c_custkey") === custRev("o_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          col("__crev").cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }, Some(s"""
@@ -661,13 +675,18 @@ object RelQueries {
       FROM lineitem JOIN part ON l_partkey = p_partkey""")),
 
     // §2.5 — TPC-H Q18-shaped large-volume orders (HAVING on an exact
-    // aggregate).
+    // aggregate). At-scale plan: aggregate lineitem by l_orderkey and apply
+    // the HAVING threshold FIRST — that collapses ~4 rows/order to 1 and
+    // discards ~99% of groups — then join only the surviving keys to orders.
+    // o_totalprice is functionally dependent on o_orderkey, so grouping by
+    // the key alone is algebraically identical to the oracle's GROUP BY both.
     ("q57_tpch_q18_shape", (s: SparkSession, d: String) => {
-      val o = t(s, d, "orders"); val li = t(s, d, "lineitem")
-      o.join(li, o("o_orderkey") === li("l_orderkey"))
-        .groupBy(col("o_orderkey"), col("o_totalprice"))
+      val o = t(s, d, "orders")
+      val big = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
         .agg(sum(qty).as("__sq"))
         .filter(col("__sq") > 150)
+      o.join(big, o("o_orderkey") === big("l_orderkey"))
         .select(col("o_orderkey"), col("o_totalprice"),
           col("__sq").cast("double").as("sum_qty"))
         .orderBy("o_orderkey")

@@ -35,6 +35,24 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(math.abs(e.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
   }
 
+  test("degenerate inputs yield null, not NaN (zero-norm, empty, dim mismatch)") {
+    // NaN would outrank every real similarity in a desc top-k; null sorts
+    // last and fails >= filters — the safe default for bad embeddings.
+    val df = Seq(
+      (Seq(0f, 0f), Seq(1f, 2f)),        // zero-norm left
+      (Seq.empty[Float], Seq.empty[Float]), // empty
+      (Seq(1f, 2f), Seq(1f, 2f, 3f)))    // dimension mismatch
+      .toDF("a", "b")
+    val out = df.select(GraftFunctions.cosineSim(col("a"), col("b"))).collect()
+    assert(out.forall(_.isNullAt(0)), s"expected all null, got ${out.toSeq}")
+    // Interpreted path too.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def lit(xs: Array[Float]) = Literal.create(xs, ArrayType(FloatType))
+    assert(CosineSimilarity(lit(Array(0f, 0f)), lit(Array(1f, 0f))).eval(null) == null)
+    assert(CosineSimilarity(lit(Array(1f)), lit(Array(1f, 0f))).eval(null) == null)
+  }
+
   test("type check rejects non-float arrays") {
     val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0))).toDF("a", "b")
     intercept[Exception] {

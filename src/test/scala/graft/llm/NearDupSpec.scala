@@ -42,6 +42,23 @@ class NearDupSpec extends SparkSpec {
       s"blocking mismatch: only-brute=${brute -- blocked} only-blocked=${blocked -- brute}")
   }
 
+  test("jaccardPairs df-cap: generous cap equals uncapped; tight cap lower-bounds") {
+    def asMap(maxDf: Option[Long], tau: Double) =
+      NearDup.jaccardPairs(docs, "doc_id", "text", 3, tau, maxDf)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = asMap(None, 0.1)
+    assert(exact.nonEmpty)
+    // A cap no gram's document frequency reaches is a no-op.
+    assert(asMap(Some(Long.MaxValue), 0.1) == exact)
+    // A binding cap only thins candidates and lowers jaccard (n_common counts
+    // kept grams only; sizes stay exact) — never invents pairs or raises it.
+    val tight = asMap(Some(3L), 0.1)
+    assert(tight.keySet.subsetOf(exact.keySet))
+    tight.foreach { case (k, j) =>
+      assert(j <= exact(k) + 1e-12, s"capped jaccard $j above exact ${exact(k)} for $k")
+    }
+  }
+
   test("word n-grams: count and content") {
     import spark.implicits._
     val toks = Seq("a b c d").toDF("text")

@@ -63,6 +63,16 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall@5 = $recall")
   }
 
+  test("kmeansCells: lineage stays flat at iters=10 (eager per-round materialize)") {
+    val cents = Similarity.kmeansCells(emb, k = 4, iters = 10)
+    // Each Lloyd's round localCheckpoints the k-row centroid frame, so the
+    // final plan is a scan of materialized partitions — not 10 stacked
+    // assign+average subtrees.
+    val nodes = cents.queryExecution.analyzed.collect { case n => n }.size
+    assert(nodes <= 5, s"analyzed plan has $nodes nodes — lineage is accumulating")
+    assert(cents.count() == 4)
+  }
+
   test("hyperplane LSH: useful recall vs brute force at default params") {
     val brute = Similarity.bruteTopK(emb, col("vec_id") < 10, k = 5)
       .select("query_id", "neighbor_id").collect()

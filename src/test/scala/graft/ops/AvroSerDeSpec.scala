@@ -39,6 +39,31 @@ class AvroSerDeSpec extends SparkSpec {
       Set(("k", null), (null, 2.5f)))
   }
 
+  test("schema evolution: v2 reader decodes v1 bytes by name with defaults (D6)") {
+    // Registry-style "latest version wins": bytes were produced under v1
+    // (a, x); the reader's v2 schema ADDS a defaulted field y and REORDERS
+    // to (y, x, a). Avro resolution must default y and the row assembly must
+    // map by field name — positional mapping would shift every value.
+    val v1 = StructType(Seq(
+      StructField("a", StringType, nullable = false),
+      StructField("x", FloatType, nullable = false)))
+    val v1Avro = AvroSerDe.avroSchemaFor("Rec", v1)
+    val v2Avro =
+      """{"type": "record", "name": "Rec", "fields": [
+        |  {"name": "y", "type": ["null", "long"], "default": null},
+        |  {"name": "x", "type": "float"},
+        |  {"name": "a", "type": "string"}]}""".stripMargin
+    val v2Spark = StructType(Seq(
+      StructField("y", LongType, nullable = true),
+      StructField("x", FloatType, nullable = false),
+      StructField("a", StringType, nullable = false)))
+    val encoded = AvroSerDe.encode(
+      Seq(("k1", 1.5f), ("k2", -2f)).toDF("a", "x"), v1Avro, keyCol = "a")
+    val back = AvroSerDe.decodeEvolved(encoded, v1Avro, v2Avro, v2Spark)
+      .collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet
+    assert(back == Set((null, 1.5f, "k1"), (null, -2f, "k2")))
+  }
+
   test("Confluent wire framing round-trips (magic 0x00 + BE schema id)") {
     val payload = Array[Byte](1, 2, 3, 4)
     val framed = AvroSerDe.frame(payload, schemaId = 7)

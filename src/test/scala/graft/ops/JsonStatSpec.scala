@@ -43,6 +43,29 @@ class JsonStatSpec extends SparkSpec {
       ("A2", "B1", 4L), ("A2", "B2", 5L), ("A2", "B3", 6L)))
   }
 
+  test("category.index order wins over label insertion order (object and array forms)") {
+    // Same 2x3 cube, but the label objects are emitted OUT of index order —
+    // A uses the {code: pos} index form, B the [code, ...] array form.
+    // JSON-STAT defines coordinate order by category.index, so the flatten
+    // must reorder instead of trusting label insertion order.
+    val json =
+      """{"dataset": {"label": "t", "source": "s", "updated": "u",
+        |  "extension": {"px": {"tableid": "T", "decimals": 1}},
+        |  "dimension": {
+        |    "A": {"category": {"index": {"a2": 1, "a1": 0},
+        |                       "label": {"a2": "A2", "a1": "A1"}}},
+        |    "B": {"category": {"index": ["b1", "b2", "b3"],
+        |                       "label": {"b3": "B3", "b1": "B1", "b2": "B2"}}}
+        |  },
+        |  "value": [1, 2, 3, 4, 5, 6]}}""".stripMargin
+    val out = JsonStat.flatten(Seq(json).toDF("js"), "js", Seq("A", "B"))
+      .orderBy("value")
+      .select("A", "B", "value").as[(String, String, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("A1", "B1", 1L), ("A1", "B2", 2L), ("A1", "B3", 3L),
+      ("A2", "B1", 4L), ("A2", "B2", 5L), ("A2", "B3", 6L)))
+  }
+
   test("missing dimension yields null labels, rows preserved (P2 defaults)") {
     val json =
       """{"dataset": {"label": "t", "source": "s", "updated": "u",
