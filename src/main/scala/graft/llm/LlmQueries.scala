@@ -155,13 +155,46 @@ object LlmQueries {
       SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
       FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
 
-    // IVF-style ANN (centroid cells + nprobe) — approximate by design;
-    // rows-only check, spec verifies recall vs brute force.
+    // IVF-style ANN (centroid cells + nprobe). Deterministic given the cell
+    // source, so fully oracle-checked: the DuckDB side replays label-mean
+    // centroids (rounded through FLOAT[] to mirror the Spark side's
+    // array<float> centroid cast), nearest-cell assignment, nprobe=3 probing
+    // and exact in-cell rerank. Rank/id output only — double noise from
+    // aggregation order is far below every ranking margin.
     ("q39_knn_ivf", (s: SparkSession, d: String) => {
       Similarity.ivfTopK(t(s, d, "embeddings"), "label", col("vec_id") < 10,
           k = 5, nprobe = 3)
         .orderBy("query_id", "rank")
-    }, None),
+    }, Some("""
+      WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      cent AS (
+        SELECT label AS cell, CAST(CAST(list(m ORDER BY pos) AS FLOAT[]) AS DOUBLE[]) AS c
+        FROM (
+          SELECT label, pos, avg(x) AS m
+          FROM (SELECT label, unnest(e) AS x, generate_subscripts(e, 1) AS pos FROM base)
+          GROUP BY label, pos)
+        GROUP BY label),
+      assigned AS (
+        SELECT vec_id, e, cell FROM (
+          SELECT b.vec_id, b.e, c.cell,
+            row_number() OVER (PARTITION BY b.vec_id
+              ORDER BY list_cosine_similarity(b.e, c.c) DESC, c.cell) AS rn
+          FROM base b, cent c) WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, e AS qe FROM assigned WHERE vec_id < 10),
+      probed AS (
+        SELECT query_id, qe, cell FROM (
+          SELECT q.query_id, q.qe, c.cell,
+            row_number() OVER (PARTITION BY q.query_id
+              ORDER BY list_cosine_similarity(q.qe, c.c) DESC, c.cell) AS rn
+          FROM q, cent c) WHERE rn <= 3),
+      r AS (
+        SELECT p.query_id, a.vec_id,
+          row_number() OVER (PARTITION BY p.query_id
+            ORDER BY list_cosine_similarity(a.e, p.qe) DESC, a.vec_id) AS rank
+        FROM probed p JOIN assigned a ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
 
     // Random-hyperplane LSH ANN (angular buckets + exact rerank) —
     // approximate by design; rows-only, spec verifies recall vs brute.
@@ -213,14 +246,39 @@ object LlmQueries {
         .orderBy("doc_id")
     }, None),
 
-    // Generalized JSON-STAT cube flatten (P1/P2) on an inline fixture —
-    // rows-only here; the scalatest spec pins exact expected rows.
+    // Generalized JSON-STAT cube flatten (P1/P2) on an inline fixture.
+    // Oracle-checked: the DuckDB side re-derives every output column from
+    // the same JSON document with JSON-pointer extraction, zipping the Tid
+    // labels (the only size>1 dimension, fastest-varying in row-major
+    // order) against the value array — the reference's own flatten shape
+    // (fetch_data_statbank.py:56-89) computed by an independent engine.
     ("q42_jsonstat_flatten", (s: SparkSession, d: String) => {
       import s.implicits._
       val cube = Seq(graft.ops.JsonStatFixture.json).toDF("js")
       graft.ops.JsonStat.flatten(cube, "js",
           Seq("OMRÅDE", "BILTYPE", "BRUG", "EJER", "DRIV", "ContentsCode", "Tid"))
         .orderBy("Tid")
-    }, None)
+    }, Some(s"""
+      WITH cube AS (SELECT '${graft.ops.JsonStatFixture.json}' AS js),
+      base AS (
+        SELECT js,
+          json_keys(js, '/dataset/dimension/Tid/category/label') AS tk,
+          unnest(range(CAST(json_array_length(js, '/dataset/value') AS BIGINT))) AS pos
+        FROM cube)
+      SELECT
+        json_extract_string(js, '/dataset/dimension/OMRÅDE/category/label/000') AS "OMRÅDE",
+        json_extract_string(js, '/dataset/dimension/BILTYPE/category/label/4000100001') AS "BILTYPE",
+        json_extract_string(js, '/dataset/dimension/BRUG/category/label/1000') AS "BRUG",
+        json_extract_string(js, '/dataset/dimension/EJER/category/label/1000') AS "EJER",
+        json_extract_string(js, '/dataset/dimension/DRIV/category/label/20225') AS "DRIV",
+        json_extract_string(js, '/dataset/dimension/ContentsCode/category/label/BIL54') AS "ContentsCode",
+        json_extract_string(js, '/dataset/dimension/Tid/category/label/' || tk[CAST(pos AS INT) + 1]) AS "Tid",
+        CAST(json_extract(js, '/dataset/value/' || pos) AS BIGINT) AS value,
+        json_extract_string(js, '/dataset/label') AS label,
+        json_extract_string(js, '/dataset/source') AS source,
+        json_extract_string(js, '/dataset/updated') AS updated,
+        json_extract_string(js, '/dataset/extension/px/tableid') AS table_id,
+        CAST(json_extract(js, '/dataset/extension/px/decimals') AS INTEGER) AS decimals
+      FROM base ORDER BY "Tid""""))
   )
 }
