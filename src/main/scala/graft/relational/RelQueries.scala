@@ -421,6 +421,28 @@ object RelQueries {
         CAST(CAST(value AS REAL) AS DOUBLE) AS consumption_kwh
       FROM events ORDER BY event_id""")),
 
+    // §2.2 K2 — Avro container-file (OCF) sink + source round trip: the
+    // contract projection is landed as the reference sink's file format
+    // (cluster/configuration.json:9 AvroFormat) and read back task-side.
+    // The oracle is the projection itself — the round trip must be identity.
+    ("q53_avro_ocf_roundtrip", (s: SparkSession, d: String) => {
+      val projected = Contracts.widenFloats(t(s, d, "events").select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm").as("hour_utc"),
+        col("user_id").cast("string").as("municipality_no"),
+        col("event_type").as("branche"),
+        col("value").cast("float").as("consumption_kwh")))
+      val avro = graft.ops.AvroSerDe.avroSchemaFor("EventContract", projected.schema)
+      val dir = s"/tmp/graft_ocf/${new java.io.File(d).getName}"
+      graft.ops.AvroOcf.write(projected, avro, dir)
+      graft.ops.AvroOcf.read(s, dir, avro, projected.schema).orderBy("event_id")
+    }, Some("""
+      SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M') AS hour_utc,
+        CAST(user_id AS VARCHAR) AS municipality_no,
+        event_type AS branche,
+        CAST(CAST(value AS REAL) AS DOUBLE) AS consumption_kwh
+      FROM events ORDER BY event_id""")),
+
     // §2.5 aggregation — grouping sets (beyond rollup/cube).
     ("q25_grouping_sets", (s: SparkSession, d: String) => {
       val li = t(s, d, "lineitem")
