@@ -50,33 +50,43 @@ object Streams {
   }
 
   /** K5 analogue (Redis HSET upsert): last-write-wins keyed upsert of each
-    * micro-batch into a Parquet state table via foreachBatch — existing
-    * rows whose key reappears are replaced, others are carried over. At
-    * scale this is a MERGE into a transactional table format; the
-    * read-antijoin-union-rewrite below is the plain-Parquet equivalent. */
-  def upsertBatch(stateDir: String, keys: Seq[String])(
+    * micro-batch into a bucket-partitioned Parquet state table.
+    *
+    * The state table is hash-partitioned on the upsert key
+    * (`__bucket = pmod(xxhash64(keys), nBuckets)`) and each batch rewrites
+    * ONLY the buckets containing incoming keys, via dynamic partition
+    * overwrite — per-batch cost is O(state touched), not O(|state|), so
+    * batch cost stays flat as the table grows. The overwrite is staged and
+    * committed per-partition by the Hadoop commit protocol, so a crash
+    * cannot leave the table truncated (the failure mode of a
+    * delete-then-rewrite swap); at worst one touched bucket commits while
+    * another retries. A transactional table format's MERGE is the
+    * full-ACID production form of the same plan. */
+  def upsertBatch(stateDir: String, keys: Seq[String], nBuckets: Int = 64)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    val bucket = pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
     // P7: state rows carry their ingest time, as the reference's Redis
     // upsert injects utcnow (fetch_data_energinet.py:44).
-    val incoming = graft.ops.Keys.ingestTag(batch.dropDuplicates(keys)).persist()
+    val incoming = graft.ops.Keys.ingestTag(batch.dropDuplicates(keys))
+      .withColumn("__bucket", bucket).persist()
     try {
+      // At most nBuckets rows — always broadcastable.
+      val touched = incoming.select("__bucket").distinct()
       val merged =
         try {
           val existing = spark.read.parquet(stateDir)
-          existing.join(incoming.select(keys.map(col): _*), keys, "left_anti")
+          existing
+            .join(broadcast(touched), Seq("__bucket"), "left_semi")
+            .join(incoming.select(keys.map(col): _*), keys, "left_anti")
             .unionByName(incoming)
         } catch { case _: org.apache.spark.sql.AnalysisException => incoming }
-      val tmp = stateDir + ".tmp"
-      merged.write.mode("overwrite").parquet(tmp)
-      spark.read.parquet(tmp).write.mode("overwrite").parquet(stateDir)
-      // best-effort cleanup of the indirection dir
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(tmp))
-    } finally incoming.unpersist()
+      merged.write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket")
+        .parquet(stateDir)
+    } finally incoming.unpersist(): Unit
   }
 
   /** Stream-stream inner join (the ksqlDB stream-join surface): purchases

@@ -68,4 +68,43 @@ class StreamsE2Spec extends SparkSpec {
     assert(stateDf.schema.fieldNames.contains("ingested_at"))
     assert(stateDf.filter(col("ingested_at").isNull).count() == 0)
   }
+
+  test("K5: a batch rewrites only the state buckets its keys hash into") {
+    val srcDir = Files.createTempDirectory("inc-src").toString
+    val stateDir = Files.createTempDirectory("inc-state").toString + "/state"
+    val ckDir = Files.createTempDirectory("inc-ck").toString
+
+    def bucketOf(k: String): Int =
+      spark.range(1)
+        .select(pmod(xxhash64(lit(k)), lit(64)).cast("int")).head.getInt(0)
+    // Precondition for the assertion below: "a" lives in its own bucket.
+    assert(bucketOf("a") != bucketOf("b") && bucketOf("a") != bucketOf("c"))
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema("k STRING, v LONG").parquet(srcDir)
+      val q = stream.writeStream
+        .foreachBatch(Streams.upsertBatch(stateDir, Seq("k")) _)
+        .option("checkpointLocation", ckDir).start()
+      q.processAllAvailable(); q.stop()
+    }
+    Seq(("a", 1L), ("b", 1L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    val aBucketDir = new java.io.File(s"$stateDir/__bucket=${bucketOf("a")}")
+    def snapshot() = aBucketDir.listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified)).toSet
+    val before = snapshot()
+    assert(before.nonEmpty)
+    // Second batch touches only b and c: a's bucket files must be byte-for-
+    // byte untouched (same names, same mtimes) — the whole-state rewrite of
+    // a naive read-union-overwrite would replace them.
+    Seq(("b", 2L), ("c", 1L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    assert(snapshot() == before, "untouched bucket was rewritten")
+    val state = spark.read.parquet(stateDir)
+      .select("k", "v").as[(String, Long)].collect().toMap
+    assert(state == Map("a" -> 1L, "b" -> 2L, "c" -> 1L))
+  }
 }
