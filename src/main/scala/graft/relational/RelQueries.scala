@@ -38,6 +38,32 @@ object RelQueries {
   private val oTax = "CAST(l_tax AS DECIMAL(4,2))"
   private val oRev = s"$oPrice * ($oOne - $oDisc)"
 
+  // Shared SQL for the correlated-subquery queries (q59/q60): the SAME text
+  // runs on Spark and DuckDB, so the oracle checks the decorrelation, not a
+  // hand-translated twin.
+  private val q21Sql = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10"""
+
+  private val q2MinSql = """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE c_acctbal = (SELECT MIN(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    ORDER BY c_custkey"""
+
   /** (name, implementation, oracle SQL — None => driver rows-only check) */
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
@@ -733,6 +759,27 @@ object RelQueries {
       WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
                                 / COUNT(*) FROM customer)
       ORDER BY c_custkey""")),
+
+    // §2.5 — TPC-H Q21-shaped multi-EXISTS: suppliers of 'R' items on
+    // finished orders that were multi-supplier orders (EXISTS another
+    // supplier's line) where no OTHER supplier had an 'R' line (NOT EXISTS)
+    // — the canonical correlated-semi + correlated-anti decorrelation pair,
+    // including the non-equi correlated predicate l2.l_suppkey <> l1.
+    ("q59_tpch_q21_shape", (s: SparkSession, d: String) => {
+      t(s, d, "supplier").createOrReplaceTempView("supplier")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(q21Sql)
+    }, Some(q21Sql)),
+
+    // §2.5 — TPC-H Q2-shaped correlated scalar aggregate: customers holding
+    // their nation's minimum account balance. Spark decorrelates the
+    // per-nation MIN into an aggregate + join; values are read, never
+    // recomputed, so double equality is exact in both engines.
+    ("q60_correlated_min", (s: SparkSession, d: String) => {
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      s.sql(q2MinSql)
+    }, Some(q2MinSql)),
 
     // §2.5 aggregation — exact interpolated percentiles (both engines use
     // the linear-interpolation definition; inputs are integral doubles so

@@ -91,6 +91,25 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() == 2)
   }
 
+  test("K3: JSON file sink lands micro-batches exactly-once and reads back") {
+    val srcDir = tmp("src"); val outDir = tmp("out"); val ckDir = tmp("ck")
+    def start() = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+      stream.writeStream.outputMode("append").format("json")
+        .option("path", outDir).option("checkpointLocation", ckDir).start()
+    }
+    eventsDf(Seq(("2024-01-01 10:00:00", 1L, "click")))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    eventsDf(Seq(("2024-01-02 10:00:00", 2L, "view")))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val back = spark.read.schema(schema).json(outDir)
+    assert(back.count() == 2)
+    assert(back.select("event_type").as[String].collect().toSet ==
+      Set("click", "view"))
+  }
+
   test("K6 fan-out: both sinks receive every micro-batch") {
     val srcDir = tmp("src"); val a = tmp("a"); val b = tmp("b"); val ckDir = tmp("ck")
     eventsDf(Seq(
