@@ -45,4 +45,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan("q38_knn_brute_cosine").contains("BroadcastNestedLoopJoin") ||
       plan("q38_knn_brute_cosine").contains("BroadcastHashJoin"))
   }
+
+  test("q57: lineitem is aggregated (and HAVING-filtered) before the join") {
+    val p = plan("q57_tpch_q18_shape")
+    // The at-scale Q18 plan: per-order sum + threshold filter collapse the
+    // fact table BEFORE orders is touched. The regressed shape groups by
+    // (o_orderkey, o_totalprice) AFTER a join.
+    assert(p.contains("HashAggregate(keys=[l_orderkey"), p)
+    assert(!p.contains("HashAggregate(keys=[o_orderkey"), p)
+  }
+
+  test("q54: revenue is pre-aggregated per order, then per customer") {
+    val p = plan("q54_tpch_q10_shape")
+    assert(p.contains("HashAggregate(keys=[l_orderkey"), p)
+    assert(p.contains("HashAggregate(keys=[o_custkey"), p)
+    // The regressed shape aggregates the three-way join by customer.
+    assert(!p.contains("HashAggregate(keys=[c_custkey"), p)
+  }
+
+  test("q59: EXISTS / NOT EXISTS decorrelate to semi and anti joins") {
+    val p = plan("q59_tpch_q21_shape")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+  }
 }
