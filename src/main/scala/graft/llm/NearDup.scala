@@ -110,26 +110,35 @@ object NearDup {
       xxhash64(col("gram")).as("h"))
     val minAggs = (0 until k).map(i =>
       min(xxhash64(lit(i), col("h"))).as(s"__m$i"))
+    // Materialize the signature index once (one row + k longs per doc — the
+    // persisted MinHash index at corpus scale): the banding self-join below
+    // would otherwise recompute the whole gram->signature aggregation on
+    // BOTH join sides.
     val sigs = hashed.groupBy("doc_id")
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"),
         array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+      .localCheckpoint(true)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
     }
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    // Buckets carry ONLY ids: candidate pairs dedup on two longs, and the
+    // k-long signature arrays are re-attached afterwards for scoring —
+    // the same shuffle discipline as the embedding LSH path.
+    val banded = sigs.select(col("doc_id"),
         explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .dropDuplicates("d1", "d2")
-    cand.withColumn("est_jaccard",
+    cand
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), Seq("d1"))
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), Seq("d2"))
+      .withColumn("est_jaccard",
         size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
           b => b)).cast("double") / lit(bands * rowsPerBand))
       .filter(col("est_jaccard") >= tau)

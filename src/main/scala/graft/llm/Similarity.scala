@@ -201,7 +201,11 @@ object Similarity {
     val q = bucketed(base.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")), "q_emb")
       .select("query_id", "table_id", "sig")
+    // Materialize the corpus bucket index (3 ints per (vec, table)): it is
+    // the reusable LSH index at scale, and the broadcast candidate join
+    // should probe it, not recompute every hyperplane signature.
     val corpus = bucketed(base, "embedding").select("vec_id", "table_id", "sig")
+      .localCheckpoint(true)
     val cand = corpus.join(broadcast(q), Seq("table_id", "sig"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id")
@@ -235,12 +239,16 @@ object Similarity {
     // Buckets carry ONLY ids; candidate pairs dedup on (v1, v2) before
     // the embeddings are joined back for exact verification — the
     // candidate shuffle is two longs per row, not two 64-float arrays.
+    // Materialized eagerly (3 ints per (vec, table) row) so the self-join
+    // below reads the bucket index instead of re-evaluating tables x bits
+    // hyperplane signatures on both sides.
     val bucketed = emb.select(col("vec_id"),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("table_id"), sigFor(col("embedding"), t).as("sig"))): _*))
           .as("tb"))
       .select(col("vec_id"),
         col("tb.table_id").as("table_id"), col("tb.sig").as("sig"))
+      .localCheckpoint(true)
     val cand = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.table_id") === col("b.table_id") && col("a.sig") === col("b.sig") &&
