@@ -24,7 +24,15 @@ object Sinks {
     * pre-shuffle trade that pays for itself after one join at 100 TB.
     * Both sides must use the same bucket count. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // A previous session (fresh in-memory catalog) may have left the managed
+    // location behind with no catalog entry; CREATE refuses to reuse it.
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table.toLowerCase)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write.bucketBy(buckets, key).sortBy(key)
       .format("parquet").mode("overwrite").saveAsTable(table)
+  }
 }

@@ -781,6 +781,60 @@ object RelQueries {
       s.sql(q2MinSql)
     }, Some(q2MinSql)),
 
+    // §7 skew posture — two-phase salted aggregation: partial counts on
+    // (key, salt) spread a hot key over 16 reducers, final sum on key.
+    // Result is algebraically the plain GROUP BY count, which is exactly
+    // what the oracle runs.
+    ("q61_skew_salted_agg", (s: SparkSession, d: String) => {
+      Skew.saltedCount(t(s, d, "events"), Seq("event_type"),
+          buckets = 16, saltFrom = Seq("event_id"))
+        .orderBy("event_type")
+    }, Some("""
+      SELECT event_type, COUNT(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // §7 skew posture — salted shuffle join (hot fact key spread across 8
+    // tasks, dimension replicated 8x) followed by brand rollup; the oracle
+    // is the unsalted join+rollup, which the salted plan must reproduce.
+    ("q62_skew_salted_join", (s: SparkSession, d: String) => {
+      val big = t(s, d, "lineitem").select(
+        col("l_partkey").as("partkey"), col("l_quantity"),
+        col("l_orderkey"), col("l_linenumber"))
+      val small = t(s, d, "part").select(
+        col("p_partkey").as("partkey"), col("p_brand"))
+      Skew.saltedJoin(big, small, "partkey",
+          buckets = 8, bigSaltFrom = Seq("l_orderkey", "l_linenumber"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sum(qty).cast("double").as("sum_qty"))
+        .orderBy("p_brand")
+    }, Some(s"""
+      SELECT p_brand, COUNT(*) AS n, CAST(SUM($oQty) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand""")),
+
+    // §4 bucketed co-located join — both sides written bucketed on the join
+    // key, so the repeated fact-fact join runs with NO exchange (the
+    // pre-shuffle trade that pays for itself after one join at 100 TB).
+    // The oracle is the plain join; PlanQualitySpec pins the no-exchange
+    // physical plan.
+    ("q63_bucketed_join", (s: SparkSession, d: String) => {
+      graft.ops.Sinks.writeBucketed(
+        t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+        "graft_b_orders", "o_orderkey", 8)
+      graft.ops.Sinks.writeBucketed(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+        "graft_b_lineitem", "l_orderkey", 8)
+      s.table("graft_b_orders")
+        .join(s.table("graft_b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(qty).cast("double").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n, CAST(SUM($oQty) AS DOUBLE) AS sum_qty
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // §2.5 aggregation — exact interpolated percentiles (both engines use
     // the linear-interpolation definition; inputs are integral doubles so
     // the interpolation arithmetic is exact).

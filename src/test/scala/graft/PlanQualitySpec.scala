@@ -67,4 +67,24 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q59_tpch_q21_shape")
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
   }
+
+  test("q63: bucketed co-located join plans no hash exchange") {
+    // Disable broadcast so the shuffle-join path is exercised — at real
+    // scale neither fact side broadcasts, which is when bucketing pays.
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q63_bucketed_join")(spark, sfDir)
+      df.collect() // materialize so AQE settles the final plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      // Bucketing provides the join distribution; the only hash exchange
+      // allowed is the aggregation's, which groups on a non-bucket key.
+      // (Inspect the final plan's join subtree only — the AQE dump appends
+      // an "Initial Plan" section that repeats the aggregation exchanges.)
+      val finalPlan = p.split("== Initial Plan ==").head
+      val joinPart = finalPlan.substring(finalPlan.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange hashpartitioning"), joinPart)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
 }
