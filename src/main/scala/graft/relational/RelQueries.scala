@@ -835,6 +835,30 @@ object RelQueries {
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // §2.5 — pure interval join (NO equi-key): lineitem ship dates counted
+    // into sampled order windows [o_orderdate, +7d). Spark would plan the
+    // raw range predicate as a BroadcastNestedLoopJoin (O(P*I) + broadcast
+    // of a whole side); ops.RangeJoin bins both sides to 7-day buckets and
+    // equi-joins on the bucket with the range as residual filter. The
+    // oracle runs the naive range join — results must be identical.
+    ("q64_interval_join_binned", (s: SparkSession, d: String) => {
+      val windows = t(s, d, "orders")
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"), col("o_orderdate").as("w_start"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAY")).as("w_end"))
+      RangeJoin.pointInInterval(
+          t(s, d, "lineitem").select("l_shipdate"), "l_shipdate",
+          windows, "w_start", "w_end", bucketSeconds = 7L * 24 * 3600)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, COUNT(*) AS n
+      FROM lineitem JOIN orders ON o_orderkey % 97 = 0
+       AND l_shipdate >= o_orderdate
+       AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+      GROUP BY o_orderkey ORDER BY o_orderkey""")),
+
     // §2.5 aggregation — exact interpolated percentiles (both engines use
     // the linear-interpolation definition; inputs are integral doubles so
     // the interpolation arithmetic is exact).
