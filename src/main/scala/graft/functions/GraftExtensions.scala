@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHash].getName, RollingHash.NAME),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         RollingHash(exprs.head)))
+    // §2.6 tier (c): the native as-of join's planner strategy, so sessions
+    // built with the extensions plan AsOfJoinPlan without the runtime
+    // experimental-strategies fallback.
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

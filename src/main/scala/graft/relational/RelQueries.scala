@@ -859,6 +859,27 @@ object RelQueries {
        AND l_shipdate < o_orderdate + INTERVAL 7 DAY
       GROUP BY o_orderkey ORDER BY o_orderkey""")),
 
+    // §2.6 tier (c) — NATIVE as-of join (custom LogicalPlan + injected
+    // SparkStrategy + merge-scan SparkPlan, graft.plans.AsOfJoinNative):
+    // last view at-or-before each purchase per user. Same semantics as q18's
+    // union+window formulation; the oracle is the brute-force DuckDB lookup.
+    ("q65_asof_native", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      graft.plans.AsOfNative.asofJoin(purchases, views,
+          "user_id", "v_user", "ts", "v_ts")
+        .select(col("p_id"), col("v_ts"))
+        .orderBy("p_id")
+    }, Some("""
+      SELECT p.event_id AS p_id, max(v.ts) AS v_ts
+      FROM events p LEFT JOIN events v
+        ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+      WHERE p.event_type = 'purchase'
+      GROUP BY p.event_id ORDER BY p_id""")),
+
     // §2.5 aggregation — exact interpolated percentiles (both engines use
     // the linear-interpolation definition; inputs are integral doubles so
     // the interpolation arithmetic is exact).

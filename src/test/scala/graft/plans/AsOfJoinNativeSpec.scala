@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class AsOfJoinNativeSpec extends SparkSpec {
+
+  private lazy val events = Tables(spark, sfDir, "events")
+  private lazy val purchases = events
+    .filter(col("event_type") === "purchase")
+    .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+  private lazy val views = events
+    .filter(col("event_type") === "view")
+    .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+      col("ts").as("v_ts"))
+
+  test("native as-of join equals the brute-force point-in-time lookup") {
+    val native = AsOfNative.asofJoin(purchases, views,
+        "user_id", "v_user", "ts", "v_ts")
+      .select(col("p_id"), col("v_ts"))
+      .collect().map(r => (r.getLong(0), r.get(1))).toMap
+    // Brute force: max prior v_ts per purchase via a quadratic range join —
+    // correct by construction, viable only at spec scale.
+    val brute = purchases.join(views,
+        col("user_id") === col("v_user") && col("v_ts") <= col("ts"), "left")
+      .groupBy("p_id").agg(max("v_ts").as("v_ts"))
+      .collect().map(r => (r.getLong(0), r.get(1))).toMap
+    assert(native.size == purchases.count())
+    assert(native == brute)
+    // The data must exercise both matched and unmatched (null) rows.
+    assert(native.valuesIterator.exists(_ == null) ||
+      brute.valuesIterator.forall(_ != null))
+    assert(native.valuesIterator.exists(_ != null))
+  }
+
+  test("native as-of join matches the union+window formulation") {
+    val viaWindow = graft.ops.AsOf.lastRightTs(
+        purchases, views.select(col("v_user").as("user_id"), col("v_ts").as("ts")),
+        "user_id", "ts")
+      .select(col("p_id"), col("asof_ts"))
+      .collect().map(r => (r.getLong(0), r.get(1))).toMap
+    val native = AsOfNative.asofJoin(purchases, views,
+        "user_id", "v_user", "ts", "v_ts")
+      .select(col("p_id"), col("v_ts"))
+      .collect().map(r => (r.getLong(0), r.get(1))).toMap
+    assert(native == viaWindow)
+  }
+
+  test("physical plan is the custom exec fed by exchanges and (key, ts) sorts") {
+    val df = AsOfNative.asofJoin(purchases, views,
+      "user_id", "v_user", "ts", "v_ts")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin "), p) // exec nodeName prints without "Exec"
+    assert(p.contains("Exchange hashpartitioning(user_id"), p)
+    assert(p.contains("Exchange hashpartitioning(v_user"), p)
+    assert("Sort \\[user_id.* ASC NULLS FIRST, ts.* ASC NULLS FIRST".r
+      .findFirstIn(p).isDefined, p)
+  }
+
+  test("right payload columns ride along; unmatched rows null-extend") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "payload")
+    val r = Seq((1L, 9L, "x"), (1L, 15L, "y"), (3L, 1L, "z"))
+      .toDF("rk", "rt", "rpayload")
+    val out = AsOfNative.asofJoin(l, r, "k", "rk", "t", "rt")
+      .select("k", "t", "rpayload")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.get(2))).toSet
+    assert(out == Set((1L, 10L, "x"), (1L, 20L, "y"), (2L, 5L, null)))
+  }
+}
