@@ -238,13 +238,29 @@ object LlmQueries {
     }, None),
 
     // Rolling (Rabin-Karp) document fingerprint via the native codegen'd
-    // expression — rows-only (polynomial-mod loops aren't DuckDB SQL);
-    // RollingHashSpec pins it against a BigInt reference implementation.
+    // expression. Oracle-checked: DuckDB folds the same base-257 polynomial
+    // mod 2^61-1 over the characters with list_reduce in HUGEINT
+    // arithmetic. The engine hashes UTF-8 BYTES; the oracle reads code
+    // points via ascii(), identical on this corpus (verified ASCII —
+    // octet_length(encode(text)) = length(text) for every row).
+    // RollingHashSpec additionally pins non-ASCII inputs against a BigInt
+    // reference implementation.
     ("q44_rolling_fingerprint", (s: SparkSession, d: String) => {
       t(s, d, "documents").select(col("doc_id"),
           graft.functions.RollingHash.rollingHash(col("text")).as("fp64"))
         .orderBy("doc_id")
-    }, None),
+    }, Some("""
+      WITH codes AS (
+        SELECT doc_id,
+          list_transform(range(1, length(text) + 1),
+            i -> ascii(substring(text, CAST(i AS INT), 1))) AS cs
+        FROM documents)
+      SELECT doc_id,
+        CAST(list_reduce(
+          list_prepend(CAST(0 AS HUGEINT),
+            list_transform(cs, c -> CAST(c AS HUGEINT))),
+          (h, b) -> (h * 257 + b) % 2305843009213693951) AS BIGINT) AS fp64
+      FROM codes ORDER BY doc_id""")),
 
     // Generalized JSON-STAT cube flatten (P1/P2) on an inline fixture.
     // Oracle-checked: the DuckDB side re-derives every output column from
