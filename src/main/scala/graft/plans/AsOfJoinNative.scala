@@ -87,7 +87,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         .asInstanceOf[Ordering[Any]]
       val lProj = UnsafeProjection.create(lKeyTs, lOut)
       val rProj = UnsafeProjection.create(rKeyTs, rOut)
-      val resultProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      // Bind the result projection against NULLABLE right attributes (the
+      // node's own output) — binding against right.output directly would
+      // compile away the null checks for non-nullable right columns, and
+      // unmatched rows would surface 0/default instead of null.
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
 

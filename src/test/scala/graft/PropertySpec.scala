@@ -74,4 +74,50 @@ object GraftProps extends Properties("graft") {
         .select(Keys.canonicalKey(Seq("a", "b", "c")).as("k")).as[String].head()
       k1 != k2
     }
+
+  // Few keys + small timestamp domain force collisions, equal-ts ties, and
+  // keys present on only one side — the as-of edge cases.
+  private val asofLeft: Gen[List[(Long, Long)]] =
+    Gen.listOf(for { k <- Gen.choose(0L, 4L); t <- Gen.choose(0L, 20L) }
+      yield (k, t)).map(_.take(20))
+
+  property("native as-of join = brute-force max prior right ts, any data") =
+    Prop.forAll(asofLeft, asofLeft) { (l, r) =>
+      val left = l.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("id", "k", "t")
+      val right = r.map { case (k, t) => (k, t) }.toDF("rk", "rt")
+      val native = graft.plans.AsOfNative
+        .asofJoin(left, right, "k", "rk", "t", "rt")
+        .select("id", "rt")
+        .collect().map(x => (x.getLong(0), Option(x.get(1)))).toMap
+      val brute = l.zipWithIndex.map { case ((k, t), i) =>
+        val prior = r.filter(p => p._1 == k && p._2 <= t).map(_._2)
+        (i.toLong, if (prior.isEmpty) None else Some(prior.max: Any))
+      }.toMap
+      native == brute
+    }
+
+  property("binned interval join = naive range join, any bucket width") =
+    Prop.forAll(
+      Gen.listOf(Gen.choose(0L, 50L)).map(_.take(25)),
+      Gen.listOf(for { s <- Gen.choose(0L, 45L); len <- Gen.choose(1L, 12L) }
+        yield (s, s + len)).map(_.take(8)),
+      Gen.oneOf(1L, 3L, 7L)) { (pts, ivs, wDays) =>
+      val day = 24 * 3600L
+      val points = pts.zipWithIndex.map { case (p, i) =>
+        (i.toLong, new java.sql.Timestamp(p * day * 1000)) }.toDF("pid", "pt")
+      val intervals = ivs.zipWithIndex.map { case ((s, e), i) =>
+        (i.toLong, new java.sql.Timestamp(s * day * 1000),
+          new java.sql.Timestamp(e * day * 1000)) }.toDF("iid", "ws", "we")
+      val binned = graft.ops.RangeJoin
+        .pointInInterval(points, "pt", intervals, "ws", "we", wDays * day)
+        .select("pid", "iid")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val naive = (for {
+        (p, pi) <- pts.zipWithIndex
+        ((s, e), ii) <- ivs.zipWithIndex
+        if p >= s && p < e
+      } yield (pi.toLong, ii.toLong)).toSet
+      binned == naive
+    }
 }
