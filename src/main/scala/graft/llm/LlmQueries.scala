@@ -15,6 +15,20 @@ object LlmQueries {
   type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
+  // Shared by q38 (window formulation) and q66 (custom bounded-heap
+  // aggregator) — both must produce exactly this relation.
+  private val knnOracle = """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < 10),
+    scored AS (SELECT q.query_id, b.vec_id,
+        list_cosine_similarity(b.e, q.qe) AS sim
+      FROM base b, q WHERE b.vec_id <> q.query_id),
+    r AS (SELECT query_id, vec_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
+    FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // Token counting + basic text stats.
@@ -143,17 +157,16 @@ object LlmQueries {
     ("q38_knn_brute_cosine", (s: SparkSession, d: String) => {
       Similarity.bruteTopK(t(s, d, "embeddings"), col("vec_id") < 10, k = 5)
         .orderBy("query_id", "rank")
-    }, Some("""
-      WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-      q AS (SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < 10),
-      scored AS (SELECT q.query_id, b.vec_id,
-          list_cosine_similarity(b.e, q.qe) AS sim
-        FROM base b, q WHERE b.vec_id <> q.query_id),
-      r AS (SELECT query_id, vec_id,
-          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
-        FROM scored)
-      SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
-      FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+    }, Some(knnOracle)),
+
+    // Same top-k through the §2.6 custom typed Aggregator (bounded heap —
+    // the shuffle carries O(k) state per (partition, query) instead of
+    // every scored candidate). Must reproduce q38 exactly, so it shares
+    // q38's oracle.
+    ("q66_knn_topk_agg", (s: SparkSession, d: String) => {
+      Similarity.bruteTopKAgg(t(s, d, "embeddings"), col("vec_id") < 10, k = 5)
+        .orderBy("query_id", "rank")
+    }, Some(knnOracle)),
 
     // IVF-style ANN (centroid cells + nprobe). Deterministic given the cell
     // source, so fully oracle-checked: the DuckDB side replays label-mean
