@@ -880,6 +880,27 @@ object RelQueries {
       WHERE p.event_type = 'purchase'
       GROUP BY p.event_id ORDER BY p_id""")),
 
+    // §2.4 D3 at scale — day-partitioned landing + partition-pruned read:
+    // events are written partitioned by event-time day (the "processed day
+    // = one directory" layout that replaces the reference's day checkpoint
+    // at 100 TB), then a single day is read back; the day filter prunes to
+    // one partition at planning time. Oracle recomputes the same day's
+    // aggregate from the raw table.
+    ("q67_day_partition_prune", (s: SparkSession, d: String) => {
+      val dir = s"/tmp/graft_daypart/${new java.io.File(d).getName}/events"
+      graft.ops.Sinks.writeDayPartitioned(t(s, d, "events"), "ts", dir)
+      graft.ops.Sinks.readDay(s, dir, "2024-01-05")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(Exact.dec(col("value"), 10)).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }, Some("""
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE strftime(ts, '%Y-%m-%d') = '2024-01-05'
+      GROUP BY event_type ORDER BY event_type""")),
+
     // §2.5 aggregation — exact interpolated percentiles (both engines use
     // the linear-interpolation definition; inputs are integral doubles so
     // the interpolation arithmetic is exact).
