@@ -29,6 +29,33 @@ object LlmQueries {
     SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
     FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  // The q43/q51 oracles replay the hyperplane-LSH hash family in DuckDB:
+  // the seeded planes are inlined as DOUBLE literals (each float emitted as
+  // its exact double value, matching the engine's float->double upcast), so
+  // signature bits agree bit-for-bit — sign(dot) in sequential double
+  // arithmetic is identical in both engines.
+  private val planesValues: String = {
+    val planes = Similarity.hyperplanes(dim = 64, tables = 16,
+      bitsPerTable = 4, seed = 42L)
+    (for {
+      (tbl, ti) <- planes.zipWithIndex
+      (p, bi) <- tbl.zipWithIndex
+    } yield s"($ti, $bi, [${p.map(_.toDouble.toString).mkString(",")}]::DOUBLE[])")
+      .mkString(",\n        ")
+  }
+
+  // Shared CTE prefix: per-(vector, table) LSH signatures. Bit weight
+  // (8 >> b) mirrors the engine's fold acc*2+bit over b = 0..3.
+  private def lshSigsCte: String = s"""
+      planes(t, b, v) AS (VALUES
+        $planesValues),
+      base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      sigs AS (
+        SELECT vec_id, t,
+          CAST(SUM(CASE WHEN list_dot_product(e, v) > 0
+                        THEN (8 >> b) ELSE 0 END) AS INT) AS sig
+        FROM base, planes GROUP BY vec_id, t)"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // Token counting + basic text stats.
@@ -209,13 +236,27 @@ object LlmQueries {
       SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
       FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
 
-    // Random-hyperplane LSH ANN (angular buckets + exact rerank) —
-    // approximate by design; rows-only, spec verifies recall vs brute.
+    // Random-hyperplane LSH ANN (angular buckets + exact rerank).
+    // Oracle-checked: DuckDB rebuilds the same seeded-plane signatures
+    // (inlined literals), bucket-joins candidates, and reranks exactly.
     ("q43_knn_lsh", (s: SparkSession, d: String) => {
       Similarity.lshTopK(t(s, d, "embeddings"), dim = 64,
           queryPred = col("vec_id") < 10, k = 5)
         .orderBy("query_id", "rank")
-    }, None),
+    }, Some(s"""
+      WITH $lshSigsCte,
+      q AS (SELECT vec_id AS query_id, t, sig FROM sigs WHERE vec_id < 10),
+      cand AS (SELECT DISTINCT s.vec_id, q.query_id
+               FROM sigs s JOIN q ON s.t = q.t AND s.sig = q.sig
+                AND s.vec_id <> q.query_id),
+      qe AS (SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < 10),
+      r AS (SELECT c.query_id, c.vec_id,
+          row_number() OVER (PARTITION BY c.query_id
+            ORDER BY list_cosine_similarity(b.e, qe.qe) DESC, c.vec_id) AS rank
+        FROM cand c JOIN base b ON b.vec_id = c.vec_id
+        JOIN qe ON qe.query_id = c.query_id)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
 
     // Embedding near-dup pairs (cosine >= tau), cell-blocked.
     ("q40_embed_neardup", (s: SparkSession, d: String) => {
@@ -242,13 +283,22 @@ object LlmQueries {
         md5(text) AS fingerprint
       FROM documents ORDER BY doc_id""")),
 
-    // General (label-free) embedding near-dup via hyperplane-LSH blocking —
-    // approximate recall by design; rows-only, spec measures recall and
-    // verifies precision 1 vs brute force.
+    // General (label-free) embedding near-dup via hyperplane-LSH blocking.
+    // Oracle-checked with the same inlined-plane signature replay as q43:
+    // pairs sharing any (table, signature) bucket, verified cosine >= tau.
     ("q51_embed_neardup_lsh", (s: SparkSession, d: String) => {
       Similarity.nearDupPairsLsh(t(s, d, "embeddings"), dim = 64, tau = 0.25)
         .orderBy("v1", "v2")
-    }, None),
+    }, Some(s"""
+      WITH $lshSigsCte,
+      cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+               FROM sigs a JOIN sigs b
+                 ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id)
+      SELECT v1, v2 FROM cand
+      JOIN base e1 ON e1.vec_id = v1
+      JOIN base e2 ON e2.vec_id = v2
+      WHERE list_cosine_similarity(e1.e, e2.e) >= 0.25
+      ORDER BY v1, v2""")),
 
     // Rolling (Rabin-Karp) document fingerprint via the native codegen'd
     // expression. Oracle-checked: DuckDB folds the same base-257 polynomial

@@ -178,12 +178,18 @@ object Similarity {
     * candidates, reranked exactly. The angular-LSH alternative to IVF:
     * P(candidate) = 1 - (1 - p^bits)^tables with p = 1 - angle/pi, so
     * bits trades scan reduction for recall as the corpus grows. */
+  /** The seeded pseudo-random hyperplane family shared by the LSH paths —
+    * public so the DuckDB oracles can inline the exact same planes. */
+  def hyperplanes(dim: Int, tables: Int, bitsPerTable: Int,
+      seed: Long): IndexedSeq[IndexedSeq[Array[Float]]] = {
+    val rng = new scala.util.Random(seed)
+    IndexedSeq.fill(tables)(IndexedSeq.fill(bitsPerTable)(
+      Array.fill(dim)((rng.nextDouble() * 2 - 1).toFloat)))
+  }
+
   def lshTopK(emb: DataFrame, dim: Int, queryPred: Column, k: Int,
       tables: Int = 16, bitsPerTable: Int = 4, seed: Long = 42L): DataFrame = {
-    val rng = new scala.util.Random(seed)
-    val planes: IndexedSeq[IndexedSeq[Array[Float]]] =
-      IndexedSeq.fill(tables)(IndexedSeq.fill(bitsPerTable)(
-        Array.fill(dim)((rng.nextDouble() * 2 - 1).toFloat)))
+    val planes = hyperplanes(dim, tables, bitsPerTable, seed)
     // sign(dot) == sign(cosine) (norms are positive), so the fused
     // codegen'd cosine expression computes the hyperplane bit.
     def sigFor(v: Column, t: Int): Column =
@@ -228,10 +234,7 @@ object Similarity {
     * The pair space is per-bucket, never corpus-square. */
   def nearDupPairsLsh(emb: DataFrame, dim: Int, tau: Double,
       tables: Int = 16, bitsPerTable: Int = 4, seed: Long = 42L): DataFrame = {
-    val rng = new scala.util.Random(seed)
-    val planes: IndexedSeq[IndexedSeq[Array[Float]]] =
-      IndexedSeq.fill(tables)(IndexedSeq.fill(bitsPerTable)(
-        Array.fill(dim)((rng.nextDouble() * 2 - 1).toFloat)))
+    val planes = hyperplanes(dim, tables, bitsPerTable, seed)
     def sigFor(v: Column, t: Int): Column =
       (0 until bitsPerTable).foldLeft(lit(0)) { (acc, b) =>
         acc * 2 + when(cosineSim(v, typedLit(planes(t)(b).toSeq)) > 0, 1).otherwise(0)
