@@ -325,6 +325,58 @@ object LlmQueries {
           (h, b) -> (h * 257 + b) % 2305843009213693951) AS BIGINT) AS fp64
       FROM codes ORDER BY doc_id""")),
 
+    // Composed corpus-cleaning pipeline — the end-to-end LLM-data story in
+    // one query: language gate + quality gate -> exact dedup (deterministic
+    // lowest-id keeper per fingerprint) -> exact-Jaccard near-dup removal
+    // (the higher id of every pair >= tau drops). Every stage is one of the
+    // already-verified operators; the oracle recomputes the whole chain.
+    ("q68_corpus_clean_pipeline", (s: SparkSession, d: String) => {
+      val gated = t(s, d, "documents")
+        .filter(TextOps.langId(col("text")) === "en" &&
+          TextOps.nTokens(col("text")) >= 5)
+      val deduped = Dedup.keeperFirst(
+        gated.withColumn("fp", TextOps.fingerprint(col("text"))),
+        Seq("fp"), "doc_id").drop("fp")
+      val nearDupLosers = NearDup
+        .jaccardPairs(deduped, "doc_id", "text", 3, 0.8)
+        .select(col("d2").as("doc_id")).distinct()
+      deduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).orderBy("doc_id")
+    }, Some("""
+      WITH sc AS (SELECT doc_id, text,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> x IN ('the','and','of','is','a'))) AS en,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> x IN ('der','die','und','das','ist'))) AS de,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> x IN ('le','la','et','les','est'))) AS fr,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> x IN ('el','los','las','y','es'))) AS es,
+          regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk
+        FROM documents),
+      gated AS (SELECT doc_id, text FROM sc
+        WHERE NOT has_cjk AND en >= de AND en >= fr AND en >= es
+          AND len(regexp_split_to_array(trim(text), '\s+')) >= 5),
+      keep AS (SELECT MIN(doc_id) AS doc_id FROM gated
+               GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))),
+      ded AS (SELECT g.doc_id, g.text FROM gated g JOIN keep k USING (doc_id)),
+      tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+             FROM ded),
+      g3 AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+             FROM tk),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM g3 GROUP BY 1),
+      inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+                FROM g3 a JOIN g3 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      losers AS (SELECT DISTINCT d2 FROM inter
+                 JOIN sizes sa ON sa.doc_id = d1
+                 JOIN sizes sb ON sb.doc_id = d2
+                 WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8)
+      SELECT doc_id FROM ded WHERE doc_id NOT IN (SELECT d2 FROM losers)
+      ORDER BY doc_id""")),
+
     // Generalized JSON-STAT cube flatten (P1/P2) on an inline fixture.
     // Oracle-checked: the DuckDB side re-derives every output column from
     // the same JSON document with JSON-pointer extraction, zipping the Tid
