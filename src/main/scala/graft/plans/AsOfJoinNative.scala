@@ -51,7 +51,12 @@ object AsOfJoinStrategy extends SparkStrategy {
 /** Per-partition merge as-of join. Declares the same distribution/ordering
   * contract as a shuffled join, so EnsureRequirements inserts the hash
   * exchanges and (key, ts) sorts; execution is then a single forward scan
-  * of each co-partitioned pair with one buffered right row of state. */
+  * of each co-partitioned pair with one buffered right row of state.
+  *
+  * Skew note: AQE's skew-join rule only rewrites the built-in join execs,
+  * so a pathologically hot key concentrates in one task here — pre-salt
+  * with [[graft.ops.Skew]] in that case (the as-of semantics permit
+  * salting only when the salt derives from the key alone). */
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression) extends BinaryExecNode {

@@ -61,7 +61,12 @@ object Streams {
     * cannot leave the table truncated (the failure mode of a
     * delete-then-rewrite swap); at worst one touched bucket commits while
     * another retries. A transactional table format's MERGE is the
-    * full-ACID production form of the same plan. */
+    * full-ACID production form of the same plan.
+    *
+    * Size `nBuckets` so one bucket's rows rewrite comfortably in a task
+    * (state size / nBuckets ~ a few hundred MB): 64 suits GB-scale state;
+    * at 100 TB state use thousands — the per-batch cost stays
+    * O(buckets touched), independent of the total count. */
   def upsertBatch(stateDir: String, keys: Seq[String], nBuckets: Int = 64)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
