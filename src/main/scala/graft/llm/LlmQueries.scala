@@ -334,9 +334,13 @@ object LlmQueries {
       val gated = t(s, d, "documents")
         .filter(TextOps.langId(col("text")) === "en" &&
           TextOps.nTokens(col("text")) >= 5)
+      // Materialize the gated+deduped corpus once — it feeds BOTH the
+      // jaccard pair generation and the final anti-join, and would
+      // otherwise re-run the gates + window dedup per branch.
       val deduped = Dedup.keeperFirst(
         gated.withColumn("fp", TextOps.fingerprint(col("text"))),
         Seq("fp"), "doc_id").drop("fp")
+        .localCheckpoint(true)
       val nearDupLosers = NearDup
         .jaccardPairs(deduped, "doc_id", "text", 3, 0.8)
         .select(col("d2").as("doc_id")).distinct()

@@ -113,12 +113,13 @@ object NearDup {
     // Materialize the signature index once (one row + k longs per doc — the
     // persisted MinHash index at corpus scale): the banding self-join below
     // would otherwise recompute the whole gram->signature aggregation on
-    // BOTH join sides.
+    // BOTH join sides. Persisted (not localCheckpoint) so it can be
+    // released after the result materializes, like the jaccard path.
     val sigs = hashed.groupBy("doc_id")
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"),
         array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
@@ -135,7 +136,7 @@ object NearDup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .dropDuplicates("d1", "d2")
-    cand
+    val out = cand
       .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), Seq("d1"))
       .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), Seq("d2"))
       .withColumn("est_jaccard",
@@ -143,6 +144,10 @@ object NearDup {
           b => b)).cast("double") / lit(bands * rowsPerBand))
       .filter(col("est_jaccard") >= tau)
       .select(col("d1"), col("d2"), col("est_jaccard"))
+    // Eager-materialize the small pair set, then release the sig cache.
+    val res = out.localCheckpoint(true)
+    sigs.unpersist()
+    res
   }
 
   /** 64-bit SimHash signatures per document: per bit, the sign of the sum

@@ -178,6 +178,17 @@ object Similarity {
     * candidates, reranked exactly. The angular-LSH alternative to IVF:
     * P(candidate) = 1 - (1 - p^bits)^tables with p = 1 - angle/pi, so
     * bits trades scan reduction for recall as the corpus grows. */
+  /** Guard for the hyperplane paths: a wrong caller-supplied `dim` makes
+    * cosineSim(v, plane) null for every vector (dimension mismatch), every
+    * signature 0, and the bucket self-join silently corpus-square. One
+    * 1-row scan is cheap insurance against a silent quadratic blowup. */
+  private def requireDim(emb: DataFrame, dim: Int): Unit =
+    emb.select(size(col("embedding")).as("d")).limit(1).collect()
+      .foreach { r =>
+        require(r.getInt(0) == dim,
+          s"embedding dimension ${r.getInt(0)} != configured dim $dim")
+      }
+
   /** The seeded pseudo-random hyperplane family shared by the LSH paths —
     * public so the DuckDB oracles can inline the exact same planes. */
   def hyperplanes(dim: Int, tables: Int, bitsPerTable: Int,
@@ -189,6 +200,7 @@ object Similarity {
 
   def lshTopK(emb: DataFrame, dim: Int, queryPred: Column, k: Int,
       tables: Int = 16, bitsPerTable: Int = 4, seed: Long = 42L): DataFrame = {
+    requireDim(emb, dim)
     val planes = hyperplanes(dim, tables, bitsPerTable, seed)
     // sign(dot) == sign(cosine) (norms are positive), so the fused
     // codegen'd cosine expression computes the hyperplane bit.
@@ -234,6 +246,7 @@ object Similarity {
     * The pair space is per-bucket, never corpus-square. */
   def nearDupPairsLsh(emb: DataFrame, dim: Int, tau: Double,
       tables: Int = 16, bitsPerTable: Int = 4, seed: Long = 42L): DataFrame = {
+    requireDim(emb, dim)
     val planes = hyperplanes(dim, tables, bitsPerTable, seed)
     def sigFor(v: Column, t: Int): Column =
       (0 until bitsPerTable).foldLeft(lit(0)) { (acc, b) =>

@@ -41,10 +41,20 @@ object AvroOcf {
     fs.mkdirs(dirPath)
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
-        val pid = TaskContext.getPartitionId()
+        val tc = TaskContext.get()
+        val pid = tc.partitionId()
         val schema = new Schema.Parser().parse(schemaJson)
         val path = new Path(dirPath, f"part-$pid%05d.avro")
-        val out = path.getFileSystem(conf.value).create(path, true)
+        // Stream into an attempt-unique temp file and publish by rename:
+        // concurrent attempts of the same partition (speculation, a zombie
+        // surviving a retry) each write their own temp, and exactly one
+        // rename claims the final name — interleaved bytes in the final
+        // file are impossible, and a failed attempt leaves only a dotfile
+        // the .avro reader filter ignores.
+        val tmp = new Path(dirPath,
+          f".part-$pid%05d-attempt-${tc.taskAttemptId()}%d.avro.tmp")
+        val fs = path.getFileSystem(conf.value)
+        val out = fs.create(tmp, true)
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
         w.create(schema, out)
@@ -57,6 +67,7 @@ object AvroOcf {
           }
           w.append(rec)
         } finally w.close()
+        if (!fs.rename(tmp, path)) fs.delete(tmp, false): Unit
       }
     }
   }

@@ -115,22 +115,36 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val lkt = lProj(lRow)
           val lk = lkt.get(0, keyDt)
           val lt = lkt.get(1, tsDt)
-          var advancing = true
-          while (advancing && rPeek != null) {
-            val rkt = rProj(rPeek)
-            val c = keyOrd.compare(rkt.get(0, keyDt), lk)
-            if (c < 0) {
-              // Right key is behind every remaining left key: skip.
-              rPeek = if (rIter.hasNext) rIter.next() else null
-            } else if (c == 0 && tsOrd.compare(rkt.get(1, tsDt), lt) <= 0) {
-              candidate = rPeek.copy()
-              candKeyTs = rkt.copy()
-              rPeek = if (rIter.hasNext) rIter.next() else null
-            } else advancing = false
+          // SQL semantics: a null key or ts never matches anything. Null
+          // rows sort NULLS FIRST, so discard null right rows while
+          // advancing and null-extend null left rows without advancing —
+          // the orderings below are not null-safe.
+          if (lk == null || lt == null) {
+            resultProj(joined(lRow, nullRight))
+          } else {
+            var advancing = true
+            while (advancing && rPeek != null) {
+              val rkt = rProj(rPeek)
+              val rk = rkt.get(0, keyDt)
+              val rt = rkt.get(1, tsDt)
+              if (rk == null || rt == null) {
+                rPeek = if (rIter.hasNext) rIter.next() else null
+              } else {
+                val c = keyOrd.compare(rk, lk)
+                if (c < 0) {
+                  // Right key is behind every remaining left key: skip.
+                  rPeek = if (rIter.hasNext) rIter.next() else null
+                } else if (c == 0 && tsOrd.compare(rt, lt) <= 0) {
+                  candidate = rPeek.copy()
+                  candKeyTs = rkt.copy()
+                  rPeek = if (rIter.hasNext) rIter.next() else null
+                } else advancing = false
+              }
+            }
+            val matched = candidate != null &&
+              keyOrd.compare(candKeyTs.get(0, keyDt), lk) == 0
+            resultProj(joined(lRow, if (matched) candidate else nullRight))
           }
-          val matched = candidate != null &&
-            keyOrd.compare(candKeyTs.get(0, keyDt), lk) == 0
-          resultProj(joined(lRow, if (matched) candidate else nullRight))
         }
       }
     }

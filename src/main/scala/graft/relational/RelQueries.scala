@@ -416,12 +416,13 @@ object RelQueries {
 
     // §2.4 D3 — processed-window checkpoint skip (anti-join on the day log).
     ("q22_checkpoint_antijoin", (s: SparkSession, d: String) => {
-      // Both anti-join sides derive from the same day list; persist it so the
-      // events table is scanned once (the list is one row per distinct day —
-      // metadata-sized, so the cached blocks are negligible).
+      // Both anti-join sides derive from the same day list; eager-materialize
+      // it so the events table is scanned once. localCheckpoint (not a bare
+      // persist) so the metadata-sized blocks are GC-reclaimed with the RDD
+      // instead of accumulating across queries in a long session.
       val days = t(s, d, "events")
         .select(date_format(col("ts"), "yyyy-MM-dd").as("day")).distinct()
-        .persist()
+        .localCheckpoint(true)
       val processed = days.filter(col("day") < "2024-01-15")
       Dedup.checkpointFilter(days, processed, Seq("day")).orderBy("day")
     }, Some("""

@@ -78,14 +78,22 @@ object Streams {
     try {
       // At most nBuckets rows — always broadcastable.
       val touched = incoming.select("__bucket").distinct()
+      // First batch = state dir absent. An explicit existence check, not a
+      // catch of AnalysisException: a catch-all would also swallow real
+      // schema errors (e.g. a legacy non-bucketed state layout or a renamed
+      // key column) and silently drop all carried-over state.
+      val statePath = new org.apache.hadoop.fs.Path(stateDir)
+      val stateExists = statePath
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(statePath)
       val merged =
-        try {
-          val existing = spark.read.parquet(stateDir)
-          existing
+        if (!stateExists) incoming
+        else {
+          spark.read.parquet(stateDir)
             .join(broadcast(touched), Seq("__bucket"), "left_semi")
             .join(incoming.select(keys.map(col): _*), keys, "left_anti")
             .unionByName(incoming)
-        } catch { case _: org.apache.spark.sql.AnalysisException => incoming }
+        }
       merged.write
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

@@ -58,6 +58,22 @@ class AsOfJoinNativeSpec extends SparkSpec {
       .findFirstIn(p).isDefined, p)
   }
 
+  test("null keys and timestamps never match and never crash") {
+    import spark.implicits._
+    val l = Seq((1L, Some(1L), Some(10L)), (2L, None, Some(10L)),
+        (3L, Some(1L), None))
+      .toDF("id", "k", "t")
+    val r = Seq((Some(1L), Some(9L), "x"), (None, Some(1L), "nullkey"),
+        (Some(1L), None, "nullts"))
+      .toDF("rk", "rt", "rv")
+    val out = AsOfNative.asofJoin(l, r, "k", "rk", "t", "rt")
+      .select("id", "rv")
+      .collect().map(x => (x.getLong(0), x.get(1))).toMap
+    // id=1 matches the one fully-non-null right row; null-key and null-ts
+    // rows on either side neither match nor throw.
+    assert(out == Map(1L -> "x", 2L -> null, 3L -> null))
+  }
+
   test("right payload columns ride along; unmatched rows null-extend") {
     import spark.implicits._
     val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
