@@ -164,20 +164,24 @@ object LlmQueries {
       WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
       ORDER BY d1, d2""")),
 
-    // MinHash + LSH banding near-dup candidates (hash-family dependent —
-    // rows-only check; the scalatest spec verifies recall vs exact Jaccard).
+    // MinHash + LSH banding near-dup candidates. Oracle-checked: the DuckDB
+    // side replays Spark's xxhash64 (XXH64 seed 42, generated by
+    // XxHashOracle) for the gram hashes and the 64 family rehashes, then
+    // bands on raw signature slices — bit-for-bit signature parity.
     ("q36_dedup_minhash_lsh", (s: SparkSession, d: String) => {
       NearDup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
           n = 3, bands = 16, rowsPerBand = 4, tau = 0.5)
         .orderBy("d1", "d2")
-    }, None),
+    }, Some(XxHashOracle.minhashSql)),
 
-    // SimHash near-dup pairs via 16-bit chunk blocking (rows-only; spec
-    // verifies the Hamming bound and blocking exactness).
+    // SimHash near-dup pairs via 16-bit chunk blocking. Oracle-checked with
+    // the same XXH64 replay: per-token hashes, tf-weighted bit votes, the
+    // packed 64-bit signature, chunk blocking, and the Hamming filter are
+    // all recomputed independently in DuckDB.
     ("q37_dedup_simhash", (s: SparkSession, d: String) => {
       NearDup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxDist = 3)
         .orderBy("d1", "d2")
-    }, None),
+    }, Some(XxHashOracle.simhashSql)),
 
     // Brute-force cosine top-k (ANN baseline). Rank-only output: double
     // arithmetic both sides, margins >> double noise.

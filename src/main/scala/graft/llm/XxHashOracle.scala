@@ -1,0 +1,195 @@
+package graft.llm
+
+/** DuckDB SQL generator replaying Spark's xxhash64 (XXH64, seed 42) so the
+  * MinHash and SimHash queries can be oracle-checked end-to-end.
+  *
+  * XXH64 is public-domain (Cyan4973/xxHash); Spark's XxHash64Function uses
+  * it with seed 42 over UTF-8 bytes. DuckDB has no xxhash64 built-in, so
+  * the oracle embeds the algorithm: HUGEINT arithmetic with explicit
+  * mod-2^64 reduction, split-multiplies (a 64x64 product overflows
+  * HUGEINT), and list_reduce for the stripe/chunk loops. Validated
+  * bit-for-bit against Spark for every input length class (empty, <8, <32,
+  * >= 32 bytes = the 4-lane path) and for the two-column int+long form the
+  * MinHash families use. ASCII corpora only (byte = character code — the
+  * driver testdata is verified ASCII); non-ASCII would need a byte-level
+  * decode DuckDB SQL cannot express.
+  */
+object XxHashOracle {
+  private val M64v = BigInt("18446744073709551615")
+  private val M64 = s"CAST($M64v AS HUGEINT)"
+  private def ch(v: BigInt): String =
+    s"CAST(${v.mod(BigInt(1) << 64)} AS HUGEINT)"
+  private val P1v = BigInt("11400714785074694791")
+  private val P2v = BigInt("14029467366897019727")
+  private val P3v = BigInt("1609587929392839161")
+  private val P4v = BigInt("9650029242287828579")
+  private val P5v = BigInt("2870177450012600261")
+  private val Seq(p1, p2, p3, p4, p5) = Seq(P1v, P2v, P3v, P4v, P5v).map(ch)
+
+  /** (a * b) mod 2^64 without overflowing HUGEINT: split a into 32-bit
+    * halves; the high half contributes only its low-32 product bits. */
+  private def mm(a: String, b: String): String =
+    s"((($a & CAST(4294967295 AS HUGEINT)) * $b + " +
+      s"(((($a >> 32) * ($b & CAST(4294967295 AS HUGEINT))) & " +
+      s"CAST(4294967295 AS HUGEINT)) << 32)) & $M64)"
+  private def rotl(x: String, r: Int): String =
+    s"((($x << $r) | ($x >> ${64 - r})) & $M64)"
+  private def add(a: String, b: String): String = s"(($a + $b) & $M64)"
+  private def roundE(acc: String, w: String): String =
+    mm(rotl(add(acc, mm(w, p2)), 31), p1)
+  private def fmix(h: String): String = {
+    val s1 = s"xor($h, ($h >> 33))"
+    val s2 = mm(s1, p2)
+    val s3 = s"xor($s2, ($s2 >> 29))"
+    val s4 = mm(s3, p3)
+    s"xor($s4, ($s4 >> 32))"
+  }
+  private def mergeAll: String = {
+    var h = s"((${rotl("st.v1", 1)} + ${rotl("st.v2", 7)} + " +
+      s"${rotl("st.v3", 12)} + ${rotl("st.v4", 18)}) & $M64)"
+    for (v <- Seq("st.v1", "st.v2", "st.v3", "st.v4"))
+      h = add(mm(s"xor($h, ${roundE(ch(0), v)})", p1), p4)
+    h
+  }
+  private def tail8(h: String, w: String): String =
+    add(mm(rotl(s"xor($h, ${roundE(ch(0), w)})", 27), p1), p4)
+  private def tail4: String = {
+    val w4 = "(b[CAST((n // 8) * 8 + 1 AS INT)] + " +
+      "(b[CAST((n // 8) * 8 + 2 AS INT)] << 8) + " +
+      "(b[CAST((n // 8) * 8 + 3 AS INT)] << 16) + " +
+      "(b[CAST((n // 8) * 8 + 4 AS INT)] << 24))"
+    add(mm(rotl(s"xor(h8, ${mm(w4, p1)})", 23), p2), p3)
+  }
+  private def tailByte(h: String, x: String): String =
+    mm(rotl(s"xor($h, ${mm(x, p5)})", 11), p1)
+
+  private val dummy4 = Seq(1, 2, 3, 4).map(i => s"w$i := $M64").mkString(", ")
+
+  /** CTE chain hashing column `tok` of CTE `src` (doc_id, tok) to
+    * unsigned HUGEINT column `hu` in CTE `hashed` — Spark xxhash64 parity. */
+  def xxh64Ctes(src: String): String = s"""
+  bytes AS (SELECT *, list_transform(range(1, length(tok) + 1),
+      i -> CAST(ascii(substring(tok, CAST(i AS INT), 1)) AS HUGEINT)) AS b,
+      CAST(length(tok) AS HUGEINT) AS n FROM $src),
+  words AS (SELECT *, list_transform(range(0, CAST(n // 8 AS BIGINT)),
+      k -> b[CAST(8*k+1 AS INT)] + (b[CAST(8*k+2 AS INT)] << 8) + (b[CAST(8*k+3 AS INT)] << 16)
+         + (b[CAST(8*k+4 AS INT)] << 24) + (b[CAST(8*k+5 AS INT)] << 32) + (b[CAST(8*k+6 AS INT)] << 40)
+         + (b[CAST(8*k+7 AS INT)] << 48) + (b[CAST(8*k+8 AS INT)] << 56)) AS w8 FROM bytes),
+  lanes AS (SELECT *, CASE WHEN n >= 32 THEN
+      list_reduce(
+        list_prepend(
+          struct_pack(v1 := ${ch(42 + P1v + P2v)}, v2 := ${ch(42 + P2v)},
+                      v3 := ${ch(42)}, v4 := ${ch(42 - P1v)}, $dummy4),
+          list_transform(range(0, CAST(n // 32 AS BIGINT)), k -> struct_pack(
+            v1 := $M64, v2 := $M64, v3 := $M64, v4 := $M64,
+            w1 := w8[CAST(4*k+1 AS INT)], w2 := w8[CAST(4*k+2 AS INT)],
+            w3 := w8[CAST(4*k+3 AS INT)], w4 := w8[CAST(4*k+4 AS INT)]))),
+        (s, x) -> struct_pack(
+          v1 := ${roundE("s.v1", "x.w1")}, v2 := ${roundE("s.v2", "x.w2")},
+          v3 := ${roundE("s.v3", "x.w3")}, v4 := ${roundE("s.v4", "x.w4")},
+          $dummy4))
+      ELSE NULL END AS st FROM words),
+  h0 AS (SELECT *, CASE WHEN n >= 32 THEN $mergeAll ELSE ${add(ch(42), p5)} END AS hh FROM lanes),
+  tail AS (SELECT *, list_reduce(
+      list_prepend(${add("hh", "n")},
+        list_transform(range(CAST(CASE WHEN n >= 32 THEN (n // 32) * 4 ELSE 0 END AS BIGINT),
+                             CAST(n // 8 AS BIGINT)), k -> w8[CAST(k + 1 AS INT)])),
+      (h, w) -> ${tail8("h", "w")}) AS h8 FROM h0),
+  tail4 AS (SELECT *, CASE WHEN (n % 8) >= 4 THEN $tail4 ELSE h8 END AS h4,
+      CAST(CASE WHEN (n % 8) >= 4 THEN (n // 8) * 8 + 4 ELSE (n // 8) * 8 END AS BIGINT) AS bstart
+      FROM tail),
+  tailb AS (SELECT *, list_reduce(
+      list_prepend(h4, list_transform(range(bstart, CAST(n AS BIGINT)), k -> b[CAST(k + 1 AS INT)])),
+      (h, x) -> ${tailByte("h", "x")}) AS hfin FROM tail4),
+  hashed AS (SELECT doc_id, tok, ${fmix("hfin")} AS hu FROM tailb)"""
+
+  /** XXH64 of one long `h` (unsigned HUGEINT expr) with seed expr `s` —
+    * Spark's per-family MinHash rehash xxhash64(i, h) is
+    * hashLong(h, seed = hashInt(i, 42)). */
+  def hashLong(h: String, s: String): String = {
+    val acc = s"xor(${add(add(s, p5), ch(8))}, ${roundE(ch(0), h)})"
+    fmix(add(mm(rotl(acc, 27), p1), p4))
+  }
+
+  /** hashInt(i, 42) computed in Scala — the MinHash family seeds, inlined
+    * as VALUES (fi, fs). Formula = Spark XxHash64Function.hashInt. */
+  def famValues(k: Int): String = {
+    def rotlL(x: BigInt, r: Int): BigInt =
+      ((x << r) | (x >> (64 - r))).mod(BigInt(1) << 64)
+    def fmixL(h0: BigInt): BigInt = {
+      var h = h0
+      h ^= h >> 33; h = (h * P2v).mod(BigInt(1) << 64)
+      h ^= h >> 29; h = (h * P3v).mod(BigInt(1) << 64)
+      h ^ (h >> 32)
+    }
+    (0 until k).map { i =>
+      var h = (BigInt(42) + P5v + 4).mod(BigInt(1) << 64)
+      h ^= (BigInt(i) * P1v).mod(BigInt(1) << 64)
+      h = (rotlL(h, 23) * P2v + P3v).mod(BigInt(1) << 64)
+      s"($i, ${ch(fmixL(h))})"
+    }.mkString(",\n        ")
+  }
+
+  private val toSigned =
+    "CASE WHEN %s >= CAST(9223372036854775808 AS HUGEINT) " +
+      "THEN %s - CAST(18446744073709551616 AS HUGEINT) ELSE %s END"
+  def signed(e: String): String = toSigned.format(e, e, e)
+
+  /** Full q37 oracle: SimHash signatures + 16-bit chunk blocking. */
+  val simhashSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents),
+    ${xxh64Ctes("toks")},
+    bits AS (SELECT doc_id, i,
+        SUM(CASE WHEN (hu >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hashed, (SELECT unnest(range(64)) AS i) GROUP BY doc_id, i),
+    sigs AS (SELECT doc_id,
+        SUM(CASE WHEN s > 0 THEN (CAST(1 AS HUGEINT) << CAST(63 - i AS INT))
+                 ELSE CAST(0 AS HUGEINT) END) AS sig_u
+      FROM bits GROUP BY doc_id),
+    sigss AS (SELECT doc_id, CAST(${signed("sig_u")} AS BIGINT) AS sig, sig_u
+      FROM sigs),
+    chunked AS (SELECT doc_id, sig, j AS chunk_id,
+        CAST((sig_u >> CAST(16 * j AS INT)) & 65535 AS BIGINT) AS chunk
+      FROM sigss, (SELECT unnest(range(4)) AS j)),
+    pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+        CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+      FROM chunked a JOIN chunked b
+        ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+    SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3 ORDER BY d1, d2"""
+
+  /** Full q36 oracle: MinHash signatures (64 families over distinct word
+    * 3-grams) + banding. Buckets group on the raw 4-signature slice — the
+    * engine hashes the slice first, but equal slices hash equal and
+    * distinct-slice collisions are ~2^-64 (would only ADD candidates). */
+  val minhashSql: String = s"""
+    WITH tkn AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+      FROM documents),
+    toks AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(tk) - 1),
+          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tok
+      FROM tkn),
+    ${xxh64Ctes("toks")},
+    fam(fi, fs) AS (VALUES ${famValues(64)}),
+    perfam AS (SELECT doc_id, fi,
+        MIN(CAST(${signed("r")} AS BIGINT)) AS m
+      FROM (SELECT doc_id, fi, ${hashLong("hu", "fs")} AS r FROM hashed, fam)
+      GROUP BY doc_id, fi),
+    sigarr AS (SELECT doc_id, list(m ORDER BY fi) AS sig FROM perfam
+      GROUP BY doc_id),
+    banded AS (SELECT doc_id, b,
+        list_slice(sig, CAST(4*b+1 AS INT), CAST(4*b+4 AS INT)) AS bucket, sig
+      FROM sigarr, (SELECT unnest(range(16)) AS b)),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    scored AS (SELECT d1, d2,
+        CAST(len(list_filter(range(1, 65),
+          k -> s1.sig[CAST(k AS INT)] = s2.sig[CAST(k AS INT)])) AS DOUBLE) / 64
+          AS est_jaccard
+      FROM cand JOIN sigarr s1 ON s1.doc_id = d1
+      JOIN sigarr s2 ON s2.doc_id = d2)
+    SELECT d1, d2, est_jaccard FROM scored WHERE est_jaccard >= 0.5
+    ORDER BY d1, d2"""
+}
