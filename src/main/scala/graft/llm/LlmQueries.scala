@@ -329,6 +329,21 @@ object LlmQueries {
           (h, b) -> (h * 257 + b) % 2305843009213693951) AS BIGINT) AS fp64
       FROM codes ORDER BY doc_id""")),
 
+    // Multimodal frame sampling (stubbed extractor, real one-row-to-many
+    // batch shape): n evenly-indexed frame fingerprints per payload. The
+    // oracle recomputes md5(payload bytes + frame index byte) — identical
+    // bytes on this ASCII corpus via text || chr(i).
+    ("q70_multimodal_frames", (s: SparkSession, d: String) => {
+      Multimodal.frameSampleStub(s,
+          Multimodal.withBinaryPayload(t(s, d, "documents")), n = 4)
+        .toDF()
+        .orderBy("doc_id", "frame_idx")
+    }, Some("""
+      SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        md5(text || chr(CAST(i AS INT))) AS frame_fingerprint
+      FROM documents, (SELECT unnest(range(4)) AS i)
+      ORDER BY doc_id, frame_idx""")),
+
     // Composed corpus-cleaning pipeline — the end-to-end LLM-data story in
     // one query: language gate + quality gate -> exact dedup (deterministic
     // lowest-id keeper per fingerprint) -> exact-Jaccard near-dup removal

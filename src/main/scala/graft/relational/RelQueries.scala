@@ -64,6 +64,22 @@ object RelQueries {
                        WHERE c2.c_nationkey = c.c_nationkey)
     ORDER BY c_custkey"""
 
+  // NOT EXISTS carries a predicate ("no urgent order") because this
+  // testdata gives every customer at least one order — the classic
+  // "no orders at all" form would be trivially empty at every SF.
+  private val q22Sql = """
+    SELECT cntrycode, COUNT(*) AS numcust,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM (SELECT substring(c_name, 1, 2) AS cntrycode, c_acctbal
+          FROM customer c
+          WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                                    / COUNT(*)
+                             FROM customer WHERE c_acctbal > 0.0)
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderpriority = '1-URGENT'))
+    GROUP BY cntrycode ORDER BY cntrycode"""
+
   /** (name, implementation, oracle SQL — None => driver rows-only check) */
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
@@ -901,6 +917,16 @@ object RelQueries {
       FROM events
       WHERE strftime(ts, '%Y-%m-%d') = '2024-01-05'
       GROUP BY event_type ORDER BY event_type""")),
+
+    // §2.5 — TPC-H Q22-shaped: positive-balance customers above the mean
+    // with NO orders, rolled up by a name-prefix "country code" — string
+    // scalar + exact-decimal scalar subquery + anti-join decorrelation in
+    // one query. Same SQL text on both engines.
+    ("q69_tpch_q22_shape", (s: SparkSession, d: String) => {
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(q22Sql)
+    }, Some(q22Sql)),
 
     // §2.5 aggregation — exact interpolated percentiles (both engines use
     // the linear-interpolation definition; inputs are integral doubles so
