@@ -928,6 +928,45 @@ object RelQueries {
       s.sql(q22Sql)
     }, Some(q22Sql)),
 
+    // §2.5 aggregation — sample stddev and correlation made oracle-exact:
+    // the builtin stddev/corr aggregates are summation-order-dependent
+    // doubles (never hash-comparable across engines), so the moments are
+    // accumulated as EXACT decimal sums and the closed-form formulas run
+    // once in double on identical inputs. The decimal -> double step goes
+    // THROUGH A STRING on both sides: each engine's native decimal cast
+    // rounds differently at the last bit, while decimal digits -> strtod
+    // is correctly rounded (identical) everywhere.
+    ("q71_stats_moments", (s: SparkSession, d: String) => {
+      def d2(c: org.apache.spark.sql.Column) = c.cast("string").cast("double")
+      val li = t(s, d, "lineitem")
+      val agg = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(qty).as("sq"), sum(qty * qty).as("sqq"),
+          sum(price).as("sp"), sum(price * price).as("spp"),
+          sum(qty * price).as("sqp"))
+      agg.select(col("l_returnflag"), col("n"),
+          sqrt((d2(col("sqq")) - d2(col("sq")) * d2(col("sq")) / col("n")) /
+            (col("n") - 1)).as("stddev_qty"),
+          ((col("n") * d2(col("sqp")) - d2(col("sq")) * d2(col("sp"))) /
+            sqrt((col("n") * d2(col("sqq")) - d2(col("sq")) * d2(col("sq"))) *
+              (col("n") * d2(col("spp")) - d2(col("sp")) * d2(col("sp")))))
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }, Some(s"""
+      WITH m AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(CAST(SUM($oQty) AS VARCHAR) AS DOUBLE) AS sq,
+          CAST(CAST(SUM($oQty * $oQty) AS VARCHAR) AS DOUBLE) AS sqq,
+          CAST(CAST(SUM($oPrice) AS VARCHAR) AS DOUBLE) AS sp,
+          CAST(CAST(SUM($oPrice * $oPrice) AS VARCHAR) AS DOUBLE) AS spp,
+          CAST(CAST(SUM($oQty * $oPrice) AS VARCHAR) AS DOUBLE) AS sqp
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        sqrt((sqq - sq * sq / n) / (n - 1)) AS stddev_qty,
+        (n * sqp - sq * sp) / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp))
+          AS corr_qty_price
+      FROM m ORDER BY l_returnflag""")),
+
     // §2.5 aggregation — exact interpolated percentiles (both engines use
     // the linear-interpolation definition; inputs are integral doubles so
     // the interpolation arithmetic is exact).
