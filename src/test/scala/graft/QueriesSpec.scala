@@ -15,6 +15,14 @@ class QueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("every queries entry is oracle-checked (no rows-only regressions)") {
+    // Round-2 closed the last rows-only gaps (hash families replayed in
+    // DuckDB); a new query shipping without an oracle is a coverage
+    // regression, not a style choice — fail loudly.
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unchecked.isEmpty, s"queries without oracle: $unchecked")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {
       val n = fn(spark, sfDir).count()
