@@ -151,8 +151,10 @@ object LlmQueries {
       WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
                  FROM documents),
       g AS (SELECT DISTINCT doc_id,
-              unnest(list_transform(range(1, len(toks) - 1),
-                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+              unnest(CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [array_to_string(toks, ' ')] END) AS gram
             FROM t),
       sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
       inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
@@ -172,7 +174,7 @@ object LlmQueries {
       NearDup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
           n = 3, bands = 16, rowsPerBand = 4, tau = 0.5)
         .orderBy("d1", "d2")
-    }, Some(XxHashOracle.minhashSql)),
+    }, Some(XxHashOracle.minhashSql(n = 3, bands = 16, rowsPerBand = 4, tau = 0.5))),
 
     // SimHash near-dup pairs via 16-bit chunk blocking. Oracle-checked with
     // the same XXH64 replay: per-token hashes, tf-weighted bit votes, the
@@ -386,8 +388,10 @@ object LlmQueries {
       tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
              FROM ded),
       g3 AS (SELECT DISTINCT doc_id,
-               unnest(list_transform(range(1, len(toks) - 1),
-                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+               unnest(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                 ELSE [array_to_string(toks, ' ')] END) AS gram
              FROM tk),
       sizes AS (SELECT doc_id, count(*) AS sz FROM g3 GROUP BY 1),
       inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common

@@ -159,19 +159,30 @@ object XxHashOracle {
         ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
     SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3 ORDER BY d1, d2"""
 
-  /** Full q36 oracle: MinHash signatures (64 families over distinct word
-    * 3-grams) + banding. Buckets group on the raw 4-signature slice — the
-    * engine hashes the slice first, but equal slices hash equal and
-    * distinct-slice collisions are ~2^-64 (would only ADD candidates). */
-  val minhashSql: String = s"""
-    WITH tkn AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+  /** Word n-gram CTE pair mirroring NearDup.gramsOf, INCLUDING the
+    * fewer-than-n-tokens fallback (the whole joined text as one gram). */
+  private def gramCtes(n: Int): String = {
+    val concat = (1 until n).foldLeft("tk[i]")((acc, j) => s"$acc || ' ' || tk[i+$j]")
+    s"""tkn AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
       FROM documents),
     toks AS (SELECT DISTINCT doc_id,
-        unnest(list_transform(range(1, len(tk) - 1),
-          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tok
-      FROM tkn),
+        unnest(CASE WHEN len(tk) >= $n
+          THEN list_transform(range(1, len(tk) - ${n - 2}), i -> $concat)
+          ELSE [array_to_string(tk, ' ')] END) AS tok
+      FROM tkn)"""
+  }
+
+  /** Full q36 oracle: MinHash signatures (k = bands*rowsPerBand families
+    * over distinct word n-grams) + banding, parameterized to match the
+    * engine call site. Buckets group on the raw signature slice — the
+    * engine hashes the slice first, but equal slices hash equal and
+    * distinct-slice collisions are ~2^-64 (would only ADD candidates). */
+  def minhashSql(n: Int, bands: Int, rowsPerBand: Int, tau: Double): String = {
+    val k = bands * rowsPerBand
+    s"""
+    WITH ${gramCtes(n)},
     ${xxh64Ctes("toks")},
-    fam(fi, fs) AS (VALUES ${famValues(64)}),
+    fam(fi, fs) AS (VALUES ${famValues(k)}),
     perfam AS (SELECT doc_id, fi,
         MIN(CAST(${signed("r")} AS BIGINT)) AS m
       FROM (SELECT doc_id, fi, ${hashLong("hu", "fs")} AS r FROM hashed, fam)
@@ -179,17 +190,19 @@ object XxHashOracle {
     sigarr AS (SELECT doc_id, list(m ORDER BY fi) AS sig FROM perfam
       GROUP BY doc_id),
     banded AS (SELECT doc_id, b,
-        list_slice(sig, CAST(4*b+1 AS INT), CAST(4*b+4 AS INT)) AS bucket, sig
-      FROM sigarr, (SELECT unnest(range(16)) AS b)),
+        list_slice(sig, CAST($rowsPerBand*b+1 AS INT),
+          CAST($rowsPerBand*b+$rowsPerBand AS INT)) AS bucket, sig
+      FROM sigarr, (SELECT unnest(range($bands)) AS b)),
     cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       FROM banded a JOIN banded b
         ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
     scored AS (SELECT d1, d2,
-        CAST(len(list_filter(range(1, 65),
-          k -> s1.sig[CAST(k AS INT)] = s2.sig[CAST(k AS INT)])) AS DOUBLE) / 64
+        CAST(len(list_filter(range(1, ${k + 1}),
+          k -> s1.sig[CAST(k AS INT)] = s2.sig[CAST(k AS INT)])) AS DOUBLE) / $k
           AS est_jaccard
       FROM cand JOIN sigarr s1 ON s1.doc_id = d1
       JOIN sigarr s2 ON s2.doc_id = d2)
-    SELECT d1, d2, est_jaccard FROM scored WHERE est_jaccard >= 0.5
+    SELECT d1, d2, est_jaccard FROM scored WHERE est_jaccard >= $tau
     ORDER BY d1, d2"""
+  }
 }

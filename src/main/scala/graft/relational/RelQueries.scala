@@ -66,11 +66,14 @@ object RelQueries {
 
   // NOT EXISTS carries a predicate ("no urgent order") because this
   // testdata gives every customer at least one order — the classic
-  // "no orders at all" form would be trivially empty at every SF.
+  // "no orders at all" form would be trivially empty at every SF. The
+  // "country code" is the LAST two name characters: the prefix is the
+  // constant 'Cu' for every Customer#N row, which would collapse the
+  // rollup to one group and leave the grouping untested.
   private val q22Sql = """
     SELECT cntrycode, COUNT(*) AS numcust,
       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
-    FROM (SELECT substring(c_name, 1, 2) AS cntrycode, c_acctbal
+    FROM (SELECT substring(c_name, length(c_name) - 1, 2) AS cntrycode, c_acctbal
           FROM customer c
           WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
                                     / COUNT(*)
