@@ -111,9 +111,10 @@ object XxHashOracle {
     fmix(add(mm(rotl(acc, 27), p1), p4))
   }
 
-  /** hashInt(i, 42) computed in Scala — the MinHash family seeds, inlined
-    * as VALUES (fi, fs). Formula = Spark XxHash64Function.hashInt. */
-  def famValues(k: Int): String = {
+  /** hashInt(i, 42) computed in Scala — XXH64 of a 4-byte int, the MinHash
+    * family seed. Formula = Spark XxHash64Function.hashInt; pinned against
+    * Spark's own xxhash64(lit(i)) in XxHashOracleSpec. */
+  def familySeed(i: Int): BigInt = {
     def rotlL(x: BigInt, r: Int): BigInt =
       ((x << r) | (x >> (64 - r))).mod(BigInt(1) << 64)
     def fmixL(h0: BigInt): BigInt = {
@@ -122,13 +123,15 @@ object XxHashOracle {
       h ^= h >> 29; h = (h * P3v).mod(BigInt(1) << 64)
       h ^ (h >> 32)
     }
-    (0 until k).map { i =>
-      var h = (BigInt(42) + P5v + 4).mod(BigInt(1) << 64)
-      h ^= (BigInt(i) * P1v).mod(BigInt(1) << 64)
-      h = (rotlL(h, 23) * P2v + P3v).mod(BigInt(1) << 64)
-      s"($i, ${ch(fmixL(h))})"
-    }.mkString(",\n        ")
+    var h = (BigInt(42) + P5v + 4).mod(BigInt(1) << 64)
+    h ^= (BigInt(i) * P1v).mod(BigInt(1) << 64)
+    h = (rotlL(h, 23) * P2v + P3v).mod(BigInt(1) << 64)
+    fmixL(h)
   }
+
+  /** The k family seeds inlined as VALUES (fi, fs). */
+  def famValues(k: Int): String =
+    (0 until k).map(i => s"($i, ${ch(familySeed(i))})").mkString(",\n        ")
 
   private val toSigned =
     "CASE WHEN %s >= CAST(9223372036854775808 AS HUGEINT) " +
