@@ -58,6 +58,26 @@ class AsOfJoinNativeSpec extends SparkSpec {
       .findFirstIn(p).isDefined, p)
   }
 
+  test("co-partitioning holds at an odd shuffle-partition count") {
+    // The exec relies on EnsureRequirements placing equal keys in the same
+    // zipped partition pair on both sides; run the brute-force equality at
+    // a partition count different from the suite default to catch any
+    // alignment assumption baked into the default config.
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "17")
+    try {
+      val native = AsOfNative.asofJoin(purchases, views,
+          "user_id", "v_user", "ts", "v_ts")
+        .select(col("p_id"), col("v_ts"))
+        .collect().map(r => (r.getLong(0), r.get(1))).toMap
+      val brute = purchases.join(views,
+          col("user_id") === col("v_user") && col("v_ts") <= col("ts"), "left")
+        .groupBy("p_id").agg(max("v_ts").as("v_ts"))
+        .collect().map(r => (r.getLong(0), r.get(1))).toMap
+      assert(native == brute)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+  }
+
   test("null keys and timestamps never match and never crash") {
     import spark.implicits._
     val l = Seq((1L, Some(1L), Some(10L)), (2L, None, Some(10L)),
