@@ -83,6 +83,20 @@ object RelQueries {
                               AND o.o_orderpriority = '1-URGENT'))
     GROUP BY cntrycode ORDER BY cntrycode"""
 
+  // Bag-semantics set ops over order-priority multisets: the two branches
+  // overlap with different multiplicities, so ALL vs DISTINCT results
+  // genuinely differ and multiplicity preservation is what gets checked.
+  private val setAllSql = """
+    SELECT op, COUNT(*) AS n FROM (
+      (SELECT o_orderpriority AS op FROM orders WHERE o_orderkey % 2 = 0
+       INTERSECT ALL
+       SELECT o_orderpriority FROM orders WHERE o_orderkey % 3 = 0)
+      UNION ALL
+      (SELECT o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+       EXCEPT ALL
+       SELECT o_orderpriority FROM orders WHERE o_orderkey % 3 = 0))
+    GROUP BY op ORDER BY op"""
+
   /** (name, implementation, oracle SQL — None => driver rows-only check) */
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
@@ -930,6 +944,14 @@ object RelQueries {
       t(s, d, "orders").createOrReplaceTempView("orders")
       s.sql(q22Sql)
     }, Some(q22Sql)),
+
+    // §2.5 set ops, bag semantics — INTERSECT ALL / EXCEPT ALL / UNION ALL
+    // preserve multiplicities (distinct physical operators from q13's
+    // set-semantics trio). Same SQL text on both engines.
+    ("q72_setops_all", (s: SparkSession, d: String) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(setAllSql)
+    }, Some(setAllSql)),
 
     // §2.5 aggregation — sample stddev and correlation made oracle-exact:
     // the builtin stddev/corr aggregates are summation-order-dependent
