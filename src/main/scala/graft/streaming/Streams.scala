@@ -122,6 +122,28 @@ object Streams {
       .select(col("user_id"), col("p_id"), col("v_id"), col("p_ts"), col("v_ts"))
   }
 
+  /** Stream-stream LEFT OUTER join: like [[purchaseViewJoin]], but a
+    * purchase with no prior-hour view still emits (null view columns) once
+    * the watermark closes its match window — Spark holds the outer row in
+    * state until no future view can possibly match, then null-extends.
+    * The distinct semantics (and state-eviction contract) of outer
+    * streaming joins vs the inner form. */
+  def purchaseViewLeftJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", "1 hour")
+    purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+      .select(col("user_id"), col("p_id"), col("v_id"), col("p_ts"), col("v_ts"))
+  }
+
   /** Bespoke keyed state via flatMapGroupsWithState (the escape hatch the
     * reference's Redis counters map to when dropDuplicates/windows don't
     * fit): running per-user event count + cumulative value, one output row

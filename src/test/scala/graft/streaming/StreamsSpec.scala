@@ -195,6 +195,45 @@ class StreamsSpec extends SparkSpec {
     assert(out == Set((200L, 100L)))
   }
 
+  test("stream-stream LEFT OUTER join: unmatched purchases null-extend on close") {
+    val srcDir = tmp("src"); val outDir = tmp("out"); val ckDir = tmp("ck")
+    def push(rows: Seq[(String, Long, String, Long)]): Unit =
+      rows.toDF("ts", "user_id", "event_type", "event_id")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    val sch = StructType(Seq(
+      StructField("ts", TimestampType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("event_id", LongType)))
+    push(Seq(
+      ("2024-01-01 10:00:00", 1L, "view", 100L),
+      ("2024-01-01 10:30:00", 1L, "purchase", 200L),
+      ("2024-01-01 10:30:00", 2L, "purchase", 201L))) // no views for user 2
+    val stream = spark.readStream.schema(sch).parquet(srcDir)
+    val q = Streams.purchaseViewLeftJoin(stream)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir).start()
+    q.processAllAvailable()
+    // The global watermark is the MIN of both sides' watermarks, so BOTH
+    // streams must advance before purchase 201's match window closes and
+    // its null-extended row may emit (plus one more batch to trigger the
+    // state-store eviction pass).
+    push(Seq(("2024-01-02 00:00:00", 9L, "view", 999L),
+             ("2024-01-02 00:00:00", 9L, "purchase", 299L)))
+    q.processAllAvailable()
+    push(Seq(("2024-01-03 00:00:00", 9L, "view", 998L),
+             ("2024-01-03 00:00:00", 9L, "purchase", 298L)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(outDir)
+      .select("p_id", "v_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    // Matched rows (incl. the watermark-driver purchases, which match the
+    // same-instant views) emit immediately; ONLY the unmatched purchase
+    // waits for its window to close before null-extending.
+    assert(out == Set((200L, Some(100L)), (201L, None),
+      (299L, Some(999L)), (298L, Some(998L))), s"got $out")
+  }
+
   test("streaming sessionize emits closed sessions") {
     val srcDir = tmp("src"); val outDir = tmp("out"); val ckDir = tmp("ck")
     eventsDf(Seq(
