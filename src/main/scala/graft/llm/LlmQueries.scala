@@ -346,6 +346,33 @@ object LlmQueries {
       FROM documents, (SELECT unnest(range(4)) AS i)
       ORDER BY doc_id, frame_idx""")),
 
+    // Multimodal resize plumbing: stub decode dimensions scaled to fit a
+    // 128px bounding box, aspect preserved. Scale arithmetic is one double
+    // division + multiply + floor from exact integers — deterministic in
+    // both engines ((w * scale).toLong truncates toward zero = FLOOR for
+    // positive values).
+    ("q73_multimodal_resize", (s: SparkSession, d: String) => {
+      Multimodal.resizeStub(s,
+          Multimodal.withBinaryPayload(t(s, d, "documents")), maxSide = 128L)
+        .toDF()
+        .select("doc_id", "n_bytes", "width", "height")
+        .orderBy("doc_id")
+    }, Some("""
+      WITH dims AS (
+        SELECT doc_id,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          64 + CAST(octet_length(encode(text)) AS BIGINT) % 512 AS w,
+          64 + (CAST(octet_length(encode(text)) AS BIGINT) // 7) % 512 AS h
+        FROM documents),
+      scaled AS (
+        SELECT doc_id, n_bytes, w, h,
+          CAST(128 AS DOUBLE) / greatest(w, h) AS sc
+        FROM dims)
+      SELECT doc_id, n_bytes,
+        CASE WHEN sc >= 1.0 THEN w ELSE CAST(FLOOR(w * sc) AS BIGINT) END AS width,
+        CASE WHEN sc >= 1.0 THEN h ELSE CAST(FLOOR(h * sc) AS BIGINT) END AS height
+      FROM scaled ORDER BY doc_id""")),
+
     // Composed corpus-cleaning pipeline — the end-to-end LLM-data story in
     // one query: language gate + quality gate -> exact dedup (deterministic
     // lowest-id keeper per fingerprint) -> exact-Jaccard near-dup removal
