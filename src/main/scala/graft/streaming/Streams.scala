@@ -168,6 +168,43 @@ object Streams {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** Per-user totals with EVENT-TIME state expiry: like
+    * [[runningUserTotals]], but a user idle for `gapMs` of event time has
+    * their state evicted via GroupStateTimeout.EventTimeTimeout — the
+    * timed-out group emits one final `closed = true` row and the next
+    * event starts a fresh count. This is the bounded-state production form
+    * of the reference's daily Redis clear: state size tracks ACTIVE keys,
+    * not all keys ever seen. */
+  def userTotalsWithTimeout(spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame, gapMs: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("value"), col("ts"))
+      .as[(Long, Double, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double, Long), (Long, Long, Double, Boolean)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[(Long, Double, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, v, _) = state.get
+            state.remove()
+            Iterator((user, n, v, true))
+          } else {
+            val (n0, v0, ts0) = state.getOption.getOrElse((0L, 0.0, 0L))
+            var n = n0; var v = v0; var maxTs = ts0
+            rows.foreach { r =>
+              n += 1; v += r._2; maxTs = math.max(maxTs, r._3.getTime)
+            }
+            state.update((n, v, maxTs))
+            state.setTimeoutTimestamp(maxTs + gapMs)
+            Iterator((user, n, v, false))
+          }
+      }
+      .toDF("user_id", "n_events", "total_value", "closed")
+  }
+
   /** Sessionization over the stream (gap-based windows). */
   def sessionize(events: DataFrame, gap: String = "1 hour"): DataFrame =
     events

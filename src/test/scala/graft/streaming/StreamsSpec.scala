@@ -195,6 +195,38 @@ class StreamsSpec extends SparkSpec {
     assert(out == Set((200L, 100L)))
   }
 
+  test("flatMapGroupsWithState event-time timeout evicts idle user state") {
+    val srcDir = tmp("src"); val outDir = tmp("out"); val ckDir = tmp("ck")
+    def push(rows: Seq[(String, Long, String, Double)]): Unit =
+      rows.toDF("ts", "user_id", "event_type", "value")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    val sch = StructType(Seq(
+      StructField("ts", TimestampType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    push(Seq(("2024-01-01 10:00:00", 1L, "a", 2.0)))
+    val stream = spark.readStream.schema(sch).parquet(srcDir)
+    val q = Streams.userTotalsWithTimeout(spark, stream, gapMs = 3600 * 1000L)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir).start()
+    q.processAllAvailable()
+    // Advance the watermark past user 1's 1h idle bound...
+    push(Seq(("2024-01-01 13:00:00", 9L, "a", 1.0)))
+    q.processAllAvailable()
+    // ...and one more batch so the timed-out group fires and user 1 closes.
+    push(Seq(("2024-01-01 14:00:00", 9L, "a", 1.0),
+             ("2024-01-01 14:00:00", 1L, "a", 7.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(outDir)
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    // user 1: open row, then the eviction row, then a FRESH count (n=1).
+    assert(rows.contains((1L, 1L, 2.0, false)), rows)
+    assert(rows.contains((1L, 1L, 2.0, true)), rows)
+    assert(rows.contains((1L, 1L, 7.0, false)), rows)
+    assert(!rows.contains((1L, 2L, 9.0, false)), s"state not evicted: $rows")
+  }
+
   test("stream-stream LEFT OUTER join: unmatched purchases null-extend on close") {
     val srcDir = tmp("src"); val outDir = tmp("out"); val ckDir = tmp("ck")
     def push(rows: Seq[(String, Long, String, Long)]): Unit =
