@@ -945,6 +945,38 @@ object RelQueries {
       s.sql(q22Sql)
     }, Some(q22Sql)),
 
+    // §2.1 S7 — JDBC import (the Sqoop leg) through the gate: the nation
+    // dimension is landed in an embedded in-memory Derby, then read back
+    // with a RANGE-PARTITIONED Spark JDBC scan (4 key-range tasks — the
+    // 100 TB import shape). The 25-row driver-side load is the RDBMS
+    // fixture, not a data path; the oracle reads the same parquet rows.
+    ("q74_jdbc_roundtrip", (s: SparkSession, d: String) => {
+      val url = s"jdbc:derby:memory:graft_${new java.io.File(d).getName.replace('.', '_')};create=true"
+      val rows = t(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey").collect()
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try st.execute("DROP TABLE nation")
+        catch { case _: java.sql.SQLException => () }
+        st.execute(
+          "CREATE TABLE nation (n_nationkey INT, n_name VARCHAR(64), n_regionkey INT)")
+        st.close()
+        val ps = conn.prepareStatement("INSERT INTO nation VALUES (?, ?, ?)")
+        rows.foreach { r =>
+          ps.setInt(1, r.getInt(0)); ps.setString(2, r.getString(1))
+          ps.setInt(3, r.getInt(2)); ps.addBatch()
+        }
+        ps.executeBatch(); ps.close()
+      } finally conn.close()
+      graft.sources.Sources.jdbcTable(s, url, "nation",
+          partitionColumn = Some(("n_nationkey", 0L, 25L, 4)))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy("n_nationkey")
+    }, Some("""
+      SELECT n_nationkey, n_name, n_regionkey FROM nation
+      ORDER BY n_nationkey""")),
+
     // §2.5 set ops, bag semantics — INTERSECT ALL / EXCEPT ALL / UNION ALL
     // preserve multiplicities (distinct physical operators from q13's
     // set-semantics trio). Same SQL text on both engines.
