@@ -977,6 +977,27 @@ object RelQueries {
       SELECT n_nationkey, n_name, n_regionkey FROM nation
       ORDER BY n_nationkey""")),
 
+    // §2.1 S1/S3 — the DataSourceV2 day-window connector through the gate:
+    // a fixed three-day scan (one InputPartition per day, executor-side
+    // fetch) projecting the three deterministic columns — the projection
+    // exercises the connector's pushed column pruning (the reader
+    // materializes 3 of 4 columns). The oracle rebuilds the day x hour x
+    // municipality x branch cross product; the synthetic kWh value is
+    // JVM-hash-derived and stays spec-covered instead.
+    ("q75_daywindow_scan", (s: SparkSession, d: String) => {
+      s.read.format("graft.sources.v2.DayWindowSource")
+        .option("from", "2024-01-01").option("to", "2024-01-03").load()
+        .select("HourUTC", "MunicipalityNo", "Branche")
+        .orderBy("HourUTC", "MunicipalityNo", "Branche")
+    }, Some("""
+      SELECT d || 'T' || lpad(CAST(h AS VARCHAR), 2, '0') || ':00' AS HourUTC,
+             m AS MunicipalityNo, b AS Branche
+      FROM (SELECT unnest(['2024-01-01', '2024-01-02', '2024-01-03']) AS d),
+           (SELECT unnest(range(24)) AS h),
+           (SELECT unnest(['101', '155', '630']) AS m),
+           (SELECT unnest(['Erhverv', 'Privat']) AS b)
+      ORDER BY HourUTC, MunicipalityNo, Branche""")),
+
     // §2.5 set ops, bag semantics — INTERSECT ALL / EXCEPT ALL / UNION ALL
     // preserve multiplicities (distinct physical operators from q13's
     // set-semantics trio). Same SQL text on both engines.
