@@ -180,14 +180,25 @@ object Similarity {
     * bits trades scan reduction for recall as the corpus grows. */
   /** Guard for the hyperplane paths: a wrong caller-supplied `dim` makes
     * cosineSim(v, plane) null for every vector (dimension mismatch), every
-    * signature 0, and the bucket self-join silently corpus-square. One
-    * 1-row scan is cheap insurance against a silent quadratic blowup. */
-  private def requireDim(emb: DataFrame, dim: Int): Unit =
+    * signature 0, and the bucket self-join silently corpus-square.
+    * Two layers: a 1-row probe fails fast on a globally-wrong `dim`
+    * before any plan is built, and a per-row inline check (the embedding
+    * column is rewrapped, so it cannot be pruned away) raises on ANY
+    * mismatched row during the signature scan — a mixed-dimension corpus
+    * cannot silently collapse into one bucket. The inline check costs one
+    * `size()` per row inside the existing scan, not an extra pass. */
+  private def requireDim(emb: DataFrame, dim: Int): DataFrame = {
     emb.select(size(col("embedding")).as("d")).limit(1).collect()
       .foreach { r =>
         require(r.getInt(0) == dim,
           s"embedding dimension ${r.getInt(0)} != configured dim $dim")
       }
+    emb.withColumn("embedding",
+      when(size(col("embedding")) === dim, col("embedding"))
+        .otherwise(raise_error(format_string(
+          s"embedding dimension %d != configured dim $dim",
+          size(col("embedding"))))))
+  }
 
   /** The seeded pseudo-random hyperplane family shared by the LSH paths —
     * public so the DuckDB oracles can inline the exact same planes. */
@@ -200,7 +211,7 @@ object Similarity {
 
   def lshTopK(emb: DataFrame, dim: Int, queryPred: Column, k: Int,
       tables: Int = 16, bitsPerTable: Int = 4, seed: Long = 42L): DataFrame = {
-    requireDim(emb, dim)
+    val embG = requireDim(emb, dim)
     val planes = hyperplanes(dim, tables, bitsPerTable, seed)
     // sign(dot) == sign(cosine) (norms are positive), so the fused
     // codegen'd cosine expression computes the hyperplane bit.
@@ -213,7 +224,7 @@ object Similarity {
           struct(lit(t).as("table_id"), sigFor(col(vCol), t).as("sig"))): _*))
         .as("tb"))
         .select(df.columns.map(col) :+ col("tb.table_id") :+ col("tb.sig"): _*)
-    val base = emb.select(col("vec_id"), col("embedding"))
+    val base = embG.select(col("vec_id"), col("embedding"))
     // Buckets carry ONLY ids — the embedding arrays never ride the
     // candidate-join shuffle; they are re-attached after pair dedup.
     val q = bucketed(base.filter(queryPred)
@@ -246,7 +257,7 @@ object Similarity {
     * The pair space is per-bucket, never corpus-square. */
   def nearDupPairsLsh(emb: DataFrame, dim: Int, tau: Double,
       tables: Int = 16, bitsPerTable: Int = 4, seed: Long = 42L): DataFrame = {
-    requireDim(emb, dim)
+    val embG = requireDim(emb, dim)
     val planes = hyperplanes(dim, tables, bitsPerTable, seed)
     def sigFor(v: Column, t: Int): Column =
       (0 until bitsPerTable).foldLeft(lit(0)) { (acc, b) =>
@@ -258,7 +269,7 @@ object Similarity {
     // Materialized eagerly (3 ints per (vec, table) row) so the self-join
     // below reads the bucket index instead of re-evaluating tables x bits
     // hyperplane signatures on both sides.
-    val bucketed = emb.select(col("vec_id"),
+    val bucketed = embG.select(col("vec_id"),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("table_id"), sigFor(col("embedding"), t).as("sig"))): _*))
           .as("tb"))

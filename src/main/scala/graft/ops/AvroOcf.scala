@@ -45,12 +45,16 @@ object AvroOcf {
         val pid = tc.partitionId()
         val schema = new Schema.Parser().parse(schemaJson)
         val path = new Path(dirPath, f"part-$pid%05d.avro")
-        // Stream into an attempt-unique temp file and publish by rename:
-        // concurrent attempts of the same partition (speculation, a zombie
-        // surviving a retry) each write their own temp, and exactly one
-        // rename claims the final name — interleaved bytes in the final
-        // file are impossible, and a failed attempt leaves only a dotfile
-        // the .avro reader filter ignores.
+        // Stream into an attempt-unique temp file and publish by rename.
+        // Concurrent attempts of the same partition (speculation, a zombie
+        // surviving a retry) write identical deterministic bytes, so
+        // publication is idempotent rather than mutually exclusive: HDFS
+        // rename refuses an existing destination, but RawLocalFileSystem
+        // delegates to POSIX rename which silently replaces it — either way
+        // the final file holds one attempt's complete bytes, never an
+        // interleaving, and a failed attempt leaves only a dotfile the
+        // .avro reader filter ignores. Check-and-skip keeps the common
+        // local-FS double-publish from doing a second replace.
         val tmp = new Path(dirPath,
           f".part-$pid%05d-attempt-${tc.taskAttemptId()}%d.avro.tmp")
         val fs = path.getFileSystem(conf.value)
@@ -67,7 +71,7 @@ object AvroOcf {
           }
           w.append(rec)
         } finally w.close()
-        if (!fs.rename(tmp, path)) fs.delete(tmp, false): Unit
+        if (fs.exists(path) || !fs.rename(tmp, path)) fs.delete(tmp, false): Unit
       }
     }
   }
@@ -87,6 +91,14 @@ object AvroOcf {
       .repartition(math.max(files.length, 1))
       .mapPartitions { paths =>
         val readerSchema = new Schema.Parser().parse(readerSchemaJson)
+        // A consumer that stops early (limit/take/exception mid-partition)
+        // never exhausts the iterator, so the open Hadoop input stream must
+        // be released at task completion, not on iterator drain.
+        var active: DataFileStream[GenericRecord] = null
+        val tc = TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          if (active != null) { try active.close() catch { case _: Exception => () } }
+        }
         paths.flatMap { p =>
           val path = new Path(p)
           val in = path.getFileSystem(conf.value).open(path)
@@ -94,10 +106,14 @@ object AvroOcf {
           // resolution (defaults for added fields, drops for removed ones).
           val stream = new DataFileStream[GenericRecord](in,
             new GenericDatumReader[GenericRecord](null, readerSchema))
+          active = stream
           new Iterator[Row] {
             def hasNext: Boolean = {
               val h = stream.hasNext
-              if (!h) stream.close()
+              if (!h) {
+                stream.close()
+                if (active eq stream) active = null
+              }
               h
             }
             def next(): Row = {

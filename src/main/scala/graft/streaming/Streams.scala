@@ -54,14 +54,22 @@ object Streams {
     *
     * The state table is hash-partitioned on the upsert key
     * (`__bucket = pmod(xxhash64(keys), nBuckets)`) and each batch rewrites
-    * ONLY the buckets containing incoming keys, via dynamic partition
-    * overwrite — per-batch cost is O(state touched), not O(|state|), so
-    * batch cost stays flat as the table grows. The overwrite is staged and
-    * committed per-partition by the Hadoop commit protocol, so a crash
-    * cannot leave the table truncated (the failure mode of a
-    * delete-then-rewrite swap); at worst one touched bucket commits while
-    * another retries. A transactional table format's MERGE is the
-    * full-ACID production form of the same plan.
+    * ONLY the buckets containing incoming keys — per-batch cost is
+    * O(state touched), not O(|state|), so batch cost stays flat as the
+    * table grows. The touched-bucket read is partition-pruned (`isin` on
+    * the partition column — only those bucket directories are listed).
+    *
+    * Crash contract: each touched bucket's new contents are staged OUTSIDE
+    * the live tree (a hidden `.staging-<batch>` dir Spark readers ignore)
+    * and published with a two-rename swap — live → `.swap-old-…` marker,
+    * staged → live, marker deleted. A crash can strand a marker but never
+    * drops carried-over state: [[recoverPendingSwaps]] runs at the start of
+    * every batch and either restores the old bucket (live missing — the
+    * swap had not completed) or clears the marker (live present — it had).
+    * The streaming checkpoint then replays the batch, and the merge is
+    * idempotent per bucket, so partially-swapped batches converge. A
+    * transactional table format's MERGE is the full-ACID production form
+    * of the same plan.
     *
     * Size `nBuckets` so one bucket's rows rewrite comfortably in a task
     * (state size / nBuckets ~ a few hundred MB): 64 suits GB-scale state;
@@ -70,36 +78,72 @@ object Streams {
   def upsertBatch(stateDir: String, keys: Seq[String], nBuckets: Int = 64)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverPendingSwaps(fs, statePath)
     val bucket = pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
     // P7: state rows carry their ingest time, as the reference's Redis
     // upsert injects utcnow (fetch_data_energinet.py:44).
     val incoming = graft.ops.Keys.ingestTag(batch.dropDuplicates(keys))
       .withColumn("__bucket", bucket).persist()
     try {
-      // At most nBuckets rows — always broadcastable.
+      // At most nBuckets ints — metadata-sized, drives partition pruning
+      // and the swap loop.
       val touched = incoming.select("__bucket").distinct()
-      // First batch = state dir absent. An explicit existence check, not a
-      // catch of AnalysisException: a catch-all would also swallow real
+        .collect().map(_.getInt(0)).sorted.toIndexedSeq
+      if (touched.isEmpty) return
+      // First batch = no live buckets yet. An explicit existence check, not
+      // a catch of AnalysisException: a catch-all would also swallow real
       // schema errors (e.g. a legacy non-bucketed state layout or a renamed
       // key column) and silently drop all carried-over state.
-      val statePath = new org.apache.hadoop.fs.Path(stateDir)
-      val stateExists = statePath
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(statePath)
+      val stateExists = fs.exists(statePath) &&
+        fs.listStatus(statePath).exists { s =>
+          val n = s.getPath.getName
+          !n.startsWith(".") && !n.startsWith("_")
+        }
       val merged =
         if (!stateExists) incoming
         else {
           spark.read.parquet(stateDir)
-            .join(broadcast(touched), Seq("__bucket"), "left_semi")
+            .filter(col("__bucket").isin(touched: _*))
             .join(incoming.select(keys.map(col): _*), keys, "left_anti")
             .unionByName(incoming)
         }
-      merged.write
-        .mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__bucket")
-        .parquet(stateDir)
+      val staging = new org.apache.hadoop.fs.Path(statePath, s".staging-$batchId")
+      merged.write.mode("overwrite").partitionBy("__bucket")
+        .parquet(staging.toString)
+      touched.foreach { b =>
+        val live = new org.apache.hadoop.fs.Path(statePath, s"__bucket=$b")
+        val old = new org.apache.hadoop.fs.Path(statePath, s".swap-old-__bucket=$b")
+        val staged = new org.apache.hadoop.fs.Path(staging, s"__bucket=$b")
+        if (fs.exists(staged)) {
+          if (fs.exists(live)) fs.rename(live, old)
+          fs.rename(staged, live)
+          if (fs.exists(old)) fs.delete(old, true)
+        }
+      }
+      fs.delete(staging, true): Unit
     } finally incoming.unpersist(): Unit
+  }
+
+  /** Crash recovery for [[upsertBatch]]'s per-bucket swap: a leftover
+    * `.swap-old-…` marker means a crash hit between the two renames. If the
+    * live bucket is missing the swap had not completed — restore the old
+    * bucket; if present, it had — drop the marker. Stranded staging dirs
+    * are removed (the checkpoint replays their batch). */
+  private def recoverPendingSwaps(fs: org.apache.hadoop.fs.FileSystem,
+      statePath: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(statePath)) return
+    fs.listStatus(statePath).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(".swap-old-")) {
+        val live = new org.apache.hadoop.fs.Path(statePath,
+          name.stripPrefix(".swap-old-"))
+        if (!fs.exists(live)) fs.rename(st.getPath, live)
+        else fs.delete(st.getPath, true)
+        (): Unit
+      } else if (name.startsWith(".staging-")) fs.delete(st.getPath, true): Unit
+    }
   }
 
   /** Stream-stream inner join (the ksqlDB stream-join surface): purchases

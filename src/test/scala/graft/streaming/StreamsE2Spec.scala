@@ -107,4 +107,40 @@ class StreamsE2Spec extends SparkSpec {
       .select("k", "v").as[(String, Long)].collect().toMap
     assert(state == Map("a" -> 1L, "b" -> 2L, "c" -> 1L))
   }
+
+  test("K5: a crash between the swap renames cannot drop carried-over state") {
+    val srcDir = Files.createTempDirectory("cr-src").toString
+    val stateDir = Files.createTempDirectory("cr-state").toString + "/state"
+    val ckDir = Files.createTempDirectory("cr-ck").toString
+
+    def bucketOf(k: String): Int =
+      spark.range(1)
+        .select(pmod(xxhash64(lit(k)), lit(64)).cast("int")).head.getInt(0)
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema("k STRING, v LONG").parquet(srcDir)
+      val q = stream.writeStream
+        .foreachBatch(Streams.upsertBatch(stateDir, Seq("k")) _)
+        .option("checkpointLocation", ckDir).start()
+      q.processAllAvailable(); q.stop()
+    }
+    Seq(("a", 1L), ("b", 1L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    // Simulate a crash caught between the two publish renames of b's
+    // bucket: the live dir has been moved to the .swap-old marker and the
+    // staged dir was never renamed in. A reader at this instant would not
+    // see b — the next batch must restore it before merging.
+    val live = new java.io.File(s"$stateDir/__bucket=${bucketOf("b")}")
+    val marker = new java.io.File(s"$stateDir/.swap-old-__bucket=${bucketOf("b")}")
+    assert(live.renameTo(marker))
+    Seq(("c", 1L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    val state = spark.read.parquet(stateDir)
+      .select("k", "v").as[(String, Long)].collect().toMap
+    assert(state == Map("a" -> 1L, "b" -> 1L, "c" -> 1L),
+      "carried-over key lost across simulated crash")
+    assert(!marker.exists(), "swap marker not cleaned up")
+  }
 }
