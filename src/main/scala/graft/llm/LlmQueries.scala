@@ -144,6 +144,13 @@ object LlmQueries {
       FROM documents GROUP BY 1 ORDER BY fp""")),
 
     // Exact word-3gram Jaccard near-dup pairs (inverted-index join).
+    // Threshold-dependent plan choice: at tau=0.5 the AllPairs prefix is
+    // half of every document, so prefix filtering's extra passes (df join,
+    // per-doc window, array verification) cost more than they prune — the
+    // plain inverted index is the right plan here. q68 runs the same
+    // operator at tau=0.8 through jaccardPairsPrefix, where the prefix is
+    // ~20% and filtering wins ~1.5x (both verified identical to this
+    // formulation in NearDupSpec).
     ("q35_dedup_ngram_jaccard", (s: SparkSession, d: String) => {
       NearDup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 0.5)
         .orderBy("d1", "d2")
@@ -390,7 +397,7 @@ object LlmQueries {
         Seq("fp"), "doc_id").drop("fp")
         .localCheckpoint(true)
       val nearDupLosers = NearDup
-        .jaccardPairs(deduped, "doc_id", "text", 3, 0.8)
+        .jaccardPairsPrefix(deduped, "doc_id", "text", 3, 0.8)
         .select(col("d2").as("doc_id")).distinct()
       deduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
         .select(col("doc_id")).orderBy("doc_id")

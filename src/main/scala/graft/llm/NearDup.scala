@@ -87,6 +87,78 @@ object NearDup {
     res
   }
 
+  /** Exact n-gram Jaccard similar pairs via PREFIX FILTERING (the
+    * AllPairs/PPJoin candidate scheme — Bayardo et al., WWW'07): same
+    * output as [[jaccardPairs]], subquadratic candidate generation.
+    *
+    * Grams get a global canonical order, rarest-first (df asc, gram hash as
+    * tie-break — a total order). A document of sz distinct grams indexes
+    * only its first `sz - ceil(tau*sz) + 1` grams in that order (its
+    * "prefix"): two documents with J >= tau overlap in at least
+    * ceil(tau/(1+tau)*(sz1+sz2)) grams, which forces their prefixes to
+    * intersect — so the prefix-prefix join finds every qualifying pair, no
+    * false negatives. Candidates are then verified with the exact
+    * intersection count (array_intersect over the per-doc sorted gram-hash
+    * arrays) and the same jaccard formula, so results are bit-identical to
+    * the naive inverted-index join.
+    *
+    * Why this is THE 100 TB shape: the naive index meets every pair sharing
+    * ANY gram — a ubiquitous trigram appearing in f docs contributes
+    * f(f-1)/2 pairs regardless of tau. Under prefix filtering a hot gram is
+    * LAST in the canonical order and enters almost no prefixes, so posting
+    * lists shrink with df and with tau (at tau=0.8 only ~20% of each doc is
+    * indexed) — the stop-gram blowup disappears with zero recall loss,
+    * unlike the lossy `maxDf` cap. A length filter
+    * (sz1 >= ceil(tau*sz2)) prunes candidates before verification.
+    *
+    * Crossover: the scheme pays for its extra passes (df join, per-doc
+    * window, array verification) with pruning, so it wins for high tau
+    * (~0.7+) or skewed gram frequencies; at low tau on short-document
+    * corpora the plain inverted index of [[jaccardPairs]] is cheaper
+    * (measured at sf0.1: tau=0.8 1.5x faster here, tau=0.5 2x slower). */
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = gramsOf(docs, idCol, textCol, n)
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))
+    val prefix = grams.join(dfreq, "gram")
+      .withColumn("rn", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("rn") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
+      .select(col("doc_id"), col("gram"), col("sz"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id") &&
+          // length filter: J >= tau requires tau*max <= min
+          col("a.sz") >= ceil(lit(tau) * col("b.sz")) &&
+          col("b.sz") >= ceil(lit(tau) * col("a.sz")))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .dropDuplicates("d1", "d2")
+    // Verification: exact intersection over per-doc sorted gram arrays.
+    // Only candidate pairs (already near-tau by construction) carry arrays
+    // through a join — the wide data never rides the quadratic step.
+    val docGrams = grams.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("gram"))).as("gs"),
+        count(lit(1)).as("sz"))
+    val out = cand
+      .join(docGrams.select(col("doc_id").as("d1"), col("gs").as("g1"),
+        col("sz").as("sz1")), Seq("d1"))
+      .join(docGrams.select(col("doc_id").as("d2"), col("gs").as("g2"),
+        col("sz").as("sz2")), Seq("d2"))
+      .withColumn("n_common", size(array_intersect(col("g1"), col("g2"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("sz1") + col("sz2") - col("n_common")))
+      .filter(col("jaccard") >= tau)
+      .select(col("d1"), col("d2"), col("jaccard"))
+    val res = out.localCheckpoint(true)
+    grams.unpersist()
+    res
+  }
+
   /** MinHash + LSH banding: signatures of k = bands*rowsPerBand hashes,
     * banded; docs sharing any band bucket become candidates; candidates are
     * scored by signature agreement (estimated Jaccard) and thresholded.

@@ -59,6 +59,21 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered Jaccard join is exactly the naive inverted-index join") {
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // Two thresholds: prefix length depends on tau, so exercise both a
+    // tight and a loose prefix.
+    for (tau <- Seq(0.3, 0.8)) {
+      val naive = asMap(NearDup.jaccardPairs(docs, "doc_id", "text", 3, tau))
+      val pref = asMap(NearDup.jaccardPairsPrefix(docs, "doc_id", "text", 3, tau))
+      assert(naive.nonEmpty)
+      assert(pref == naive,
+        s"tau=$tau: only-naive=${naive.keySet -- pref.keySet} " +
+          s"only-prefix=${pref.keySet -- naive.keySet}")
+    }
+  }
+
   test("word n-grams: count and content") {
     import spark.implicits._
     val toks = Seq("a b c d").toDF("text")
