@@ -471,6 +471,59 @@ object LlmQueries {
         json_extract_string(js, '/dataset/updated') AS updated,
         json_extract_string(js, '/dataset/extension/px/tableid') AS table_id,
         CAST(json_extract(js, '/dataset/extension/px/decimals') AS INTEGER) AS decimals
-      FROM base ORDER BY "Tid""""))
+      FROM base ORDER BY "Tid"""")),
+
+    // Near-dup cluster assignment: the exact-Jaccard (tau=0.8) pair graph
+    // resolved to connected components (min-id labels), every document
+    // tagged with its cluster representative (itself when unpaired) — the
+    // step that turns pairwise near-dup output into per-document keep/drop
+    // decisions. The oracle recomputes the pair graph and resolves
+    // components with a recursive transitive closure — an independent
+    // algorithm (closure vs label propagation) agreeing on every label.
+    ("q76_dedup_components", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val pairs = NearDup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8)
+      // CC runs on edge ENDPOINTS only (a tiny fraction of the corpus);
+      // singleton documents never enter a shuffle and label themselves
+      // via the coalesce below.
+      val endpoints = pairs.select(col("d1").as("id"))
+        .union(pairs.select(col("d2").as("id"))).distinct()
+      val cc = Components.connectedComponents(endpoints,
+        pairs.select(col("d1").as("src"), col("d2").as("dst")))
+      docs.select("doc_id")
+        .join(cc.select(col("id").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH RECURSIVE
+      t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents),
+      g AS (SELECT DISTINCT doc_id,
+              unnest(CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [array_to_string(toks, ' ')] END) AS gram
+            FROM t),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+      inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      pairs AS (SELECT d1, d2 FROM inter
+                JOIN sizes sa ON sa.doc_id = d1
+                JOIN sizes sb ON sb.doc_id = d2
+                WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8),
+      edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+                UNION SELECT d2, d1 FROM pairs),
+      reach AS (SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+                WHERE e.v <> r.u),
+      comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+               FROM reach GROUP BY u)
+      SELECT d.doc_id, CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+      ORDER BY d.doc_id"""))
   )
 }
