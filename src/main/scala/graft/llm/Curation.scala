@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline needs between
+  * "cleaned documents" and "training shards": reproducible sampling,
+  * token-budget shard packing, and PII-style redaction. All three are
+  * pure column/window/aggregation plans — no RNG state, no driver-side
+  * data, nothing that breaks under retries or re-partitioning.
+  */
+object Curation {
+  /** Deterministic stratified sampling: keep a row iff
+    * `pmod(xxhash64(id), 100) < pct(stratum)`.
+    *
+    * Hash-gated, not `rand()`-gated: the keep/drop decision is a pure
+    * function of the row's id, so the sample is reproducible across runs,
+    * retries, and partitionings, composable (a 10% sample of a 50% sample
+    * is a true 5% sample — nested hash gates commute), and needs no
+    * sampling state. `rand()`-based sampling breaks all three under task
+    * retry. This is the idiomatic 100 TB downsampling shape: a
+    * codegen'd filter right above the scan, no shuffle at all.
+    *
+    * @param pctFor stratum value -> keep percentage in [0,100]
+    */
+  def sampleStratified(df: DataFrame, idCol: String, stratumCol: Column,
+      pctFor: Map[String, Int], defaultPct: Int): DataFrame = {
+    val rate = pctFor.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
+      when(stratumCol === k, p).otherwise(acc)
+    }
+    df.filter(pmod(xxhash64(col(idCol)), lit(100)) < rate)
+  }
+
+  /** Token-budget shard packing: documents in `idCol` order are packed
+    * into contiguous shards of ~`targetWeight` total `weightCol` (tokens);
+    * a document belongs to shard `floor(start_offset / targetWeight)`
+    * where start_offset is the exact global running weight before it.
+    *
+    * The global prefix sum is computed DISTRIBUTED, two-level (the classic
+    * parallel scan): range-partition by id, per-partition running sums via
+    * a partition-local window, then one tiny per-partition offset table
+    * (nPart rows — metadata) cumulated on the driver-side-sized frame and
+    * broadcast back. No global single-task window ever sees the data —
+    * the naive `Window.orderBy(id)` with no partitionBy would serialize
+    * the whole corpus through one task at 100 TB.
+    *
+    * Shard assignment depends only on the global cumsum — partitioning
+    * changes the parallel structure, never the output. */
+  def packShards(docs: DataFrame, idCol: String, weightCol: String,
+      targetWeight: Long, nPart: Int = 32): DataFrame = {
+    val parts = docs.repartitionByRange(nPart, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy("__pid").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parts.withColumn("__cum_local", sum(col(weightCol)).over(wLocal))
+    // nPart rows: the only global ordering happens on this metadata frame.
+    val wOff = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy("__pid")
+      .agg(sum(col(weightCol)).as("__psum"))
+      .withColumn("__offset", coalesce(sum("__psum").over(wOff), lit(0L)))
+      .select("__pid", "__offset")
+    local.join(broadcast(offsets), "__pid")
+      .withColumn("__start", col("__cum_local") + col("__offset") - col(weightCol))
+      .withColumn("shard_id", expr(s"__start div $targetWeight"))
+      .drop("__pid", "__cum_local", "__offset", "__start")
+  }
+
+  private val UrlRe = "https?://[^\\s]+"
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val NumRe = "[0-9]{6,}"
+
+  /** PII-style scrubbing: URLs, then e-mail addresses, then long digit
+    * runs are replaced with typed placeholder tokens (in that order —
+    * URLs can contain @ and digits, so they must go first). The match
+    * counts come from the SAME patterns pre-replacement, so
+    * "what was removed" is auditable per document. Patterns are kept in
+    * the common RE2/Java regex subset so an independent engine replays
+    * them exactly. Pure codegen'd string expressions — shuffle-free. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      NumRe, "<NUM>")
+
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(UrlRe)).cast("long"),
+      regexp_count(text, lit(EmailRe)).cast("long"),
+      regexp_count(text, lit(NumRe)).cast("long"))
+
+  /** Top-k distinguishing terms per document, ranked by df-normalized
+    * term frequency tf/df (monotone in tf-idf for any fixed df; chosen
+    * over tf*log(N/df) because one IEEE division replays bit-for-bit in
+    * any engine, while log implementations differ in the last ulp and
+    * can flip near-tie ranks). Ties break on the term itself, so ranks
+    * are total and deterministic. Exact tf/df counts ride along; the
+    * floating score itself is never emitted. */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokensLower(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").cast("double").divide(col("df")).desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+  }
+}

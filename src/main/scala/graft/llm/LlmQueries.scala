@@ -524,6 +524,122 @@ object LlmQueries {
                FROM reach GROUP BY u)
       SELECT d.doc_id, CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
       FROM documents d LEFT JOIN comp c USING (doc_id)
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id""")),
+
+    // Deterministic hash-gated stratified sampling: downsample English to
+    // 25%, keep zh fully, 75% elsewhere — keep/drop is a pure function of
+    // doc_id (reproducible across runs/retries/partitionings, composable,
+    // zero shuffle). Oracle-checked: DuckDB replays xxhash64(doc_id)
+    // bit-for-bit via the generated XXH64 and applies the same gate.
+    ("q77_sample_stratified", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+        .withColumn("lang", TextOps.langId(col("text")))
+      Curation.sampleStratified(docs, "doc_id", col("lang"),
+          Map("en" -> 25, "zh" -> 100), defaultPct = 75)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }, Some(s"""
+      WITH sc AS (SELECT doc_id,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+            x -> x IN ('the','and','of','is','a'))) AS en,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+            x -> x IN ('der','die','und','das','ist'))) AS de,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+            x -> x IN ('le','la','et','les','est'))) AS fr,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+            x -> x IN ('el','los','las','y','es'))) AS es,
+          regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
+        FROM documents),
+      lang AS (SELECT doc_id,
+        CASE WHEN has_cjk THEN 'zh'
+             WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+             WHEN de >= fr AND de >= es THEN 'de'
+             WHEN fr >= es THEN 'fr'
+             ELSE 'es' END AS lang FROM sc),
+      h AS (SELECT doc_id, lang,
+        ${XxHashOracle.signed(XxHashOracle.hashLong(
+          "CAST(doc_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} AS hv
+        FROM lang)
+      SELECT doc_id, lang FROM h
+      WHERE ((hv % 100) + 100) % 100 <
+        CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 100 ELSE 75 END
+      ORDER BY doc_id""")),
+
+    // Token-budget shard packing: contiguous shards of ~1000 tokens in
+    // doc_id order, shard = exact global start offset div target. The
+    // Spark side computes the global prefix sum two-level (partition-local
+    // windows + a broadcast nPart-row offset table) — no global
+    // single-task window — and the assignment is partition-independent,
+    // which is exactly what the single-threaded oracle recomputes.
+    ("q78_shard_packing", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), TextOps.nTokens(col("text")).as("w"))
+      Curation.packShards(docs, "doc_id", "w", targetWeight = 1000L)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS w
+        FROM documents),
+      c AS (SELECT doc_id, w,
+          SUM(w) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM w)
+      SELECT doc_id, w, CAST((cum - w) // 1000 AS BIGINT) AS shard_id
+      FROM c ORDER BY doc_id""")),
+
+    // PII-style scrubbing: URLs, e-mails, long digit runs replaced with
+    // typed placeholders + per-doc audit counts. The corpus text carries a
+    // deterministic synthetic PII suffix (built from doc_id) so every
+    // pattern actually fires; both engines build the same augmented text
+    // and run the same RE2/Java-common regexes.
+    ("q79_text_scrub_pii", (s: SparkSession, d: String) => {
+      val aug = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or https://example.com/doc/"),
+          col("doc_id").cast("string"),
+          lit(" ref 10203040"), col("doc_id").cast("string")).as("t"))
+      val (nUrl, nEmail, nNum) = Curation.piiCounts(col("t"))
+      aug.select(col("doc_id"),
+          Curation.scrubPii(col("t")).as("scrubbed"),
+          nUrl.as("n_url"), nEmail.as("n_email"), nNum.as("n_num"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH aug AS (SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+            '@example.com or https://example.com/doc/' ||
+            CAST(doc_id AS VARCHAR) ||
+            ' ref 10203040' || CAST(doc_id AS VARCHAR) AS t
+        FROM documents)
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(t,
+          'https?://[^\s]+', '<URL>', 'g'),
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '[0-9]{6,}', '<NUM>', 'g') AS scrubbed,
+        CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+        CAST(len(regexp_extract_all(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(t, '[0-9]{6,}')) AS BIGINT) AS n_num
+      FROM aug ORDER BY doc_id""")),
+
+    // Top-3 distinguishing terms per document by df-normalized tf (exact
+    // ints + one IEEE division — replays bit-for-bit; the log-idf variant
+    // can flip near-tie ranks on the last ulp). Term tie-break makes the
+    // ranking total.
+    ("q80_tfidf_top_terms", (s: SparkSession, d: String) => {
+      Curation.topTerms(t(s, d, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
+    }, Some("""
+      WITH toks AS (SELECT doc_id,
+          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      rk AS (SELECT doc_id, term, tf, df,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY CAST(tf AS DOUBLE) / df DESC, term) AS rank
+        FROM tf JOIN df USING (term))
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+        CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+      FROM rk WHERE rank <= 3 ORDER BY doc_id, rank"""))
   )
 }
