@@ -1094,6 +1094,44 @@ object RelQueries {
       SELECT user_id, min(ts) AS session_start,
         max(ts) + INTERVAL 1 HOUR AS session_end,
         COUNT(*) AS n_events
-      FROM y GROUP BY user_id, sid ORDER BY user_id, session_start"""))
+      FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
+    // A REAL Structured Streaming execution through the oracle gate: the
+    // events table is re-read as a file STREAM (readStream + explicit
+    // schema, same nanos->micros handling as the batch loader), aggregated
+    // with a watermark + 1-day tumbling window per event type, and drained
+    // into a memory sink; the sink table is the query result. Complete
+    // output mode makes end-of-stream contents equal the batch aggregation
+    // — which is exactly what the DuckDB oracle computes — while the
+    // watermark/append production shape is covered by StreamsSpec.
+    ("q81_stream_windowed_agg", (s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$d/events.parquet"
+      val raw = s.read.parquet(path)
+      // The file-stream source needs a directory-rooted glob, not a bare
+      // file path: anchor basePath at the table dir and glob the one file.
+      val stream = s.readStream.schema(raw.schema)
+        .option("basePath", d).parquet(s"$d/events.parque[t]")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        // Exact decimal sum: partial aggregates from any number of tasks
+        // (or micro-batches) combine exactly — distinct aggregation is not
+        // available on streams, and a raw double sum would be
+        // accumulation-order-dependent.
+        .agg(count(lit(1)).as("n"), Exact.sumD(col("value")).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"), col("sum_value"))
+      val sink = s"q81_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = stream.writeStream.format("memory")
+        .queryName(sink).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy("day", "event_type")
+    }, Some("""
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
   )
 }
