@@ -32,26 +32,30 @@ object Curation {
     df.filter(pmod(xxhash64(col(idCol)), lit(100)) < rate)
   }
 
-  /** Token-budget shard packing: documents in `idCol` order are packed
+  /** Token-budget shard packing: documents in `orderCols` order are packed
     * into contiguous shards of ~`targetWeight` total `weightCol` (tokens);
     * a document belongs to shard `floor(start_offset / targetWeight)`
     * where start_offset is the exact global running weight before it.
+    * `orderCols` must be a total order (include a unique id as the last
+    * tie-break) — pass the id alone for in-order packing, or a hash of the
+    * id first for a deterministic global corpus shuffle (the pretraining
+    * shuffle: reproducible, partition-independent, no RNG state).
     *
     * The global prefix sum is computed DISTRIBUTED, two-level (the classic
-    * parallel scan): range-partition by id, per-partition running sums via
-    * a partition-local window, then one tiny per-partition offset table
-    * (nPart rows — metadata) cumulated on the driver-side-sized frame and
-    * broadcast back. No global single-task window ever sees the data —
-    * the naive `Window.orderBy(id)` with no partitionBy would serialize
+    * parallel scan): range-partition by the order, per-partition running
+    * sums via a partition-local window, then one tiny per-partition offset
+    * table (nPart rows — metadata) cumulated on the driver-side-sized
+    * frame and broadcast back. No global single-task window ever sees the
+    * data — the naive `Window.orderBy` with no partitionBy would serialize
     * the whole corpus through one task at 100 TB.
     *
     * Shard assignment depends only on the global cumsum — partitioning
     * changes the parallel structure, never the output. */
-  def packShards(docs: DataFrame, idCol: String, weightCol: String,
+  def packShards(docs: DataFrame, orderCols: Seq[Column], weightCol: String,
       targetWeight: Long, nPart: Int = 32): DataFrame = {
-    val parts = docs.repartitionByRange(nPart, col(idCol))
+    val parts = docs.repartitionByRange(nPart, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy("__pid").orderBy(col(idCol))
+    val wLocal = Window.partitionBy("__pid").orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parts.withColumn("__cum_local", sum(col(weightCol)).over(wLocal))
     // nPart rows: the only global ordering happens on this metadata frame.

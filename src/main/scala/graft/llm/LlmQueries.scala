@@ -573,7 +573,7 @@ object LlmQueries {
     ("q78_shard_packing", (s: SparkSession, d: String) => {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), TextOps.nTokens(col("text")).as("w"))
-      Curation.packShards(docs, "doc_id", "w", targetWeight = 1000L)
+      Curation.packShards(docs, Seq(col("doc_id")), "w", targetWeight = 1000L)
         .orderBy("doc_id")
     }, Some("""
       WITH w AS (SELECT doc_id,
@@ -640,6 +640,53 @@ object LlmQueries {
         FROM tf JOIN df USING (term))
       SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
         CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
-      FROM rk WHERE rank <= 3 ORDER BY doc_id, rank"""))
+      FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // Corpus-relative quality gate: keep documents at or above the 25th
+    // percentile of token count. The threshold is a broadcast scalar
+    // (one row), so the gate is a map-side filter — no shuffle of the
+    // corpus; integral inputs keep the percentile interpolation exact in
+    // both engines (q29 precedent).
+    ("q82_quantile_gate", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens"))
+      val thr = docs.agg(expr("percentile(n_tokens, 0.25)").as("thr"))
+      docs.crossJoin(broadcast(thr))
+        .filter(col("n_tokens") >= col("thr"))
+        .select("doc_id", "n_tokens").orderBy("doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      thr AS (SELECT quantile_cont(n_tokens, 0.25) AS thr FROM w)
+      SELECT doc_id, n_tokens FROM w, thr
+      WHERE n_tokens >= thr ORDER BY doc_id""")),
+
+    // Deterministic global corpus shuffle + shard packing — the
+    // pretraining shuffle: order is (xxhash64(doc_id), doc_id), a pure
+    // function of the id, so the shuffle order is reproducible across
+    // runs and partitionings with no RNG state, and the same two-level
+    // prefix sum packs the shuffled order into ~1000-token shards. The
+    // oracle replays the hash bit-for-bit and re-derives every shard id
+    // from a single-threaded cumsum in the same order.
+    ("q83_shuffled_shards", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), TextOps.nTokens(col("text")).as("w"))
+      Curation.packShards(docs,
+          Seq(xxhash64(col("doc_id")), col("doc_id")), "w",
+          targetWeight = 1000L)
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH w AS (SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS w,
+          ${XxHashOracle.signed(XxHashOracle.hashLong(
+            "CAST(doc_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} AS hv
+        FROM documents),
+      c AS (SELECT doc_id, w,
+          SUM(w) OVER (ORDER BY hv, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM w)
+      SELECT doc_id, w, CAST((cum - w) // 1000 AS BIGINT) AS shard_id
+      FROM c ORDER BY doc_id"""))
   )
 }

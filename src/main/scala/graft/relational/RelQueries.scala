@@ -1132,6 +1132,36 @@ object RelQueries {
       SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
         COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
+      FROM events GROUP BY 1, 2 ORDER BY day, event_type""")),
+
+    // K3 through the gate: a STREAMING JSON file sink (the reference's
+    // JsonFormat HDFS connector leg, cluster/README.md:56-69) written with
+    // AvailableNow + checkpoint, read back, and aggregated. Long/string
+    // columns only — JSON round-trips them exactly; the oracle aggregates
+    // the original parquet, so the comparison proves sink+source fidelity.
+    ("q84_json_sink_roundtrip", (s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val base = s"/tmp/graft_json/${new java.io.File(d).getName}"
+      val (outDir, ckDir) = (s"$base/out", s"$base/ck")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val stream = s.readStream.schema(raw.schema)
+        .option("basePath", d).parquet(s"$d/events.parque[t]")
+        .select("event_id", "user_id", "event_type")
+      val q = stream.writeStream.format("json")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.schema("event_id LONG, user_id LONG, event_type STRING")
+        .json(outDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"))
+        .orderBy("event_type")
+    }, Some("""
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(user_id) AS BIGINT) AS sum_uid
+      FROM events GROUP BY 1 ORDER BY event_type"""))
   )
 }

@@ -32,7 +32,7 @@ class CurationSpec extends SparkSpec {
 
   test("two-level shard packing equals the single-window prefix sum") {
     val weighted = docs.select(col("doc_id"), TextOps.nTokens(col("text")).as("w"))
-    val got = Curation.packShards(weighted, "doc_id", "w", 1000L)
+    val got = Curation.packShards(weighted, Seq(col("doc_id")), "w", 1000L)
       .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
     val wAll = Window.orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
