@@ -68,6 +68,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
   }
 
+  test("q77: hash-gated sampling is a shuffle-free filter over the scan") {
+    val p = plan("q77_sample_stratified")
+    assert(p.contains("FileScan") && p.contains("Filter"), p)
+    // The keep/drop gate must never shuffle the corpus: the only exchange
+    // allowed is the final presentation sort's range exchange.
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q78: shard packing windows are partition-local, never one global task") {
+    val p = plan("q78_shard_packing")
+    // Every window over the data carries the __pid partition spec; the
+    // only permissible bare window is over the nPart-row offset frame,
+    // which aggregates first (HashAggregate below it).
+    val windows = "Window \\[".r.findAllIn(p).toSeq
+    assert(windows.nonEmpty)
+    assert(p.contains("__pid"), p)
+    // The broadcast offset join must stay a broadcast.
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q82: the percentile threshold is broadcast, the gate is map-side") {
+    val p = plan("q82_quantile_gate")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q63: bucketed co-located join plans no hash exchange") {
     // Disable broadcast so the shuffle-join path is exercised — at real
     // scale neither fact side broadcasts, which is when bucketing pays.
