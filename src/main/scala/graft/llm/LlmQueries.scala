@@ -687,6 +687,76 @@ object LlmQueries {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM w)
       SELECT doc_id, w, CAST((cum - w) // 1000 AS BIGINT) AS shard_id
-      FROM c ORDER BY doc_id"""))
+      FROM c ORDER BY doc_id""")),
+
+    // Vocabulary build + token-id encoding — the tokenizer step of a
+    // training pipeline: a 512-term vocabulary ranked by corpus frequency
+    // (term tie-break; top-k via orderBy+limit is a distributed partial
+    // top-k, and the row_number ranking runs over the 512 SURVIVORS, never
+    // the full term table), then every document's first 32 positions are
+    // encoded by a broadcast vocab join, OOV -> 0. Output is flat
+    // (doc_id, pos, token_id) rows so the hash compare stays array-free.
+    ("q85_vocab_encode", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        posexplode(TextOps.tokensLower(col("text"))).as(Seq("pos", "term")))
+      val counts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val top = counts.orderBy(col("cnt").desc, col("term")).limit(512)
+      val vocab = top.withColumn("token_id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term"))).cast("long"))
+      toks.filter(col("pos") < 32)
+        .join(broadcast(vocab.select("term", "token_id")), Seq("term"), "left")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          coalesce(col("token_id"), lit(0L)).as("token_id"))
+        .orderBy("doc_id", "pos")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents),
+      cnt AS (SELECT term, count(*) AS cnt
+        FROM (SELECT unnest(toks) AS term FROM t) GROUP BY 1),
+      vocab AS (SELECT term,
+          row_number() OVER (ORDER BY cnt DESC, term) AS token_id
+        FROM cnt QUALIFY token_id <= 512),
+      pos AS (SELECT doc_id, CAST(unnest(range(least(len(toks), 32))) AS BIGINT) AS pos,
+          toks FROM t),
+      enc AS (SELECT doc_id, pos, toks[CAST(pos AS INT) + 1] AS term FROM pos)
+      SELECT e.doc_id, e.pos,
+        CAST(COALESCE(v.token_id, 0) AS BIGINT) AS token_id
+      FROM enc e LEFT JOIN vocab v USING (term)
+      ORDER BY doc_id, pos""")),
+
+    // Malformed-record handling (P4-adjacent robustness): JSON payloads
+    // built from doc_id, every 7th truncated mid-object; from_json's
+    // PERMISSIVE mode yields null fields for the corrupt rows, and both
+    // engines report the same per-row validity + extracted values.
+    ("q87_corrupt_json", (s: SparkSession, d: String) => {
+      val payload = when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("{\"a\":"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("{\"a\":"), col("doc_id").cast("string"),
+          lit(",\"b\":\"x"), col("doc_id").cast("string"), lit("\"}")))
+      t(s, d, "documents").select(col("doc_id"), payload.as("payload"))
+        .withColumn("parsed", from_json(col("payload"),
+          org.apache.spark.sql.types.StructType.fromDDL("a LONG, b STRING")))
+        .select(col("doc_id"),
+          col("parsed.a").as("a"), col("parsed.b").as("b"),
+          col("parsed.a").isNotNull.as("is_valid"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH p AS (SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0
+               THEN '{"a":' || CAST(doc_id AS VARCHAR)
+               ELSE '{"a":' || CAST(doc_id AS VARCHAR) ||
+                    ',"b":"x' || CAST(doc_id AS VARCHAR) || '"}'
+          END AS payload
+        FROM documents)
+      SELECT doc_id,
+        CASE WHEN json_valid(payload)
+             THEN CAST(json_extract(payload, '$.a') AS BIGINT) END AS a,
+        CASE WHEN json_valid(payload)
+             THEN json_extract_string(payload, '$.b') END AS b,
+        json_valid(payload) AS is_valid
+      FROM p ORDER BY doc_id"""))
   )
 }

@@ -1162,6 +1162,19 @@ object RelQueries {
     }, Some("""
       SELECT event_type, COUNT(*) AS n,
         CAST(SUM(user_id) AS BIGINT) AS sum_uid
-      FROM events GROUP BY 1 ORDER BY event_type"""))
+      FROM events GROUP BY 1 ORDER BY event_type""")),
+
+    // CSV source/sink round-trip (file-format coverage beside parquet,
+    // Avro OCF, JSON): header CSV written and read back under the source
+    // schema — quoting handles comment fields with separators — and the
+    // oracle reads the ORIGINAL parquet, so the compare proves fidelity.
+    ("q86_csv_roundtrip", (s: SparkSession, d: String) => {
+      val base = s"/tmp/graft_csv/${new java.io.File(d).getName}"
+      val src = t(s, d, "nation")
+      src.write.mode("overwrite").option("header", "true").csv(base)
+      s.read.schema(src.schema).option("header", "true").csv(base)
+        .orderBy("n_nationkey")
+    }, Some("""
+      SELECT * FROM nation ORDER BY n_nationkey"""))
   )
 }
