@@ -757,6 +757,46 @@ object LlmQueries {
         CASE WHEN json_valid(payload)
              THEN json_extract_string(payload, '$.b') END AS b,
         json_valid(payload) AS is_valid
-      FROM p ORDER BY doc_id"""))
+      FROM p ORDER BY doc_id""")),
+
+    // SEMANTIC dedup end-to-end: embedding near-dup pairs (cell-blocked
+    // cosine, q40's operator) -> connected components -> keep the min
+    // vec_id per cluster. Composes the similarity and clustering layers
+    // into the keep/drop decision a curation pipeline actually ships; the
+    // oracle recomputes pairs with list_cosine_similarity and resolves
+    // clusters with a recursive closure.
+    ("q88_semantic_dedup", (s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      val pairs = Similarity.nearDupPairs(emb, "label", tau = 0.25)
+      val endpoints = pairs.select(col("v1").as("id"))
+        .union(pairs.select(col("v2").as("id"))).distinct()
+      val cc = Components.connectedComponents(endpoints,
+        pairs.select(col("v1").as("src"), col("v2").as("dst")))
+      // Keep a vector iff it IS its cluster's representative (min id);
+      // vectors in no pair keep themselves via the left join + coalesce.
+      emb.select(col("vec_id"))
+        .join(cc.select(col("id").as("vec_id"), col("component")),
+          Seq("vec_id"), "left")
+        .filter(coalesce(col("component"), col("vec_id")) === col("vec_id"))
+        .select("vec_id").orderBy("vec_id")
+    }, Some("""
+      WITH RECURSIVE
+      pairs AS (SELECT a.vec_id AS v1, b.vec_id AS v2
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+          b.embedding::DOUBLE[]) >= 0.25),
+      edges AS (SELECT v1 AS u, v2 AS v FROM pairs
+                UNION SELECT v2, v1 FROM pairs),
+      reach AS (SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+                WHERE e.v <> r.u),
+      comp AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id
+               FROM reach GROUP BY u)
+      SELECT e.vec_id FROM embeddings e
+      LEFT JOIN comp c USING (vec_id)
+      WHERE COALESCE(c.cluster_id, e.vec_id) = e.vec_id
+      ORDER BY e.vec_id"""))
   )
 }

@@ -1175,6 +1175,38 @@ object RelQueries {
       s.read.schema(src.schema).option("header", "true").csv(base)
         .orderBy("n_nationkey")
     }, Some("""
-      SELECT * FROM nation ORDER BY n_nationkey"""))
+      SELECT * FROM nation ORDER BY n_nationkey""")),
+
+    // SCD2 dimension-history apply — the warehouse maintenance the
+    // reference's Sqoop/JDBC users run downstream of imports: a change
+    // batch (deterministic: every 10th customer re-segments) closes the
+    // current version and appends the new one; untouched customers keep
+    // their open v1. Semi/anti joins split the dimension, the fresh rows
+    // union in — the plan a transactional MERGE would produce, spelled
+    // out in joins.
+    ("q89_scd2_apply", (s: SparkSession, d: String) => {
+      val dim = t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val changes = dim.filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .select(col("c_custkey"),
+          concat(lit("NEW_"), col("c_mktsegment")).as("c_mktsegment"))
+      val closed = dim.join(changes.select("c_custkey"), Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          lit(1L).as("version"), lit(false).as("is_current"))
+      val open = dim.join(changes.select("c_custkey"), Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          lit(1L).as("version"), lit(true).as("is_current"))
+      val fresh = changes.select(col("c_custkey"), col("c_mktsegment"),
+        lit(2L).as("version"), lit(true).as("is_current"))
+      closed.union(open).union(fresh).orderBy("c_custkey", "version")
+    }, Some("""
+      WITH chg AS (SELECT c_custkey, 'NEW_' || c_mktsegment AS c_mktsegment
+                   FROM customer WHERE c_custkey % 10 = 0)
+      SELECT c_custkey, c_mktsegment, CAST(1 AS BIGINT) AS version,
+        (c_custkey % 10 <> 0) AS is_current
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, CAST(2 AS BIGINT) AS version, TRUE
+      FROM chg
+      ORDER BY c_custkey, version"""))
   )
 }
