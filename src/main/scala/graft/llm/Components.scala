@@ -77,4 +77,47 @@ object Components {
     }
     labels.select(col("id"), col("label").as("component"))
   }
+
+  /** Deterministic integer-scaled PageRank over a directed edge list:
+    * ranks are 64-bit integers (true rank × `scale`), contributions use
+    * integer floor division, and the damping step is integer
+    * multiply-then-divide — every iteration is EXACT int64 arithmetic, so
+    * the result is bit-identical across engines, partitionings, task
+    * retries, and aggregation orders. (IEEE-double PageRank is none of
+    * those: float sums reorder under shuffle, so two runs of the same job
+    * can rank ties differently.) The price is bounded precision: pick
+    * `scale` so `dampNum · |V| · scale` fits in int64 — 10⁶ is fine up to
+    * ~10⁸ vertices; drop to 10³ beyond that or switch the sums to
+    * decimal(38,0).
+    *
+    * Dangling mass is dropped (a vertex with no out-edges absorbs rank) —
+    * the common simplification; feed a symmetrized edge list to avoid
+    * dangling vertices entirely. Per iteration: one join edges⋈ranks on
+    * src + one aggregation on dst — the same two-longs-per-edge shuffle
+    * discipline as [[connectedComponents]], with per-round
+    * localCheckpoint keeping lineage flat. */
+  def pageRankScaled(edges: DataFrame, iters: Int, scale: Long = 1000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val tele = (dampDen - dampNum) * scale / dampDen
+    var ranks = vertices.select(col("id"), lit(scale).as("r"))
+    var i = 0
+    while (i < iters) {
+      val contrib = e.join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("id"), expr("r div deg").as("c"))
+      val next = vertices
+        .join(contrib.groupBy("id").agg(sum(col("c")).as("s")), Seq("id"), "left")
+        .select(col("id"),
+          (lit(tele) + expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("r"))
+        .localCheckpoint(true)
+      ranks.unpersist()
+      ranks = next
+      i += 1
+    }
+    ranks
+  }
 }

@@ -114,4 +114,52 @@ object Curation {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
   }
+
+  /** Benchmark decontamination: flag training documents that share at
+    * least `minShared` distinct word n-grams with ANY benchmark document
+    * (the standard n-gram-overlap test-set leakage check run before
+    * training). Output: (doc_id, n_shared_grams, n_bench_docs) for every
+    * flagged training document.
+    *
+    * Scale shape: the benchmark side is SMALL by construction (eval suites
+    * are MB-scale against a 100 TB corpus), so its distinct gram set is
+    * broadcast and the whole check is a map-side join on the training
+    * gram stream — one scan of the corpus, no corpus-sized shuffle. Grams
+    * join on their 64-bit hash (8-byte key, collision odds ~|grams|²/2⁶⁵
+    * — a collision can only over-flag one document). */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int, minShared: Long): DataFrame = {
+    def grams(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+          explode(array_distinct(NearDup.wordNgrams(
+            TextOps.tokens(col(textCol)), n))).as("gram"))
+        .select(col(as), xxhash64(col("gram")).as("g"))
+    grams(train, "doc_id")
+      .join(broadcast(grams(bench, "bench_id")), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .filter(col("n_shared_grams") >= minShared)
+  }
+
+  /** Deterministic rebalance-to-uniform: downsample every stratum to
+    * (approximately) the size of the smallest one, by computing per-stratum
+    * keep rates floor(min_count·100 / count) and gating rows with the same
+    * reproducible hash gate as [[sampleStratified]] — the domain-mixing
+    * step that turns a source-skewed crawl into a balanced training mix.
+    *
+    * The per-stratum count table is metadata-sized (one row per stratum),
+    * so the rate join is an explicit broadcast; the gate itself is a
+    * codegen'd filter above the scan. Two passes over the corpus (count,
+    * then gate) — the count pass is aggregate-only and column-pruned to
+    * the stratum column. */
+  def rebalanceUniform(df: DataFrame, idCol: String,
+      stratumCol: String): DataFrame = {
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("__c"))
+    val rates = counts.crossJoin(counts.agg(min(col("__c")).as("__m")))
+      .select(col(stratumCol), expr("__m * 100 div __c").as("__rate"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(pmod(xxhash64(col(idCol)), lit(100)) < col("__rate"))
+      .drop("__rate")
+  }
 }

@@ -797,6 +797,95 @@ object LlmQueries {
       SELECT e.vec_id FROM embeddings e
       LEFT JOIN comp c USING (vec_id)
       WHERE COALESCE(c.cluster_id, e.vec_id) = e.vec_id
-      ORDER BY e.vec_id"""))
+      ORDER BY e.vec_id""")),
+
+    // Benchmark decontamination: training docs sharing any 3-gram with the
+    // (deterministic: doc_id % 97 == 0) "benchmark" slice are flagged with
+    // their shared-gram and matched-benchmark counts. The Spark side joins
+    // the corpus gram stream against a BROADCAST benchmark gram set (eval
+    // suites are MB-scale against a 100 TB corpus — one scan, no
+    // corpus-sized shuffle); the oracle re-derives both gram sets and
+    // joins on the gram strings themselves.
+    ("q90_decontaminate", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      Curation.decontaminate(train, bench, "doc_id", "text",
+          n = 3, minShared = 1L)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      g AS (SELECT DISTINCT doc_id,
+          unnest(CASE WHEN len(toks) >= 3
+            THEN list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END) AS gram FROM t),
+      bench AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 97 = 0),
+      train AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+      SELECT tr.doc_id,
+        CAST(count(DISTINCT tr.gram) AS BIGINT) AS n_shared_grams,
+        CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+      FROM train tr JOIN bench b ON tr.gram = b.gram
+      GROUP BY 1
+      HAVING count(DISTINCT tr.gram) >= 1
+      ORDER BY doc_id""")),
+
+    // Gopher-style repetition gate: distinct-token ratio, top-token
+    // fraction, duplicate-bigram fraction — all map-only array expressions
+    // (the gate rides the scan; no shuffle), ratios are single exact-int
+    // divisions so the doubles and the keep flag replay bit-for-bit.
+    ("q91_repetition_quality", (s: SparkSession, d: String) => {
+      t(s, d, "documents").select(col("doc_id"),
+          TextOps.nTokens(col("text")).as("n_tokens"),
+          TextOps.distinctTokenRatio(col("text")).as("distinct_ratio"),
+          TextOps.topTokenFraction(col("text")).as("top_token_frac"),
+          TextOps.dupNgramFraction(col("text"), 2).as("dup_bigram_frac"))
+        .withColumn("keep",
+          col("distinct_ratio") >= 0.3 && col("top_token_frac") <= 0.2 &&
+            col("dup_bigram_frac") <= 0.5)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      g AS (SELECT doc_id, toks,
+          CASE WHEN len(toks) >= 2
+            THEN list_transform(range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i+1])
+            ELSE [array_to_string(toks, ' ')] END AS grams FROM t),
+      m AS (SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+            AS distinct_ratio,
+          CAST(list_max(list_transform(list_distinct(toks),
+              u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+            / len(toks) AS top_token_frac,
+          CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+            / len(grams) AS dup_bigram_frac
+        FROM g)
+      SELECT doc_id, n_tokens, distinct_ratio, top_token_frac,
+        dup_bigram_frac,
+        (distinct_ratio >= 0.3 AND top_token_frac <= 0.2
+          AND dup_bigram_frac <= 0.5) AS keep
+      FROM m ORDER BY doc_id""")),
+
+    // Domain-mix rebalance: downsample every language stratum to the
+    // smallest one's size with per-stratum hash-gate rates computed from
+    // the data (floor(min·100/count)); the oracle recomputes the rates and
+    // replays the XXH64 gate.
+    ("q95_rebalance_langs", (s: SparkSession, d: String) => {
+      Curation.rebalanceUniform(t(s, d, "documents"), "doc_id", "lang")
+        .select("doc_id", "lang").orderBy("doc_id")
+    }, Some(s"""
+      WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+      m AS (SELECT min(c) AS m FROM c),
+      r AS (SELECT lang, (m.m * 100) // c.c AS rate FROM c, m),
+      h AS (SELECT doc_id, lang,
+        ${XxHashOracle.signed(XxHashOracle.hashLong(
+          "CAST(doc_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} AS hv
+        FROM documents)
+      SELECT doc_id, lang FROM h JOIN r USING (lang)
+      WHERE ((hv % 100) + 100) % 100 < rate
+      ORDER BY doc_id"""))
   )
 }

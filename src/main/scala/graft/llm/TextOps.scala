@@ -67,4 +67,36 @@ object TextOps {
     * 100 TB: 2^64 birthday bound far above any corpus size). */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  // --- Repetition signals (the Gopher repetition-filter family:
+  // Rae et al. 2021, "Scaling Language Models", Table A1) -----------------
+  //
+  // All three are array expressions over the token list — map-only, no
+  // shuffle: a repetition gate at 100 TB must ride the scan like the other
+  // quality signals. Ratios are exact-int-over-exact-int single divisions,
+  // so both engines produce bit-identical doubles. The top-token scan is
+  // O(distinct * len) per row; for corpora with pathologically long
+  // documents the explode + two-level groupBy formulation trades that CPU
+  // for two shuffles.
+
+  /** |distinct tokens| / |tokens| — low values mean heavy repetition. */
+  def distinctTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    size(array_distinct(toks)).cast("double") / size(toks)
+  }
+
+  /** Fraction of token occurrences taken by the single most frequent
+    * token. */
+  def topTokenFraction(text: Column): Column = {
+    val toks = tokens(text)
+    array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t)))).cast("double") / size(toks)
+  }
+
+  /** Fraction of word n-gram occurrences that repeat an earlier gram
+    * (1 - distinct/total over the NON-deduplicated gram list). */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val grams = NearDup.wordNgrams(tokens(text), n)
+    (size(grams) - size(array_distinct(grams))).cast("double") / size(grams)
+  }
 }

@@ -1207,6 +1207,102 @@ object RelQueries {
       UNION ALL
       SELECT c_custkey, c_mktsegment, CAST(2 AS BIGINT) AS version, TRUE
       FROM chg
-      ORDER BY c_custkey, version"""))
+      ORDER BY c_custkey, version""")),
+
+    // One-pass column profiler: null/distinct counts and normalized-string
+    // min/max for four differently-typed lineitem columns, from a SINGLE
+    // aggregation over the table (multi-count-distinct plans via Expand).
+    // min/max aggregate on the native type and are rendered after — the
+    // oracle applies the same rendering to the same typed aggregates.
+    ("q92_profile_columns", (s: SparkSession, d: String) => {
+      Profile.profile(t(s, d, "lineitem"), Seq(
+          Profile.Spec("l_orderkey"),
+          Profile.Spec("l_quantity", c => c.cast("decimal(18,2)").cast("string")),
+          Profile.Spec("l_returnflag"),
+          Profile.Spec("l_shipdate",
+            c => date_format(c, "yyyy-MM-dd HH:mm:ss"))))
+        .orderBy("col_name")
+    }, Some("""
+      SELECT 'l_orderkey' AS col_name,
+        CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS n_nulls,
+        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        CAST(min(l_orderkey) AS VARCHAR) AS min_str,
+        CAST(max(l_orderkey) AS VARCHAR) AS max_str
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity',
+        CAST(count(*) FILTER (WHERE l_quantity IS NULL) AS BIGINT),
+        CAST(count(DISTINCT l_quantity) AS BIGINT),
+        CAST(CAST(min(l_quantity) AS DECIMAL(18,2)) AS VARCHAR),
+        CAST(CAST(max(l_quantity) AS DECIMAL(18,2)) AS VARCHAR)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_returnflag',
+        CAST(count(*) FILTER (WHERE l_returnflag IS NULL) AS BIGINT),
+        CAST(count(DISTINCT l_returnflag) AS BIGINT),
+        min(l_returnflag), max(l_returnflag)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_shipdate',
+        CAST(count(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT),
+        CAST(count(DISTINCT l_shipdate) AS BIGINT),
+        strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+        strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')
+      FROM lineitem
+      ORDER BY col_name""")),
+
+    // ORC round-trip (columnar-format coverage beyond parquet/Avro-OCF/
+    // CSV/JSON): land customer as ORC, read it back through the native
+    // vectorized ORC reader. The oracle reads the ORIGINAL parquet, so the
+    // compare proves write→read fidelity for every column type.
+    ("q93_orc_roundtrip", (s: SparkSession, d: String) => {
+      val base = s"/tmp/graft_orc/${new java.io.File(d).getName}"
+      val src = t(s, d, "customer")
+      src.write.mode("overwrite").orc(base)
+      s.read.orc(base).orderBy("c_custkey")
+    }, Some("""
+      SELECT * FROM customer ORDER BY c_custkey""")),
+
+    // Deterministic integer-scaled PageRank (3 iterations) over the
+    // symmetrized supplier–customer graph from lineitem⋈orders (vertex ids
+    // disambiguated: supplier 2k, customer 2k+1). Integer ranks make an
+    // ITERATIVE fixpoint computation hash-checkable across engines — the
+    // oracle unrolls the same three exact-arithmetic rounds as CTEs.
+    ("q94_pagerank", (s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = t(s, d, "orders").select("o_orderkey", "o_custkey")
+      val sc = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("o_custkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = sc.union(sc.select(col("dst").as("src"), col("src").as("dst")))
+      graft.llm.Components.pageRankScaled(edges, iters = 3).orderBy("id")
+    }, Some("""
+      WITH sc AS (SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS (SELECT src, dst FROM sc
+            UNION ALL SELECT dst, src FROM sc),
+      v AS (SELECT DISTINCT src AS id FROM e),
+      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM v),
+      r1 AS (SELECT v.id,
+          CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+        FROM v LEFT JOIN (
+          SELECT e.dst AS id, SUM(r.r // deg.deg) AS s
+          FROM e JOIN r0 r ON e.src = r.id JOIN deg ON e.src = deg.src
+          GROUP BY 1) c ON v.id = c.id),
+      r2 AS (SELECT v.id,
+          CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+        FROM v LEFT JOIN (
+          SELECT e.dst AS id, SUM(r.r // deg.deg) AS s
+          FROM e JOIN r1 r ON e.src = r.id JOIN deg ON e.src = deg.src
+          GROUP BY 1) c ON v.id = c.id),
+      r3 AS (SELECT v.id,
+          CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+        FROM v LEFT JOIN (
+          SELECT e.dst AS id, SUM(r.r // deg.deg) AS s
+          FROM e JOIN r2 r ON e.src = r.id JOIN deg ON e.src = deg.src
+          GROUP BY 1) c ON v.id = c.id)
+      SELECT id, r FROM r3 ORDER BY id"""))
   )
 }

@@ -69,4 +69,45 @@ class ComponentsSpec extends SparkSpec {
     // Every edge's endpoints share a component (pairs really merged).
     es.foreach { case (a, b) => assert(got(a) == got(b)) }
   }
+
+  /** Single-threaded integer PageRank reference — same arithmetic contract
+    * as the operator (int64, floor division). */
+  private def brutePageRank(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long = 1000000L): Map[Long, Long] = {
+    val e = edges.distinct
+    val vs = e.flatMap(p => Seq(p._1, p._2)).distinct
+    val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = vs.map(_ -> scale).toMap
+    for (_ <- 0 until iters) {
+      val in = e.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / deg(s) }.sum).toMap
+      r = vs.map(v => v -> (150000L + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pageRankScaled matches the single-threaded integer reference") {
+    import spark.implicits._
+    // Chain + hub + a dangling sink (5 -> nothing): exercises the
+    // dropped-dangling-mass contract and asymmetric degrees.
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L),
+      (4L, 3L), (1L, 4L), (4L, 5L))
+    val got = Components.pageRankScaled(
+        edges.toDF("src", "dst"), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == brutePageRank(edges, iters = 4))
+    // The hub (3) outranks the sink-adjacent leaf under symmetric-ish
+    // structure — sanity that ranks differentiate.
+    assert(got.values.toSet.size > 1)
+  }
+
+  test("pageRankScaled is invariant to partitioning") {
+    import spark.implicits._
+    val edges = (0L until 40L).map(i => (i, (i * 7 + 3) % 40))
+    val df1 = edges.toDF("src", "dst").repartition(1)
+    val df2 = edges.toDF("src", "dst").repartition(13)
+    val r1 = Components.pageRankScaled(df1, iters = 3).as[(Long, Long)].collect().toMap
+    val r2 = Components.pageRankScaled(df2, iters = 3).as[(Long, Long)].collect().toMap
+    assert(r1 == r2)
+  }
 }

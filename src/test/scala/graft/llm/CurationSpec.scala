@@ -68,4 +68,55 @@ class CurationSpec extends SparkSpec {
       .filter(col("mx") =!= col("n")).count()
     assert(bad == 0)
   }
+
+  test("decontaminate flags exactly the gram-sharing docs with exact counts") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma something else entirely here"), // shares 1 gram
+      (2L, "beta gamma delta alpha beta gamma delta pad"),   // shares 2 (distinct)
+      (3L, "totally unrelated words only out here")          // shares none
+    ).toDF("doc_id", "text")
+    val got = Curation.decontaminate(train, bench, "doc_id", "text",
+        n = 3, minShared = 1L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // bench grams: {alpha beta gamma, beta gamma delta}
+    assert(got == Seq((1L, 1L, 1L), (2L, 2L, 1L)))
+  }
+
+  test("rebalanceUniform keeps the smallest stratum whole and gates the rest") {
+    val rows = (0L until 100L).map(i => (i, "big")) ++
+      (100L until 110L).map(i => (i, "small"))
+    val df = rows.toDF("id", "stratum")
+    val kept = Curation.rebalanceUniform(df, "id", "stratum")
+      .select("id", "stratum").as[(Long, String)].collect().toSet
+    // rates: small -> 100, big -> floor(10*100/100) = 10
+    assert(kept.filter(_._2 == "small").map(_._1) == (100L until 110L).toSet)
+    val expectedBig = df.filter(col("stratum") === "big" &&
+        pmod(xxhash64(col("id")), lit(100)) < 10)
+      .select("id").as[Long].collect().toSet
+    assert(kept.filter(_._2 == "big").map(_._1) == expectedBig)
+    // Reproducible: second run identical.
+    val again = Curation.rebalanceUniform(df, "id", "stratum")
+      .select("id", "stratum").as[(Long, String)].collect().toSet
+    assert(again == kept)
+  }
+
+  test("repetition metrics match hand-computed ratios") {
+    val df = Seq((1L, "a a b"), (2L, "a a a"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextOps.distinctTokenRatio(col("text")).as("dr"),
+        TextOps.topTokenFraction(col("text")).as("tf"),
+        TextOps.dupNgramFraction(col("text"), 2).as("dg"))
+      .orderBy("doc_id")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    // "a a b": distinct 2/3, top 2/3, bigrams {a a, a b} distinct -> 0
+    // "a a a": distinct 1/3, top 3/3, bigrams {a a, a a} -> 1/2 dup
+    // "z": single token, gram list is [z] -> 0 dup
+    assert(got == Seq(
+      (1L, 2.0 / 3, 2.0 / 3, 0.0),
+      (2L, 1.0 / 3, 1.0, 0.5),
+      (3L, 1.0, 1.0, 0.0)))
+  }
 }
