@@ -94,6 +94,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q90: benchmark gram set is broadcast — the corpus never shuffles for the join") {
+    val p = plan("q90_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // The train-side gram stream meets the bench set map-side; the only
+    // shuffles are the per-doc count-distinct aggregation's.
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q91: repetition gate is a shuffle-free projection over the scan") {
+    val p = plan("q91_repetition_quality")
+    assert(p.contains("FileScan"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("q95: per-stratum rates are broadcast back; the gate is map-side") {
+    val p = plan("q95_rebalance_langs")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // Corpus-side shuffle only for the stratum-count aggregate (partial+
+    // final HashAggregate) — the gated output itself never hash-shuffles.
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
   test("q63: bucketed co-located join plans no hash exchange") {
     // Disable broadcast so the shuffle-join path is exercised — at real
     // scale neither fact side broadcasts, which is when bucketing pays.
