@@ -886,6 +886,26 @@ object LlmQueries {
         FROM documents)
       SELECT doc_id, lang FROM h JOIN r USING (lang)
       WHERE ((hv % 100) + 100) % 100 < rate
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // Int8 min-max quantization of the embedding corpus, exploded to
+    // (vec_id, dim, code) for the compare. Codes are exact: double
+    // arithmetic in a pinned expression order on both engines, integer
+    // floor/clamp at the end.
+    ("q97_quantize_embeddings", (s: SparkSession, d: String) => {
+      Similarity.quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), posexplode(col("qvec")).as(Seq("i", "q")))
+        .orderBy("vec_id", "i")
+    }, Some("""
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      g AS (SELECT vec_id, unnest(range(1, len(e) + 1)) AS i1,
+              unnest(e) AS v FROM base),
+      b AS (SELECT i1, min(v) AS mn, max(v) AS mx FROM g GROUP BY 1)
+      SELECT vec_id, CAST(g.i1 - 1 AS INT) AS i,
+        CAST(CASE WHEN mx = mn THEN 0.0
+             ELSE least(255.0, floor((v - mn) * 255.0 / (mx - mn))) END
+          AS INT) AS q
+      FROM g JOIN b USING (i1)
+      ORDER BY vec_id, i"""))
   )
 }

@@ -302,4 +302,41 @@ object Similarity {
       .filter(col("sim") >= tau)
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
   }
+
+  /** Per-dimension min-max int8 (0..255) scalar quantization — the 4×
+    * storage/bandwidth cut an embedding store takes before ANN serving.
+    * q_i = floor((x_i − min_i) · 255 / (max_i − min_i)), clamped to 255
+    * (a constant dimension quantizes to 0). All arithmetic is IEEE double
+    * in a fixed expression order, so codes are bit-identical across
+    * engines and partitionings.
+    *
+    * Scale shape: the per-dimension bounds aggregate is ONE pass with
+    * map-side combine — posexplode to (dim, value), partial min/max per
+    * partition reduce the shuffle to dims·nPartitions rows — and the
+    * bounds (dims rows) broadcast back into a map-only transform over the
+    * vectors. Nothing corpus-sized shuffles.
+    *
+    * @return (idCol, qvec array<int>) — one code per input dimension
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val e = emb.select(col(idCol), col(embCol).cast("array<double>").as("__e"))
+    val dims = e.select(posexplode(col("__e")).as(Seq("i", "v")))
+      .groupBy("i").agg(min("v").as("mn"), max("v").as("mx"))
+    // dims rows -> two position-ordered arrays (array_sort on (i, bound)
+    // structs — collect_list order is not otherwise guaranteed).
+    val bounds = dims.agg(
+      transform(array_sort(collect_list(struct(col("i"), col("mn")))),
+        s => s("mn")).as("__mns"),
+      transform(array_sort(collect_list(struct(col("i"), col("mx")))),
+        s => s("mx")).as("__mxs"))
+    e.crossJoin(broadcast(bounds))
+      .select(col(idCol),
+        transform(col("__e"), (x, i) => {
+          val mn = element_at(col("__mns"), i + 1)
+          val mx = element_at(col("__mxs"), i + 1)
+          when(mx === mn, lit(0.0))
+            .otherwise(least(lit(255.0), floor((x - mn) * lit(255.0) / (mx - mn))))
+            .cast("int")
+        }).as("qvec"))
+  }
 }

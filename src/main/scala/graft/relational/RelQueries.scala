@@ -1303,6 +1303,100 @@ object RelQueries {
           SELECT e.dst AS id, SUM(r.r // deg.deg) AS s
           FROM e JOIN r2 r ON e.src = r.id JOIN deg ON e.src = deg.src
           GROUP BY 1) c ON v.id = c.id)
-      SELECT id, r FROM r3 ORDER BY id"""))
+      SELECT id, r FROM r3 ORDER BY id""")),
+
+    // Streaming GLOBAL dedup e2e (D2 in stream form, distinct from q81's
+    // windowed aggregation): the events file stream runs through stateful
+    // dropDuplicates in append mode into a memory sink — each key emits
+    // exactly once, on first arrival. Projected to the dedup key alone so
+    // end-of-stream contents are deterministic (= batch DISTINCT, which is
+    // what the oracle computes); keeper semantics for payload columns are
+    // covered by q19/q20 and StreamsSpec.
+    ("q96_stream_global_dedup", (s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val stream = s.readStream.schema(raw.schema)
+        .option("basePath", d).parquet(s"$d/events.parque[t]")
+        .select("user_id", "event_type")
+        .dropDuplicates("user_id", "event_type")
+      val sink = s"q96_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = stream.writeStream.format("memory")
+        .queryName(sink).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy("user_id", "event_type")
+    }, Some("""
+      SELECT DISTINCT user_id, event_type FROM events
+      ORDER BY user_id, event_type""")),
+
+    // TPC-H Q7 shape (volume shipping): revenue between two nations, both
+    // directions, split by ship year. The nation dimension broadcasts
+    // twice (supplier side, customer side) with the two-nation filter
+    // pushed into each scan; the disjunctive nation-pair predicate runs
+    // after the broadcasts, never as a shuffle.
+    ("q98_tpch_q7_shape", (s: SparkSession, d: String) => {
+      val n1 = t(s, d, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        .filter(col("supp_nation").isin("NATION_11", "NATION_12"))
+      val n2 = t(s, d, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        .filter(col("cust_nation").isin("NATION_11", "NATION_12"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(revenue).cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }, Some(s"""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l_shipdate) AS INT) AS l_year,
+        CAST(SUM($oRev) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND n1.n_name IN ('NATION_11', 'NATION_12')
+        AND n2.n_name IN ('NATION_11', 'NATION_12')
+        AND n1.n_name <> n2.n_name
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // TPC-H Q19 shape: OR-of-ANDs disjunctive predicate across the
+    // lineitem×part join — the classic test that a disjunction spanning
+    // both sides still leaves each side's common bounds pushable and the
+    // join a plain broadcast/hash equi-join (not a nested loop over the
+    // disjunction).
+    ("q99_tpch_q19_shape", (s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem")
+      val p = t(s, d, "part")
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 50)))
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }, Some(s"""
+      SELECT CAST(SUM($oRev) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 20)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+             AND l_quantity BETWEEN 10 AND 30)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+             AND l_quantity BETWEEN 20 AND 50)"""))
   )
 }

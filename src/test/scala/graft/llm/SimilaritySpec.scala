@@ -101,4 +101,48 @@ class SimilaritySpec extends SparkSpec {
     val pairs = Similarity.nearDupPairs(emb, "label", tau = 0.25)
     assert(pairs.filter(col("v1") >= col("v2")).count() == 0)
   }
+
+  test("int8 quantization: codes in range, dequant error within one step") {
+    import spark.implicits._
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val joined = emb.select(col("vec_id"), col("embedding"))
+      .join(q, "vec_id")
+    // Range + per-dim bound recovery: |x - dequant(q)| <= (mx-mn)/255.
+    val dims = emb.select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("i", "v")))
+      .groupBy("i").agg(min("v").as("mn"), max("v").as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rows = joined.select(col("vec_id"),
+        col("embedding").cast("array<double>"), col("qvec"))
+      .as[(Long, Seq[Double], Seq[Int])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, e, qs) =>
+      assert(e.length == qs.length)
+      qs.zipWithIndex.foreach { case (c, i) =>
+        assert(c >= 0 && c <= 255)
+        val (mn, mx) = dims(i)
+        val step = (mx - mn) / 255.0
+        val deq = mn + (c + 0.5) * step
+        assert(math.abs(e(i) - deq) <= step * 0.5 + 1e-9,
+          s"dim $i: x=${e(i)} code=$c dequant=$deq step=$step")
+      }
+    }
+  }
+
+  test("int8 quantization: constant dimension codes to 0, partition-invariant") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.5f, 1.0f, -2.0f)),
+      (2L, Seq(0.5f, 3.0f, 4.0f)),
+      (3L, Seq(0.5f, 2.0f, 1.5f))).toDF("vec_id", "embedding")
+    def codes(d: org.apache.spark.sql.DataFrame) =
+      Similarity.quantizeInt8(d, "vec_id", "embedding")
+        .as[(Long, Seq[Int])].collect().toMap
+    val c1 = codes(df.repartition(1))
+    val c7 = codes(df.repartition(7))
+    assert(c1 == c7, "quantization must not depend on partitioning")
+    assert(c1.values.forall(_.head == 0), "constant dim must code to 0")
+    // Min codes to 0, max clamps to 255.
+    assert(c1(1L)(1) == 0 && c1(2L)(1) == 255)
+  }
 }
