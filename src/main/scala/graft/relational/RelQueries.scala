@@ -1397,6 +1397,20 @@ object RelQueries {
          OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
              AND l_quantity BETWEEN 10 AND 30)
          OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
-             AND l_quantity BETWEEN 20 AND 50)"""))
+             AND l_quantity BETWEEN 20 AND 50)""")),
+
+    // Small-file compaction round-trip: orders is landed fragmented (64
+    // micro-batch-sized files), compacted to ~5000-row files with an
+    // atomic directory swap, and read back. The oracle reads the ORIGINAL
+    // parquet — the compare proves compaction changed layout, not
+    // contents; the file-count drop itself is pinned in SkewSinksSpec.
+    ("q100_compact_roundtrip", (s: SparkSession, d: String) => {
+      val base = s"/tmp/graft_compact/${new java.io.File(d).getName}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      t(s, d, "orders").repartition(64).write.parquet(base)
+      Sinks.compact(s, base, targetRowsPerFile = 5000L)
+      s.read.parquet(base).orderBy("o_orderkey")
+    }, Some("""
+      SELECT * FROM orders ORDER BY o_orderkey"""))
   )
 }

@@ -79,4 +79,27 @@ class SkewSinksSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("2024-01-05"),
       s"expected partition pruning in plan:\n$plan")
   }
+
+  test("compact collapses a fragmented sink dir, preserving contents") {
+    val base = Files.createTempDirectory("compact").toString + "/t"
+    val ev = Tables(spark, sfDir, "events").select("event_id", "user_id")
+    ev.repartition(40).write.parquet(base)
+    def dataFiles() = new java.io.File(base).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = dataFiles()
+    assert(before >= 40, s"fragmented landing expected, got $before files")
+    val expected = ev.orderBy("event_id", "user_id").collect().toSeq
+    Sinks.compact(spark, base, targetRowsPerFile = 500L)
+    val after = dataFiles()
+    val rows = ev.count()
+    val wantFiles = ((rows + 499) / 500).toInt
+    assert(after == wantFiles, s"expected $wantFiles files after compact, got $after")
+    val got = spark.read.parquet(base)
+      .orderBy("event_id", "user_id").collect().toSeq
+    assert(got == expected, "compaction must not change contents")
+    // No staging/backup residue left beside the live tree.
+    val residue = new java.io.File(base).getParentFile.listFiles()
+      .map(_.getName).filter(_.startsWith(".compact-"))
+    assert(residue.isEmpty, residue.mkString(","))
+  }
 }
