@@ -106,11 +106,17 @@ object Components {
     var ranks = vertices.select(col("id"), lit(scale).as("r"))
     var i = 0
     while (i < iters) {
-      val contrib = e.join(ranks.withColumnRenamed("id", "src"), "src")
+      // Per-SOURCE contribution first (|V| rows — a vertex-sized join of
+      // ranks⋈outdeg), so the edge list is joined exactly ONCE per round;
+      // joining ranks and outdeg into the edges separately would run two
+      // edge-sized joins per iteration.
+      val perSrc = ranks.withColumnRenamed("id", "src")
         .join(outdeg, "src")
-        .select(col("dst").as("id"), expr("r div deg").as("c"))
+        .select(col("src"), expr("r div deg").as("c"))
+      val contrib = e.join(perSrc, "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("c")).as("s"))
       val next = vertices
-        .join(contrib.groupBy("id").agg(sum(col("c")).as("s")), Seq("id"), "left")
+        .join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(tele) + expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("r"))
         .localCheckpoint(true)
