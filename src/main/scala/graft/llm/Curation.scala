@@ -162,4 +162,30 @@ object Curation {
       .filter(pmod(xxhash64(col(idCol)), lit(100)) < col("__rate"))
       .drop("__rate")
   }
+
+  /** Exactly min(k, |stratum|) rows per stratum, selected by hash order
+    * (ascending xxhash64(id), id tie-break) — the EXACT-size companion to
+    * [[sampleStratified]]'s percentage gate: same determinism (pure
+    * function of ids — reproducible across runs, retries, partitionings),
+    * but a guaranteed count, which is what eval-set carving and per-domain
+    * quota sampling need.
+    *
+    * Two-level top-k, the scale-correct shape: a first window partitioned
+    * by (stratum, ORIGINAL partition id) prunes to ≤ k rows per
+    * (stratum, partition) in parallel — no single reducer ever sees a
+    * whole stratum — then the global per-stratum window ranks only the
+    * ≤ k·nPartitions survivors. Pruning is lossless: any row in a
+    * stratum's global hash-top-k is in the top-k of every subset that
+    * contains it, so the output is partition-invariant. */
+  def sampleExactK(df: DataFrame, idCol: String, stratumCol: String,
+      k: Int): DataFrame = {
+    val h = xxhash64(col(idCol))
+    val wLocal = Window.partitionBy(col(stratumCol), spark_partition_id())
+      .orderBy(h, col(idCol))
+    val pruned = df.withColumn("__rkl", row_number().over(wLocal))
+      .filter(col("__rkl") <= k).drop("__rkl")
+    val wGlobal = Window.partitionBy(col(stratumCol)).orderBy(h, col(idCol))
+    pruned.withColumn("__rk", row_number().over(wGlobal))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
 }

@@ -906,6 +906,27 @@ object LlmQueries {
              ELSE least(255.0, floor((v - mn) * 255.0 / (mx - mn))) END
           AS INT) AS q
       FROM g JOIN b USING (i1)
-      ORDER BY vec_id, i"""))
+      ORDER BY vec_id, i""")),
+
+    // Exact-k-per-stratum hash sample (eval-set carving): exactly
+    // min(k, |stratum|) docs per language, chosen by ascending XXH64 —
+    // deterministic AND guaranteed-size, vs the percentage gate of
+    // q77/q95. The two-level top-k (per-input-partition prune, then
+    // per-stratum rank over ≤ k·nPart survivors) never funnels a whole
+    // stratum through one task; the oracle ranks the replayed hashes
+    // directly.
+    ("q102_sample_exact_k", (s: SparkSession, d: String) => {
+      Curation.sampleExactK(t(s, d, "documents"), "doc_id", "lang", k = 10)
+        .select("doc_id", "lang").orderBy("lang", "doc_id")
+    }, Some(s"""
+      WITH h AS (SELECT doc_id, lang,
+        ${XxHashOracle.signed(XxHashOracle.hashLong(
+          "CAST(doc_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} AS hv
+        FROM documents),
+      r AS (SELECT doc_id, lang,
+          row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+        FROM h)
+      SELECT doc_id, lang FROM r WHERE rk <= 10
+      ORDER BY lang, doc_id"""))
   )
 }

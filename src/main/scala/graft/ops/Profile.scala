@@ -45,4 +45,25 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Equi-width histogram of a numeric column: data-derived [min, max]
+    * bounds, `nBins` equal bins, the max value folded into the last bin.
+    * bin = min(nBins−1, floor((x − mn) · nBins / (mx − mn))) — fixed-order
+    * IEEE double arithmetic, so bin assignment is bit-identical across
+    * engines. Two aggregate passes (bounds, then counts) with the 1-row
+    * bounds broadcast into the binning projection — nothing row-sized
+    * crosses the driver. Only non-empty bins are emitted. */
+  def histogram(df: DataFrame, c: Column, nBins: Int): DataFrame = {
+    require(nBins > 0)
+    val bounds = df.agg(min(c.cast("double")).as("__mn"),
+      max(c.cast("double")).as("__mx"))
+    df.select(c.cast("double").as("__v"))
+      .crossJoin(broadcast(bounds))
+      .select(when(col("__mx") === col("__mn"), lit(0))
+        .otherwise(least(lit(nBins - 1),
+          floor((col("__v") - col("__mn")) * lit(nBins.toDouble) /
+            (col("__mx") - col("__mn")))))
+        .cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+  }
 }

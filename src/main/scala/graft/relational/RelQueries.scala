@@ -1411,6 +1411,21 @@ object RelQueries {
       Sinks.compact(s, base, targetRowsPerFile = 5000L)
       s.read.parquet(base).orderBy("o_orderkey")
     }, Some("""
-      SELECT * FROM orders ORDER BY o_orderkey"""))
+      SELECT * FROM orders ORDER BY o_orderkey""")),
+
+    // Equi-width histogram with data-derived bounds: two aggregate passes
+    // (bounds broadcast into the binning projection), bin assignment in
+    // fixed-order double arithmetic so both engines bin identically.
+    ("q101_histogram", (s: SparkSession, d: String) => {
+      Profile.histogram(t(s, d, "lineitem"), col("l_extendedprice"), 20)
+        .orderBy("bin")
+    }, Some("""
+      WITH b AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+                 FROM lineitem),
+      g AS (SELECT CAST(CASE WHEN mx = mn THEN 0
+              ELSE least(19, floor((l_extendedprice - mn) * 20.0 / (mx - mn)))
+            END AS INT) AS bin
+        FROM lineitem, b)
+      SELECT bin, COUNT(*) AS n FROM g GROUP BY 1 ORDER BY bin"""))
   )
 }

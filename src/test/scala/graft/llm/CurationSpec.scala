@@ -102,6 +102,25 @@ class CurationSpec extends SparkSpec {
     assert(again == kept)
   }
 
+  test("sampleExactK: exact per-stratum size, partition-invariant") {
+    val rows = (0L until 200L).map(i => (i, if (i % 3 == 0) "a" else "b")) ++
+      Seq((1000L, "tiny")) // stratum smaller than k
+    def run(nPart: Int) = Curation.sampleExactK(
+        rows.toDF("id", "stratum").repartition(nPart), "id", "stratum", k = 5)
+      .select("id", "stratum").as[(Long, String)].collect().toSet
+    val got = run(3)
+    assert(got == run(11), "sample must not depend on partitioning")
+    val byStr = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byStr == Map("a" -> 5, "b" -> 5, "tiny" -> 1))
+    // Matches the single-window definition (global hash order per stratum).
+    val expected = rows.toDF("id", "stratum")
+      .withColumn("rk", row_number().over(Window.partitionBy("stratum")
+        .orderBy(xxhash64(col("id")), col("id"))))
+      .filter(col("rk") <= 5).select("id", "stratum")
+      .as[(Long, String)].collect().toSet
+    assert(got == expected)
+  }
+
   test("repetition metrics match hand-computed ratios") {
     val df = Seq((1L, "a a b"), (2L, "a a a"), (3L, "z"))
       .toDF("doc_id", "text")

@@ -30,4 +30,20 @@ class ProfileSpec extends SparkSpec {
     val leaves = plan.linesIterator.count(_.contains("LocalRelation"))
     assert(leaves == 1, s"expected single-scan profile, got plan:\n$plan")
   }
+
+  test("histogram: bins partition the data, max lands in last bin") {
+    val vals = (0 until 101).map(_.toDouble)
+    val df = vals.toDF("v")
+    val got = Profile.histogram(df, col("v"), 10)
+      .as[(Int, Long)].collect().toMap
+    assert(got.values.sum == vals.length, "every row lands in exactly one bin")
+    assert(got.keys.forall(b => b >= 0 && b <= 9))
+    // width 10: bin 0 gets 0..9 (10 values); the max folds into bin 9,
+    // which holds 90..100 (11 values).
+    assert(got(0) == 10L && got(9) == 11L, got.toString)
+    // Constant column: one bin, all rows.
+    val const = Seq(5.0, 5.0, 5.0).toDF("v")
+    assert(Profile.histogram(const, col("v"), 10)
+      .as[(Int, Long)].collect().toSeq == Seq((0, 3L)))
+  }
 }
