@@ -120,4 +120,48 @@ object GraftProps extends Properties("graft") {
       } yield (pi.toLong, ii.toLong)).toSet
       binned == naive
     }
+
+  private val edgeGen: Gen[List[(Long, Long)]] =
+    Gen.listOf(for { s <- Gen.choose(0L, 9L); d <- Gen.choose(0L, 9L)
+      if s != d } yield (s, d)).map(_.take(20))
+
+  property("pageRankScaled = single-threaded int64 reference, any digraph") =
+    Prop.forAll(edgeGen, Gen.choose(1, 3)) { (edges, iters) =>
+      edges.isEmpty || {
+        val got = graft.llm.Components
+          .pageRankScaled(edges.toDF("src", "dst"), iters)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val e = edges.distinct
+        val vs = e.flatMap(p => Seq(p._1, p._2)).distinct
+        val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        var r = vs.map(_ -> 1000000L).toMap
+        for (_ <- 0 until iters) {
+          val in = e.groupBy(_._2).view
+            .mapValues(_.map { case (s, _) => r(s) / deg(s) }.sum).toMap
+          r = vs.map(v => v -> (150000L + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+        }
+        got == r
+      }
+    }
+
+  property("sampleExactK = single-window definition, any strata and k") =
+    Prop.forAll(
+      Gen.listOf(for { id <- Gen.choose(0L, 60L); s <- Gen.oneOf("x", "y", "z") }
+        yield (id, s)).map(_.take(30)),
+      Gen.choose(1, 6)) { (rows, k) =>
+      rows.isEmpty || {
+        val distinctRows = rows.distinct // ids unique per stratum not needed; dedup exact dupes
+        val df = distinctRows.toDF("id", "stratum").repartition(5)
+        val got = graft.llm.Curation.sampleExactK(df, "id", "stratum", k)
+          .select("id", "stratum")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        val expected = distinctRows.toDF("id", "stratum")
+          .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("stratum")
+              .orderBy(xxhash64(col("id")), col("id"))))
+          .filter(col("rk") <= k).select("id", "stratum")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        got == expected
+      }
+    }
 }
