@@ -927,6 +927,24 @@ object LlmQueries {
           row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
         FROM h)
       SELECT doc_id, lang FROM r WHERE rk <= 10
-      ORDER BY lang, doc_id"""))
+      ORDER BY lang, doc_id""")),
+
+    // Sliding byte windows over binary payloads (win 32, hop 16) — the
+    // audio featurization batch shape as pure codegen'd expressions. The
+    // oracle slices the same text as VARCHAR: the corpus is ASCII (q44
+    // verified byte==char), so byte and character windows hash alike.
+    ("q103_payload_windows", (s: SparkSession, d: String) => {
+      Multimodal.byteWindows(
+          Multimodal.withBinaryPayload(t(s, d, "documents")),
+          winLen = 32, stride = 16)
+        .orderBy("doc_id", "win_idx")
+    }, Some("""
+      WITH g AS (SELECT doc_id, text,
+          unnest(range(0,
+            ((greatest(strlen(text), 32) - 32) // 16) + 1)) AS win_idx
+        FROM documents)
+      SELECT doc_id, win_idx, win_idx * 16 AS off,
+        md5(substring(text, CAST(win_idx * 16 + 1 AS INT), 32)) AS win_md5
+      FROM g ORDER BY doc_id, win_idx"""))
   )
 }

@@ -91,4 +91,26 @@ object Multimodal {
       (lit(64L) + (octet_length(col("media")).cast("long") / 7L).cast("long") % 512L).as("height"),
       lit(3L).as("channels"),
       md5(col("media")).as("fingerprint"))
+
+  /** Sliding byte windows over the binary payload — the audio/waveform
+    * featurization batch shape (window length + hop/stride, short tail
+    * window kept; a payload shorter than one window yields exactly one).
+    * Pure codegen'd expressions (sequence + explode + byte substr):
+    * windowing at 100 TB must ride the scan, not a lambda. The md5 per
+    * window stands in for the frame transform — a real featurizer
+    * replaces that one column.
+    *
+    * Output: (doc_id, win_idx, off, win_md5), off = byte offset 0-based.
+    */
+  def byteWindows(media: DataFrame, winLen: Int, stride: Int): DataFrame = {
+    require(winLen > 0 && stride > 0)
+    val nWins =
+      expr(s"((greatest(octet_length(media), $winLen) - $winLen) div $stride) + 1")
+    media.select(col("doc_id"), col("media"),
+        explode(sequence(lit(0L), nWins - 1)).as("win_idx"))
+      .select(col("doc_id"), col("win_idx"),
+        (col("win_idx") * stride).as("off"),
+        md5(col("media").substr((col("win_idx") * stride + 1).cast("int"),
+          lit(winLen))).as("win_md5"))
+  }
 }

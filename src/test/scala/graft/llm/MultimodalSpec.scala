@@ -1,5 +1,6 @@
 package graft.llm
 
+import org.apache.spark.sql.functions.col
 import graft.{SparkSpec, Tables}
 
 class MultimodalSpec extends SparkSpec {
@@ -37,5 +38,27 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.frameSampleStub(spark, media, n = 4).collect()
     assert(frames.map(f => (f.doc_id, f.frame_idx, f.frame_fingerprint)).toSet ==
       again.map(f => (f.doc_id, f.frame_idx, f.frame_fingerprint)).toSet)
+  }
+
+  test("byte windows: count formula, offsets, tail and short payloads") {
+    import spark.implicits._
+    // 70 bytes, win 32, hop 16 -> ((70-32) div 16)+1 = 3 windows; 10-byte
+    // payload -> exactly 1 window (shorter than winLen).
+    val media = Seq((1L, "a" * 70), (2L, "b" * 10)).toDF("doc_id", "text")
+      .withColumn("media", col("text").cast("binary"))
+    val got = Multimodal.byteWindows(media, winLen = 32, stride = 16)
+      .select("doc_id", "win_idx", "off", "win_md5")
+      .as[(Long, Long, Long, String)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq((1L, 0L, 0L), (1L, 1L, 16L), (1L, 2L, 32L), (2L, 0L, 0L)))
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // The count formula keeps every window full (last offset <= n-winLen):
+    // both doc-1 windows hash 32 a's; the sub-winLen payload yields one
+    // whole-payload window.
+    assert(got.head._4 == md5hex("a" * 32))
+    assert(got(2)._4 == md5hex("a" * 32))
+    assert(got.last._4 == md5hex("b" * 10))
   }
 }
