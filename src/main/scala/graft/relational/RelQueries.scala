@@ -1426,6 +1426,30 @@ object RelQueries {
               ELSE least(19, floor((l_extendedprice - mn) * 20.0 / (mx - mn)))
             END AS INT) AS bin
         FROM lineitem, b)
-      SELECT bin, COUNT(*) AS n FROM g GROUP BY 1 ORDER BY bin"""))
+      SELECT bin, COUNT(*) AS n FROM g GROUP BY 1 ORDER BY bin""")),
+
+    // §2.5 — RECURSIVE CTE (Spark 4's WITH RECURSIVE): a date-spine
+    // gap-fill, the warehouse calendar pattern — generate every day of a
+    // quarter recursively, left-join daily order counts, emit zeros for
+    // silent days. The SAME SQL text runs on Spark and DuckDB (q59/q60
+    // discipline), so the oracle checks Spark's recursion itself.
+    ("q104_recursive_spine", (s: SparkSession, d: String) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(dateSpineSql)
+    }, Some(dateSpineSql))
   )
+
+  // def, not val: referenced from `entries` above during object init.
+  private def dateSpineSql = """
+    WITH RECURSIVE spine(day) AS (
+      SELECT CAST('1995-01-01' AS DATE)
+      UNION ALL
+      SELECT CAST(day + INTERVAL 1 DAY AS DATE) FROM spine
+      WHERE day < CAST('1995-03-31' AS DATE)
+    ),
+    daily AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+              FROM orders GROUP BY 1)
+    SELECT s.day, COALESCE(daily.n, 0) AS n_orders
+    FROM spine s LEFT JOIN daily ON s.day = daily.day
+    ORDER BY s.day"""
 }
