@@ -945,6 +945,29 @@ object LlmQueries {
         FROM documents)
       SELECT doc_id, win_idx, win_idx * 16 AS off,
         md5(substring(text, CAST(win_idx * 16 + 1 AS INT), 32)) AS win_md5
-      FROM g ORDER BY doc_id, win_idx"""))
+      FROM g ORDER BY doc_id, win_idx""")),
+
+    // Pipeline audit counters through the gate: two observe-instrumented
+    // filter gates run under ONE action (no re-scan per stage — the
+    // metrics ride the job as accumulators), and the per-stage (in, kept)
+    // counts themselves are the query result the oracle recomputes.
+    ("q105_pipeline_audit", (s: SparkSession, d: String) => {
+      val trail = new graft.ops.Audit.Trail
+      val g1 = trail.gate(t(s, d, "documents"), "s1_lang_en",
+        col("lang") === "en")
+      val g2 = trail.gate(g1, "s2_min_chars", col("n_chars") >= 200)
+      g2.count() // the one action; counters below block on its metrics
+      import s.implicits._
+      trail.counters.toDF("stage", "in_rows", "kept_rows").orderBy("stage")
+    }, Some("""
+      SELECT 's1_lang_en' AS stage,
+        (SELECT count(*) FROM documents) AS in_rows,
+        (SELECT count(*) FROM documents WHERE lang = 'en') AS kept_rows
+      UNION ALL
+      SELECT 's2_min_chars',
+        (SELECT count(*) FROM documents WHERE lang = 'en'),
+        (SELECT count(*) FROM documents
+         WHERE lang = 'en' AND n_chars >= 200)
+      ORDER BY stage"""))
   )
 }
