@@ -1436,7 +1436,28 @@ object RelQueries {
     ("q104_recursive_spine", (s: SparkSession, d: String) => {
       t(s, d, "orders").createOrReplaceTempView("orders")
       s.sql(dateSpineSql)
-    }, Some(dateSpineSql))
+    }, Some(dateSpineSql)),
+
+    // TPC-H Q17 shape (small-quantity-order revenue): lines under 20% of
+    // their part's average quantity. The correlated AVG decorrelates to a
+    // per-part aggregate joined back; the threshold compare is rewritten
+    // DIVISION-FREE (qty·5·cnt < sum, all exact decimal/int) so no
+    // engine-specific decimal-division rounding can flip a boundary row.
+    ("q106_tpch_q17_shape", (s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem")
+      val perPart = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(qty).as("sq"), count(lit(1)).as("cnt"))
+      li.join(perPart, col("l_partkey") === col("pk"))
+        .filter(qty * lit(5) * col("cnt") < col("sq"))
+        .agg((Exact.sumD(col("l_extendedprice"), 12) / 7.0).as("avg_yearly"))
+    }, Some("""
+      WITH pp AS (SELECT l_partkey AS pk,
+          SUM(CAST(l_quantity AS DECIMAL(10,2))) AS sq, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1)
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+        AS avg_yearly
+      FROM lineitem JOIN pp ON l_partkey = pk
+      WHERE CAST(l_quantity AS DECIMAL(10,2)) * 5 * cnt < sq"""))
   )
 
   // def, not val: referenced from `entries` above during object init.
