@@ -249,6 +249,49 @@ object Streams {
       .toDF("user_id", "n_events", "total_value", "closed")
   }
 
+  /** Spark 4 `transformWithState` form of [[runningUserTotals]] — the
+    * StatefulProcessor replacement for flatMapGroupsWithState: typed,
+    * individually-addressable state primitives (ValueState here; List/Map
+    * state and timers in the same handle), declarative TTL via TTLConfig,
+    * and RocksDB-backed stores (the query must run with the RocksDB state
+    * store provider — see StreamsSpec). Same emission contract as the
+    * fMGWS version: each batch emits every touched user's running
+    * (n, total). */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Double)],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Double)] = {
+      val (n0, v0) = if (st.exists()) st.get() else (0L, 0.0)
+      var n = n0; var v = v0
+      rows.foreach { r => n += 1; v += r._2 }
+      st.update((n, v))
+      Iterator.single((user, n, v))
+    }
+  }
+
+  def runningUserTotalsTws(spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("user_id", "n_events", "total_value")
+  }
+
   /** Sessionization over the stream (gap-based windows). */
   def sessionize(events: DataFrame, gap: String = "1 hour"): DataFrame =
     events

@@ -166,6 +166,43 @@ class StreamsSpec extends SparkSpec {
     assert(rows == Set((1L, 2L, 5.0), (1L, 3L, 10.0)))
   }
 
+  test("transformWithState: running totals via StatefulProcessor on RocksDB") {
+    val srcDir = tmp("src"); val ckDir = tmp("ck")
+    def push(rows: Seq[(String, Long, String, Double)]): Unit =
+      rows.toDF("ts", "user_id", "event_type", "value")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    val schemaV = StructType(schema.fields :+ StructField("value", DoubleType))
+    push(Seq(("2024-01-01 10:00:00", 1L, "a", 2.0),
+             ("2024-01-01 11:00:00", 1L, "a", 3.0),
+             ("2024-01-01 11:30:00", 2L, "a", 7.0)))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(schemaV).parquet(srcDir)
+      val sink = s"tws_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = Streams.runningUserTotalsTws(spark, stream)
+        .writeStream.outputMode("update").format("memory")
+        .queryName(sink).option("checkpointLocation", ckDir).start()
+      q.processAllAvailable()
+      push(Seq(("2024-01-01 12:00:00", 1L, "a", 5.0)))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table(sink)
+        .as[(Long, Long, Double)].collect().toSet
+      // batch 1: user 1 -> (2, 5.0), user 2 -> (1, 7.0);
+      // batch 2 resumes RocksDB state: user 1 -> (3, 10.0).
+      assert(rows == Set((1L, 2L, 5.0), (2L, 1L, 7.0), (1L, 3L, 10.0)))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("stream-stream join: purchases match prior-hour views, state bounded") {
     val srcDir = tmp("src"); val outDir = tmp("out"); val ckDir = tmp("ck")
     def push(rows: Seq[(String, Long, String, Long)]): Unit =
