@@ -1457,7 +1457,36 @@ object RelQueries {
       SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
         AS avg_yearly
       FROM lineitem JOIN pp ON l_partkey = pk
-      WHERE CAST(l_quantity AS DECIMAL(10,2)) * 5 * cnt < sq"""))
+      WHERE CAST(l_quantity AS DECIMAL(10,2)) * 5 * cnt < sq""")),
+
+    // §2.5 — the rank-family windows not yet exercised: ntile quartiles,
+    // percent_rank, cume_dist, and nth_value over an explicit frame. All
+    // rank-derived values are exact integer ratios divided once in double,
+    // ties broken totally (acctbal desc, custkey) — deterministic in both
+    // engines.
+    ("q107_window_rank_family", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("c_custkey"), 2).over(wf).as("second_top"))
+        .orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey, c_mktsegment,
+        CAST(ntile(4) OVER w AS INT) AS quartile,
+        percent_rank() OVER w AS pr,
+        cume_dist() OVER w AS cd,
+        nth_value(c_custkey, 2) OVER
+          (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          AS second_top
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_custkey"""))
   )
 
   // def, not val: referenced from `entries` above during object init.
