@@ -34,5 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // built with the extensions plan AsOfJoinPlan without the runtime
     // experimental-strategies fallback.
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // ...and its optimizer rule: left-side predicate pushdown through the
+    // custom node (Catalyst's own pushdown stops at unknown operators).
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
 }

@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, PredicateHelper, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
@@ -155,6 +156,32 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule — the fourth tier-(c) leg beside the plan node, the
+  * strategy, and the exec: Catalyst's own predicate pushdown stops at an
+  * unknown node, so without this rule a filter above the as-of join
+  * shuffles the WHOLE corpus and filters after. Pushing is legal only for
+  * deterministic conjuncts referencing LEFT-side attributes: the join is
+  * left-preserving (exactly one output row per left row, left columns
+  * unchanged), so dropping a left row before or after joining commutes.
+  * Right-side predicates must NOT push — filtering the right child
+  * changes WHICH row is "last at-or-before", not just which output rows
+  * survive. Once below the join, the planner carries the filter through
+  * the exchange into the scan (PushedFilters) — at 100 TB the difference
+  * between shuffling the corpus and shuffling the selection. */
+object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
+      val (pushable, rest) = splitConjunctivePredicates(cond)
+        .partition(c => c.deterministic &&
+          c.references.subsetOf(j.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** DataFrame-level entry point. */
 object AsOfNative {
   /** Left as-of join: every `left` row plus the latest `right` row (same
@@ -167,6 +194,10 @@ object AsOfNative {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
     }
     // Re-alias the right side so its output attribute ids are fresh even in
     // self-join shapes (the analyzer's DeduplicateRelations does this for

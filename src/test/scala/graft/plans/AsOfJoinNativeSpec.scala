@@ -94,6 +94,50 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(out == Map(1L -> "x", 2L -> null, 3L -> null))
   }
 
+  test("optimizer rule pushes left-side filters below the as-of join") {
+    val joined = AsOfNative.asofJoin(purchases, views,
+      "user_id", "v_user", "ts", "v_ts")
+    val filtered = joined.filter(col("user_id") < 50)
+    val optimized = filtered.queryExecution.optimizedPlan
+    // The Filter must sit INSIDE the join's left child, not above the join.
+    optimized match {
+      case j: AsOfJoinPlan =>
+        val pushed = j.left.collect { case f: org.apache.spark.sql.catalyst
+            .plans.logical.Filter => f }
+        assert(pushed.exists(_.condition.references.map(_.name)
+          .exists(_ == "user_id")), s"no pushed filter in:\n$optimized")
+      case other => fail(s"expected AsOfJoinPlan at the top, got:\n$other")
+    }
+    // Semantics unchanged: pushing before == filtering after.
+    val viaPrefilter = AsOfNative.asofJoin(
+        purchases.filter(col("user_id") < 50), views,
+        "user_id", "v_user", "ts", "v_ts")
+      .select("p_id", "v_ts").collect().map(r => (r.getLong(0), r.get(1))).toMap
+    val got = filtered.select("p_id", "v_ts")
+      .collect().map(r => (r.getLong(0), r.get(1))).toMap
+    assert(got == viaPrefilter && got.nonEmpty)
+  }
+
+  test("optimizer rule refuses to push right-side predicates") {
+    val joined = AsOfNative.asofJoin(purchases, views,
+      "user_id", "v_user", "ts", "v_ts")
+    // A predicate on the attached right row must filter OUTPUT rows, not
+    // the right child (that would change which row is "last at-or-before").
+    val filtered = joined.filter(col("v_id") % 2 === 0)
+    val optimized = filtered.queryExecution.optimizedPlan
+    optimized match {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        assert(f.child.isInstanceOf[AsOfJoinPlan], s"unexpected:\n$optimized")
+        f.child.asInstanceOf[AsOfJoinPlan].right.foreach {
+          case rf: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            assert(!rf.condition.references.map(_.name).exists(_ == "v_id"),
+              s"right-side predicate was pushed:\n$optimized")
+          case _ => ()
+        }
+      case other => fail(s"expected Filter above AsOfJoinPlan, got:\n$other")
+    }
+  }
+
   test("right payload columns ride along; unmatched rows null-extend") {
     import spark.implicits._
     val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
