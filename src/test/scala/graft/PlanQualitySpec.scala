@@ -117,6 +117,26 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("q97: quantization bounds broadcast back; vectors never hash-shuffle") {
+    val p = plan("q97_quantize_embeddings")
+    // The per-dim bounds ride a BroadcastNestedLoopJoin (1-row frame) or
+    // BroadcastExchange; the only hash exchange is the dims aggregate's
+    // (dims·nPart rows after partial min/max), never the vector corpus.
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial+final bounds
+  }
+
+  test("q102: both sample windows carry partition specs — no bare global window") {
+    val p = plan("q102_sample_exact_k")
+    val windows = "Window \\[".r.findAllIn(p).toSeq
+    assert(windows.size >= 2, p)
+    // Every window is partitioned (stratum[, pid]); a bare Window.orderBy
+    // would serialize the corpus through one task.
+    assert(!p.contains("Window [") || !p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"), p)
+    assert(p.contains("SPARK_PARTITION_ID") || p.contains("_pid") ||
+      p.contains("spark_partition_id"), p)
+  }
+
   test("q63: bucketed co-located join plans no hash exchange") {
     // Disable broadcast so the shuffle-join path is exercised — at real
     // scale neither fact side broadcasts, which is when bucketing pays.
