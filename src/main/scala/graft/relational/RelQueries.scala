@@ -1271,10 +1271,11 @@ object RelQueries {
     ("q94_pagerank", (s: SparkSession, d: String) => {
       val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
       val ord = t(s, d, "orders").select("o_orderkey", "o_custkey")
+      // No .distinct() here: pageRankScaled dedups its edge list anyway,
+      // and a second 2|E|-row shuffle would just precede that one.
       val sc = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .select((col("l_suppkey") * 2).as("src"),
           (col("o_custkey") * 2 + 1).as("dst"))
-        .distinct()
       val edges = sc.union(sc.select(col("dst").as("src"), col("src").as("dst")))
       graft.llm.Components.pageRankScaled(edges, iters = 3).orderBy("id")
     }, Some("""
@@ -1486,8 +1487,41 @@ object RelQueries {
       FROM customer
       WINDOW w AS (PARTITION BY c_mktsegment
                    ORDER BY c_acctbal DESC, c_custkey)
-      ORDER BY c_custkey"""))
+      ORDER BY c_custkey""")),
+
+    // §2.5 — aggregate FILTER clause (conditional aggregation without
+    // CASE scaffolding), SAME SQL text on both engines.
+    ("q108_agg_filter_clause", (s: SparkSession, d: String) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(aggFilterSql)
+    }, Some(aggFilterSql)),
+
+    // §2.5 — scalar string family 2: edit distance, character
+    // translation, padding, repetition — all deterministic pure functions
+    // with identical definitions in both engines.
+    ("q109_scalar_string2", (s: SparkSession, d: String) => {
+      t(s, d, "nation").select(col("n_nationkey"), col("n_name"),
+          levenshtein(col("n_name"), reverse(col("n_name"))).as("lev_rev"),
+          translate(col("n_name"), "_0123456789", "-OIZEASGTBQ").as("translated"),
+          lpad(col("n_name"), 12, "*").as("padded"),
+          repeat(substring(col("n_name"), 1, 3), 2).as("rep"))
+        .orderBy("n_nationkey")
+    }, Some("""
+      SELECT n_nationkey, n_name,
+        CAST(levenshtein(n_name, reverse(n_name)) AS INT) AS lev_rev,
+        translate(n_name, '_0123456789', '-OIZEASGTBQ') AS translated,
+        lpad(n_name, 12, '*') AS padded,
+        repeat(substring(n_name, 1, 3), 2) AS rep
+      FROM nation ORDER BY n_nationkey"""))
   )
+
+  private def aggFilterSql = """
+    SELECT o_orderpriority,
+      COUNT(*) AS n,
+      COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+           FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_f
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
   // def, not val: referenced from `entries` above during object init.
   private def dateSpineSql = """
