@@ -144,6 +144,30 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("quantizeInt8 = per-dim scala reference, any float vectors") =
+    Prop.forAll(Gen.listOf(
+      Gen.listOf(Gen.chooseNum(-5.0f, 5.0f)).map(_.take(4).padTo(4, 0.0f)))
+        .map(_.take(8))) { vecs =>
+      vecs.isEmpty || {
+        val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("vec_id", "embedding")
+        val got = graft.llm.Similarity.quantizeInt8(df, "vec_id", "embedding")
+          .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+        val dims = (0 until 4).map { i =>
+          val col = vecs.map(v => v(i).toDouble)
+          (col.min, col.max)
+        }
+        val expected = vecs.zipWithIndex.map { case (v, idx) =>
+          idx.toLong -> v.zipWithIndex.map { case (x, i) =>
+            val (mn, mx) = dims(i)
+            if (mx == mn) 0
+            else math.min(255.0, math.floor((x.toDouble - mn) * 255.0 / (mx - mn))).toInt
+          }.toList
+        }.toMap
+        got == expected
+      }
+    }
+
   property("sampleExactK = single-window definition, any strata and k") =
     Prop.forAll(
       Gen.listOf(for { id <- Gen.choose(0L, 60L); s <- Gen.oneOf("x", "y", "z") }
