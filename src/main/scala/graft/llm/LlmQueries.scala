@@ -869,6 +869,42 @@ object LlmQueries {
           AND dup_bigram_frac <= 0.5) AS keep
       FROM m ORDER BY doc_id""")),
 
+    // INCREMENTAL corpus dedup — the daily-crawl production flow: a new
+    // batch (doc_id % 10 == 0) is deduplicated against the EXISTING
+    // corpus's persisted fingerprint index with one anti-join; the corpus
+    // text is never re-read per batch (at 100 TB the index is one narrow
+    // 16-byte column, and the anti-join shuffles only the batch plus the
+    // index — q22's checkpoint pattern applied to content dedup).
+    ("q110_incremental_dedup", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      // "New crawl" = genuinely-new docs (%10==0) plus RE-CRAWLED copies of
+      // corpus docs under fresh ids — the anti-join must drop exactly the
+      // re-crawls (their text already fingerprints into the corpus index).
+      val fresh = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select("doc_id", "text")
+      val recrawled = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0 &&
+          pmod(col("doc_id"), lit(7)) === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val index = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+      fresh.union(recrawled)
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+        .join(index, Seq("fp"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
+    }, Some("""
+      WITH corpus AS (
+        SELECT DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        FROM documents WHERE doc_id % 10 <> 0),
+      batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+        WHERE doc_id % 10 <> 0 AND doc_id % 7 = 1)
+      SELECT doc_id FROM batch
+      WHERE md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+            NOT IN (SELECT fp FROM corpus)
+      ORDER BY doc_id""")),
+
     // Domain-mix rebalance: downsample every language stratum to the
     // smallest one's size with per-stratum hash-gate rates computed from
     // the data (floor(min·100/count)); the oracle recomputes the rates and
