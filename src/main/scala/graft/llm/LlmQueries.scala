@@ -905,6 +905,29 @@ object LlmQueries {
             NOT IN (SELECT fp FROM corpus)
       ORDER BY doc_id""")),
 
+    // INCREMENTAL MinHash-LSH: the near-dup form of q110's flow — the new
+    // batch (doc_id % 10 == 0) is signed and banded against the corpus's
+    // PERSISTED signature index; the corpus text is never re-read, and
+    // the band join is linear in the batch. The oracle replays the XXH64
+    // signatures for both sides and restricts candidates to batch×corpus.
+    ("q111_incremental_neardup", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      // The "stored" index: in production this is read back from parquet.
+      val index = NearDup.minhashSignatures(corpus, "doc_id", "text",
+          n = 3, k = 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val res = NearDup.minhashLshAgainstIndex(batch, "doc_id", "text",
+          index, n = 3, bands = 16, rowsPerBand = 4, tau = 0.5)
+        .orderBy("d1", "d2")
+      val out = res.localCheckpoint(true)
+      index.unpersist()
+      out
+    }, Some(XxHashOracle.minhashIncrementalSql(n = 3, bands = 16,
+      rowsPerBand = 4, tau = 0.5,
+      batchPred = "DOCID % 10 = 0", corpusPred = "DOCID % 10 <> 0"))),
+
     // Domain-mix rebalance: downsample every language stratum to the
     // smallest one's size with per-stratum hash-gate rates computed from
     // the data (floor(min·100/count)); the oracle recomputes the rates and

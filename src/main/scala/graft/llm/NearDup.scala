@@ -174,51 +174,101 @@ object NearDup {
     * Probability a pair with true Jaccard s becomes a candidate:
     * 1 - (1 - s^r)^b — with b=16, r=4: >0.99 for s>=0.8.
     * Output: d1, d2, est_jaccard. */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, bands: Int, rowsPerBand: Int, tau: Double): DataFrame = {
-    val k = bands * rowsPerBand
+  /** The (doc_id, sig) MinHash signature frame — ONE shuffle of k
+    * codegen'd min-aggregates over the exploded gram stream. This is the
+    * frame a production corpus PERSISTS as its near-dup index (k longs
+    * per document); [[minhashLshPairs]] builds it on the fly, and
+    * [[minhashLshAgainstIndex]] dedups a new batch against a stored one. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
     val hashed = gramsOf(docs, idCol, textCol, n).select(
       col("doc_id"),
       xxhash64(col("gram")).as("h"))
     val minAggs = (0 until k).map(i =>
       min(xxhash64(lit(i), col("h"))).as(s"__m$i"))
+    hashed.groupBy("doc_id")
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+  }
+
+  /** (doc_id, band, bucket) LSH banding of a signature frame; the bucket
+    * is the 64-bit hash of the band's signature slice (an 8-byte join
+    * key, not an r-long array). */
+  private def bandedOf(sigs: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+  }
+
+  private def scorePairs(cand: DataFrame, sigs1: DataFrame, sigs2: DataFrame,
+      k: Int, tau: Double): DataFrame =
+    cand
+      .join(sigs1, Seq("d1"))
+      .join(sigs2, Seq("d2"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
+          b => b)).cast("double") / lit(k))
+      .filter(col("est_jaccard") >= tau)
+      .select(col("d1"), col("d2"), col("est_jaccard"))
+
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, tau: Double): DataFrame = {
+    val k = bands * rowsPerBand
     // Materialize the signature index once (one row + k longs per doc — the
     // persisted MinHash index at corpus scale): the banding self-join below
     // would otherwise recompute the whole gram->signature aggregation on
     // BOTH join sides. Persisted (not localCheckpoint) so it can be
     // released after the result materializes, like the jaccard path.
-    val sigs = hashed.groupBy("doc_id")
-      .agg(minAggs.head, minAggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
-    }
     // Buckets carry ONLY ids: candidate pairs dedup on two longs, and the
     // k-long signature arrays are re-attached afterwards for scoring —
     // the same shuffle discipline as the embedding LSH path.
-    val banded = sigs.select(col("doc_id"),
-        explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = bandedOf(sigs, bands, rowsPerBand)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .dropDuplicates("d1", "d2")
-    val out = cand
-      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), Seq("d1"))
-      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), Seq("d2"))
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
-          b => b)).cast("double") / lit(bands * rowsPerBand))
-      .filter(col("est_jaccard") >= tau)
-      .select(col("d1"), col("d2"), col("est_jaccard"))
+    val out = scorePairs(cand,
+      sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")),
+      sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), k, tau)
     // Eager-materialize the small pair set, then release the sig cache.
     val res = out.localCheckpoint(true)
     sigs.unpersist()
+    res
+  }
+
+  /** INCREMENTAL MinHash-LSH: near-dup matches of a NEW batch against a
+    * persisted corpus signature index (`corpusSigs`: (doc_id, sig) as
+    * produced by [[minhashSignatures]]) — the daily-crawl flow. Only the
+    * batch is re-signed; the corpus text is never touched, and the band
+    * join is batch-bands × corpus-bands (|batch|·bands rows against the
+    * index — linear in the batch, not the corpus). Output: (d1 = batch
+    * doc, d2 = corpus doc, est_jaccard >= tau). */
+  def minhashLshAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
+      corpusSigs: DataFrame, n: Int, bands: Int, rowsPerBand: Int,
+      tau: Double): DataFrame = {
+    val k = bands * rowsPerBand
+    val bSigs = minhashSignatures(batch, idCol, textCol, n, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bandedOf(bSigs, bands, rowsPerBand).as("a")
+      .join(bandedOf(corpusSigs, bands, rowsPerBand).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .dropDuplicates("d1", "d2")
+    val out = scorePairs(cand,
+      bSigs.select(col("doc_id").as("d1"), col("sig").as("sig1")),
+      corpusSigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), k, tau)
+    val res = out.localCheckpoint(true)
+    bSigs.unpersist()
     res
   }
 

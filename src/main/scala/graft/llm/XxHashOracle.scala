@@ -180,7 +180,9 @@ object XxHashOracle {
     * engine call site. Buckets group on the raw signature slice — the
     * engine hashes the slice first, but equal slices hash equal and
     * distinct-slice collisions are ~2^-64 (would only ADD candidates). */
-  def minhashSql(n: Int, bands: Int, rowsPerBand: Int, tau: Double): String = {
+  /** Shared CTE prefix through per-band buckets (`banded`), plus the
+    * signature-agreement scorer, parameterized by the candidate join. */
+  private def minhashPrefix(n: Int, bands: Int, rowsPerBand: Int): String = {
     val k = bands * rowsPerBand
     s"""
     WITH ${gramCtes(n)},
@@ -195,10 +197,10 @@ object XxHashOracle {
     banded AS (SELECT doc_id, b,
         list_slice(sig, CAST($rowsPerBand*b+1 AS INT),
           CAST($rowsPerBand*b+$rowsPerBand AS INT)) AS bucket, sig
-      FROM sigarr, (SELECT unnest(range($bands)) AS b)),
-    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      FROM banded a JOIN banded b
-        ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      FROM sigarr, (SELECT unnest(range($bands)) AS b))"""
+  }
+
+  private def minhashScore(k: Int, tau: Double): String = s"""
     scored AS (SELECT d1, d2,
         CAST(len(list_filter(range(1, ${k + 1}),
           k -> s1.sig[CAST(k AS INT)] = s2.sig[CAST(k AS INT)])) AS DOUBLE) / $k
@@ -207,5 +209,28 @@ object XxHashOracle {
       JOIN sigarr s2 ON s2.doc_id = d2)
     SELECT d1, d2, est_jaccard FROM scored WHERE est_jaccard >= $tau
     ORDER BY d1, d2"""
+
+  def minhashSql(n: Int, bands: Int, rowsPerBand: Int, tau: Double): String = {
+    val k = bands * rowsPerBand
+    s"""${minhashPrefix(n, bands, rowsPerBand)},
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    ${minhashScore(k, tau)}"""
+  }
+
+  /** Incremental variant: candidates are batch × corpus, where the two
+    * predicates (over the placeholder `DOCID`) partition the id space —
+    * replays [[graft.llm.NearDup.minhashLshAgainstIndex]]. */
+  def minhashIncrementalSql(n: Int, bands: Int, rowsPerBand: Int, tau: Double,
+      batchPred: String, corpusPred: String): String = {
+    val k = bands * rowsPerBand
+    val bp = batchPred.replace("DOCID", "a.doc_id")
+    val cp = corpusPred.replace("DOCID", "b.doc_id")
+    s"""${minhashPrefix(n, bands, rowsPerBand)},
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.bucket = b.bucket AND ($bp) AND ($cp)),
+    ${minhashScore(k, tau)}"""
   }
 }

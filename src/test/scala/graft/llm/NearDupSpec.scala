@@ -74,6 +74,25 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("incremental LSH = full LSH pairs restricted to the batch/corpus cut") {
+    val docs = Tables(spark, sfDir, "documents")
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val index = NearDup.minhashSignatures(corpus, "doc_id", "text", 3, 64)
+    val inc = NearDup.minhashLshAgainstIndex(batch, "doc_id", "text",
+        index, n = 3, bands = 16, rowsPerBand = 4, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Full-corpus pairs crossing the cut, reoriented batch -> corpus.
+    val full = NearDup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        if (a % 10 == 0 && b % 10 != 0) Some((a, b))
+        else if (b % 10 == 0 && a % 10 != 0) Some((b, a))
+        else None
+      }.toSet
+    assert(inc == full && inc.nonEmpty)
+  }
+
   test("word n-grams: count and content") {
     import spark.implicits._
     val toks = Seq("a b c d").toDF("text")
