@@ -1513,7 +1513,7 @@ object RelQueries {
         lpad(n_name, 12, '*') AS padded,
         repeat(substring(n_name, 1, 3), 2) AS rep
       FROM nation ORDER BY n_nationkey"""))
-  )
+  ) ++ lateEntries
 
   private def aggFilterSql = """
     SELECT o_orderpriority,
@@ -1522,6 +1522,49 @@ object RelQueries {
       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
            FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_f
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  private def lateEntries: Seq[(String, Q, Option[String])] = Seq(
+
+    // S7 WRITE leg: Spark lands a dimension INTO the RDBMS with
+    // df.write.jdbc (the export direction q74's import leg doesn't cover),
+    // then reads it back range-partitioned. Fidelity proven against the
+    // original parquet via the oracle.
+    ("q112_jdbc_write_roundtrip", (s: SparkSession, d: String) => {
+      val url = s"jdbc:derby:memory:graftw_${new java.io.File(d).getName.replace('.', '_')};create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try st.execute("DROP TABLE region_out")
+        catch { case _: java.sql.SQLException => () }
+        st.close()
+      } finally conn.close()
+      t(s, d, "region").select(col("r_regionkey"), col("r_name"))
+        .write.mode("append").jdbc(url, "region_out", new java.util.Properties)
+      graft.sources.Sources.jdbcTable(s, url, "region_out",
+          partitionColumn = Some(("r_regionkey", 0L, 5L, 2)))
+        .orderBy("r_regionkey")
+    }, Some("""
+      SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""")),
+
+    // Nested construct/flatten round-trip: line rows fold into a per-order
+    // SORTED array-of-structs (sort_array makes collect_list's
+    // nondeterministic gather order canonical — the only way a nested
+    // build is retry-safe), then explode back to flat rows. The oracle
+    // reads the original flat relation, so the compare proves the nest ⇄
+    // flatten cycle is lossless and deterministic.
+    ("q113_nested_roundtrip", (s: SparkSession, d: String) => {
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(struct(col("o_orderkey"),
+          col("o_orderpriority")))).as("orders_nested"))
+        .select(col("o_custkey"), explode(col("orders_nested")).as("o"))
+        .select(col("o_custkey"), col("o.o_orderkey").as("o_orderkey"),
+          col("o.o_orderpriority").as("o_orderpriority"))
+        .orderBy("o_custkey", "o_orderkey")
+    }, Some("""
+      SELECT o_custkey, o_orderkey, o_orderpriority FROM orders
+      ORDER BY o_custkey, o_orderkey"""))
+  )
 
   // def, not val: referenced from `entries` above during object init.
   private def dateSpineSql = """
