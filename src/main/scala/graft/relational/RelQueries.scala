@@ -1563,7 +1563,117 @@ object RelQueries {
         .orderBy("o_custkey", "o_orderkey")
     }, Some("""
       SELECT o_custkey, o_orderkey, o_orderpriority FROM orders
-      ORDER BY o_custkey, o_orderkey"""))
+      ORDER BY o_custkey, o_orderkey""")),
+
+    // TPC-H Q4 shape: order-priority counts over orders with at least one
+    // late line (EXISTS -> left-semi decorrelation; the q59 family's
+    // simplest member, kept because it is the canonical priority report).
+    ("q114_tpch_q4_shape", (s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .select("l_orderkey")
+      t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // TPC-H Q15 shape: the top-revenue supplier(s) — a per-supplier
+    // revenue view joined against its own global MAX (scalar subquery);
+    // revenue is exact decimal end-to-end and the max row is selected by
+    // decimal equality, so ties and boundaries replay exactly.
+    ("q115_tpch_q15_shape", (s: SparkSession, d: String) => {
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-07-01"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(revenue).as("total_rev"))
+      val top = rev.agg(max(col("total_rev")).as("mx"))
+      rev.join(broadcast(top), col("total_rev") === col("mx"))
+        .join(t(s, d, "supplier"), col("supplier_no") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }, Some(s"""
+      WITH rev AS (SELECT l_suppkey AS supplier_no,
+          SUM($oRev) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-07-01'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+      FROM rev JOIN supplier ON supplier_no = s_suppkey
+      WHERE total_rev = (SELECT max(total_rev) FROM rev)
+      ORDER BY s_suppkey""")),
+
+    // TPC-H Q11 shape: parts holding an outsized share of total inventory
+    // value — a grouped sum compared against a fraction of the GLOBAL sum.
+    // The share threshold is division-free (part_value * 500 > total) in
+    // exact decimal, so the boundary cannot rot across engines; the 1-row
+    // global total broadcasts into the group filter.
+    ("q116_tpch_q11_shape", (s: SparkSession, d: String) => {
+      val value = Exact.dec(col("l_extendedprice"), 12) * qty
+      val perPart = t(s, d, "lineitem")
+        .groupBy("l_partkey").agg(sum(value).as("part_value"))
+      val total = perPart.agg(sum(col("part_value")).as("total_value"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("part_value") * 500 > col("total_value"))
+        .select(col("l_partkey"),
+          col("part_value").cast("double").as("part_value"))
+        .orderBy("l_partkey")
+    }, Some(s"""
+      WITH pv AS (SELECT l_partkey,
+          SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * $oQty) AS part_value
+        FROM lineitem GROUP BY 1)
+      SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+      FROM pv, (SELECT SUM(part_value) AS total_value FROM pv)
+      WHERE part_value * 500 > total_value
+      ORDER BY l_partkey""")),
+
+    // TPC-H Q16 shape: distinct-supplier counts per (brand, size) for
+    // non-excluded parts — suppliers with a high returned-on-finished
+    // line RATE are blacklisted via an aggregated exclusion list
+    // (NOT IN -> anti-join). The rate test is exact-integer
+    // (100·n_rf > 11·n), so the blacklist boundary replays exactly.
+    ("q117_tpch_q16_shape", (s: SparkSession, d: String) => {
+      val excluded = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey").as("x_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("l_returnflag") === "R" &&
+            col("o_orderstatus") === "F", lit(1))).as("nrf"))
+        .filter(col("nrf") * 100 > col("n") * 11)
+        .select("x_suppkey")
+      t(s, d, "lineitem")
+        .join(t(s, d, "part").filter(col("p_size") <= 25),
+          col("l_partkey") === col("p_partkey"))
+        .join(excluded, col("l_suppkey") === col("x_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    }, Some("""
+      WITH excl AS (
+        SELECT l_suppkey FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+        HAVING COUNT(*) FILTER (WHERE l_returnflag = 'R'
+                 AND o_orderstatus = 'F') * 100 > COUNT(*) * 11)
+      SELECT p_brand, p_size,
+        CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size <= 25
+        AND l_suppkey NOT IN (SELECT l_suppkey FROM excl)
+      GROUP BY 1, 2
+      ORDER BY supplier_cnt DESC, p_brand, p_size"""))
   )
 
   // def, not val: referenced from `entries` above during object init.
