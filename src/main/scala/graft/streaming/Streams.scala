@@ -292,6 +292,65 @@ object Streams {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** [[userTotalsWithTimeout]] rebuilt on `transformWithState` EVENT-TIME
+    * TIMERS: each input re-registers the user's expiry timer at
+    * maxTs + gap (deleting the old one — timers are explicit objects in
+    * this API, not a single per-group timeout slot), and when the
+    * watermark passes a timer, `handleExpiredTimer` emits the closing row
+    * and clears the state. Same bounded-state contract as the fMGWS
+    * version: state tracks ACTIVE users only. */
+  class TotalsWithTimersProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double, java.sql.Timestamp), (Long, Long, Double, Boolean)] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[(Long, Double, Long)] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double, Long)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Double, java.sql.Timestamp)],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Double, Boolean)] = {
+      val (n0, v0, ts0) =
+        if (st.exists()) st.get() else (0L, 0.0, Long.MinValue)
+      var n = n0; var v = v0; var maxTs = ts0
+      rows.foreach { r =>
+        n += 1; v += r._2; maxTs = math.max(maxTs, r._3.getTime)
+      }
+      if (ts0 != Long.MinValue) getHandle.deleteTimer(ts0 + gapMs)
+      getHandle.registerTimer(maxTs + gapMs)
+      st.update((n, v, maxTs))
+      Iterator.single((user, n, v, false))
+    }
+    override def handleExpiredTimer(user: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long, Double, Boolean)] = {
+      val (n, v, _) = st.get()
+      st.clear()
+      Iterator.single((user, n, v, true))
+    }
+  }
+
+  def userTotalsWithTimersTws(spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame, gapMs: Long): DataFrame = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("value"), col("ts"))
+      .as[(Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new TotalsWithTimersProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("user_id", "n_events", "total_value", "closed")
+  }
+
   /** Sessionization over the stream (gap-based windows). */
   def sessionize(events: DataFrame, gap: String = "1 hour"): DataFrame =
     events

@@ -264,6 +264,47 @@ class StreamsSpec extends SparkSpec {
     assert(!rows.contains((1L, 2L, 9.0, false)), s"state not evicted: $rows")
   }
 
+  test("transformWithState timers: idle users close and restart fresh") {
+    val srcDir = tmp("src"); val ckDir = tmp("ck")
+    def push(rows: Seq[(String, Long, String, Double)]): Unit =
+      rows.toDF("ts", "user_id", "event_type", "value")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    val schemaV = StructType(schema.fields :+ StructField("value", DoubleType))
+    push(Seq(("2024-01-01 10:00:00", 1L, "a", 2.0)))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(schemaV).parquet(srcDir)
+      val sink = s"twst_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = Streams.userTotalsWithTimersTws(spark, stream, gapMs = 3600 * 1000L)
+        .writeStream.outputMode("update").format("memory")
+        .queryName(sink).option("checkpointLocation", ckDir).start()
+      q.processAllAvailable()
+      // Advance the watermark past user 1's 1h idle bound...
+      push(Seq(("2024-01-01 13:00:00", 9L, "a", 1.0)))
+      q.processAllAvailable()
+      // ...and a later batch: user 1's timer has fired (closing row), so
+      // their next event starts a FRESH count.
+      push(Seq(("2024-01-01 14:00:00", 1L, "a", 7.0)))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table(sink)
+        .as[(Long, Long, Double, Boolean)].collect().toSet
+      assert(rows.contains((1L, 1L, 2.0, false)), rows)
+      assert(rows.contains((1L, 1L, 2.0, true)), rows)   // timer-close row
+      assert(rows.contains((1L, 1L, 7.0, false)), rows)  // fresh count
+      assert(!rows.contains((1L, 2L, 9.0, false)), s"state not evicted: $rows")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("stream-stream LEFT OUTER join: unmatched purchases null-extend on close") {
     val srcDir = tmp("src"); val outDir = tmp("out"); val ckDir = tmp("ck")
     def push(rows: Seq[(String, Long, String, Long)]): Unit =
