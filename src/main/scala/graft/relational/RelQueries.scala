@@ -1673,7 +1673,46 @@ object RelQueries {
       WHERE p_size <= 25
         AND l_suppkey NOT IN (SELECT l_suppkey FROM excl)
       GROUP BY 1, 2
-      ORDER BY supplier_cnt DESC, p_brand, p_size"""))
+      ORDER BY supplier_cnt DESC, p_brand, p_size""")),
+
+    // STREAMING session windows through the gate (q24's semantics on the
+    // real session_window operator): the events file stream aggregates
+    // per-user gap-merged sessions in complete mode — session_window's
+    // exclusive-gap merge rule ([t, last+gap); an event at exactly
+    // last+gap opens a NEW session) is precisely q24's >=-gap
+    // gaps-and-islands definition, which is what the oracle computes.
+    ("q118_stream_session_window", (s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val stream = s.readStream.schema(raw.schema)
+        .option("basePath", d).parquet(s"$d/events.parque[t]")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+      val sink = s"q118_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = stream.writeStream.format("memory")
+        .queryName(sink).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy("user_id", "session_start")
+    }, Some("""
+      WITH x AS (SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 1 HOUR
+               THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      y AS (SELECT user_id, ts,
+          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+        FROM x)
+      SELECT user_id, min(ts) AS session_start,
+        max(ts) + INTERVAL 1 HOUR AS session_end,
+        COUNT(*) AS n_events
+      FROM y GROUP BY user_id, sid ORDER BY user_id, session_start"""))
   )
 
   // def, not val: referenced from `entries` above during object init.
