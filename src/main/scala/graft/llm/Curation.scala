@@ -188,4 +188,27 @@ object Curation {
     pruned.withColumn("__rk", row_number().over(wGlobal))
       .filter(col("__rk") <= k).drop("__rk")
   }
+
+  /** Corpus n-gram language-model statistics: token frequency and
+    * document frequency for every word n-gram of each order in
+    * `1 to maxN` — the count table behind LM smoothing, contamination
+    * audits, and infini-gram-style lookups. One explode + one shuffle per
+    * order (partial counts combine map-side), unioned; at 100 TB this is
+    * the job that builds the persisted n-gram store, and `minTf` prunes
+    * the hapax tail before it is ever shuffled... after counting — the
+    * filter cuts the OUTPUT (and the store), not the count shuffle.
+    *
+    * Output: (n, gram, tf, df) — tf = total occurrences (bag count),
+    * df = distinct documents containing the gram. */
+  def ngramStats(docs: DataFrame, idCol: String, textCol: String,
+      maxN: Int, minTf: Long = 1L): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    (1 to maxN).map { n =>
+      docs.select(col(idCol).as("doc_id"),
+          explode(NearDup.wordNgrams(toks, n)).as("gram"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .select(lit(n).as("n"), col("gram"), col("tf"), col("df"))
+    }.reduce(_.unionByName(_)).filter(col("tf") >= minTf)
+  }
 }

@@ -928,6 +928,29 @@ object LlmQueries {
       rowsPerBand = 4, tau = 0.5,
       batchPred = "DOCID % 10 = 0", corpusPred = "DOCID % 10 <> 0"))),
 
+    // Corpus n-gram LM statistics: tf + df for every uni/bigram with
+    // tf >= 3 — the persisted count store behind smoothing and
+    // contamination audits; one shuffle per order, map-side-combined.
+    ("q119_ngram_lm_stats", (s: SparkSession, d: String) => {
+      Curation.ngramStats(t(s, d, "documents"), "doc_id", "text",
+          maxN = 2, minTf = 3L)
+        .orderBy("n", "gram")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      g1 AS (SELECT doc_id, unnest(toks) AS gram FROM t),
+      g2 AS (SELECT doc_id,
+          unnest(CASE WHEN len(toks) >= 2
+            THEN list_transform(range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i+1])
+            ELSE [array_to_string(toks, ' ')] END) AS gram FROM t),
+      u AS (SELECT 1 AS n, gram, doc_id FROM g1
+            UNION ALL SELECT 2, gram, doc_id FROM g2)
+      SELECT CAST(n AS INT) AS n, gram, COUNT(*) AS tf,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM u GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      ORDER BY n, gram""")),
+
     // Domain-mix rebalance: downsample every language stratum to the
     // smallest one's size with per-stratum hash-gate rates computed from
     // the data (floor(min·100/count)); the oracle recomputes the rates and
