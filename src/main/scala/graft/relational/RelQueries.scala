@@ -1712,7 +1712,36 @@ object RelQueries {
       SELECT user_id, min(ts) AS session_start,
         max(ts) + INTERVAL 1 HOUR AS session_end,
         COUNT(*) AS n_events
-      FROM y GROUP BY user_id, sid ORDER BY user_id, session_start"""))
+      FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
+    // DataSourceV2 WRITE connector round-trip: events land through the
+    // BatchWrite API (graft.sources.v2.AvroDaySink — per-task staged
+    // files, commit-coordinated rename publish) as day-partitioned Avro
+    // container files, and one day is read back through the OCF source.
+    // The oracle filters the ORIGINAL parquet to the same day, proving
+    // the connector's task-commit protocol loses and duplicates nothing.
+    ("q120_dsv2_sink_roundtrip", (s: SparkSession, d: String) => {
+      val base = s"/tmp/graft_dsv2/${new java.io.File(d).getName}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .repartition(col("day"))
+        .write.format("graft.sources.v2.AvroDaySink")
+        .option("path", base).mode("append").save()
+      import org.apache.spark.sql.types._
+      val sch = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("day", StringType)))
+      AvroOcf.read(s, s"$base/day=2024-01-05",
+          AvroSerDe.avroSchemaFor("SinkRecord", sch), sch)
+        .orderBy("event_id")
+    }, Some("""
+      SELECT event_id, user_id, value,
+        strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      FROM events
+      WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') = '2024-01-05'
+      ORDER BY event_id"""))
   )
 
   // def, not val: referenced from `entries` above during object init.
