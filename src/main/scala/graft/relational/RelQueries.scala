@@ -1515,6 +1515,14 @@ object RelQueries {
       FROM nation ORDER BY n_nationkey"""))
   ) ++ lateEntries
 
+  private def lateralSql = """
+    SELECT n.n_nationkey, n.n_name, l.c_custkey, l.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
+    ORDER BY n.n_nationkey, l.c_acctbal DESC, l.c_custkey"""
+
   private def aggFilterSql = """
     SELECT o_orderpriority,
       COUNT(*) AS n,
@@ -1713,6 +1721,16 @@ object RelQueries {
         max(ts) + INTERVAL 1 HOUR AS session_end,
         COUNT(*) AS n_events
       FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
+    // §2.5 — correlated LATERAL subquery with ORDER BY + LIMIT (the
+    // per-row top-k join SQL users write instead of a window), SAME SQL
+    // text on both engines so the oracle checks Spark's lateral
+    // decorrelation itself.
+    ("q121_lateral_topk", (s: SparkSession, d: String) => {
+      t(s, d, "nation").createOrReplaceTempView("nation")
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      s.sql(lateralSql)
+    }, Some(lateralSql)),
 
     // DataSourceV2 WRITE connector round-trip: events land through the
     // BatchWrite API (graft.sources.v2.AvroDaySink — per-task staged
