@@ -80,6 +80,39 @@ class SkewSinksSpec extends SparkSpec {
       s"expected partition pruning in plan:\n$plan")
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
+    import spark.implicits._
+    // 90% of left rows share one key — the shape AQE's skew-join rule
+    // exists for. Thresholds forced low so the ~KB test partitions
+    // qualify as "skewed"; at production scale the defaults fire on the
+    // same plan. ops.Skew's salting remains for the cases AQE cannot
+    // rewrite (aggregations, custom execs).
+    val left = (0 until 20000)
+      .map(i => (if (i % 10 != 0) 7L else i.toLong, i.toLong)).toDF("k", "v")
+    val right = (0L until 100L).map(k => (k, k * 2)).toDF("k", "w")
+    val prior = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "10KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
+    try {
+      val joined = left.join(right, "k")
+      // collect() (not count()) so THIS plan executes and AQE finalizes it;
+      // 18000 hot-key rows + the 10 cold keys < 100 that match the right.
+      assert(joined.collect().length == 18010)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-join rewrite in:\n$plan")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("compact collapses a fragmented sink dir, preserving contents") {
     val base = Files.createTempDirectory("compact").toString + "/t"
     val ev = Tables(spark, sfDir, "events").select("event_id", "user_id")
