@@ -1732,6 +1732,43 @@ object RelQueries {
       s.sql(lateralSql)
     }, Some(lateralSql)),
 
+    // §2.5 — MapType construction and explosion: per-user event-type
+    // counts folded into a map column (entries SORTED before
+    // map_from_entries — collect_list's gather order is nondeterministic,
+    // and map iteration follows insertion order) and exploded back. The
+    // oracle is the plain grouped relation, so the compare proves the
+    // map round-trip is lossless and deterministically ordered.
+    ("q122_map_roundtrip", (s: SparkSession, d: String) => {
+      t(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("event_type"), col("n"))))).as("m"))
+        .select(col("user_id"), explode(col("m")).as(Seq("event_type", "n")))
+        .orderBy("user_id", "event_type")
+    }, Some("""
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""")),
+
+    // §2.6 — the aggregate/zip_with higher-order-function pair on
+    // embeddings: squared norm as a sequential left-to-right fold, which
+    // is bit-identical to DuckDB's list_dot_product (same accumulation
+    // order — the determinism contract the cosine oracle already relies
+    // on). Norm ranks, not raw floats, would be the robust output at
+    // scale; here the doubles themselves replay.
+    ("q123_hof_dot_product", (s: SparkSession, d: String) => {
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .select(col("vec_id"),
+          aggregate(zip_with(col("e"), col("e"), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x).as("norm_sq"))
+        .orderBy("vec_id")
+    }, Some("""
+      SELECT vec_id,
+        list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS norm_sq
+      FROM embeddings ORDER BY vec_id""")),
+
     // DataSourceV2 WRITE connector round-trip: events land through the
     // BatchWrite API (graft.sources.v2.AvroDaySink — per-task staged
     // files, commit-coordinated rename publish) as day-partitioned Avro
