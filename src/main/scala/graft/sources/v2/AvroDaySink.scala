@@ -31,9 +31,17 @@ import org.apache.spark.util.SerializableConfiguration
   * collide. At 100 TB each task holds ONE open writer per day it sees —
   * sort/repartition by the day column upstream to bound that at one.
   *
+  * The STREAMING leg reuses the same writers with EPOCH-stable file
+  * names (`part-e<epoch>-<partition>.avro`): a replayed micro-batch
+  * rewrites exactly the files its first attempt produced (delete +
+  * rename publish), so the sink is idempotent per epoch — the
+  * exactly-once contract a checkpointed query expects from its sink.
+  *
   * Usage:
   *   df.write.format("graft.sources.v2.AvroDaySink")
   *     .option("path", dir).option("dayCol", "day").mode("append").save()
+  *   df.writeStream.format("graft.sources.v2.AvroDaySink")
+  *     .option("path", dir).option("checkpointLocation", ck).start()
   */
 class AvroDaySink extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
@@ -51,12 +59,15 @@ class AvroDaySinkTable(writeSchema: StructType, path: String, dayCol: String)
   override def name(): String = s"avrodaysink[$path]"
   override def schema(): StructType = writeSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE).asJava
+    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new AvroDayBatchWrite(info.schema(), path, dayCol)
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new AvroDayStreamingWrite(info.schema(), path, dayCol)
       }
     }
 }
@@ -81,6 +92,31 @@ class AvroDayBatchWrite(schema: StructType, path: String, dayCol: String)
     }
 }
 
+class AvroDayStreamingWrite(schema: StructType, path: String, dayCol: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  private val conf = new SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val avroJson = graft.ops.AvroSerDe.avroSchemaFor("SinkRecord", schema)
+    val sch = schema
+    val (p, dc, c) = (path, dayCol, conf)
+    (partitionId: Int, taskId: Long, epochId: Long) =>
+      // Epoch-stable names: a replayed epoch regenerates the same file
+      // set and the writer replaces it atomically (exactly-once sink).
+      new AvroDayWriter(sch, avroJson, p, dc, c,
+        s"e$epochId-$partitionId", replaceExisting = true)
+  }
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: AvroDayCommit => m }.foreach { m =>
+      val fs = new Path(path).getFileSystem(conf.value)
+      m.files.foreach(f => fs.delete(new Path(f), false))
+    }
+}
+
 case class AvroDayCommit(files: Seq[String]) extends WriterCommitMessage
 
 class AvroDayWriterFactory(schema: StructType, avroJson: String, path: String,
@@ -88,12 +124,13 @@ class AvroDayWriterFactory(schema: StructType, avroJson: String, path: String,
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new AvroDayWriter(schema, avroJson, path, dayCol, conf, partitionId, taskId)
+    new AvroDayWriter(schema, avroJson, path, dayCol, conf,
+      f"$partitionId%05d-$taskId%d", replaceExisting = false)
 }
 
 class AvroDayWriter(schema: StructType, avroJson: String, path: String,
-    dayCol: String, conf: SerializableConfiguration, partitionId: Int,
-    taskId: Long) extends DataWriter[InternalRow] {
+    dayCol: String, conf: SerializableConfiguration, fileTag: String,
+    replaceExisting: Boolean) extends DataWriter[InternalRow] {
   private val avroSchema = new org.apache.avro.Schema.Parser().parse(avroJson)
   private val dayIdx = schema.fieldIndex(dayCol)
   private val fs = new Path(path).getFileSystem(conf.value)
@@ -104,8 +141,8 @@ class AvroDayWriter(schema: StructType, avroJson: String, path: String,
   private def writerFor(day: String) = open.getOrElseUpdate(day, {
     val dir = new Path(path, s"day=$day")
     fs.mkdirs(dir)
-    val fin = new Path(dir, f"part-$partitionId%05d-$taskId%d.avro")
-    val tmp = new Path(dir, f".part-$partitionId%05d-$taskId%d.avro.tmp")
+    val fin = new Path(dir, s"part-$fileTag.avro")
+    val tmp = new Path(dir, s".part-$fileTag.avro.tmp")
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](avroSchema))
     w.create(avroSchema, fs.create(tmp, true))
@@ -139,6 +176,7 @@ class AvroDayWriter(schema: StructType, avroJson: String, path: String,
   override def commit(): WriterCommitMessage = {
     val files = open.values.map { case (tmp, fin, w) =>
       w.close()
+      if (replaceExisting && fs.exists(fin)) fs.delete(fin, false)
       if (!fs.rename(tmp, fin))
         sys.error(s"cannot publish $tmp -> $fin")
       fin.toString

@@ -40,6 +40,35 @@ class AvroDaySinkSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("streaming leg: two checkpointed micro-batches land epoch-named files") {
+    val src = Files.createTempDirectory("daysrc").toString
+    val base = Files.createTempDirectory("daysink").toString + "/t"
+    val ck = Files.createTempDirectory("dayck").toString
+    def push(rows: Seq[(Long, Long, Double, String)]): Unit =
+      rows.toDF("event_id", "user_id", "value", "day")
+        .coalesce(1).write.mode("append").parquet(src)
+    push(Seq((1L, 10L, 1.0, "2024-03-01"), (2L, 11L, 2.0, "2024-03-02")))
+    val stream = spark.readStream.schema(sch).parquet(src)
+    val q = stream.writeStream.format("graft.sources.v2.AvroDaySink")
+      .option("path", base).option("checkpointLocation", ck).start()
+    q.processAllAvailable()
+    push(Seq((3L, 12L, 3.0, "2024-03-01")))
+    q.processAllAvailable()
+    q.stop()
+    val days = new java.io.File(base).listFiles().map(_.getName).sorted
+    assert(days.toSeq == Seq("day=2024-03-01", "day=2024-03-02"), days.mkString(","))
+    val names = new java.io.File(base).listFiles().flatMap(_.listFiles())
+      .map(_.getName).filterNot(_.endsWith(".crc"))
+    assert(names.forall(n => n.startsWith("part-e") && n.endsWith(".avro")),
+      names.mkString(","))
+    val avroJson = AvroSerDe.avroSchemaFor("SinkRecord", sch)
+    val got = days.map(dd => AvroOcf.read(spark, s"$base/$dd", avroJson, sch))
+      .reduce(_.unionByName(_))
+      .as[(Long, Long, Double, String)].collect().toSet
+    assert(got == Set((1L, 10L, 1.0, "2024-03-01"), (2L, 11L, 2.0, "2024-03-02"),
+      (3L, 12L, 3.0, "2024-03-01")))
+  }
+
   test("a task spanning several days opens one writer per day, all published") {
     val base = Files.createTempDirectory("daysink").toString + "/t"
     val rows = Seq(
