@@ -337,6 +337,44 @@ object Streams {
     }
   }
 
+  /** ListState flavor of the new API: each user keeps their last `k`
+    * values as a bounded rolling list (append, re-put the trimmed tail) —
+    * the recent-history feature-serving shape; emits the current window
+    * per batch. ListState stores elements individually (RocksDB
+    * merge-append on write, no read-modify-write of a whole blob on
+    * append), which is what makes large per-key histories practical. */
+  class LastKProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), (Long, Seq[Double])] {
+    @transient private var hist:
+        org.apache.spark.sql.streaming.ListState[Double] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      hist = getHandle.getListState[Double]("hist",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Seq[Double])] = {
+      rows.foreach(r => hist.appendValue(r._2))
+      val all = hist.get().toSeq
+      val window = all.takeRight(k)
+      if (all.length > k) hist.put(window.toArray) // trim to the last k
+      Iterator.single((user, window))
+    }
+  }
+
+  def userLastKTws(spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new LastKProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("user_id", "last_k")
+  }
+
   def userTotalsWithTimersTws(spark: org.apache.spark.sql.SparkSession,
       events: DataFrame, gapMs: Long): DataFrame = {
     import spark.implicits._

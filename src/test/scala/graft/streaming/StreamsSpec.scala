@@ -264,6 +264,45 @@ class StreamsSpec extends SparkSpec {
     assert(!rows.contains((1L, 2L, 9.0, false)), s"state not evicted: $rows")
   }
 
+  test("transformWithState ListState: bounded last-k history per user") {
+    val srcDir = tmp("src"); val ckDir = tmp("ck")
+    def push(rows: Seq[(String, Long, String, Double)]): Unit =
+      rows.toDF("ts", "user_id", "event_type", "value")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    val schemaV = StructType(schema.fields :+ StructField("value", DoubleType))
+    push(Seq(("2024-01-01 10:00:00", 1L, "a", 1.0),
+             ("2024-01-01 10:01:00", 1L, "a", 2.0)))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // maxFilesPerTrigger=1 so the two pushes become ordered micro-batches.
+      val stream = spark.readStream.schema(schemaV)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val sink = s"lastk_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = Streams.userLastKTws(spark, stream, k = 3)
+        .writeStream.outputMode("update").format("memory")
+        .queryName(sink).option("checkpointLocation", ckDir).start()
+      q.processAllAvailable()
+      push(Seq(("2024-01-01 10:02:00", 1L, "a", 3.0),
+               ("2024-01-01 10:03:00", 1L, "a", 4.0)))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table(sink)
+        .as[(Long, Seq[Double])].collect().toSet
+      // batch 1: history [1,2]; batch 2 appends [3,4] -> trimmed to last 3.
+      assert(rows.contains((1L, Seq(1.0, 2.0))), rows)
+      assert(rows.contains((1L, Seq(2.0, 3.0, 4.0))), rows)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("transformWithState timers: idle users close and restart fresh") {
     val srcDir = tmp("src"); val ckDir = tmp("ck")
     def push(rows: Seq[(String, Long, String, Double)]): Unit =
