@@ -1796,8 +1796,157 @@ object RelQueries {
         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
       FROM events
       WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') = '2024-01-05'
-      ORDER BY event_id"""))
+      ORDER BY event_id""")),
+
+    // TPC-H Q6 shape: the forecasting revenue-change query — a pure
+    // scan-side predicate plus ONE exact-decimal aggregate, no join at
+    // all. Its whole value at scale is that every conjunct (date range,
+    // discount band, quantity cap) reaches the parquet scan as a pushed
+    // filter and the plan is scan -> partial agg -> final agg; pinned in
+    // PlanQualitySpec. Discount bounds compare the same parquet doubles
+    // against the same decimal literals in both engines.
+    ("q124_tpch_q6_shape", (s: SparkSession, d: String) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(price * disc).cast("double").as("revenue"))
+    }, Some(s"""
+      SELECT CAST(SUM($oPrice * $oDisc) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount >= 0.05 AND l_discount <= 0.07
+        AND l_quantity < 24""")),
+
+    // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    // join so zero-order customers land in the c_count = 0 bucket, with
+    // the order-side predicate inside the JOIN condition (in a WHERE it
+    // would silently turn the outer join inner, the classic Q13 trap).
+    // Both aggregations shuffle on small integer keys; counts stay BIGINT
+    // end-to-end.
+    ("q125_tpch_q13_shape", (s: SparkSession, d: String) => {
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+      t(s, d, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }, Some("""
+      SELECT c_count, COUNT(*) AS custdist
+      FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey) c_orders
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""")),
+
+    // TPC-H Q8 shape: national market share — the six-table dimension
+    // star (customer nation->region gates the market to ASIA, supplier
+    // nation tags each sale) with a per-year conditional share. The share
+    // is emitted as exact NUMERATOR and DENOMINATOR decimal sums instead
+    // of one division: the division's last-bit rounding is
+    // engine-specific, the two exact sums are not — consumers divide at
+    // the edge. Every dimension side is an explicit broadcast; only
+    // lineitem x orders shuffles.
+    ("q126_tpch_q8_shape", (s: SparkSession, d: String) => {
+      val custAsia = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val supNation = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+          .select(col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").filter(col("p_type") === "ECONOMY")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01") &&
+            col("o_orderdate") < lit("1997-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_7", revenue))
+            .cast("double").as("mkt_num"),
+          sum(revenue).cast("double").as("mkt_den"))
+        .orderBy("o_year")
+    }, Some(s"""
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        CAST(SUM(CASE WHEN n2.n_name = 'NATION_7' THEN $oRev END) AS DOUBLE) AS mkt_num,
+        CAST(SUM($oRev) AS DOUBLE) AS mkt_den
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1 ORDER BY o_year""")),
+
+    // TPC-H Q9 shape (adapted): product-type profit by supplier nation
+    // and order year. The testdata ships no partsupp table, so the profit
+    // measure drops the ps_supplycost term and is plain revenue; the
+    // SHAPE — a part-name LIKE filter fanned across lineitem, supplier
+    // nation + order year rollup over the full date range — is Q9's.
+    ("q127_tpch_q9_shape", (s: SparkSession, d: String) => {
+      val supNation = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+          .select(col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").filter(col("p_name").contains("widget"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("supp_nation").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(sum(revenue).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }, Some(s"""
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        CAST(SUM($oRev) AS DOUBLE) AS sum_profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1, 2 ORDER BY nation, o_year DESC""")),
+
+    // §2.5 SQL surface — GROUP BY ALL (infer the grouping set from the
+    // non-aggregate select items): the SAME SQL text runs on Spark and
+    // DuckDB, so the oracle checks Spark's grouping-inference itself, the
+    // q59/q104/q121 pattern applied to the newest SQL sugar.
+    ("q128_group_by_all", (s: SparkSession, d: String) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(groupByAllSql)
+    }, Some(groupByAllSql))
   )
+
+  // def, not val: referenced from `entries` during object init.
+  private def groupByAllSql = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
+      COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY l_returnflag, l_linestatus"""
 
   // def, not val: referenced from `entries` above during object init.
   private def dateSpineSql = """
