@@ -1722,6 +1722,45 @@ object RelQueries {
         COUNT(*) AS n_events
       FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
+    // STREAMING transformWithState (MapState) through the gate: the
+    // events file stream feeds the per-user per-event-type MapState
+    // counter (graft.streaming.Streams.TypeCountsProcessor) on the
+    // RocksDB state store — the only store provider transformWithState
+    // supports. Each batch emits every touched user's full current map;
+    // max(n) per (user, type) over the update-mode emissions is the final
+    // count, which the oracle recomputes as a plain batch GROUP BY. The
+    // provider conf is restored afterwards so the session's other
+    // streaming queries keep their default store.
+    ("q129_tws_map_counts", (s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prior = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val stream = s.readStream.schema(raw.schema)
+          .option("basePath", d).parquet(s"$d/events.parque[t]")
+          .select(col("user_id"), col("event_type"))
+        val out = graft.streaming.Streams.userTypeCountsTws(s, stream)
+        val sink = s"q129_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = out.writeStream.format("memory")
+          .queryName(sink).outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(sink).groupBy("user_id", "event_type")
+          .agg(max(col("n")).as("n"))
+          .orderBy("user_id", "event_type")
+      } finally {
+        prior match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None    => s.conf.unset(providerKey)
+        }
+      }
+    }, Some("""
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""")),
+
     // §2.5 — correlated LATERAL subquery with ORDER BY + LIMIT (the
     // per-row top-k join SQL users write instead of a window), SAME SQL
     // text on both engines so the oracle checks Spark's lateral
@@ -1936,7 +1975,38 @@ object RelQueries {
     ("q128_group_by_all", (s: SparkSession, d: String) => {
       t(s, d, "lineitem").createOrReplaceTempView("lineitem")
       s.sql(groupByAllSql)
-    }, Some(groupByAllSql))
+    }, Some(groupByAllSql)),
+
+    // S8 widening — the binaryFile source, Spark's scan for raw
+    // unstructured payloads (images/audio/documents landed one file
+    // each): documents are written one UTF-8 file per doc by a task-side
+    // writer, then read back through format("binaryFile") — (path,
+    // length, content) — with the id recovered from the filename and the
+    // bytes decoded. The oracle is the original documents relation, so
+    // the compare proves the file round-trip loses nothing and `length`
+    // really is the byte length (ASCII corpus: strlen == octet count).
+    ("q130_binaryfile_scan", (s: SparkSession, d: String) => {
+      val base = s"/tmp/graft_binfiles/${new java.io.File(d).getName}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      new java.io.File(base).mkdirs()
+      t(s, d, "documents").select(col("doc_id"), col("text"))
+        .repartition(8)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            val f = new java.io.File(base, f"doc_${r.getLong(0)}%08d.txt")
+            java.nio.file.Files.write(f.toPath, r.getString(1).getBytes("UTF-8"))
+          }
+        }
+      s.read.format("binaryFile").load(base)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.txt", 1)
+            .cast("long").as("doc_id"),
+          col("content").cast("string").as("text"),
+          col("length"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS length
+      FROM documents ORDER BY doc_id"""))
   )
 
   // def, not val: referenced from `entries` during object init.

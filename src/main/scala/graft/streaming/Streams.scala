@@ -364,6 +364,47 @@ object Streams {
     }
   }
 
+  /** MapState flavor of the new API: per-user per-event-TYPE counts held
+    * as individually addressable map entries — a point get/update per
+    * arriving row, never a read-modify-write of one whole per-user blob
+    * (the practical difference from packing a Map into ValueState once a
+    * user has many types: RocksDB reads/writes only the touched entry).
+    * Emits the user's full current map each batch; counts are integers,
+    * so the emission is insensitive to row order within a batch. */
+  class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, String, Long)] {
+    @transient private var counts:
+        org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String)],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, String, Long)] = {
+      rows.foreach { r =>
+        val k = r._2
+        val cur = if (counts.containsKey(k)) counts.getValue(k) else 0L
+        counts.updateValue(k, cur + 1L)
+      }
+      counts.iterator().map { case (k, v) => (user, k, v) }.toVector.iterator
+    }
+  }
+
+  def userTypeCountsTws(spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type")).as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("user_id", "event_type", "n")
+  }
+
   def userLastKTws(spark: org.apache.spark.sql.SparkSession,
       events: DataFrame, k: Int): DataFrame = {
     import spark.implicits._

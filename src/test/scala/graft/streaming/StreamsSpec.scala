@@ -203,6 +203,46 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState: MapState per-type counts resume across batches") {
+    val srcDir = tmp("src"); val ckDir = tmp("ck")
+    def push(rows: Seq[(String, Long, String)]): Unit =
+      rows.toDF("ts", "user_id", "event_type")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    push(Seq(("2024-01-01 10:00:00", 1L, "a"),
+             ("2024-01-01 10:01:00", 1L, "b"),
+             ("2024-01-01 10:02:00", 1L, "a"),
+             ("2024-01-01 10:03:00", 2L, "b")))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+      val sink = s"twsmap_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = Streams.userTypeCountsTws(spark, stream)
+        .writeStream.outputMode("update").format("memory")
+        .queryName(sink).option("checkpointLocation", ckDir).start()
+      q.processAllAvailable()
+      push(Seq(("2024-01-01 11:00:00", 1L, "a")))
+      q.processAllAvailable()
+      q.stop()
+      val all = spark.table(sink).as[(Long, String, Long)].collect().toSet
+      // batch 2 resumed the RocksDB map entry: user 1's 'a' count reaches 3
+      // without re-reading batch 1, and the untouched 'b' entry re-emits 1.
+      assert(all.contains((1L, "a", 3L)))
+      val finalCounts = spark.table(sink)
+        .groupBy("user_id", "event_type").agg(max("n").as("n"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(finalCounts == Set((1L, "a", 3L), (1L, "b", 1L), (2L, "b", 1L)))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("stream-stream join: purchases match prior-hour views, state bounded") {
     val srcDir = tmp("src"); val outDir = tmp("out"); val ckDir = tmp("ck")
     def push(rows: Seq[(String, Long, String, Long)]): Unit =
