@@ -211,4 +211,88 @@ object Curation {
         .select(lit(n).as("n"), col("gram"), col("tf"), col("df"))
     }.reduce(_.unionByName(_)).filter(col("tf") >= minTf)
   }
+
+  /** Fasttext-style hashed-feature linear scorer: every token hashes into
+    * one of `dim` buckets (Spark's seed-42 xxhash64 family), each bucket
+    * carries an integer weight, and a document's score is the sum of its
+    * tokens' bucket weights — the quality-classifier inference shape
+    * (hash -> bucket -> weight -> sum) used to gate web corpora. The
+    * weight table here is the frozen deterministic stand-in
+    * w(b) = (b mod 21) - 10; in production the bucket indexes a learned
+    * vector broadcast to executors, and nothing else changes.
+    *
+    * `dim` must be a power of two: the bucket is `hash & (dim-1)`, whose
+    * low bits are identical for the signed and unsigned readings of the
+    * 64-bit hash, so any engine replays it. Shuffle-free: the whole score
+    * is one codegen'd HOF projection over the scan (transform + aggregate
+    * on the token array — no explode, no aggregation exchange). */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = 1024): DataFrame = {
+    require((dim & (dim - 1)) == 0, "dim must be a power of two")
+    val wts = transform(TextOps.tokens(col(textCol)),
+      t => xxhash64(t).bitwiseAND(lit((dim - 1).toLong)) % 21 - 10)
+    docs.select(col(idCol).as("doc_id"),
+      aggregate(wts, lit(0L), (acc, x) => acc + x).as("score"))
+  }
+
+  /** Per-domain quota cap: keep at most `k` documents per stratum under
+    * the caller's preference order (e.g. longest-first with an id
+    * tie-break) — the crawl-balancing cap that stops one domain from
+    * dominating the mix, emitted with each survivor's rank. Same
+    * two-level lossless top-k as [[sampleExactK]] (local prune per
+    * (stratum, input partition), global rank over ≤ k·nPart survivors),
+    * so no task ever ranks a whole domain. `order` must be total —
+    * include the unique id last. */
+  def capPerStratum(df: DataFrame, stratumCol: String, k: Int,
+      order: Seq[Column]): DataFrame = {
+    val wLocal = Window.partitionBy(col(stratumCol), spark_partition_id())
+      .orderBy(order: _*)
+    val pruned = df.withColumn("__rkl", row_number().over(wLocal))
+      .filter(col("__rkl") <= k).drop("__rkl")
+    val wGlobal = Window.partitionBy(col(stratumCol)).orderBy(order: _*)
+    pruned.withColumn("rank_in_stratum", row_number().over(wGlobal).cast("long"))
+      .filter(col("rank_in_stratum") <= k)
+  }
+
+  /** Context-window chunking: split each document's token stream into
+    * fixed `chunkLen`-token examples (the doc -> training-sample
+    * explosion run after cleaning and before shard packing). Emits one
+    * row per chunk with its index, token count (== chunkLen except the
+    * tail) and re-joined text. A pure per-row array computation —
+    * explode-only, shuffle-free, and the chunk arithmetic
+    * (ceil(n/chunkLen) slices) is integer-exact in any engine. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      chunkLen: Int): DataFrame = {
+    val l = chunkLen
+    docs.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), expr(s"(size(__toks) - 1) div $l").cast("int")),
+        i => slice(col("__toks"), i * l + 1, lit(l)))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        size(col("col")).cast("long").as("n_tokens"),
+        array_join(col("col"), " ").as("chunk_text"))
+  }
+
+  /** Rare-n-gram document scoring against the corpus document-frequency
+    * store: each DISTINCT word n-gram of a document contributes
+    * floor(N / df) (N = corpus size; ubiquitous grams add ~1, singleton
+    * grams add N) — an integer "surprisal" proxy that needs no floating
+    * log, so scores replay exactly in any engine and are stable under
+    * any partitioning. Two passes over the corpus (build the df store,
+    * then score against it), like [[rebalanceUniform]]; at 100 TB the df
+    * relation is the persisted index of [[ngramStats]] and only the
+    * scoring join runs per batch, shuffling on the gram key. */
+  def rarityScore(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(NearDup.wordNgrams(
+        TextOps.tokens(col(textCol)), n))).as("gram"))
+    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    grams.join(dfreq, "gram")
+      .crossJoin(broadcast(nDocs))
+      .groupBy("doc_id")
+      .agg(sum(expr("n_docs div df")).as("rarity"))
+  }
 }

@@ -1050,6 +1050,86 @@ object LlmQueries {
         (SELECT count(*) FROM documents WHERE lang = 'en'),
         (SELECT count(*) FROM documents
          WHERE lang = 'en' AND n_chars >= 200)
-      ORDER BY stage"""))
+      ORDER BY stage""")),
+
+    // Per-domain quota cap: at most 10 docs per source, longest-first
+    // (n_chars DESC, id tie-break), each survivor with its rank. The
+    // two-level window (local prune per input partition, global rank
+    // over the ≤ k·nPart survivors) never funnels a whole domain
+    // through one task; the oracle ranks each source directly.
+    ("q131_cap_per_source", (s: SparkSession, d: String) => {
+      Curation.capPerStratum(t(s, d, "documents"), "source", 10,
+          Seq(col("n_chars").desc, col("doc_id")))
+        .select("doc_id", "source", "n_chars", "rank_in_stratum")
+        .orderBy("doc_id")
+    }, Some("""
+      WITH r AS (SELECT doc_id, source, n_chars,
+          row_number() OVER (PARTITION BY source
+                             ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents)
+      SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rank_in_stratum
+      FROM r WHERE rk <= 10 ORDER BY doc_id""")),
+
+    // Hashed-feature linear scorer (fasttext-style quality-classifier
+    // inference): token -> xxhash64 -> bucket (& dim-1) -> frozen integer
+    // weight, summed per document as one shuffle-free HOF projection.
+    // The oracle replays Spark's XXH64 in DuckDB (the q36/q37 machinery)
+    // and folds the same integer weights.
+    ("q132_hashed_linear_score", (s: SparkSession, d: String) => {
+      Curation.hashedLinearScore(t(s, d, "documents"), "doc_id", "text",
+          dim = 1024)
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents),
+      ${XxHashOracle.xxh64Ctes("toks")},
+      w AS (SELECT doc_id,
+          CAST((hu & CAST(1023 AS HUGEINT)) % 21 - 10 AS BIGINT) AS wt
+        FROM hashed)
+      SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS score
+      FROM w GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Context-window chunking: each doc's token stream split into fixed
+    // 32-token training examples (explode-only, shuffle-free; integer
+    // slice arithmetic replays exactly). The oracle slices the same
+    // token lists in DuckDB.
+    ("q133_chunk_tokens", (s: SparkSession, d: String) => {
+      Curation.chunkTokens(t(s, d, "documents"), "doc_id", "text",
+          chunkLen = 32)
+        .orderBy("doc_id", "chunk_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      c AS (SELECT doc_id, unnest(range(0, (len(toks) - 1) // 32 + 1)) AS i,
+          toks FROM t)
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        CAST(len(list_slice(toks, i * 32 + 1,
+          least((i + 1) * 32, len(toks)))) AS BIGINT) AS n_tokens,
+        array_to_string(list_slice(toks, i * 32 + 1,
+          least((i + 1) * 32, len(toks))), ' ') AS chunk_text
+      FROM c ORDER BY doc_id, chunk_id""")),
+
+    // Rare-n-gram scoring vs the corpus df store: every DISTINCT bigram
+    // contributes floor(N/df) — an integer surprisal proxy (no floating
+    // log to rot across engines). The df side is ngramStats' persisted
+    // index at scale; here both passes run inline and the oracle
+    // recomputes the same integer fold.
+    ("q134_rarity_score", (s: SparkSession, d: String) => {
+      Curation.rarityScore(t(s, d, "documents"), "doc_id", "text", n = 2)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      g0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+          THEN list_transform(range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i + 1])
+          ELSE [array_to_string(toks, ' ')] END) AS gram FROM t),
+      g AS (SELECT DISTINCT doc_id, gram FROM g0),
+      d AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY 1),
+      nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+      SELECT doc_id, CAST(SUM(n_docs // df) AS BIGINT) AS rarity
+      FROM g JOIN d USING (gram), nd
+      GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -156,4 +156,32 @@ class PlanQualitySpec extends SparkSpec {
       assert(!joinPart.contains("Exchange hashpartitioning"), joinPart)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
+
+  test("q124: every Q6 conjunct is pushed; no join anywhere in the plan") {
+    val p = plan("q124_tpch_q6_shape")
+    // The PushedFilters list is truncated in toString — assert the pushed
+    // conjuncts that fit plus the truncation marker of the longer list.
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+      "IsNotNull(l_quantity), GreaterThanOrEqual"), p)
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial+final
+  }
+
+  test("q126: all five Q8 dimension sides broadcast; one fact shuffle at most") {
+    val p = plan("q126_tpch_q8_shape")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q132: hashed linear scoring is a shuffle-free projection over the scan") {
+    val p = plan("q132_hashed_linear_score")
+    assert(!p.contains("Exchange hashpartitioning"), p) // only the sort's range
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("q133: chunking is explode-only — generate over the scan, no shuffle") {
+    val p = plan("q133_chunk_tokens")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
 }

@@ -121,6 +121,74 @@ class CurationSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("hashedLinearScore HOF projection equals the explode/groupBy plan") {
+    val got = Curation.hashedLinearScore(docs, "doc_id", "text", dim = 1024)
+      .as[(Long, Long)].collect().toMap
+    // Independent formulation of the same model: explode the tokens and
+    // aggregate relationally — same hash family, different plan.
+    val expected = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .select(col("doc_id"),
+        (xxhash64(col("t")).bitwiseAND(lit(1023L)) % 21 - 10).as("w"))
+      .groupBy("doc_id").agg(sum("w").as("score"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    // weights are bounded by construction
+    assert(got.values.forall(s => s >= -10L * 2000 && s <= 10L * 2000))
+  }
+
+  test("capPerStratum: top-k per stratum, equals single window, partition-invariant") {
+    val order = Seq(col("n_chars").desc, col("doc_id"))
+    val got = Curation.capPerStratum(docs, "source", 7, order)
+      .select("doc_id", "rank_in_stratum").as[(Long, Long)].collect().toMap
+    val w = Window.partitionBy("source").orderBy(order: _*)
+    val expected = docs
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 7)
+      .select("doc_id", "rk").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    val repart = Curation.capPerStratum(docs.repartition(7), "source", 7, order)
+      .select("doc_id", "rank_in_stratum").as[(Long, Long)].collect().toMap
+    assert(repart == got)
+  }
+
+  test("chunkTokens: chunks reassemble the doc, all but the tail are full") {
+    val chunks = Curation.chunkTokens(docs, "doc_id", "text", chunkLen = 32)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, String)].collect()
+    val original = docs
+      .select(col("doc_id"), array_join(TextOps.tokens(col("text")), " "))
+      .as[(Long, String)].collect().toMap
+    val reassembled = chunks.groupBy(_._1).map { case (id, cs) =>
+      id -> cs.sortBy(_._2).map(_._4).mkString(" ")
+    }
+    assert(reassembled == original)
+    chunks.groupBy(_._1).foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_._2)
+      sorted.init.foreach(c => assert(c._3 == 32L))
+      assert(sorted.last._3 >= 1L && sorted.last._3 <= 32L)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length.toLong))
+    }
+  }
+
+  test("rarityScore matches a brute-force reference on a tiny corpus") {
+    val tiny = Seq(
+      (1L, "a b c"),       // bigrams: "a b", "b c"
+      (2L, "a b a b"),     // distinct bigrams: "a b", "b a"
+      (3L, "c"),           // <2 tokens -> whole-doc gram "c"
+      (4L, "b c d")        // bigrams: "b c", "c d"
+    ).toDF("doc_id", "text")
+    val got = Curation.rarityScore(tiny, "doc_id", "text", n = 2)
+      .as[(Long, Long)].collect().toMap
+    // N=4. df: "a b"->2, "b c"->2, "b a"->1, "c"->1, "c d"->1.
+    val expected = Map(
+      1L -> (4L / 2 + 4L / 2),      // "a b","b c" -> 4
+      2L -> (4L / 2 + 4L / 1),      // "a b","b a" -> 6
+      3L -> 4L / 1,                 // "c"         -> 4
+      4L -> (4L / 2 + 4L / 1))      // "b c","c d" -> 6
+    assert(got == expected)
+  }
+
   test("repetition metrics match hand-computed ratios") {
     val df = Seq((1L, "a a b"), (2L, "a a a"), (3L, "z"))
       .toDF("doc_id", "text")
