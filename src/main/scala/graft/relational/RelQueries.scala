@@ -1761,6 +1761,35 @@ object RelQueries {
       SELECT user_id, event_type, COUNT(*) AS n
       FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""")),
 
+    // STREAMING stream-stream inner join through the gate: the events
+    // file stream joins purchases to same-user views within the
+    // preceding day (both sides watermarked — the time-range condition
+    // plus the watermarks is Spark's state-eviction bound). Run to
+    // completion the emitted matches are exactly the batch interval
+    // join, which is what the oracle computes; watermarks bound STATE,
+    // they drop no on-time data.
+    ("q135_stream_stream_join", (s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val stream = s.readStream.schema(raw.schema)
+        .option("basePath", d).parquet(s"$d/events.parque[t]")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val joined = graft.streaming.Streams.purchaseViewJoin(stream, "24 hours")
+      val sink = s"q135_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = joined.writeStream.format("memory")
+        .queryName(sink).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).select("user_id", "p_id", "v_id")
+        .orderBy("user_id", "p_id", "v_id")
+    }, Some("""
+      SELECT p.user_id, p.event_id AS p_id, v.event_id AS v_id
+      FROM events p JOIN events v
+        ON p.user_id = v.user_id
+        AND p.event_type = 'purchase' AND v.event_type = 'view'
+        AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 24 HOUR
+      ORDER BY p.user_id, p_id, v_id""")),
+
     // §2.5 — correlated LATERAL subquery with ORDER BY + LIMIT (the
     // per-row top-k join SQL users write instead of a window), SAME SQL
     // text on both engines so the oracle checks Spark's lateral
@@ -2006,8 +2035,92 @@ object RelQueries {
         .orderBy("doc_id")
     }, Some("""
       SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS length
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // §2.5 SQL surface — the standard UNPIVOT clause (q26 is the stack()
+    // formulation; this is the SQL-standard syntax), SAME text on both
+    // engines so the oracle checks Spark's UNPIVOT parsing/semantics
+    // itself. The measure doubles pass through untouched — no arithmetic
+    // to rot.
+    ("q136_unpivot_sql", (s: SparkSession, d: String) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(unpivotSql)
+    }, Some(unpivotSql)),
+
+    // §2.5 SQL surface — the standard PIVOT clause (q28 is the DataFrame
+    // .pivot), SAME text on both engines: exact-decimal sums per pivot
+    // bucket, cast to double only in the outer projection (which both
+    // engines parse identically since the pivot output columns F/O are
+    // plain identifiers).
+    ("q137_pivot_sql", (s: SparkSession, d: String) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(pivotSql)
+    }, Some(pivotSql)),
+
+    // §2.5 — null-safe equi-join (<=>): priorities are NULLed for one
+    // value and the join must match NULL to NULL. Spark plans eqNullSafe
+    // as a REAL equi-join key (coalesce-wrapped hash key — no nested-loop
+    // fallback; pinned in PlanQualitySpec); the oracle is DuckDB's
+    // IS NOT DISTINCT FROM.
+    ("q138_nullsafe_join", (s: SparkSession, d: String) => {
+      val l = t(s, d, "orders").filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("pr1"))
+      val r = t(s, d, "orders")
+        .filter(col("o_orderkey") >= 100 && col("o_orderkey") < 200)
+        .select(col("o_orderkey").as("rk"),
+          nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("pr2"))
+      l.join(r, col("pr1") <=> col("pr2"))
+        .select(col("o_orderkey"), col("rk"))
+        .orderBy("o_orderkey", "rk")
+    }, Some("""
+      WITH l AS (SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS pr1
+                 FROM orders WHERE o_orderkey < 100),
+      r AS (SELECT o_orderkey AS rk, nullif(o_orderpriority, '3-MEDIUM') AS pr2
+            FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 200)
+      SELECT l.o_orderkey, r.rk FROM l JOIN r
+        ON pr1 IS NOT DISTINCT FROM pr2
+      ORDER BY o_orderkey, rk""")),
+
+    // Gap-fill / forward-fill (ops.Fill): per-user carry-forward of the
+    // last non-null observation in event order — values for 'error'
+    // events are masked to NULL and must be refilled from the user's
+    // most recent non-error event; leading NULLs stay NULL. One keyed
+    // window, no self-join; the doubles are carried, never recomputed.
+    ("q139_forward_fill", (s: SparkSession, d: String) => {
+      val masked = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "error", lit(null))
+            .otherwise(col("value")).as("v"))
+      Fill.forwardFill(masked, Seq(col("user_id")),
+          Seq(col("ts"), col("event_id")), "v", "v_filled")
+        .select(col("event_id"), col("user_id"), col("v_filled"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH m AS (SELECT event_id, user_id, ts,
+          CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events)
+      SELECT event_id, user_id,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS v_filled
+      FROM m ORDER BY event_id"""))
   )
+
+  // Same-text SQL for q136/q137 (def: referenced during object init).
+  private def unpivotSql = """
+    SELECT l_orderkey, l_linenumber, k, v
+    FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax
+          FROM lineitem)
+    UNPIVOT (v FOR k IN (l_extendedprice, l_discount, l_tax))
+    ORDER BY l_orderkey, l_linenumber, k"""
+
+  private def pivotSql = """
+    SELECT rf, CAST(F AS DOUBLE) AS f_qty, CAST(O AS DOUBLE) AS o_qty
+    FROM (SELECT l_returnflag AS rf, l_linestatus AS ls,
+            CAST(l_quantity AS DECIMAL(10,2)) AS q
+          FROM lineitem)
+    PIVOT (SUM(q) FOR ls IN ('F', 'O'))
+    ORDER BY rf"""
 
   // def, not val: referenced from `entries` during object init.
   private def groupByAllSql = """

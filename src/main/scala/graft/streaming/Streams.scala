@@ -151,18 +151,19 @@ object Streams {
     * sides are watermarked so the join state is bounded — Spark drops
     * buffered rows once they can no longer match (the time-range condition
     * plus watermarks gives the state eviction bound). */
-  def purchaseViewJoin(events: DataFrame): DataFrame = {
+  def purchaseViewJoin(events: DataFrame,
+      window: String = "1 hour"): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
-      .withWatermark("p_ts", "1 hour")
+      .withWatermark("p_ts", window)
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
         col("event_id").as("v_id"))
-      .withWatermark("v_ts", "1 hour")
+      .withWatermark("v_ts", window)
     purchases.join(views,
       col("user_id") === col("v_user") &&
         col("v_ts") <= col("p_ts") &&
-        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL '$window'"))
       .select(col("user_id"), col("p_id"), col("v_id"), col("p_ts"), col("v_ts"))
   }
 

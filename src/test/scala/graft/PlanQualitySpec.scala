@@ -173,6 +173,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q138: null-safe equality still plans as a real equi-join") {
+    val p = plan("q138_nullsafe_join")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   test("q132: hashed linear scoring is a shuffle-free projection over the scan") {
     val p = plan("q132_hashed_linear_score")
     assert(!p.contains("Exchange hashpartitioning"), p) // only the sort's range
