@@ -1130,6 +1130,23 @@ object LlmQueries {
       nd AS (SELECT COUNT(*) AS n_docs FROM documents)
       SELECT doc_id, CAST(SUM(n_docs // df) AS BIGINT) AS rarity
       FROM g JOIN d USING (gram), nd
-      GROUP BY doc_id ORDER BY doc_id"""))
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    // EXACT heavy hitters (tokens with freq > n/32) via the two-pass
+    // Misra-Gries shape: bounded merge-able candidate sketch (nothing
+    // bigger than 32 entries ever shuffles), then an exact broadcast
+    // recount — output provably equals the plain GROUP BY ... HAVING the
+    // oracle runs, with a division-free threshold.
+    ("q141_heavy_hitters", (s: SparkSession, d: String) => {
+      val toks = t(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("item"))
+      HeavyHitters.exact(s, toks, "item", k = 32).orderBy("item")
+    }, Some("""
+      WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS item
+                    FROM documents)
+      SELECT item, COUNT(*) AS freq
+      FROM toks GROUP BY 1
+      HAVING COUNT(*) * 32 > (SELECT COUNT(*) FROM toks)
+      ORDER BY item"""))
   )
 }

@@ -98,7 +98,11 @@ object RelQueries {
     GROUP BY op ORDER BY op"""
 
   /** (name, implementation, oracle SQL — None => driver rows-only check) */
-  val entries: Seq[(String, Q, Option[String])] = Seq(
+  // lazy: moreEntries is declared further down — a plain val would read
+  // null during object init (the q121 lesson).
+  lazy val entries: Seq[(String, Q, Option[String])] = baseEntries ++ moreEntries
+
+  private lazy val baseEntries: Seq[(String, Q, Option[String])] = Seq(
 
     // §2.5 aggregation — TPC-H Q1-shaped pricing summary (also P8 cast).
     ("q01_agg_pricing_summary", (s: SparkSession, d: String) => {
@@ -2104,6 +2108,57 @@ object RelQueries {
         last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS v_filled
       FROM m ORDER BY event_id"""))
+  )
+
+  private val moreEntries: Seq[(String, Q, Option[String])] = Seq(
+    // Spark 4 VARIANT — the semi-structured column type: props parses
+    // ONCE into a variant (binary-encoded, shredded access — at scale
+    // this replaces per-query JSON string re-parsing), then typed paths
+    // are extracted and aggregated. The oracle re-derives the same ints
+    // with DuckDB's JSON extraction.
+    ("q140_variant_extract", (s: SparkSession, d: String) => {
+      t(s, d, "events")
+        .select(col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }, Some("""
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+      FROM events GROUP BY 1 ORDER BY event_type""")),
+
+    // Behavioral funnel: each user's first view, their first purchase
+    // AT-OR-AFTER it, purchase count in the window, and a conversion
+    // flag — the sessionized product-analytics join (left outer with the
+    // time bound inside the join condition so non-converters survive
+    // with NULLs).
+    ("q142_funnel_conversion", (s: SparkSession, d: String) => {
+      val e = t(s, d, "events")
+      val firstView = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("first_view"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"))
+      firstView.join(purch,
+          col("user_id") === col("pu") && col("pts") >= col("first_view"),
+          "left_outer")
+        .groupBy("user_id", "first_view")
+        .agg(min(col("pts")).as("first_purchase"),
+          count(col("pts")).as("n_purchases"))
+        .withColumn("converted", col("first_purchase").isNotNull)
+        .orderBy("user_id")
+    }, Some("""
+      WITH fv AS (SELECT user_id, min(ts) AS first_view
+                  FROM events WHERE event_type = 'view' GROUP BY 1),
+      p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+      SELECT fv.user_id, first_view, min(p.ts) AS first_purchase,
+        COUNT(p.ts) AS n_purchases,
+        (min(p.ts) IS NOT NULL) AS converted
+      FROM fv LEFT JOIN p
+        ON fv.user_id = p.user_id AND p.ts >= first_view
+      GROUP BY 1, 2 ORDER BY fv.user_id"""))
   )
 
   // Same-text SQL for q136/q137 (def: referenced during object init).
