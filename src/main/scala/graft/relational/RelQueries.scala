@@ -2158,7 +2158,32 @@ object RelQueries {
         (min(p.ts) IS NOT NULL) AS converted
       FROM fv LEFT JOIN p
         ON fv.user_id = p.user_id AND p.ts >= first_view
-      GROUP BY 1, 2 ORDER BY fv.user_id"""))
+      GROUP BY 1, 2 ORDER BY fv.user_id""")),
+
+    // S2 range discovery as a COMPLETELY pushed DSv2 aggregate: the
+    // ungrouped COUNT/MIN/MAX over the day-window connector is answered
+    // from day-grid METADATA (SupportsPushDownAggregates — the exact
+    // analogue of the reference's two sorted limit=1 REST probes), zero
+    // row fetches; DayWindowSourceSpec pins that no HashAggregate
+    // survives in the plan. The oracle rebuilds the grid and aggregates
+    // it for real.
+    ("q143_daywindow_discovery", (s: SparkSession, d: String) => {
+      s.read.format("graft.sources.v2.DayWindowSource")
+        .option("from", "2024-01-01").option("to", "2024-01-16").load()
+        .agg(count(lit(1)).as("n_rows"),
+          min("HourUTC").as("first_hour"),
+          max("HourUTC").as("last_hour"))
+    }, Some("""
+      WITH g AS (SELECT strftime(d, '%Y-%m-%d') || 'T' ||
+          lpad(CAST(h AS VARCHAR), 2, '0') || ':00' AS HourUTC
+        FROM (SELECT unnest(range(DATE '2024-01-01', DATE '2024-01-17',
+                INTERVAL 1 DAY)) AS d),
+             (SELECT unnest(range(24)) AS h),
+             (SELECT unnest(['101', '155', '630']) AS m),
+             (SELECT unnest(['Erhverv', 'Privat']) AS b))
+      SELECT COUNT(*) AS n_rows, MIN(HourUTC) AS first_hour,
+        MAX(HourUTC) AS last_hour
+      FROM g"""))
   )
 
   // Same-text SQL for q136/q137 (def: referenced during object init).

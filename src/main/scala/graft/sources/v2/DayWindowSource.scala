@@ -63,13 +63,51 @@ class DayWindowTable(from: String, to: String) extends Table with SupportsRead {
 class DayWindowScanBuilder(from: String, to: String,
     daysPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
 
   private var required: StructType = DayWindowSource.schema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[Aggregation] = None
   private var dayLo: String = from
   private var dayHi: String = to
+
+  /** S2 (range-bound discovery) pushed INTO the connector: ungrouped
+    * COUNT / MIN(HourUTC) / MAX(HourUTC) are answered from the day-window
+    * METADATA — the day grid is `to - from + 1` days of a fixed
+    * deterministic cadence, so these aggregates need zero fetches, the
+    * exact analogue of the reference's two sorted `limit=1` REST probes
+    * (a metadata query, not a scan). Anything else (grouping, sums over
+    * measures) declines the pushdown and Spark aggregates the normal
+    * scan. COUNT(col) is answerable because every source column is
+    * non-nullable; DISTINCT is not. */
+  private def isHourUtc(
+      e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("HourUTC"))
+      case _ => false
+    }
+
+  private def answerable(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case c: Count     => !c.isDistinct
+        case m: Min       => isHourUtc(m.column)
+        case m: Max       => isHourUtc(m.column)
+        case _            => false
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    answerable(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ok = answerable(agg)
+    if (ok) pushedAgg = Some(agg)
+    ok
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -103,8 +141,64 @@ class DayWindowScanBuilder(from: String, to: String,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new DayWindowScan(dayLo, dayHi, required, daysPerTrigger)
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new DayWindowAggScan(dayLo, dayHi, agg)
+    case None      => new DayWindowScan(dayLo, dayHi, required, daysPerTrigger)
+  }
+}
+
+/** The completely-pushed-down aggregate scan: one metadata-derived row,
+  * no day fetches at all. Values are computed on the DRIVER from the day
+  * grid (count = nDays · 24 hours · 3 municipalities · 2 branches; the
+  * extreme HourUTC strings are the grid corners) and shipped to the one
+  * task as literals. */
+class DayWindowAggScan(from: String, to: String,
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  private val nDays: Long = java.time.temporal.ChronoUnit.DAYS.between(
+    LocalDate.parse(from), LocalDate.parse(to)) + 1
+  private val rowCount: Long = nDays * 24 *
+    DayWindowReader.municipalities.size * DayWindowReader.branches.size
+
+  override def readSchema(): StructType = StructType(
+    agg.aggregateExpressions.zipWithIndex.map {
+      case (_: Min, i) => StructField(s"agg_$i", StringType, nullable = false)
+      case (_: Max, i) => StructField(s"agg_$i", StringType, nullable = false)
+      case (_, i)      => StructField(s"agg_$i", LongType, nullable = false)
+    }.toIndexedSeq)
+
+  override def description(): String =
+    s"DayWindowAggScan[$from..$to, pushed=${agg.aggregateExpressions.map(_.describe).mkString(",")}]"
+  override def toBatch: Batch = this
+
+  private val values: Array[Any] = agg.aggregateExpressions.map {
+    case _: Min => s"${from}T00:00"
+    case _: Max => s"${to}T23:00"
+    case _      => rowCount // CountStar / Count over non-null columns
+  }.toArray
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(AggResultPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AggResultReaderFactory
+}
+
+case class AggResultPartition(values: Array[Any]) extends InputPartition
+
+class AggResultReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val vals = partition.asInstanceOf[AggResultPartition].values
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = InternalRow.fromSeq(vals.toIndexedSeq.map {
+        case s: String => UTF8String.fromString(s)
+        case other     => other
+      })
+      override def close(): Unit = ()
+    }
 }
 
 class DayWindowScan(from: String, to: String, required: StructType,

@@ -31,6 +31,31 @@ class DayWindowSourceSpec extends SparkSpec {
       !plan.contains("HourUTC"), s"pruning missing in: $plan")
   }
 
+  test("S2 agg pushdown: ungrouped count/min/max answered from metadata, no HashAggregate") {
+    val df = read("2024-01-01", "2024-01-09")
+      .agg(count(lit(1)).as("n"), min("HourUTC").as("lo"), max("HourUTC").as("hi"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("DayWindowAggScan"), s"pushdown missing: $plan")
+    assert(!plan.contains("HashAggregate"), s"agg not fully pushed: $plan")
+    val row = df.as[(Long, String, String)].collect().head
+    assert(row == ((9L * 144, "2024-01-01T00:00", "2024-01-09T23:00")))
+  }
+
+  test("S2 agg pushdown declines sums and grouped aggregates (exact fallback)") {
+    val sums = read("2024-01-01", "2024-01-02")
+      .agg(sum(col("ConsumptionkWh").cast("double")).as("s"))
+    assert(sums.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    val expected = read("2024-01-01", "2024-01-02")
+      .select(col("ConsumptionkWh").cast("double")).as[Double].collect().sum
+    assert(math.abs(sums.as[Double].collect().head - expected) < 1e-6)
+
+    val grouped = read("2024-01-01", "2024-01-02")
+      .groupBy("Branche").agg(count(lit(1)).as("n"))
+    assert(grouped.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(grouped.as[(String, Long)].collect().toMap ==
+      Map("Erhverv" -> 144L, "Privat" -> 144L))
+  }
+
   test("S3/D3 streaming: self-checkpointing resume ingests only new days") {
     val outDir = java.nio.file.Files.createTempDirectory("dw-out").toString
     val ckDir = java.nio.file.Files.createTempDirectory("dw-ck").toString
