@@ -245,6 +245,8 @@ object Curation {
     * include the unique id last. */
   def capPerStratum(df: DataFrame, stratumCol: String, k: Int,
       order: Seq[Column]): DataFrame = {
+    require(!df.columns.contains("__rkl") && !df.columns.contains("rank_in_stratum"),
+      "capPerStratum would overwrite an existing __rkl / rank_in_stratum column")
     val wLocal = Window.partitionBy(col(stratumCol), spark_partition_id())
       .orderBy(order: _*)
     val pruned = df.withColumn("__rkl", row_number().over(wLocal))
@@ -263,6 +265,7 @@ object Curation {
     * (ceil(n/chunkLen) slices) is integer-exact in any engine. */
   def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
       chunkLen: Int): DataFrame = {
+    require(chunkLen >= 1, s"chunkLen must be >= 1, got $chunkLen")
     val l = chunkLen
     docs.select(col(idCol).as("doc_id"),
         TextOps.tokens(col(textCol)).as("__toks"))

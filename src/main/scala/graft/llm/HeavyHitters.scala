@@ -59,11 +59,15 @@ object HeavyHitters {
   def exact(spark: SparkSession, items: DataFrame, itemCol: String,
       k: Int): DataFrame = {
     import spark.implicits._
-    val ds = items.select(col(itemCol).cast("string")).as[String]
+    // Nulls are not items: they would NPE MisraGries.finish's sort and
+    // inflate `total` while never being reportable candidates.
+    val nonNull = items.select(col(itemCol).cast("string").as("item"))
+      .na.drop(Seq("item"))
+    val ds = nonNull.as[String]
     val candidates = ds.select(new MisraGries(k).toColumn).toDF("cands")
       .select(explode(col("cands")).as("item"))
-    val total = items.agg(count(lit(1)).as("total"))
-    items.select(col(itemCol).cast("string").as("item"))
+    val total = nonNull.agg(count(lit(1)).as("total"))
+    nonNull
       .join(broadcast(candidates), "item")
       .groupBy("item").agg(count(lit(1)).as("freq"))
       .crossJoin(broadcast(total))

@@ -50,6 +50,35 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
   }
 
+  /** Nearest-centroid (cosine) cell assignment as a shuffle-free
+    * projection: the centroid set (k rows — always metadata-sized) is
+    * aggregated into ONE row holding an array of (cell, centroid) structs,
+    * broadcast onto the corpus with a nested-loop join, and the argmax is
+    * computed per row as `array_max(transform(...))` over struct ordering
+    * — (csim, -cell) so ties break to the smallest cell, exactly matching
+    * the former `row_number over (csim desc, cell asc)` window. Unlike the
+    * window form, NOTHING corpus-sized shuffles: the plan between the
+    * corpus scan and the assignment is a pure projection (pinned in
+    * PlanQualitySpec). At 100 TB with ncells=1024 the window form would
+    * shuffle+sort corpus x ncells expanded rows; this shuffles zero.
+    *
+    * `cell` must be numeric (it is: a label int or a seed vec_id long) —
+    * the tie-break negates it inside the ordering struct.
+    *
+    * @return (vec_id, embedding, cell)
+    */
+  def assignCells(base: DataFrame, cellsDf: DataFrame): DataFrame = {
+    val centArr = cellsDf.agg(
+      array_sort(collect_list(struct(col("cell"), col("centroid")))).as("__cents"))
+    base.crossJoin(broadcast(centArr))
+      .withColumn("__best",
+        array_max(transform(col("__cents"), c =>
+          struct(cosineSim(col("embedding"), c.getField("centroid")).as("csim"),
+            (-c.getField("cell")).as("negcell")))))
+      .select(col("vec_id"), col("embedding"),
+        (-col("__best").getField("negcell")).as("cell"))
+  }
+
   /** Element-wise mean vectors per cell key (centroids), via posexplode +
     * re-assemble — keeps everything in DataFrame ops (no collect). */
   def centroids(emb: DataFrame, keyCol: String): DataFrame =
@@ -73,13 +102,10 @@ object Similarity {
       .select(col("vec_id").as("cell"), col("embedding").cast("array<float>").as("centroid"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("cell"))
-      val assigned = base.join(broadcast(cents))
-        .withColumn("csim", cosineSim(col("embedding"), col("centroid")))
-        .withColumn("crn", row_number().over(wAssign))
-        .filter(col("crn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cell"))
+      // Exchange-free nearest-centroid argmax (see assignCells): each
+      // Lloyd's round is one projection pass over the corpus + the k-row
+      // re-average — the corpus never shuffles during assignment.
+      val assigned = assignCells(base, cents)
       // Eager-materialize the k-row centroid frame each round: lineage is
       // truncated so the plan stays flat at any iteration count (without
       // this, each Lloyd's round stacks the full assign+average subtree
@@ -117,14 +143,9 @@ object Similarity {
       queryPred: Column, k: Int, nprobe: Int): DataFrame = {
     val cents = broadcast(cellsDf)
     val base = emb.select(col("vec_id"), col("embedding"))
-    // Assign every vector to its nearest centroid (cosine).
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cell"))
-    val assigned = base.join(cents)
-      .withColumn("csim", cosineSim(col("embedding"), col("centroid")))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    // Assign every vector to its nearest centroid (cosine) — shuffle-free
+    // projection argmax, NOT a window (see assignCells).
+    val assigned = assignCells(base, cellsDf)
     // Each query probes its nprobe nearest cells.
     val q = assigned.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))

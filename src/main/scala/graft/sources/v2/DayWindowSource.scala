@@ -90,7 +90,14 @@ class DayWindowScanBuilder(from: String, to: String,
       case _ => false
     }
 
+  /** An inverted day range (filters narrowed to from > to) has zero days:
+    * metadata answers (nDays-derived count, grid-corner min/max) would be
+    * fabricated, so decline the pushdown and let the normal scan return
+    * its empty result (count 0, null min/max) through Spark's aggregate. */
+  private def rangeEmpty: Boolean = dayLo > dayHi
+
   private def answerable(agg: Aggregation): Boolean =
+    !rangeEmpty &&
     agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
@@ -157,15 +164,18 @@ class DayWindowAggScan(from: String, to: String,
     extends Scan with Batch {
   import org.apache.spark.sql.connector.expressions.aggregate._
 
-  private val nDays: Long = java.time.temporal.ChronoUnit.DAYS.between(
-    LocalDate.parse(from), LocalDate.parse(to)) + 1
+  // Belt-and-braces vs the ScanBuilder's rangeEmpty decline: an inverted
+  // range (from > to) is an EMPTY window, never a negative one — count 0,
+  // null min/max — matching what the normal scan path would aggregate to.
+  private val nDays: Long = math.max(0L, java.time.temporal.ChronoUnit.DAYS.between(
+    LocalDate.parse(from), LocalDate.parse(to)) + 1)
   private val rowCount: Long = nDays * 24 *
     DayWindowReader.municipalities.size * DayWindowReader.branches.size
 
   override def readSchema(): StructType = StructType(
     agg.aggregateExpressions.zipWithIndex.map {
-      case (_: Min, i) => StructField(s"agg_$i", StringType, nullable = false)
-      case (_: Max, i) => StructField(s"agg_$i", StringType, nullable = false)
+      case (_: Min, i) => StructField(s"agg_$i", StringType, nullable = true)
+      case (_: Max, i) => StructField(s"agg_$i", StringType, nullable = true)
       case (_, i)      => StructField(s"agg_$i", LongType, nullable = false)
     }.toIndexedSeq)
 
@@ -174,8 +184,8 @@ class DayWindowAggScan(from: String, to: String,
   override def toBatch: Batch = this
 
   private val values: Array[Any] = agg.aggregateExpressions.map {
-    case _: Min => s"${from}T00:00"
-    case _: Max => s"${to}T23:00"
+    case _: Min => if (nDays == 0) null else s"${from}T00:00"
+    case _: Max => if (nDays == 0) null else s"${to}T23:00"
     case _      => rowCount // CountStar / Count over non-null columns
   }.toArray
 

@@ -159,10 +159,14 @@ class PlanQualitySpec extends SparkSpec {
 
   test("q124: every Q6 conjunct is pushed; no join anywhere in the plan") {
     val p = plan("q124_tpch_q6_shape")
-    // The PushedFilters list is truncated in toString — assert the pushed
-    // conjuncts that fit plus the truncation marker of the longer list.
-    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
-      "IsNotNull(l_quantity), GreaterThanOrEqual"), p)
+    // Assert each pushed conjunct independently — exact concatenation order
+    // and the toString truncation point vary across Spark minor versions.
+    assert(p.contains("PushedFilters: ["), p)
+    // (the list's toString truncates mid-token, so the range conjunct is
+    // asserted by operator name only)
+    for (c <- Seq("IsNotNull(l_shipdate)", "IsNotNull(l_discount)",
+        "IsNotNull(l_quantity)", "GreaterThanOrEqual"))
+      assert(p.contains(c), s"missing pushed conjunct $c in\n$p")
     assert(!p.contains("Join"), p)
     assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial+final
   }
@@ -191,5 +195,24 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q133_chunk_tokens")
     assert(p.contains("Generate"), p)
     assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("IVF/k-means cell assignment is exchange-free over the corpus scan") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val cells = graft.llm.Similarity.centroids(emb, "label")
+      .select(col("cell"), col("centroid").cast("array<float>").as("centroid"))
+      .localCheckpoint(true) // precomputed index — its build plan is not under test
+    val df = graft.llm.Similarity.assignCells(
+      emb.select(col("vec_id"), col("embedding")), cells)
+    df.collect() // settle AQE
+    val p = df.queryExecution.executedPlan.toString
+    // The former window-argmax shape shuffled+sorted corpus x ncells rows;
+    // the projection form must plan NO window and NO hash exchange — the
+    // only exchanges allowed are the broadcast of the one-row centroid
+    // array and its k-row single-partition agg.
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 }
