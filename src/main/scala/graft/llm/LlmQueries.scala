@@ -1147,6 +1147,44 @@ object LlmQueries {
       SELECT item, COUNT(*) AS freq
       FROM toks GROUP BY 1
       HAVING COUNT(*) * 32 > (SELECT COUNT(*) FROM toks)
-      ORDER BY item"""))
+      ORDER BY item""")),
+
+    // Line-level exact dedup (C4/RefinedWeb sub-document shape): the
+    // corpus has no newlines, so a lined corpus is derived
+    // deterministically first — each document re-joined as 3-token lines
+    // (the tiny ~40-word vocabulary makes 3-grams repeat across docs, so
+    // boilerplate-style duplicate lines genuinely occur). A line seen
+    // >= 2 times corpus-wide survives only at its first occurrence
+    // (minimal (doc_id, line_no)); docs reassemble from surviving lines.
+    ("q144_line_dedup", (s: SparkSession, d: String) => {
+      val lined = t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), array_join(transform(
+            sequence(lit(0), expr("(size(__toks) - 1) div 3").cast("int")),
+            i => array_join(slice(col("__toks"), i * 3 + 1, lit(3)), " ")),
+          "\n").as("text"))
+      Dedup.dedupLines(lined, "doc_id", "text", sep = "\n", dropDf = 2)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+          generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+        FROM documents),
+      lines AS (
+        SELECT doc_id, (pos - 1) // 3 AS line_no,
+          string_agg(tok, ' ' ORDER BY pos) AS line
+        FROM toks GROUP BY doc_id, (pos - 1) // 3),
+      flags AS (
+        SELECT doc_id, line_no, line,
+          COUNT(*) OVER (PARTITION BY line) AS df,
+          ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+        FROM lines)
+      SELECT doc_id,
+        COALESCE(string_agg(line, chr(10) ORDER BY line_no)
+          FILTER (WHERE df < 2 OR rn = 1), '') AS text,
+        CAST(COUNT(*) FILTER (WHERE df < 2 OR rn = 1) AS BIGINT) AS n_kept,
+        CAST(COUNT(*) FILTER (WHERE df >= 2 AND rn > 1) AS BIGINT) AS n_dropped
+      FROM flags GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

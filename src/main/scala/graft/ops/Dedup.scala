@@ -54,6 +54,52 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Sub-document (line-level) exact dedup — the C4/RefinedWeb curation
+    * shape: a line duplicated across the corpus (boilerplate headers,
+    * cookie banners, licence blocks) is dropped from every document except
+    * its first occurrence, and each document is reassembled from its
+    * surviving lines in order. Whole-doc dedup (reference content-hash
+    * gate, producers/energinet/fetch_data_energinet.py:68-72) applied
+    * below document granularity.
+    *
+    * Semantics: a line with corpus frequency >= dropDf keeps only its
+    * FIRST occurrence (minimal (doc_id, line_no)); lines shorter than
+    * `minLineLen` chars are never counted and always kept (C4 exempts
+    * short lines so dedup does not mangle punctuation-only lines).
+    *
+    * Scale shape: one map-side-combined groupBy on the line text (partial
+    * agg collapses a hot boilerplate line to one row per partition before
+    * the shuffle) + one line-keyed join back (AQE skew-join splits the hot
+    * lines), then a doc_id-keyed reassembly — three shuffles, all keyed,
+    * nothing corpus-broadcast, no window over an unbounded line group. At
+    * 100 TB the group/join key would be a 16-byte fingerprint of the line
+    * (the q110 discipline); the text key keeps the oracle replay exact.
+    *
+    * @return (doc_id, text, n_kept, n_dropped) — one row per input doc
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", dropDf: Long = 2, minLineLen: Int = 0): DataFrame = {
+    require(dropDf >= 2, s"dropDf must be >= 2 (got $dropDf): the first occurrence always survives")
+    val lines = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("line_no", "line")))
+    val stats = lines.filter(length(col("line")) >= minLineLen)
+      .groupBy("line").agg(
+        count(lit(1)).as("__df"),
+        min(struct(col("doc_id"), col("line_no"))).as("__keeper"))
+    val flagged = lines.join(stats, Seq("line"), "left")
+      .withColumn("__keep",
+        col("__df").isNull || col("__df") < dropDf ||
+          struct(col("doc_id"), col("line_no")) === col("__keeper"))
+    flagged.groupBy("doc_id").agg(
+      array_join(transform(
+        array_sort(collect_list(
+          when(col("__keep"), struct(col("line_no"), col("line"))))),
+        s => s.getField("line")), sep).as("text"),
+      count(when(col("__keep"), 1)).as("n_kept"),
+      count(when(!col("__keep"), 1)).as("n_dropped"))
+  }
+
   /** D3: processed-window checkpoint — drop work units already recorded in
     * a processed log (reference fetch_data_energinet.py:150-154 skips whole
     * days found in Redis). A left_anti join: broadcastable when the log is

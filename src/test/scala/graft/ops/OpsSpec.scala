@@ -79,4 +79,41 @@ class OpsSpec extends SparkSpec {
       .as[String].collect()
     assert(out.toSeq == Seq("10:00", "11:00", null))
   }
+
+  test("line dedup: duplicated boilerplate dropped except first occurrence") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nalpha one\nSHARED FOOTER"),
+      (2L, "COOKIE BANNER\nbeta two\nSHARED FOOTER"),
+      (3L, "COOKIE BANNER\nCOOKIE BANNER\ngamma three")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text", dropDf = 2)
+      .orderBy("doc_id")
+      .collect()
+    // doc 1 holds the first occurrence of both boilerplate lines.
+    assert(out(0).getString(1) == "COOKIE BANNER\nalpha one\nSHARED FOOTER")
+    assert(out(0).getLong(2) == 3 && out(0).getLong(3) == 0)
+    // doc 2 keeps only its unique line.
+    assert(out(1).getString(1) == "beta two")
+    assert(out(1).getLong(2) == 1 && out(1).getLong(3) == 2)
+    // doc 3: both banner copies are later occurrences -> dropped.
+    assert(out(2).getString(1) == "gamma three")
+    assert(out(2).getLong(2) == 1 && out(2).getLong(3) == 2)
+  }
+
+  test("line dedup: short lines exempt; all-duplicate doc reassembles empty") {
+    val docs = Seq(
+      (1L, "--\nDUP LINE"),
+      (2L, "--\nDUP LINE"),
+      (3L, "DUP LINE")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text",
+        dropDf = 2, minLineLen = 3)
+      .orderBy("doc_id").collect()
+    // "--" is under minLineLen: kept everywhere, never counted.
+    assert(out(0).getString(1) == "--\nDUP LINE")
+    assert(out(1).getString(1) == "--")
+    // doc 3's only line is a later duplicate -> empty text, 0 kept.
+    assert(out(2).getString(1) == "" && out(2).getLong(2) == 0 &&
+      out(2).getLong(3) == 1)
+  }
 }
