@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Merges-table-driven BPE encoder — the real subword tokenizer a
+  * training-data pipeline budgets token counts with (SURVEY §2 LLM text
+  * analysis; upgrades TextOps.nSubTokens from an estimate to an encode).
+  *
+  * Algorithm (Sennrich et al. 2016, "Neural Machine Translation of Rare
+  * Words with Subword Units" — public domain algorithm): each whitespace
+  * word is split to characters, then every merge rule is applied in rank
+  * order, rewriting adjacent symbol pairs (a, b) into the concatenated
+  * symbol ab; the surviving symbols are the subword tokens, mapped to ids
+  * through the vocabulary (base alphabet first, then one id per merge, in
+  * rank order; unknown symbols -> -1).
+  *
+  * Representation: a word's symbol sequence is a single-space-delimited
+  * string with leading/trailing spaces (" t h e "), and one merge
+  * application is the literal string replace " a b " -> " ab ", applied
+  * twice per rank (a second pass catches back-to-back matches whose
+  * shared separator the first non-overlapping scan consumed). Literal
+  * replace has identical left-to-right non-overlapping semantics in every
+  * engine, so the DuckDB oracle replays the merge loop EXACTLY — no
+  * hashing, no floating point, no locale.
+  *
+  * Scale shape: the whole encode is ONE shuffle-free codegen'd projection
+  * (per-doc cost only — the same posture as TextOps); the merges table is
+  * compiled into the expression, the 100 TB analogue of broadcasting a
+  * tokenizer model file to executors.
+  */
+object Bpe {
+
+  /** The merges fixture: rank-ordered (a, b) -> a+b rules over the
+    * lowercase corpus alphabet. Hand-written for the testdata vocabulary
+    * (English-ish digraphs first, then word-piece compositions) — the
+    * shape of a real merges.txt, sized for an inlineable oracle. */
+  val merges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("e", "r"), ("i", "n"), ("o", "r"),
+    ("a", "t"), ("s", "t"), ("a", "r"), ("o", "w"), ("l", "e"),
+    ("a", "n"), ("a", "l"), ("r", "o"), ("u", "p"), ("g", "g"),
+    ("s", "m"), ("b", "at"), ("j", "o"), ("jo", "in"), ("d", "up"))
+
+  /** Base alphabet (ids 0..25), then merge outputs (26 + rank). */
+  val vocab: Map[String, Int] = {
+    val base = ('a' to 'z').map(_.toString).zipWithIndex.toMap
+    base ++ merges.zipWithIndex.map { case ((a, b), r) => (a + b, 26 + r) }
+  }
+  val inverseVocab: Map[Int, String] = vocab.map(_.swap)
+
+  /** Symbol sequence of one word after the full merge loop, as the
+    * spaced-string representation. */
+  private def foldedWord(w: Column): Column = {
+    val spaced = concat(lit(" "), array_join(split(w, ""), " "), lit(" "))
+    merges.foldLeft(spaced) { case (s, (a, b)) =>
+      val p = s" $a $b "
+      val r = s" ${a + b} "
+      // two passes per rank: see class doc
+      replace(replace(s, lit(p), lit(r)), lit(p), lit(r))
+    }
+  }
+
+  /** Subword token strings of one word (array<string>). */
+  def wordTokens(w: Column): Column = split(trim(foldedWord(w)), " ")
+
+  /** Subword token strings of a whole document, in order. */
+  def docTokens(text: Column): Column =
+    flatten(transform(TextOps.tokens(text), w => wordTokens(w)))
+
+  /** Token ids of a whole document (unknown symbol -> -1). */
+  def docTokenIds(text: Column): Column =
+    transform(docTokens(text), t =>
+      coalesce(element_at(typedLit(vocab), t), lit(-1)))
+
+  /** Encode a corpus: (doc_id, n_tokens, token_ids) with token_ids
+    * rendered space-joined (a stable cross-engine surface for the id
+    * sequence). One projection — no shuffle, no UDF. */
+  def encode(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        docTokenIds(col(textCol)).as("__ids"))
+      .select(col("doc_id"),
+        size(col("__ids")).cast("long").as("n_tokens"),
+        array_join(transform(col("__ids"), i => i.cast("string")), " ")
+          .as("token_ids"))
+
+  /** Decode token ids back to text (single-space word boundaries are not
+    * recoverable from a flat id stream; decode concatenates symbols — the
+    * per-word inverse used by the round-trip property). */
+  def decodeIds(ids: Column): Column =
+    array_join(transform(ids, i =>
+      coalesce(element_at(typedLit(inverseVocab), i), lit("�"))), "")
+
+  /** The DuckDB replay of the merge loop for one word expression:
+    * generated from the same fixture so the two engines cannot drift. */
+  def duckFoldedSql(wordExpr: String): String = {
+    val spaced = s"' ' || array_to_string(regexp_split_to_array($wordExpr, ''), ' ') || ' '"
+    merges.foldLeft(spaced) { case (s, (a, b)) =>
+      val p = s"' $a $b '"
+      val r = s"' ${a + b} '"
+      s"replace(replace($s, $p, $r), $p, $r)"
+    }
+  }
+
+  /** Inline (tok, id) vocabulary relation for the oracle. */
+  def duckVocabValues: String =
+    vocab.toSeq.sortBy(_._2)
+      .map { case (t, i) => s"('$t', $i)" }.mkString(", ")
+}

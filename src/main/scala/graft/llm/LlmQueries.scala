@@ -1185,6 +1185,33 @@ object LlmQueries {
           FILTER (WHERE df < 2 OR rn = 1), '') AS text,
         CAST(COUNT(*) FILTER (WHERE df < 2 OR rn = 1) AS BIGINT) AS n_kept,
         CAST(COUNT(*) FILTER (WHERE df >= 2 AND rn > 1) AS BIGINT) AS n_dropped
-      FROM flags GROUP BY doc_id ORDER BY doc_id"""))
+      FROM flags GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Merges-table-driven BPE encode: the oracle replays the merge loop
+    // EXACTLY — the nested literal-replace chain and the vocabulary are
+    // GENERATED from the same Bpe fixture, so the two engines cannot
+    // drift (the q36/q44 replay discipline applied to tokenization).
+    ("q145_bpe_encode", (s: SparkSession, d: String) => {
+      Bpe.encode(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")
+    }, Some(s"""
+      WITH words AS (
+        SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+          generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS wpos
+        FROM documents),
+      folded AS (
+        SELECT doc_id, wpos, ${Bpe.duckFoldedSql("w")} AS f FROM words),
+      toks AS (
+        SELECT doc_id, wpos,
+          unnest(string_split(trim(f), ' ')) AS tok,
+          generate_subscripts(string_split(trim(f), ' '), 1) AS tpos
+        FROM folded),
+      v(tok, id) AS (VALUES ${Bpe.duckVocabValues}),
+      ids AS (
+        SELECT t.doc_id, t.wpos, t.tpos, COALESCE(v.id, -1) AS id
+        FROM toks t LEFT JOIN v ON v.tok = t.tok)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        string_agg(CAST(id AS VARCHAR), ' ' ORDER BY wpos, tpos) AS token_ids
+      FROM ids GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
