@@ -2183,7 +2183,37 @@ object RelQueries {
              (SELECT unnest(['Erhverv', 'Privat']) AS b))
       SELECT COUNT(*) AS n_rows, MIN(HourUTC) AS first_hour,
         MAX(HourUTC) AS last_hour
-      FROM g"""))
+      FROM g""")),
+
+    // Catalog-managed warehouse round-trip: publish orders as a managed
+    // parquet table partitioned by status (CREATE TABLE ... USING parquet
+    // PARTITIONED BY via saveAsTable), dynamic-partition INSERT OVERWRITE
+    // the 'F' partition with doubled totals (only that partition's files
+    // are replaced), then aggregate through a catalog read. CatalogSpec
+    // pins partition pruning on the read-back and that untouched
+    // partitions survive the dynamic overwrite byte-for-byte. The oracle
+    // replays the final table state from the source parquet.
+    ("q146_catalog_roundtrip", (s: SparkSession, d: String) => {
+      import graft.sources.Warehouse
+      val db = "graft_wh"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION " +
+        s"'${System.getProperty("java.io.tmpdir")}/graft_wh_db'")
+      val base = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      Warehouse.publish(base, s"$db.orders_pt", Seq("o_orderstatus"))
+      Warehouse.overwritePartitions(
+        base.filter(col("o_orderstatus") === "F")
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        s"$db.orders_pt")
+      s.table(s"$db.orders_pt")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), Exact.sumD(col("o_totalprice"), 16).as("total"))
+        .orderBy("o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+                           ELSE o_totalprice END AS DECIMAL(16,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1 ORDER BY o_orderstatus"""))
   )
 
   // Same-text SQL for q136/q137 (def: referenced during object init).
