@@ -2196,8 +2196,14 @@ object RelQueries {
     ("q146_catalog_roundtrip", (s: SparkSession, d: String) => {
       import graft.sources.Warehouse
       val db = "graft_wh"
-      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION " +
-        s"'${System.getProperty("java.io.tmpdir")}/graft_wh_db'")
+      val dbLoc = s"${System.getProperty("java.io.tmpdir")}/graft_wh_db"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$dbLoc'")
+      // Idempotent re-run: the in-memory catalog forgets the table across
+      // sessions but its managed location persists — drop both.
+      s.sql(s"DROP TABLE IF EXISTS $db.orders_pt")
+      val tblLoc = new org.apache.hadoop.fs.Path(s"$dbLoc/orders_pt")
+      tblLoc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(tblLoc, true)
       val base = t(s, d, "orders").select(col("o_orderkey"),
         col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
       Warehouse.publish(base, s"$db.orders_pt", Seq("o_orderstatus"))
@@ -2213,7 +2219,56 @@ object RelQueries {
       SELECT o_orderstatus, COUNT(*) AS n,
         CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
                            ELSE o_totalprice END AS DECIMAL(16,2))) AS DOUBLE) AS total
-      FROM orders GROUP BY 1 ORDER BY o_orderstatus"""))
+      FROM orders GROUP BY 1 ORDER BY o_orderstatus""")),
+
+    // Approximate-sketch family under an EXACT gate: approx_percentile
+    // (rank-error <= n/accuracy) and approx_count_distinct (HLL++) run
+    // for real, then the query itself verifies each sketch against
+    // exactly-computed bounds and emits (metric, exact target, in-bounds
+    // boolean). The hash compare bites: a sketch drifting out of its
+    // guarantee flips a boolean and fails the oracle — the
+    // "exactness-window" discipline for operators whose raw outputs are
+    // engine-specific. Sketch answers never leave the query unverified.
+    ("q147_approx_bounds", (s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem")
+      val sketch = li.agg(
+        count(lit(1)).as("n"),
+        expr("approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D), 1000)")
+          .as("vp"),
+        approx_count_distinct(col("l_orderkey"), 0.05).as("acd"),
+        countDistinct(col("l_orderkey")).as("ncd"))
+      val ranks = li.crossJoin(broadcast(sketch)).agg(
+        first(col("n")).as("n"), first(col("acd")).as("acd"),
+        first(col("ncd")).as("ncd"),
+        count(when(col("l_extendedprice") <= element_at(col("vp"), 1), 1)).as("r1"),
+        count(when(col("l_extendedprice") <= element_at(col("vp"), 2), 1)).as("r2"),
+        count(when(col("l_extendedprice") <= element_at(col("vp"), 3), 1)).as("r3"),
+        count(when(col("l_extendedprice") <= element_at(col("vp"), 4), 1)).as("r4"))
+      def pRow(nm: String, p: Double, r: org.apache.spark.sql.Column) = {
+        val target = floor(lit(p) * col("n")).cast("long")
+        val tol = (col("n") / lit(500)).cast("long") + 2 // 2x the n/1000 rank guarantee
+        struct(lit(nm).as("metric"), target.as("target"),
+          (r >= target - tol && r <= target + tol).as("approx_ok"))
+      }
+      ranks.select(explode(array(
+          pRow("p25", 0.25, col("r1")), pRow("p50", 0.5, col("r2")),
+          pRow("p75", 0.75, col("r3")), pRow("p95", 0.95, col("r4")),
+          struct(lit("distinct").as("metric"), col("ncd").as("target"),
+            (abs(col("acd") - col("ncd")) <= lit(0.15) * col("ncd"))
+              .as("approx_ok")))).as("m"))
+        .select(col("m.metric").as("metric"), col("m.target").as("target"),
+          col("m.approx_ok").as("approx_ok"))
+        .orderBy("metric")
+    }, Some("""
+      WITH n AS (SELECT COUNT(*) AS n FROM lineitem),
+      d AS (SELECT COUNT(DISTINCT l_orderkey) AS ncd FROM lineitem)
+      SELECT 'distinct' AS metric, CAST(ncd AS BIGINT) AS target,
+        true AS approx_ok FROM d
+      UNION ALL SELECT 'p25', CAST(floor(0.25 * n) AS BIGINT), true FROM n
+      UNION ALL SELECT 'p50', CAST(floor(0.5 * n) AS BIGINT), true FROM n
+      UNION ALL SELECT 'p75', CAST(floor(0.75 * n) AS BIGINT), true FROM n
+      UNION ALL SELECT 'p95', CAST(floor(0.95 * n) AS BIGINT), true FROM n
+      ORDER BY metric"""))
   )
 
   // Same-text SQL for q136/q137 (def: referenced during object init).

@@ -7,8 +7,12 @@ class CatalogSpec extends SparkSpec {
   import spark.implicits._
 
   private def freshTable(): String = {
-    spark.sql("CREATE DATABASE IF NOT EXISTS graft_wh_test LOCATION '" +
-      System.getProperty("java.io.tmpdir") + "/graft_wh_test_db'")
+    val dbLoc = System.getProperty("java.io.tmpdir") + "/graft_wh_test_db"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_wh_test LOCATION '$dbLoc'")
+    // the managed location outlives the in-memory catalog across JVMs
+    spark.sql("DROP TABLE IF EXISTS graft_wh_test.t1")
+    val loc = new org.apache.hadoop.fs.Path(s"$dbLoc/t1")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     val df = Seq((1L, 10.0, "a"), (2L, 20.0, "a"),
       (3L, 30.0, "b"), (4L, 40.0, "b")).toDF("id", "v", "p")
     Warehouse.publish(df, "graft_wh_test.t1", Seq("p"))
