@@ -1,9 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line (total + per-query seconds) for the driver.
+  *
+  * Robustness (round-4 lesson: single-shot timings under machine load
+  * produced false 6x regressions): each query is timed
+  * SPARK_GRAFT_BENCH_REPS times (default 3) and the reported number is
+  * the MEDIAN; the complete per-rep sample set is persisted as a JSON
+  * artifact (SPARK_GRAFT_BENCH_OUT, default BENCH_FULL.json in the cwd)
+  * so per-query data survives even when the driver truncates the stdout
+  * tail. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,14 +31,28 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val samples: Seq[(String, Seq[Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times
+      }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val medians = samples.map { case (n, ts) => n -> median(ts) }
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = medians.map(_._2).sum
+    // Full artifact: every rep, so regressions vs noise are
+    // distinguishable after the fact without a re-run.
+    val full = samples.map { case (n, ts) =>
+      "\"" + n + "\":{\"times\":" + ts.mkString("[", ",", "]") +
+        ",\"median\":" + median(ts) + "}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(outPath),
+      s"""{"sf":"$sfDir","reps":$reps,"total_median":$total,"queries":$full}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
