@@ -78,6 +78,76 @@ object Components {
     labels.select(col("id"), col("label").as("component"))
   }
 
+  /** Connected components via ALTERNATING large-star / small-star edge
+    * rewriting (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — public algorithm), the variant that converges in
+    * fewer rounds than label propagation on high-diameter graphs:
+    *
+    * - large-star (per node u over its FULL neighborhood): attach every
+    *   neighbor v > u to m = min(Γ(u) ∪ {u});
+    * - small-star (per node u over its SMALLER neighbors, i.e. the
+    *   canonical hi→lo orientation): attach u and all its lower neighbors
+    *   to their minimum.
+    *
+    * Each half-round is one groupBy + one join + a distinct on edges
+    * (two longs per edge — the same shuffle discipline as min-label
+    * propagation), the edge list is localCheckpoint'ed per round so
+    * lineage stays flat, and the driver sees only a (count, hash-sum)
+    * convergence checksum. At the fixpoint the edge set IS the component
+    * assignment: every non-root vertex holds exactly one edge to its
+    * component's minimum id.
+    */
+  def connectedComponentsStars(vertices: DataFrame, edges: DataFrame,
+      maxIters: Int = 50): DataFrame =
+    starsWithRounds(vertices, edges, maxIters)._1
+
+  private[llm] def starsWithRounds(vertices: DataFrame, edges: DataFrame,
+      maxIters: Int): (DataFrame, Int) = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    def bidir(df: DataFrame): DataFrame = df
+      .union(df.select(col("dst").as("src"), col("src").as("dst")))
+    def largeStar(df: DataFrame): DataFrame = {
+      val nbr = bidir(df)
+      val mins = nbr.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      canon(nbr.join(mins, "src").filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst")))
+    }
+    def smallStar(df: DataFrame): DataFrame = {
+      val mins = df.groupBy("src").agg(min(col("dst")).as("m"))
+      canon(df.join(mins, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(mins.select(col("src"), col("m").as("dst"))))
+    }
+    // Edge-set checksum: (count, sum of per-edge hashes) — exact equality
+    // of consecutive rounds detects the fixpoint with one tiny aggregate.
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var e = canon(edges).localCheckpoint(true)
+    var sum0 = checksum(e)
+    var rounds = 0
+    var converged = e.isEmpty
+    while (!converged && rounds < maxIters) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val sum1 = checksum(next)
+      e.unpersist()
+      e = next
+      converged = sum1 == sum0
+      sum0 = sum1
+      rounds += 1
+    }
+    val labels = vertices
+      .join(e.select(col("src").as("id"), col("dst").as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("component"))
+    (labels, rounds)
+  }
+
   /** Deterministic integer-scaled PageRank over a directed edge list:
     * ranks are 64-bit integers (true rank × `scale`), contributions use
     * integer floor division, and the damping step is integer

@@ -488,7 +488,7 @@ object LlmQueries {
       // via the coalesce below.
       val endpoints = pairs.select(col("d1").as("id"))
         .union(pairs.select(col("d2").as("id"))).distinct()
-      val cc = Components.connectedComponents(endpoints,
+      val cc = Components.connectedComponentsStars(endpoints,
         pairs.select(col("d1").as("src"), col("d2").as("dst")))
       docs.select("doc_id")
         .join(cc.select(col("id").as("doc_id"), col("component")),
@@ -770,7 +770,7 @@ object LlmQueries {
       val pairs = Similarity.nearDupPairs(emb, "label", tau = 0.25)
       val endpoints = pairs.select(col("v1").as("id"))
         .union(pairs.select(col("v2").as("id"))).distinct()
-      val cc = Components.connectedComponents(endpoints,
+      val cc = Components.connectedComponentsStars(endpoints,
         pairs.select(col("v1").as("src"), col("v2").as("dst")))
       // Keep a vector iff it IS its cluster's representative (min id);
       // vectors in no pair keep themselves via the left join + coalesce.

@@ -70,6 +70,44 @@ class ComponentsSpec extends SparkSpec {
     es.foreach { case (a, b) => assert(got(a) == got(b)) }
   }
 
+  private def runStars(vertices: Seq[Long], edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+    val (df, rounds) = Components.starsWithRounds(
+      vertices.toDF("id"), edges.toDF("src", "dst"), 50)
+    (df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+  }
+
+  test("alternating-star CC matches union-find on seeded random graphs") {
+    val rng = new scala.util.Random(11)
+    for (_ <- 1 to 8) {
+      val n = 2 + rng.nextInt(29)
+      val verts = (0L until n.toLong).toSeq
+      val es = Seq.fill(rng.nextInt(41)) {
+        val a = rng.nextInt(n - 1)
+        val b = a + 1 + rng.nextInt(n - 1 - a)
+        (a.toLong, b.toLong)
+      }
+      assert(runStars(verts, es)._1 == bruteCC(verts, es),
+        s"mismatch on n=$n edges=$es")
+    }
+  }
+
+  test("alternating-star CC: 64-chain converges in logarithmic rounds") {
+    // A 64-vertex chain is the high-diameter worst case: naive label
+    // propagation needs 63 rounds; the alternating-star rewriting must
+    // land the whole component on vertex 0 in <= 8 LS+SS rounds.
+    val verts = (0L until 64L).toSeq
+    val chain = verts.sliding(2).map(s => (s(0), s(1))).toSeq
+    val (got, rounds) = runStars(verts, chain)
+    assert(got == bruteCC(verts, chain))
+    assert(got.values.forall(_ == 0L))
+    assert(rounds <= 8, s"expected <= 8 rounds, took $rounds")
+  }
+
+  test("alternating-star CC: empty edges and singletons label themselves") {
+    val (got, rounds) = runStars(Seq(3L, 7L), Seq.empty)
+    assert(got == Map(3L -> 3L, 7L -> 7L) && rounds == 0)
+  }
+
   /** Single-threaded integer PageRank reference — same arithmetic contract
     * as the operator (int64, floor division). */
   private def brutePageRank(edges: Seq[(Long, Long)], iters: Int,
