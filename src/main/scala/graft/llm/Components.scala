@@ -148,6 +148,43 @@ object Components {
     (labels, rounds)
   }
 
+  /** Exact triangle count over an undirected pair graph — the classic
+    * MapReduce graph statistic (clustering-coefficient numerator; for a
+    * near-dup graph it measures how clique-like the duplicate clusters
+    * are). Degree-ordered orientation (each edge directed from its
+    * (degree, id)-smaller endpoint) makes the wedge join skew-proof: a
+    * hub of degree D contributes wedges only through its capped
+    * out-degree, so no task ever materializes a star's D² wedge space —
+    * the formulation that survives power-law graphs at 100 TB. Shuffles
+    * carry two longs per edge/wedge throughout.
+    *
+    * @param edges undirected (src, dst); orientation/duplicates ignored
+    * @return one row: (n_edges, n_triangles), both BIGINT
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    val bid = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = bid.groupBy(col("src").as("v")).agg(count(lit(1)).as("dg"))
+    val o = bid
+      .join(deg.select(col("v").as("src"), col("dg").as("dsrc")), "src")
+      .join(deg.select(col("v").as("dst"), col("dg").as("ddst")), "dst")
+      .filter(struct(col("dsrc"), col("src")) < struct(col("ddst"), col("dst")))
+      .select(col("src"), col("dst"))
+      .localCheckpoint(true)
+    val wedges = o.select(col("src").as("a"), col("dst").as("b"))
+      .join(o.select(col("src").as("b"), col("dst").as("c")), "b")
+      .select(col("a"), col("c"))
+    val tri = wedges.join(o.select(col("src").as("a"), col("dst").as("c")),
+      Seq("a", "c"))
+    tri.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .select(col("n_edges"), col("n_triangles"))
+  }
+
   /** Deterministic integer-scaled PageRank over a directed edge list:
     * ranks are 64-bit integers (true rank × `scale`), contributions use
     * integer floor division, and the damping step is integer

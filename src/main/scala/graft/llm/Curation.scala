@@ -115,6 +115,55 @@ object Curation {
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
   }
 
+  /** BM25 retrieval scoring against a fixed query term set, in EXACT
+    * rational arithmetic so scores replay bit-for-bit in any engine
+    * (the q80/q134 discipline — log-idf flips near-tie ranks on the last
+    * ulp, so idf is the integer surprisal N div df instead, q134's proxy).
+    * With k1 = 6/5 and b = 3/4, the per-term BM25 contribution
+    *     idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * reduces over the common denominator 10·L (L = total corpus tokens,
+    * avgdl = L/N) to
+    *     22·L·tf·(N div df)  /  (10·tf·L + 3·L + 9·dl·N)
+    * — an int64 denominator, a double numerator built in a fixed
+    * multiplication order, ONE IEEE division per term, and a fixed-order
+    * (left-associative) sum across the query terms instead of an
+    * order-nondeterministic aggregation. Every input (tf, dl, df, N, L)
+    * is an exact integer.
+    *
+    * Scale shape: per-doc tf/dl are shuffle-free array expressions; the
+    * corpus-level (N, L, df) row is one map-side-combined aggregate
+    * broadcast back; ranking is one global top-k. At 100 TB swap the
+    * int64 denominator for decimal if L·tf outgrows 9.2e18.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val baseCols = col("doc_id") +: size(col("__tk")).cast("long").as("dl") +:
+      terms.map(tm => size(filter(col("__tk"), x => x === tm))
+        .cast("long").as(s"tf_$tm"))
+    val base = docs.select(col(idCol).as("doc_id"),
+        TextOps.tokensLower(col(textCol)).as("__tk"))
+      .select(baseCols: _*)
+    val aggCols = count(lit(1)).as("n") +: sum(col("dl")).as("l") +:
+      terms.map(tm => count(when(col(s"tf_$tm") > 0, 1)).as(s"df_$tm"))
+    val globals = base.agg(aggCols.head, aggCols.tail: _*)
+    val scored = base.crossJoin(broadcast(globals))
+    val score = terms.map { tm =>
+      (lit(22.0) * col("l") * col(s"tf_$tm") * expr(s"n div df_$tm")) /
+        (lit(10L) * col(s"tf_$tm") * col("l") + lit(3L) * col("l") +
+          lit(9L) * col("dl") * col("n"))
+    }.reduce(_ + _) // left-associative fixed-order IEEE sum
+    // Global top-k via orderBy+limit (TakeOrderedAndProject — per-partition
+    // heaps, no global window over the corpus); the rank window then runs
+    // over k rows only.
+    val topk = scored.withColumn("score", score)
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    topk.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank") +: col("doc_id") +: col("dl") +: col("score") +:
+        terms.map(tm => col(s"tf_$tm")): _*)
+  }
+
   /** Benchmark decontamination: flag training documents that share at
     * least `minShared` distinct word n-grams with ANY benchmark document
     * (the standard n-gram-overlap test-set leakage check run before

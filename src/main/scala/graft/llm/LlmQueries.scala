@@ -1212,6 +1212,63 @@ object LlmQueries {
         FROM toks t LEFT JOIN v ON v.tok = t.tok)
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
         string_agg(CAST(id AS VARCHAR), ' ' ORDER BY wpos, tpos) AS token_ids
-      FROM ids GROUP BY doc_id ORDER BY doc_id"""))
+      FROM ids GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Exact triangle count over the q40 embedding near-dup graph —
+    // degree-ordered orientation in the engine (skew-proof wedge join);
+    // the oracle counts the same triangles with the id-ordered 3-way
+    // self-join (a different orientation, same exact count).
+    ("q148_triangle_count", (s: SparkSession, d: String) => {
+      val pairs = Similarity.nearDupPairs(t(s, d, "embeddings"), "label", tau = 0.25)
+        .select(col("v1").as("src"), col("v2").as("dst"))
+      Components.triangleCount(pairs)
+    }, Some("""
+      WITH pairs AS (
+        SELECT a.vec_id AS v1, b.vec_id AS v2
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+          b.embedding::DOUBLE[]) >= 0.25)
+      SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+        CAST((SELECT COUNT(*) FROM pairs x JOIN pairs y ON y.v1 = x.v2
+              JOIN pairs z ON z.v1 = x.v1 AND z.v2 = y.v2) AS BIGINT)
+          AS n_triangles""")),
+
+    // BM25 retrieval in exact rational arithmetic (integer-surprisal idf,
+    // k1=6/5, b=3/4 reduced over the common denominator 10L): every
+    // operand is an exact integer, each term contributes one IEEE
+    // division, and the cross-term sum is a fixed-order expression — the
+    // oracle replays the identical arithmetic and the top-20 scores
+    // hash-match bit-for-bit (q80/q123 discipline).
+    ("q149_bm25_search", (s: SparkSession, d: String) => {
+      Curation.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "join", "stream"), k = 20)
+    }, Some("""
+      WITH tk AS (SELECT doc_id,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        FROM documents),
+      base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+          CAST(len(list_filter(tk, x -> x = 'spark')) AS BIGINT) AS tf_spark,
+          CAST(len(list_filter(tk, x -> x = 'join')) AS BIGINT) AS tf_join,
+          CAST(len(list_filter(tk, x -> x = 'stream')) AS BIGINT) AS tf_stream
+        FROM tk),
+      g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(dl) AS BIGINT) AS l,
+          CAST(COUNT(*) FILTER (WHERE tf_spark > 0) AS BIGINT) AS df_spark,
+          CAST(COUNT(*) FILTER (WHERE tf_join > 0) AS BIGINT) AS df_join,
+          CAST(COUNT(*) FILTER (WHERE tf_stream > 0) AS BIGINT) AS df_stream
+        FROM base),
+      scored AS (SELECT doc_id, dl, tf_spark, tf_join, tf_stream,
+          (22.0 * l * tf_spark * (n // df_spark)) /
+            (10 * tf_spark * l + 3 * l + 9 * dl * n)
+          + (22.0 * l * tf_join * (n // df_join)) /
+            (10 * tf_join * l + 3 * l + 9 * dl * n)
+          + (22.0 * l * tf_stream * (n // df_stream)) /
+            (10 * tf_stream * l + 3 * l + 9 * dl * n) AS score
+        FROM base, g)
+      SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+          AS rank,
+        doc_id, dl, score, tf_spark, tf_join, tf_stream
+      FROM scored ORDER BY score DESC, doc_id LIMIT 20"""))
   )
 }

@@ -108,6 +108,15 @@ class ComponentsSpec extends SparkSpec {
     assert(got == Map(3L -> 3L, 7L -> 7L) && rounds == 0)
   }
 
+  test("triangle count: K4 + chain + dupes/orientation noise = 4 triangles") {
+    // K4 has C(4,3)=4 triangles; the chain adds edges but no triangle;
+    // reversed duplicates and a self-loop must not change the count.
+    val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    val noise = Seq((10L, 11L), (11L, 12L), (2L, 0L), (3L, 3L))
+    val out = Components.triangleCount((k4 ++ noise).toDF("src", "dst")).head
+    assert(out.getLong(0) == 8 && out.getLong(1) == 4) // 6 K4 + 2 chain edges
+  }
+
   /** Single-threaded integer PageRank reference — same arithmetic contract
     * as the operator (int64, floor division). */
   private def brutePageRank(edges: Seq[(Long, Long)], iters: Int,
