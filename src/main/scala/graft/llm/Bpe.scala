@@ -90,6 +90,91 @@ object Bpe {
     array_join(transform(ids, i =>
       coalesce(element_at(typedLit(inverseVocab), i), lit("�"))), "")
 
+  /** LEARN a merges table from a corpus (BPE training): `nMerges` rounds
+    * of count-adjacent-pairs → take the most frequent → merge everywhere.
+    * The classic algorithm runs on the word-frequency table, and so does
+    * this: the one corpus-sized pass is the word count (map-side-combined
+    * groupBy); every training round then operates on the vocabulary
+    * relation (distinct words — metadata-sized next to a 100 TB corpus),
+    * with only the single argmax pair row reaching the driver per round
+    * (the same metadata-only-driver discipline as the CC/PageRank
+    * convergence checksums).
+    *
+    * Determinism: pair counts are exact integers (occurrence-weighted,
+    * overlaps counted, as in reference BPE), the argmax tie-breaks on
+    * (count desc, a, b) — a total order — and the merge application is
+    * the same 2-pass literal replace as [[wordTokens]], so
+    * [[duckTrainSql]] can replay the WHOLE training loop round-for-round.
+    *
+    * @return (rank, a, b, merged) — the learned merges in rank order
+    */
+  def train(docs: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var cur = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")).as("s"))
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+    for (r <- 1 to nMerges) {
+      val withTk = cur.select(col("freq"), split(trim(col("s")), " ").as("tk"))
+      val top = withTk
+        .select(col("freq"), col("tk"),
+          posexplode(slice(col("tk"), lit(1), size(col("tk")) - 1)).as(Seq("i", "a")))
+        .select(col("freq"), col("a"), element_at(col("tk"), col("i") + 2).as("b"))
+        .groupBy("a", "b").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .collect() // ONE row — the per-round metadata, like a checksum
+      if (top.nonEmpty) {
+        val a: String = top(0).getString(0)
+        val b: String = top(0).getString(1)
+        learned += ((r.toLong, a, b))
+        val p = s" $a $b "
+        val m = s" ${a + b} "
+        cur = cur.select(col("word"), col("freq"),
+            replace(replace(col("s"), lit(p), lit(m)), lit(p), lit(m)).as("s"))
+          .localCheckpoint(true)
+      }
+    }
+    learned.toSeq.toDF("rank", "a", "b")
+      .select(col("rank"), col("a"), col("b"),
+        concat(col("a"), col("b")).as("merged"))
+  }
+
+  /** The generated DuckDB replay of [[train]]: one unrolled CTE trio
+    * (pair counts, argmax, merge application) per round — the PageRank
+    * unrolled-oracle discipline applied to tokenizer training. */
+  def duckTrainSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { r =>
+      val prev = s"w${r - 1}"
+      s"""p$r AS (SELECT a, b, SUM(freq) AS cnt FROM (
+           SELECT freq, tk[i] AS a, tk[i+1] AS b FROM (
+             SELECT freq, tk, unnest(range(1, len(tk))) AS i
+             FROM (SELECT freq, string_split(trim(s), ' ') AS tk FROM $prev)))
+         WHERE b IS NOT NULL GROUP BY 1, 2),
+      m$r AS (SELECT a, b FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+      w$r AS (SELECT word, freq,
+          replace(replace(s, ' '||a||' '||b||' ', ' '||a||b||' '),
+                  ' '||a||' '||b||' ', ' '||a||b||' ') AS s
+        FROM $prev, m$r)"""
+    }.mkString(",\n      ")
+    val out = (1 to nMerges)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS rank, a, b, a||b AS merged FROM m$r")
+      .mkString("\n      UNION ALL ")
+    s"""
+      WITH wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+              FROM documents) GROUP BY 1),
+      w0 AS (SELECT word, freq,
+        ' ' || array_to_string(regexp_split_to_array(word, ''), ' ') || ' ' AS s
+        FROM wf),
+      $rounds
+      SELECT * FROM ($out) ORDER BY rank"""
+  }
+
   /** The DuckDB replay of the merge loop for one word expression:
     * generated from the same fixture so the two engines cannot drift. */
   def duckFoldedSql(wordExpr: String): String = {

@@ -1269,6 +1269,17 @@ object LlmQueries {
       SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
           AS rank,
         doc_id, dl, score, tf_spark, tf_join, tf_stream
-      FROM scored ORDER BY score DESC, doc_id LIMIT 20"""))
+      FROM scored ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    // BPE TRAINING: learn 8 merge ranks from the corpus word-frequency
+    // table (count adjacent symbol pairs -> argmax with a total
+    // tie-break -> merge everywhere, repeated). The oracle replays the
+    // ENTIRE training loop as 8 unrolled CTE rounds generated from the
+    // same code path — the engines must agree on every intermediate
+    // vocabulary state to produce the same 8 rows.
+    ("q150_bpe_train", (s: SparkSession, d: String) => {
+      Bpe.train(t(s, d, "documents"), "doc_id", "text", nMerges = 8)
+        .orderBy("rank")
+    }, Some(Bpe.duckTrainSql(8)))
   )
 }

@@ -30,6 +30,17 @@ class BpeSpec extends SparkSpec {
     assert(df.filter(col("w") =!= col("rt")).count() == 0)
   }
 
+  test("train learns the hand-computed merges on a toy corpus") {
+    // words: "abab" x2, "ab" x1.
+    // round 1 pairs: (a,b) = 2*2+1 = 5, (b,a) = 2 -> learn (a,b)
+    // round 2 pairs over {" ab ab ", " ab "}: (ab,ab) = 2 -> learn (ab,ab)
+    val docs = Seq((1L, "abab ab"), (2L, "abab")).toDF("doc_id", "text")
+    val got = Bpe.train(docs, "doc_id", "text", nMerges = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq == Seq((1L, "a", "b", "ab"), (2L, "ab", "ab", "abab")))
+  }
+
   test("token ids cover the vocab; no unknowns on the corpus alphabet") {
     val docs = graft.Tables(spark, sfDir, "documents")
     val ids = Bpe.encode(docs, "doc_id", "text")
