@@ -2268,7 +2268,40 @@ object RelQueries {
       UNION ALL SELECT 'p50', CAST(floor(0.5 * n) AS BIGINT), true FROM n
       UNION ALL SELECT 'p75', CAST(floor(0.75 * n) AS BIGINT), true FROM n
       UNION ALL SELECT 'p95', CAST(floor(0.95 * n) AS BIGINT), true FROM n
-      ORDER BY metric"""))
+      ORDER BY metric""")),
+
+    // Z-order layout: Morton-interleave (l_partkey, l_suppkey), split the
+    // z range into 64 equal-width file buckets (width from one broadcast
+    // max — deterministic, unlike a sampling range partitioner), and emit
+    // each bucket's min/max envelope in BOTH dimensions — the per-file
+    // statistics a z-ordered write would give a pruning scan. All exact
+    // integer bit arithmetic; the oracle replays the identical interleave
+    // expression (generated from the same loop).
+    ("q151_zorder_layout", (s: SparkSession, d: String) => {
+      import graft.ops.Layout
+      val li = t(s, d, "lineitem").select(
+        col("l_partkey").cast("long").as("pk"),
+        col("l_suppkey").cast("long").as("sk"))
+      val z = li.withColumn("z", Layout.zValue(col("pk"), col("sk"), 16))
+      val width = z.agg((expr("max(z) div 64") + 1).as("width"))
+      z.crossJoin(broadcast(width))
+        .withColumn("bucket", expr("z div width"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("pk").as("pk_min"), max("pk").as("pk_max"),
+          min("sk").as("sk_min"), max("sk").as("sk_max"))
+        .orderBy("bucket")
+    }, Some(s"""
+      WITH b AS (SELECT
+          ${graft.ops.Layout.zSqlDuck("CAST(l_partkey AS BIGINT)",
+            "CAST(l_suppkey AS BIGINT)", 16)} AS z,
+          l_partkey AS pk, l_suppkey AS sk
+        FROM lineitem),
+      w AS (SELECT (MAX(z) // 64) + 1 AS width FROM b)
+      SELECT z // width AS bucket, COUNT(*) AS n,
+        MIN(pk) AS pk_min, MAX(pk) AS pk_max,
+        MIN(sk) AS sk_min, MAX(sk) AS sk_max
+      FROM b, w GROUP BY 1 ORDER BY bucket"""))
   )
 
   // Same-text SQL for q136/q137 (def: referenced during object init).

@@ -80,6 +80,14 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq("10:00", "11:00", null))
   }
 
+  test("zValue interleaves bits: z(3,5) = 39, z preserves locality order") {
+    val df = Seq((3L, 5L), (0L, 0L), (7L, 0L), (0L, 7L)).toDF("a", "b")
+    val out = df.select(Layout.zValue(col("a"), col("b"), 8).as("z"))
+      .as[Long].collect().toSeq
+    // a=011, b=101 -> bits: a0@0, b0@1, a1@2, b2@5 = 1+2+4+32 = 39
+    assert(out == Seq(39L, 0L, 21L, 42L)) // a fills even bits, b odd bits
+  }
+
   test("line dedup: duplicated boilerplate dropped except first occurrence") {
     val docs = Seq(
       (1L, "COOKIE BANNER\nalpha one\nSHARED FOOTER"),
