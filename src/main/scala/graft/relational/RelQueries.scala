@@ -2301,7 +2301,40 @@ object RelQueries {
       SELECT z // width AS bucket, COUNT(*) AS n,
         MIN(pk) AS pk_min, MAX(pk) AS pk_max,
         MIN(sk) AS sk_min, MAX(sk) AS sk_max
-      FROM b, w GROUP BY 1 ORDER BY bucket"""))
+      FROM b, w GROUP BY 1 ORDER BY bucket""")),
+
+    // Stream-STATIC join executed for real through a micro-batch run:
+    // the events stream is enriched per trigger with a broadcast customer
+    // dimension (no streaming state — the stateless enrichment shape),
+    // then aggregated per (segment, event_type) in complete mode. The
+    // oracle computes the same enrichment + aggregate in batch.
+    ("q152_stream_static_join", (s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val stream = s.readStream.schema(raw.schema)
+        .option("basePath", d).parquet(s"$d/events.parque[t]")
+      val dim = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      val enriched = graft.streaming.Streams.enrichWithDim(
+        stream, dim, Seq("user_id"))
+      val aggd = enriched.groupBy("segment", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(16,2)")).as("sum_v"))
+      val sink = s"q152_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = aggd.writeStream.format("memory")
+        .queryName(sink).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("segment"), col("event_type"), col("n"),
+          col("sum_v").cast("double").as("sum_v"))
+        .orderBy("segment", "event_type")
+    }, Some("""
+      SELECT c_mktsegment AS segment, event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(16,2))) AS DOUBLE) AS sum_v
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1, 2 ORDER BY segment, event_type"""))
   )
 
   // Same-text SQL for q136/q137 (def: referenced during object init).

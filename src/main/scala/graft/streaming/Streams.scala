@@ -151,6 +151,17 @@ object Streams {
     * sides are watermarked so the join state is bounded — Spark drops
     * buffered rows once they can no longer match (the time-range condition
     * plus watermarks gives the state eviction bound). */
+  /** Stream-STATIC enrichment join: every micro-batch joins against the
+    * (batch) dimension table with a broadcast hash join — no streaming
+    * state at all, unlike a stream-stream join; the dimension is re-read
+    * per trigger, so a dimension update between triggers is picked up
+    * (slowly-changing enrichment for free). At 100 TB of stream the dim
+    * stays MB-scale and broadcast; were the dim itself huge, this becomes
+    * the KV-state upsert path ([[upsertBatch]]) instead. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
+
   def purchaseViewJoin(events: DataFrame,
       window: String = "1 hour"): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
