@@ -115,6 +115,44 @@ object Curation {
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
   }
 
+  /** Deterministic SYSTEMATIC weighted sampling: walk the corpus in id
+    * order accumulating integer weights, and pick every item whose
+    * cumulative-weight interval (cum − w, cum] contains a multiple of
+    * `stride` — each item is selected with multiplicity
+    * k = cum div stride − (cum − w) div stride, i.e. expected count w/stride,
+    * EXACTLY and reproducibly (no RNG, no floating point) — the
+    * quality-weighted corpus-mixing sampler that survives reruns and
+    * engine changes bit-for-bit.
+    *
+    * Scale shape — a distributed prefix sum: ids are range-bucketed
+    * (id div bucketSize — deterministic, unlike a sampling range
+    * partitioner), the running sum is computed per bucket (bounded
+    * window partitions), bucket totals (metadata-sized — one row per
+    * bucket) get their offsets in one tiny global window and broadcast
+    * back. No corpus-wide single-task window anywhere.
+    *
+    * @return (id, w, k) for every item with k >= 1
+    */
+  def systematicWeightedSample(df: DataFrame, idCol: String, wCol: String,
+      stride: Long, bucketSize: Long = 1L << 16): DataFrame = {
+    require(stride >= 1 && bucketSize >= 1)
+    val base = df.select(col(idCol).as("id"), col(wCol).cast("long").as("w"))
+    val bucketed = base.withColumn("bucket", expr(s"id div $bucketSize"))
+    val wLocal = Window.partitionBy("bucket").orderBy("id")
+    val local = bucketed.withColumn("lcum", sum(col("w")).over(wLocal))
+    val wOff = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketed.groupBy("bucket").agg(sum(col("w")).as("bw"))
+      .withColumn("off", coalesce(sum(col("bw")).over(wOff), lit(0L)))
+      .select("bucket", "off")
+    local.join(broadcast(offs), "bucket")
+      .withColumn("cum", col("off") + col("lcum"))
+      .withColumn("k",
+        expr(s"cum div $stride") - expr(s"(cum - w) div $stride"))
+      .filter(col("k") > 0)
+      .select(col("id").as(idCol), col("w"), col("k"))
+  }
+
   /** BM25 retrieval scoring against a fixed query term set, in EXACT
     * rational arithmetic so scores replay bit-for-bit in any engine
     * (the q80/q134 discipline — log-idf flips near-tie ranks on the last

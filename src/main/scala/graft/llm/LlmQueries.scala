@@ -1280,6 +1280,52 @@ object LlmQueries {
     ("q150_bpe_train", (s: SparkSession, d: String) => {
       Bpe.train(t(s, d, "documents"), "doc_id", "text", nMerges = 8)
         .orderBy("rank")
-    }, Some(Bpe.duckTrainSql(8)))
+    }, Some(Bpe.duckTrainSql(8))),
+
+    // Equi-DEPTH histogram over per-doc token counts: quantile bucket
+    // boundaries from one exact-percentile aggregate broadcast back as a
+    // map-side binning gate (q82 shape); integral inputs keep the
+    // interpolation exact in both engines (q29 precedent).
+    ("q153_equidepth_histogram", (s: SparkSession, d: String) => {
+      val v = t(s, d, "documents")
+        .select(TextOps.nTokens(col("text")).as("n_tokens"))
+      graft.ops.Profile.equiDepthHistogram(v, "n_tokens", nBins = 5)
+        .orderBy("bin")
+    }, Some("""
+      WITH v AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\s+'))
+          AS BIGINT) AS n_tokens FROM documents),
+      b AS (SELECT quantile_cont(n_tokens, [0.2, 0.4, 0.6, 0.8]) AS bs FROM v)
+      SELECT CAST(
+          (CASE WHEN n_tokens > bs[1] THEN 1 ELSE 0 END) +
+          (CASE WHEN n_tokens > bs[2] THEN 1 ELSE 0 END) +
+          (CASE WHEN n_tokens > bs[3] THEN 1 ELSE 0 END) +
+          (CASE WHEN n_tokens > bs[4] THEN 1 ELSE 0 END) AS INT) AS bin,
+        COUNT(*) AS n,
+        MIN(CAST(n_tokens AS DOUBLE)) AS lo,
+        MAX(CAST(n_tokens AS DOUBLE)) AS hi
+      FROM v, b GROUP BY 1 ORDER BY bin""")),
+
+    // Deterministic systematic weighted sampling (token-count-weighted
+    // corpus mixing): selection multiplicity is exact integer arithmetic
+    // over a DISTRIBUTED prefix sum (range-bucketed running sums + tiny
+    // bucket-offset window, no corpus-wide single-task window); the
+    // oracle replays the same walk with one global window cumsum.
+    ("q154_systematic_sample", (s: SparkSession, d: String) => {
+      val v = t(s, d, "documents")
+        .select(col("doc_id"), TextOps.nTokens(col("text")).as("w"))
+      Curation.systematicWeightedSample(v, "doc_id", "w",
+          stride = 300L, bucketSize = 64L)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH v AS (SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS w
+        FROM documents),
+      c AS (SELECT doc_id, w,
+          SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM v)
+      SELECT doc_id, w,
+        CAST((cum // 300) - ((cum - w) // 300) AS BIGINT) AS k
+      FROM c WHERE (cum // 300) - ((cum - w) // 300) > 0
+      ORDER BY doc_id"""))
   )
 }

@@ -66,4 +66,29 @@ object Profile {
         .cast("int").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
   }
+
+  /** Equi-DEPTH histogram (quantile binning): bucket boundaries are the
+    * exact interpolated percentiles at i/nBins, so bins hold ~equal row
+    * counts — the feature-discretization / data-skew diagnostic
+    * complement of the equi-width [[histogram]]. Boundaries come from one
+    * aggregate (a 1-row broadcast back over the scan — the q82 map-side
+    * gate shape, no corpus shuffle before the bin groupBy). A value lands
+    * in bin i (0-based) when it exceeds boundary i; ties at a boundary go
+    * to the lower bin (`>` comparisons, matching SQL `CASE WHEN v > b`).
+    * Integral inputs keep the percentile interpolation exact in every
+    * engine (q29 precedent). */
+  def equiDepthHistogram(df: DataFrame, colName: String, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val c = col(colName)
+    val ps = (1 until nBins).map(i => i.toDouble / nBins)
+    val bounds = df.agg(
+      expr(s"percentile($colName, array(${ps.mkString(", ")}))").as("__bs"))
+    val bin = (1 until nBins).foldLeft(lit(0)) { (acc, i) =>
+      acc + when(c.cast("double") > element_at(col("__bs"), i), 1).otherwise(0)
+    }
+    df.crossJoin(broadcast(bounds))
+      .select(bin.cast("int").as("bin"), c.cast("double").as("__v"))
+      .groupBy("bin").agg(count(lit(1)).as("n"),
+        min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+  }
 }

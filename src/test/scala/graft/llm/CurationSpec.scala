@@ -206,4 +206,27 @@ class CurationSpec extends SparkSpec {
       (2L, 1.0 / 3, 1.0, 0.5),
       (3L, 1.0, 1.0, 0.0)))
   }
+
+  test("systematic sample: sum(k) == total div stride; bucket-size invariant") {
+    val rng = new scala.util.Random(3)
+    val rows = (0L until 200L).map(i => (i, 1L + rng.nextInt(50).toLong))
+    val df = rows.toDF("id", "w")
+    val total = rows.map(_._2).sum
+    val a = Curation.systematicWeightedSample(df, "id", "w", stride = 37L,
+      bucketSize = 7L).collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val b = Curation.systematicWeightedSample(df, "id", "w", stride = 37L,
+      bucketSize = 1L << 20).collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // the distributed prefix-sum decomposition is exact: any bucket size
+    // yields the identical sample
+    assert(a == b)
+    assert(a.values.sum == total / 37L)
+    // single-threaded reference walk
+    var cum = 0L
+    val ref = rows.flatMap { case (id, w) =>
+      val k = (cum + w) / 37L - cum / 37L
+      cum += w
+      if (k > 0) Some(id -> k) else None
+    }.toMap
+    assert(a == ref)
+  }
 }
