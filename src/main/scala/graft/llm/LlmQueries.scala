@@ -1326,6 +1326,82 @@ object LlmQueries {
       SELECT doc_id, w,
         CAST((cum // 300) - ((cum - w) // 300) AS BIGINT) AS k
       FROM c WHERE (cum // 300) - ((cum - w) // 300) > 0
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // Embedding OUTLIER detection: the 5 vectors least cosine-similar to
+    // their own label's centroid, per label — the mislabeled/noise-vector
+    // curation gate. Centroids broadcast (label-count rows), scoring is a
+    // map-side projection, and the per-label ranking uses the two-level
+    // lossless top-k (capPerStratum) so no task ranks a whole label.
+    // Rank/id output only (q38 discipline — float scores never emitted).
+    ("q155_embed_outliers", (s: SparkSession, d: String) => {
+      import graft.functions.GraftFunctions.cosineSim
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.centroids(emb, "label")
+        .select(col("cell").as("label"),
+          col("centroid").cast("array<float>").as("centroid"))
+      val scored = emb.join(broadcast(cents), "label")
+        .withColumn("csim", cosineSim(col("embedding"), col("centroid")))
+        .select(col("label"), col("vec_id"), col("csim"))
+      Curation.capPerStratum(scored, "label", 5,
+          Seq(col("csim").asc, col("vec_id")))
+        .select(col("label"), col("rank_in_stratum").as("rank"), col("vec_id"))
+        .orderBy("label", "rank")
+    }, Some("""
+      WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      cent AS (
+        SELECT label, CAST(CAST(list(m ORDER BY pos) AS FLOAT[]) AS DOUBLE[]) AS c
+        FROM (
+          SELECT label, pos, avg(x) AS m
+          FROM (SELECT label, unnest(e) AS x, generate_subscripts(e, 1) AS pos FROM base)
+          GROUP BY label, pos)
+        GROUP BY label),
+      scored AS (SELECT b.label, b.vec_id,
+          list_cosine_similarity(b.e, c.c) AS csim
+        FROM base b JOIN cent c USING (label)),
+      r AS (SELECT label, vec_id,
+          row_number() OVER (PARTITION BY label ORDER BY csim ASC, vec_id) AS rank
+        FROM scored)
+      SELECT label, CAST(rank AS BIGINT) AS rank, vec_id
+      FROM r WHERE rank <= 5 ORDER BY label, rank""")),
+
+    // INCREMENTAL line dedup (q110/q111 discipline at line granularity):
+    // the docs >= 400 are "today's batch", gated against the persisted
+    // distinct-line index of the docs < 400 corpus — lines already
+    // indexed are dropped from every batch doc, work linear in the
+    // batch, corpus text never re-read.
+    ("q156_incremental_line_dedup", (s: SparkSession, d: String) => {
+      val lined = t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), array_join(transform(
+            sequence(lit(0), expr("(size(__toks) - 1) div 3").cast("int")),
+            i => array_join(slice(col("__toks"), i * 3 + 1, lit(3)), " ")),
+          "\n").as("text"))
+      val corpusLines = lined.filter(col("doc_id") < 400)
+        .select(explode(split(col("text"), "\n")).as("line"))
+      Dedup.dedupLinesAgainstIndex(lined.filter(col("doc_id") >= 400),
+          corpusLines, "doc_id", "text")
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+          generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+        FROM documents),
+      lines AS (
+        SELECT doc_id, (pos - 1) // 3 AS line_no,
+          string_agg(tok, ' ' ORDER BY pos) AS line
+        FROM toks GROUP BY doc_id, (pos - 1) // 3),
+      idx AS (SELECT DISTINCT line FROM lines WHERE doc_id < 400),
+      f AS (SELECT b.doc_id, b.line_no, b.line,
+          (i.line IS NOT NULL) AS hit
+        FROM (SELECT * FROM lines WHERE doc_id >= 400) b
+        LEFT JOIN idx i USING (line))
+      SELECT doc_id,
+        COALESCE(string_agg(line, chr(10) ORDER BY line_no)
+          FILTER (WHERE NOT hit), '') AS text,
+        CAST(COUNT(*) FILTER (WHERE NOT hit) AS BIGINT) AS n_kept,
+        CAST(COUNT(*) FILTER (WHERE hit) AS BIGINT) AS n_dropped
+      FROM f GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -100,6 +100,35 @@ object Dedup {
       count(when(!col("__keep"), 1)).as("n_dropped"))
   }
 
+  /** Incremental form of [[dedupLines]] — the daily-crawl flow (q110/q111
+    * discipline applied at line granularity): a new batch's lines are
+    * gated against the corpus's PERSISTED line index; any line already in
+    * the index is dropped from every batch document, and the batch is
+    * reassembled. Work is linear in the batch — the corpus text is never
+    * re-read, only its stored distinct-line relation is joined (at 100 TB
+    * the index join key is a 16-byte line fingerprint and the join is a
+    * broadcast/bloom semi-gate per batch).
+    *
+    * @return (doc_id, text, n_kept, n_dropped) for the batch docs
+    */
+  def dedupLinesAgainstIndex(batch: DataFrame, indexLines: DataFrame,
+      idCol: String, textCol: String, sep: String = "\n"): DataFrame = {
+    val lines = batch.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("line_no", "line")))
+    val idx = indexLines.select(col("line")).distinct()
+      .withColumn("__hit", lit(1))
+    val flagged = lines.join(idx, Seq("line"), "left")
+      .withColumn("__keep", col("__hit").isNull)
+    flagged.groupBy("doc_id").agg(
+      array_join(transform(
+        array_sort(collect_list(
+          when(col("__keep"), struct(col("line_no"), col("line"))))),
+        s => s.getField("line")), sep).as("text"),
+      count(when(col("__keep"), 1)).as("n_kept"),
+      count(when(!col("__keep"), 1)).as("n_dropped"))
+  }
+
   /** D3: processed-window checkpoint — drop work units already recorded in
     * a processed log (reference fetch_data_energinet.py:150-154 skips whole
     * days found in Redis). A left_anti join: broadcastable when the log is
