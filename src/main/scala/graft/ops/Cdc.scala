@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot differencing (batch CDC): classify every key of two table
+  * versions as insert / delete / update / unchanged — the
+  * change-data-capture primitive for day-over-day reconciliation of a
+  * warehouse table (the governed view of the reference's re-landed day
+  * files) when no transaction log exists.
+  *
+  * Scale shape: ONE full-outer join keyed on the primary key — both
+  * sides shuffle once on the key, the comparison is a map-side
+  * projection, and the usual consumer (per-class counts, or the
+  * update/insert rows feeding a MERGE) aggregates or filters without
+  * another corpus shuffle. Null-safe comparison (`<=>`) so NULL→value
+  * and value→NULL count as updates, not unchanged.
+  */
+object Cdc {
+  /** @param keys  primary-key columns (same names both sides)
+    * @param cols  payload columns compared for update detection
+    * @return keys ++ (change: insert|delete|update|unchanged)
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      keys: Seq[String], cols: Seq[String]): DataFrame = {
+    val o = oldDf.select((keys ++ cols).map(col): _*)
+      .withColumn("__in_old", lit(1))
+    val n = cols.foldLeft(
+        newDf.select((keys ++ cols).map(col): _*)
+          .withColumn("__in_new", lit(1))) {
+      (df, c) => df.withColumnRenamed(c, s"__new_$c")
+    }
+    val changed = cols.map(c => !(col(c) <=> col(s"__new_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, keys, "full_outer")
+      .withColumn("change",
+        when(col("__in_new").isNull, "delete")
+          .when(col("__in_old").isNull, "insert")
+          .when(changed, "update")
+          .otherwise("unchanged"))
+      .select(keys.map(col) :+ col("change"): _*)
+  }
+}

@@ -2334,7 +2334,74 @@ object RelQueries {
       SELECT c_mktsegment AS segment, event_type, COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(16,2))) AS DOUBLE) AS sum_v
       FROM events JOIN customer ON user_id = c_custkey
-      GROUP BY 1, 2 ORDER BY segment, event_type"""))
+      GROUP BY 1, 2 ORDER BY segment, event_type""")),
+
+    // HLL sketch STORE (Datasketches): per-status sketches of customer
+    // cardinality — the persisted pre-aggregate that answers distinct
+    // questions without re-scanning — union-merged to the corpus total
+    // (the mergeability no exact distinct count has). Gated exactly, the
+    // q147 discipline: per-group AND merged estimates must land within
+    // 5% of the exactly-computed cardinality or the emitted boolean
+    // flips and fails the hash compare.
+    ("q157_hll_sketch_store", (s: SparkSession, d: String) => {
+      val o = t(s, d, "orders")
+      val sk = o.groupBy("o_orderstatus").agg(
+        hll_sketch_agg(col("o_custkey")).as("sk"),
+        countDistinct(col("o_custkey")).as("exact"))
+      val per = sk.select(col("o_orderstatus"), col("exact"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact")) <=
+          lit(0.05) * col("exact")).as("approx_ok"))
+      val tot = sk.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .crossJoin(broadcast(o.agg(
+          countDistinct(col("o_custkey")).as("exact"))))
+        .select(lit("ALL").as("o_orderstatus"), col("exact"),
+          (abs(col("est") - col("exact")) <= lit(0.05) * col("exact"))
+            .as("approx_ok"))
+      per.union(tot).orderBy("o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact,
+        true AS approx_ok
+      FROM orders GROUP BY 1
+      UNION ALL
+      SELECT 'ALL', COUNT(DISTINCT o_custkey), true FROM orders
+      ORDER BY o_orderstatus""")),
+
+    // Batch CDC: snapshot-diff two versions of orders (F totals doubled =
+    // updates, P rows re-keyed = deletes + inserts) with ONE null-safe
+    // full-outer join, aggregated to per-class counts.
+    ("q158_snapshot_diff", (s: SparkSession, d: String) => {
+      import graft.ops.Cdc
+      val base = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      val newer = base.filter(col("o_orderstatus") =!= "P")
+        .withColumn("o_totalprice",
+          when(col("o_orderstatus") === "F", col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+        .union(base.filter(col("o_orderstatus") === "P")
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      Cdc.snapshotDiff(base, newer, Seq("o_orderkey"),
+          Seq("o_custkey", "o_totalprice", "o_orderstatus"))
+        .groupBy("change").agg(count(lit(1)).as("n"))
+        .orderBy("change")
+    }, Some("""
+      WITH newer AS (
+        SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+               ELSE o_totalprice END AS o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderstatus <> 'P'
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderstatus = 'P'),
+      j AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+          CASE WHEN n.o_orderkey IS NULL THEN 'delete'
+               WHEN o.o_orderkey IS NULL THEN 'insert'
+               WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                 OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                 OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                 THEN 'update'
+               ELSE 'unchanged' END AS change
+        FROM orders o FULL OUTER JOIN newer n ON o.o_orderkey = n.o_orderkey)
+      SELECT change, COUNT(*) AS n FROM j GROUP BY 1 ORDER BY change"""))
   )
 
   // Same-text SQL for q136/q137 (def: referenced during object init).
