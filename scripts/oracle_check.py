@@ -2,7 +2,7 @@
 """Local emulation of the driver's correctness gate: run Verify's parquet
 dumps against the DuckDB oracle SQL, compare column-sorted/row-sorted
 values exactly. Usage: oracle_check.py <sfDir> <verifyOutDir>"""
-import sys, json, glob
+import sys, json, glob, re
 import duckdb
 import pandas as pd
 
@@ -28,8 +28,11 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    pat = re.compile(sys.argv[3]) if len(sys.argv) > 3 else None
     fails = []
     for name in sorted(oracle):
+        if pat and not pat.search(name):
+            continue
         sql = oracle[name]
         try:
             exp = con.execute(sql).fetchdf()

@@ -30,6 +30,15 @@ object RelQueries {
   private def tax = Exact.dec(col("l_tax"), 4)
   private def revenue = price * (Exact.one - disc)
 
+  // DuckDB replay of Spark's xxhash64(lit(i), longCol) reduced mod a POWER
+  // OF TWO m (so the signed pmod and the unsigned remainder agree — see
+  // ops.Sketches). `c` must be a non-negative BIGINT column expression.
+  private def xxLongMod(c: String, i: Int, m: Int): String = {
+    require((m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    s"((${graft.llm.XxHashOracle.hashLong(s"CAST($c AS HUGEINT)",
+      s"CAST(${graft.llm.XxHashOracle.familySeed(i)} AS HUGEINT)")}) % $m)"
+  }
+
   // oracle fragments (DuckDB side)
   private val oQty = "CAST(l_quantity AS DECIMAL(10,2))"
   private val oPrice = "CAST(l_extendedprice AS DECIMAL(10,2))"
@@ -2401,7 +2410,135 @@ object RelQueries {
                  THEN 'update'
                ELSE 'unchanged' END AS change
         FROM orders o FULL OUTER JOIN newer n ON o.o_orderkey = n.o_orderkey)
-      SELECT change, COUNT(*) AS n FROM j GROUP BY 1 ORDER BY change"""))
+      SELECT change, COUNT(*) AS n FROM j GROUP BY 1 ORDER BY change""")),
+
+    // TPC-H Q20 shape — the last of the 22: a correlated-aggregate
+    // threshold inside a nested semi-join chain. No partsupp table in the
+    // testdata, so (suppkey, partkey) inventory rows are derived from
+    // lineitem itself: suppliers who, on some 'small%' part, shipped more
+    // over all time than DOUBLE their 1995 volume on that part (the
+    // availqty > 0.5*qty(year) compare, rewritten multiplication-only so
+    // no division rounding can flip a boundary row), semi-joined up to the
+    // supplier list and filtered to two nations. At scale: part prefilter
+    // broadcasts into the fact scan; the per-(supp,part) aggregate is
+    // map-side combined; supplier semi-join carries distinct suppkeys only.
+    ("q159_tpch_q20_shape", (s: SparkSession, d: String) => {
+      val smallParts = t(s, d, "part")
+        .filter(col("p_name").startsWith("small")).select("p_partkey")
+      val qualifying = t(s, d, "lineitem")
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(qty).as("total_qty"),
+          sum(when(col("l_shipdate") >= lit("1995-01-01") &&
+            col("l_shipdate") < lit("1996-01-01"), qty)).as("qty_95"))
+        .filter(col("total_qty") > coalesce(col("qty_95"),
+          lit(0).cast("decimal(10,2)")) * 2)
+        .select(col("l_suppkey")).distinct()
+      t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+            .filter(col("n_name").isin("NATION_1", "NATION_3"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal").orderBy("s_name")
+    }, Some(s"""
+      WITH ps AS (
+        SELECT l_suppkey, l_partkey,
+          SUM($oQty) AS total_qty,
+          SUM($oQty) FILTER (WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate < TIMESTAMP '1996-01-01') AS qty_95
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'small%'
+        GROUP BY 1, 2)
+      SELECT s_name, s_acctbal
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_3')
+        AND s_suppkey IN (SELECT l_suppkey FROM ps
+          WHERE total_qty > COALESCE(qty_95, CAST(0 AS DECIMAL(10,2))) * 2)
+      ORDER BY s_name""")),
+
+    // Bloom-filter pre-filtered join: the small side's keys build a 8192-bit
+    // bloom bitmap (one map-side-combined bit_or aggregate), broadcast as a
+    // ONE-ROW array into a codegen'd probe over the fact scan — the
+    // explicit form of Spark's runtime row-level filtering. The gate
+    // verifies the SKETCH itself, not just the join: the oracle replays
+    // every XXH64 bit position in DuckDB, so n_pass (bloom positives),
+    // n_true (exact semi-join), and the no-false-negatives invariant all
+    // hash-compare. At 100 TB the fact side never shuffles for the
+    // pre-filter; only rows surviving the bloom reach the join exchange.
+    ("q160_bloom_join", (s: SparkSession, d: String) => {
+      val mBits = 8192; val k = 3
+      val dimKeys = t(s, d, "supplier")
+        .filter(col("s_nationkey") === 0).select(col("s_suppkey"))
+      val bloom = Sketches.bloomBitmap(dimKeys, "s_suppkey", mBits, k)
+      t(s, d, "lineitem").select(col("l_suppkey"))
+        .crossJoin(broadcast(bloom))
+        .withColumn("bpass",
+          Sketches.bloomMightContain(col("bloom"), col("l_suppkey"), mBits, k))
+        .join(broadcast(dimKeys.withColumn("hit", lit(1))),
+          col("l_suppkey") === col("s_suppkey"), "left")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("bpass"), 1)).as("n_pass"),
+          count(col("hit")).as("n_true"),
+          count(when(col("bpass") && col("hit").isNotNull, 1)).as("n_tp"))
+        .select(col("n_total"), col("n_pass"), col("n_true"),
+          (col("n_tp") === col("n_true")).as("fn_free"))
+    }, Some(s"""
+      WITH keys AS (SELECT DISTINCT s_suppkey AS k FROM supplier
+                    WHERE s_nationkey = 0),
+      bits AS (SELECT DISTINCT pos FROM (
+        SELECT ${xxLongMod("k", 0, 8192)} AS pos FROM keys
+        UNION ALL SELECT ${xxLongMod("k", 1, 8192)} FROM keys
+        UNION ALL SELECT ${xxLongMod("k", 2, 8192)} FROM keys)),
+      probe AS (SELECT l_suppkey,
+          ${xxLongMod("l_suppkey", 0, 8192)} IN (SELECT pos FROM bits)
+          AND ${xxLongMod("l_suppkey", 1, 8192)} IN (SELECT pos FROM bits)
+          AND ${xxLongMod("l_suppkey", 2, 8192)} IN (SELECT pos FROM bits)
+            AS bpass,
+          l_suppkey IN (SELECT k FROM keys) AS hit
+        FROM lineitem)
+      SELECT COUNT(*) AS n_total,
+        COUNT(*) FILTER (WHERE bpass) AS n_pass,
+        COUNT(*) FILTER (WHERE hit) AS n_true,
+        COUNT(*) FILTER (WHERE bpass AND hit) =
+          COUNT(*) FILTER (WHERE hit) AS fn_free
+      FROM probe""")),
+
+    // Count-min sketch frequency store: depth 3 x width 4096 long counters
+    // in ONE array via a custom Aggregator whose partial states merge
+    // map-side (the shuffle carries one 12k-long array per partition, not
+    // rows). Estimates for the top-10 true-frequency keys are read back
+    // from the broadcast sketch and gated against the exact counts —
+    // est >= true always (CMS one-sided error), and the ESTIMATES
+    // themselves hash-compare because the oracle rebuilds every counter
+    // cell from the replayed XXH64 positions.
+    ("q161_cms_frequency", (s: SparkSession, d: String) => {
+      val depth = 3; val width = 4096
+      val keys = t(s, d, "lineitem").select(col("l_partkey"))
+      val cms = Sketches.countMinSketch(keys, "l_partkey", depth, width)
+      val top = keys.groupBy("l_partkey").agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("l_partkey")).limit(10)
+      top.crossJoin(broadcast(cms))
+        .withColumn("est", Sketches.countMinEstimate(
+          col("sketch"), col("l_partkey"), depth, width))
+        .select(col("l_partkey"), col("true_cnt"), col("est"),
+          (col("est") >= col("true_cnt")).as("lower_ok"))
+        .orderBy(col("true_cnt").desc, col("l_partkey"))
+    }, Some(s"""
+      WITH cnt AS (SELECT l_partkey AS k, COUNT(*) AS true_cnt
+                   FROM lineitem GROUP BY 1),
+      pos AS (SELECT k, true_cnt, 0 AS i, ${xxLongMod("k", 0, 4096)} AS pos
+                FROM cnt
+        UNION ALL SELECT k, true_cnt, 1, ${xxLongMod("k", 1, 4096)} FROM cnt
+        UNION ALL SELECT k, true_cnt, 2, ${xxLongMod("k", 2, 4096)} FROM cnt),
+      cells AS (SELECT i, pos, SUM(true_cnt) AS cc FROM pos GROUP BY 1, 2),
+      top AS (SELECT k, true_cnt FROM cnt ORDER BY true_cnt DESC, k LIMIT 10),
+      est AS (SELECT p.k, p.true_cnt, MIN(cc) AS est
+        FROM pos p JOIN top tp ON p.k = tp.k
+        JOIN cells c ON c.i = p.i AND c.pos = p.pos
+        GROUP BY 1, 2)
+      SELECT k AS l_partkey, true_cnt, CAST(est AS BIGINT) AS est,
+        est >= true_cnt AS lower_ok
+      FROM est ORDER BY true_cnt DESC, l_partkey"""))
   )
 
   // Same-text SQL for q136/q137 (def: referenced during object init).

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloom: zero false negatives, bounded false positives") {
+    val keys = (0L until 200L).map(_ * 7L).toDF("k")
+    val bloom = Sketches.bloomBitmap(keys, "k", mBits = 8192, k = 3)
+    val probes = (0L until 3000L).toDF("x")
+      .crossJoin(broadcast(bloom))
+      .withColumn("pass",
+        Sketches.bloomMightContain(col("bloom"), col("x"), 8192, 3))
+    val member = (0L until 200L).map(_ * 7L).toSet
+    val rows = probes.select("x", "pass").as[(Long, Boolean)].collect()
+    // every true member passes
+    assert(rows.filter(r => member(r._1)).forall(_._2))
+    // false-positive rate stays near theory: (1-e^{-kn/m})^k ~ 0.4% here;
+    // allow generous slack for hash variance
+    val fps = rows.count(r => !member(r._1) && r._2)
+    assert(fps < 100, s"implausible FP count $fps / 2800 non-members")
+  }
+
+  test("bloom: bitmap is one row of mBits/64 words and partition-invariant") {
+    val keys = (0L until 500L).toDF("k")
+    val a = Sketches.bloomBitmap(keys.repartition(1), "k", 4096, 2)
+      .as[Seq[Long]].head()
+    val b = Sketches.bloomBitmap(keys.repartition(7), "k", 4096, 2)
+      .as[Seq[Long]].head()
+    assert(a.size == 64 && a == b)
+  }
+
+  test("bloom: rejects non-power-of-two sizes") {
+    intercept[IllegalArgumentException] {
+      Sketches.bloomBitmap(Seq(1L).toDF("k"), "k", 1000, 3)
+    }
+  }
+
+  test("cms: estimate >= true count, exact for all keys here, merge-safe") {
+    // skewed multiset: key i appears i+1 times, across many partitions
+    val rows = (0 until 100).flatMap(i => Seq.fill(i + 1)(i.toLong))
+    val df = rows.toDF("k").repartition(13)
+    val cms = Sketches.countMinSketch(df, "k", depth = 3, width = 1024)
+    val est = (0 until 100).map(_.toLong).toDF("k")
+      .crossJoin(broadcast(cms))
+      .select(col("k"),
+        Sketches.countMinEstimate(col("sketch"), col("k"), 3, 1024).as("est"))
+      .as[(Long, Long)].collect().toMap
+    (0 until 100).foreach { i =>
+      assert(est(i.toLong) >= i + 1, s"CMS under-counted key $i")
+    }
+    // total mass per depth row equals the row count (conservation)
+    val sketch = cms.as[Seq[Long]].head()
+    (0 until 3).foreach { d =>
+      assert(sketch.slice(d * 1024, (d + 1) * 1024).sum == rows.size)
+    }
+  }
+
+  test("cms: partition-invariant sketch") {
+    val df = (0L until 1000L).map(i => i % 37).toDF("k")
+    val a = Sketches.countMinSketch(df.repartition(1), "k", 2, 256)
+      .as[Seq[Long]].head()
+    val b = Sketches.countMinSketch(df.repartition(11), "k", 2, 256)
+      .as[Seq[Long]].head()
+    assert(a == b)
+  }
+}
