@@ -250,6 +250,33 @@ object Curation {
       .drop("__rate")
   }
 
+  /** Temperature-scaled domain mixture (the alpha=0.5 sampling used to
+    * flatten source skew without going fully uniform): per-stratum keep
+    * rate sqrt(n_min/n_s) in basis points, so sampled counts are
+    * proportional to sqrt(n_s) and the rarest stratum is kept whole —
+    * between [[rebalanceUniform]] (alpha=0) and no-op (alpha=1).
+    *
+    * Exactness: the rate is floor(10000 * sqrt(n_min/n_s)) — one IEEE
+    * division, one correctly-rounded sqrt, one multiply, in a pinned
+    * order, so the gate replays bit-for-bit in any engine. Crucially
+    * there is NO cross-stratum float sum (a sum's accumulation order
+    * would be partition-dependent); normalizing by n_min instead of
+    * sum(sqrt(n)) keeps every rate a pure per-stratum scalar. Same
+    * two-pass / broadcast-rates / codegen-gate shape as
+    * [[rebalanceUniform]]. */
+  def temperatureMix(df: DataFrame, idCol: String,
+      stratumCol: String): DataFrame = {
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("__c"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("__c")).as("__m"))))
+      .select(col(stratumCol), floor(lit(10000) *
+        sqrt(col("__m").cast("double") / col("__c").cast("double")))
+        .as("__rate"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(pmod(xxhash64(col(idCol)), lit(10000)) < col("__rate"))
+      .drop("__rate")
+  }
+
   /** Exactly min(k, |stratum|) rows per stratum, selected by hash order
     * (ascending xxhash64(id), id tie-break) — the EXACT-size companion to
     * [[sampleStratified]]'s percentage gate: same determinism (pure

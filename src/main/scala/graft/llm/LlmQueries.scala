@@ -1402,6 +1402,55 @@ object LlmQueries {
           FILTER (WHERE NOT hit), '') AS text,
         CAST(COUNT(*) FILTER (WHERE NOT hit) AS BIGINT) AS n_kept,
         CAST(COUNT(*) FILTER (WHERE hit) AS BIGINT) AS n_dropped
-      FROM f GROUP BY doc_id ORDER BY doc_id"""))
+      FROM f GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Temperature-scaled (alpha=0.5) domain mixture: keep rates
+    // sqrt(n_min/n_s) in basis points — sampled counts proportional to
+    // sqrt(n_s), rarest source kept whole. The oracle replays the IEEE
+    // rate arithmetic AND the XXH64 gate, so the exact kept row set
+    // hash-compares; per-source counts ride along as the mixture audit.
+    ("q162_temperature_mix", (s: SparkSession, d: String) => {
+      Curation.temperatureMix(t(s, d, "documents"), "doc_id", "source")
+        .groupBy("source").agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("first_kept"))
+        .orderBy("source")
+    }, Some(s"""
+      WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY 1),
+      m AS (SELECT MIN(c) AS m FROM c),
+      r AS (SELECT source,
+          FLOOR(10000 * SQRT(CAST(m.m AS DOUBLE) / CAST(c.c AS DOUBLE)))
+            AS rate FROM c, m),
+      h AS (SELECT doc_id, source,
+        ${XxHashOracle.signed(XxHashOracle.hashLong(
+          "CAST(doc_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} AS hv
+        FROM documents)
+      SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS first_kept
+      FROM h JOIN r USING (source)
+      WHERE ((hv % 10000) + 10000) % 10000 < rate
+      GROUP BY source ORDER BY source""")),
+
+    // Cross-document repeated-substring detection (Lee et al. substring
+    // dedup, as 5-token sliding windows): per doc, how many window
+    // positions carry a window occurring in >= 2 distinct docs. The
+    // oracle replays the window construction AND the XXH64 window keys,
+    // so the grouping key the shuffle actually uses is what's verified.
+    ("q163_repeated_substrings", (s: SparkSession, d: String) => {
+      TextOps.crossDocRepeatedWindows(
+        t(s, d, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH tkn AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+      wpos AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS j
+               FROM tkn WHERE len(tk) >= 5),
+      toks AS (SELECT doc_id,
+          array_to_string(list_slice(tk, j, j + 4), ' ') AS tok FROM wpos),
+      ${XxHashOracle.xxh64Ctes("toks")},
+      dfq AS (SELECT hu, COUNT(DISTINCT doc_id) AS nd
+              FROM hashed GROUP BY hu)
+      SELECT doc_id, COUNT(*) AS n_win,
+        COUNT(*) FILTER (WHERE nd >= 2) AS n_dup
+      FROM hashed JOIN dfq USING (hu)
+      GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: tokenization,
@@ -98,5 +98,38 @@ object TextOps {
   def dupNgramFraction(text: Column, n: Int): Column = {
     val grams = NearDup.wordNgrams(tokens(text), n)
     (size(grams) - size(array_distinct(grams))).cast("double") / size(grams)
+  }
+
+  /** Cross-document repeated-substring detection (the sliding-window
+    * analysis behind substring-level training-data dedup, à la Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better" — there
+    * over suffix arrays; here over every k-token window): for each
+    * document, how many of its window positions carry a window that also
+    * occurs in ANOTHER document. Returns (doc_id, n_win, n_dup); docs
+    * with fewer than k tokens have no window and are dropped.
+    *
+    * Scale shape: windows leave the projection as 8-byte xxhash64 keys
+    * immediately — the shuffle for the document-frequency count and the
+    * join back carry (hash, doc_id) pairs only, never window text. The
+    * window explode is map-side (no exchange); at 100 TB this is one
+    * gram-key-partitioned count + one same-key join, both AQE-skew
+    * eligible. */
+  def crossDocRepeatedWindows(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"window size must be >= 1, got $k")
+    val wins = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("__tk")) - k),
+        j => array_join(slice(col("__tk"), j + lit(1), lit(k)), " ")))
+        .as("win"))
+      .select(col("doc_id"), xxhash64(col("win")).as("h"))
+    val dfreq = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+    wins.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_win"),
+        count(when(col("__nd") >= 2, 1)).as("n_dup"))
   }
 }

@@ -229,4 +229,39 @@ class CurationSpec extends SparkSpec {
     }.toMap
     assert(a == ref)
   }
+
+  test("temperatureMix: rarest stratum whole, counts track sqrt(n)") {
+    // strata of 100 / 400 / 2500 rows: rates 10000, 5000, 2000 bps
+    val rows = (0 until 100).map(i => (i.toLong, "a")) ++
+      (0 until 400).map(i => (1000L + i, "b")) ++
+      (0 until 2500).map(i => (10000L + i, "c"))
+    val df = rows.toDF("id", "dom").repartition(9)
+    val kept = Curation.temperatureMix(df, "id", "dom")
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(kept("a") == 100, s"rarest stratum not kept whole: $kept")
+    // expected ~ n*sqrt(100/n): b ~ 200, c ~ 500; hash gate noise is
+    // small at these sizes
+    assert(kept("b") > 150 && kept("b") < 250, s"b off: $kept")
+    assert(kept("c") > 420 && kept("c") < 580, s"c off: $kept")
+    // reproducible under repartitioning
+    val again = Curation.temperatureMix(df.repartition(3), "id", "dom")
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(kept == again)
+  }
+
+  test("crossDocRepeatedWindows: planted shared substring is found") {
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"unique one two three four five six $shared"),
+      (2L, s"$shared different tail body seven eight nine ten"),
+      (3L, "totally disjoint text with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val r = TextOps.crossDocRepeatedWindows(docs, "doc_id", "text", k = 5)
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    // the shared 6-token run yields two 5-token shared windows per doc
+    assert(r(1L)._2 == 2 && r(2L)._2 == 2, s"shared windows missed: $r")
+    assert(r(3L)._2 == 0, s"false dup in disjoint doc: $r")
+    // n_win = tokens - k + 1
+    assert(r(3L)._1 == 9 - 5 + 1)
+  }
 }
