@@ -391,6 +391,34 @@ object Curation {
         array_join(col("col"), " ").as("chunk_text"))
   }
 
+  /** Bigram language-model document scoring (the KenLM-style fluency
+    * filter, integerized): each bigram occurrence (w1 w2) contributes
+    * ctx(w1) div c(w1 w2) — the integer reciprocal of the conditional
+    * probability P(w2|w1) estimated from the corpus itself — so fluent
+    * text (bigrams typical of their context) scores low and improbable
+    * sequences score high, with NO floating log anywhere: scores replay
+    * exactly in any engine and are partitioning-stable.
+    *
+    * ctx(w1) = total bigram occurrences starting with w1 (so the
+    * conditional distribution sums to 1). Shuffles: the count store is
+    * one gram-key aggregate; scoring joins back on the same gram key;
+    * the context join rides the w1 key. At 100 TB the store is the
+    * persisted [[ngramStats]]-style index and only the scoring joins run
+    * per batch. */
+  def bigramLmScore(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(NearDup.wordNgrams(TextOps.tokens(col(textCol)), 2))
+        .as("gram"))
+    val store = grams.groupBy("gram").agg(count(lit(1)).as("c2"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+    val ctx = store.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    grams.join(store, "gram").join(ctx, "w1")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("c1 div c2")).as("lm_score"))
+  }
+
   /** Rare-n-gram document scoring against the corpus document-frequency
     * store: each DISTINCT word n-gram of a document contributes
     * floor(N / df) (N = corpus size; ubiquitous grams add ~1, singleton

@@ -1451,6 +1451,28 @@ object LlmQueries {
       SELECT doc_id, COUNT(*) AS n_win,
         COUNT(*) FILTER (WHERE nd >= 2) AS n_dup
       FROM hashed JOIN dfq USING (hu)
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Bigram LM document scoring (KenLM-style fluency filter,
+    // integerized): each bigram occurrence adds ctx(w1) div c(w1 w2) —
+    // the integer reciprocal of P(w2|w1) from the corpus's own counts.
+    // No floating log anywhere, so per-doc scores hash-compare exactly.
+    ("q164_bigram_lm_score", (s: SparkSession, d: String) => {
+      Curation.bigramLmScore(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+          THEN list_transform(range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i + 1])
+          ELSE [array_to_string(toks, ' ')] END) AS gram FROM t),
+      s AS (SELECT gram, COUNT(*) AS c2 FROM g GROUP BY 1),
+      sw AS (SELECT gram, c2, split_part(gram, ' ', 1) AS w1 FROM s),
+      cx AS (SELECT w1, SUM(c2) AS c1 FROM sw GROUP BY 1)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        CAST(SUM(c1 // c2) AS BIGINT) AS lm_score
+      FROM g JOIN sw USING (gram) JOIN cx USING (w1)
       GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

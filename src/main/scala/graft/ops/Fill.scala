@@ -24,4 +24,33 @@ object Fill {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(as, last(col(valueCol), ignoreNulls = true).over(w))
   }
+
+  /** Linear interpolation across gaps: null `valueCol` rows get
+    * v_prev + (v_next - v_prev) * (t - t_prev)/(t_next - t_prev) between
+    * the nearest known observations in `timeCol` order (a LONG/INT column
+    * — exact integer deltas); leading/trailing gaps take the nearest
+    * known value flat. Two keyed windows over ONE shuffle on the
+    * partition key (same sort order, so the planner reuses the exchange
+    * and sort); the lerp itself is a fixed-order IEEE expression — one
+    * subtraction pair, one multiply, one division — so interpolated
+    * values are bit-stable across engines and partitionings. */
+  def interpolateLinear(df: DataFrame, partCols: Seq[Column], timeCol: String,
+      valueCol: String, as: String): DataFrame = {
+    val back = Window.partitionBy(partCols: _*).orderBy(col(timeCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(partCols: _*).orderBy(col(timeCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pv = last(col(valueCol), ignoreNulls = true).over(back)
+    val pt = last(when(col(valueCol).isNotNull, col(timeCol)),
+      ignoreNulls = true).over(back)
+    val nv = first(col(valueCol), ignoreNulls = true).over(fwd)
+    val nt = first(when(col(valueCol).isNotNull, col(timeCol)),
+      ignoreNulls = true).over(fwd)
+    df.withColumn(as,
+      when(col(valueCol).isNotNull, col(valueCol))
+        .when(pv.isNull, nv)
+        .when(nv.isNull, pv)
+        .otherwise(pv + (nv - pv) * (col(timeCol) - pt).cast("double") /
+          (nt - pt).cast("double")))
+  }
 }

@@ -2538,7 +2538,72 @@ object RelQueries {
         GROUP BY 1, 2)
       SELECT k AS l_partkey, true_cnt, CAST(est AS BIGINT) AS est,
         est >= true_cnt AS lower_ok
-      FROM est ORDER BY true_cnt DESC, l_partkey"""))
+      FROM est ORDER BY true_cnt DESC, l_partkey""")),
+
+    // Time-series linear interpolation over a gapped daily series: a
+    // two-month day spine left-joins daily order counts, every day not
+    // divisible by 3 is masked to null, and ops.Fill.interpolateLinear
+    // reconstructs the gaps between the nearest known points (per-month
+    // partitions; leading/trailing gaps take the nearest known value
+    // flat). The lerp is one fixed-order IEEE expression over exact
+    // integer day deltas, so interpolated doubles hash-compare.
+    ("q165_interpolate_series", (s: SparkSession, d: String) => {
+      val daily = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1995-03-01"))
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val spine = s.range(1).select(explode(sequence(
+        to_date(lit("1995-01-01")), to_date(lit("1995-02-28")))).as("day"))
+      val sparse = spine.join(daily, Seq("day"), "left")
+        .select(col("day"), month(col("day")).as("mo"),
+          datediff(col("day"), to_date(lit("1995-01-01"))).as("t"),
+          when(datediff(col("day"), to_date(lit("1995-01-01"))) % 3 === 0,
+            col("n").cast("double")).as("v"))
+      Fill.interpolateLinear(sparse, Seq(col("mo")), "t", "v", "v_interp")
+        .select(col("day"), col("v_interp")).orderBy("day")
+    }, Some("""
+      WITH spine AS (SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+          DATE '1995-02-28', INTERVAL 1 DAY)) AS DATE) AS day),
+      daily AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1995-03-01' GROUP BY 1),
+      sp AS (SELECT s.day, month(s.day) AS mo,
+          date_diff('day', DATE '1995-01-01', s.day) AS t,
+          CASE WHEN date_diff('day', DATE '1995-01-01', s.day) % 3 = 0
+               THEN CAST(n AS DOUBLE) END AS v
+        FROM spine s LEFT JOIN daily ON s.day = daily.day),
+      w AS (SELECT day, t, v,
+          last_value(v IGNORE NULLS) OVER (PARTITION BY mo ORDER BY t
+            ROWS UNBOUNDED PRECEDING) AS pv,
+          last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+            OVER (PARTITION BY mo ORDER BY t
+              ROWS UNBOUNDED PRECEDING) AS pt,
+          first_value(v IGNORE NULLS) OVER (PARTITION BY mo ORDER BY t
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+          first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+            OVER (PARTITION BY mo ORDER BY t
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        FROM sp)
+      SELECT day, CASE WHEN v IS NOT NULL THEN v
+          WHEN pv IS NULL THEN nv
+          WHEN nv IS NULL THEN pv
+          ELSE pv + (nv - pv) * CAST(t - pt AS DOUBLE) /
+            CAST(nt - pt AS DOUBLE) END AS v_interp
+      FROM w ORDER BY day""")),
+
+    // XML round-trip through Spark 4's built-in XML data source (S8's
+    // remaining file format beside parquet/ORC/CSV/JSON/Avro-OCF/
+    // binaryFile): supplier lands as <row> elements, reads back with an
+    // explicit schema. Identity oracle, like the other format legs.
+    ("q166_xml_roundtrip", (s: SparkSession, d: String) => {
+      val base = s"/tmp/graft_xml/${new java.io.File(d).getName}"
+      val src = t(s, d, "supplier")
+      src.write.mode("overwrite").option("rowTag", "row").xml(base)
+      s.read.schema(src.schema).option("rowTag", "row").xml(base)
+        .orderBy("s_suppkey")
+    }, Some("""
+      SELECT * FROM supplier ORDER BY s_suppkey"""))
   )
 
   // Same-text SQL for q136/q137 (def: referenced during object init).

@@ -249,6 +249,17 @@ class CurationSpec extends SparkSpec {
     assert(kept == again)
   }
 
+  test("bigramLmScore: hand-computed integer conditional surprisal") {
+    // corpus: "a b a b" and "a b a c"
+    // bigrams: d1 = [a b, b a, a b]; d2 = [a b, b a, a c]
+    // c2: (a b)=3, (b a)=2, (a c)=1 ; ctx: a=4, b=2
+    // d1: 4/3 + 2/2 + 4/3 -> 1+1+1 = 3 ; d2: 1 + 1 + 4/1=4 -> 6
+    val docs = Seq((1L, "a b a b"), (2L, "a b a c")).toDF("doc_id", "text")
+    val r = Curation.bigramLmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 3L, 3L), (2L, 3L, 6L)))
+  }
+
   test("crossDocRepeatedWindows: planted shared substring is found") {
     val shared = "alpha beta gamma delta epsilon zeta"
     val docs = Seq(
