@@ -1473,6 +1473,21 @@ object LlmQueries {
       SELECT doc_id, COUNT(*) AS n_bigrams,
         CAST(SUM(c1 // c2) AS BIGINT) AS lm_score
       FROM g JOIN sw USING (gram) JOIN cx USING (w1)
-      GROUP BY doc_id ORDER BY doc_id"""))
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Edit-distance-1 fuzzy pair join via deletion-neighborhood blocking
+    // (entity resolution / fuzzy key dedup): supplier names within one
+    // edit of each other, found by an inverted-index join on
+    // {full string} ∪ {1-deletion variants} + exact levenshtein verify —
+    // never the naive cross join the quadratic oracle runs.
+    ("q169_fuzzy_name_pairs", (s: SparkSession, d: String) => {
+      NearDup.editDistance1Pairs(t(s, d, "supplier"), "s_name")
+        .orderBy("name_a", "name_b")
+    }, Some("""
+      WITH n AS (SELECT DISTINCT s_name AS name FROM supplier)
+      SELECT a.name AS name_a, b.name AS name_b
+      FROM n a JOIN n b
+        ON a.name < b.name AND levenshtein(a.name, b.name) <= 1
+      ORDER BY 1, 2"""))
   )
 }

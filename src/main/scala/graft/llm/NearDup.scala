@@ -324,4 +324,35 @@ object NearDup {
     sigs.unpersist()
     res
   }
+
+  /** Edit-distance-1 string pair join via DELETION-NEIGHBORHOOD blocking
+    * (the entity-resolution / fuzzy-key-dedup primitive): two strings are
+    * within one edit (substitution, insertion, or deletion) iff they
+    * share a key in {full string} ∪ {every 1-deletion variant} — a
+    * substitution at position i makes del_i(a) = del_i(b), an
+    * insertion/deletion makes one full string a deletion variant of the
+    * other. Candidates sharing any key are verified with an exact
+    * `levenshtein` filter, so false candidates (shared variant at
+    * different positions, e.g. transpositions) cost only the check,
+    * never a wrong pair — and no true pair can be missed.
+    *
+    * Scale shape: |s|+1 keys per string leave the projection map-side;
+    * the candidate join shuffles (key, string) pairs — equivalent to the
+    * n-gram inverted-index join of [[jaccardPairs]], and quadratic only
+    * within a shared-key bucket (near-identical strings), never globally.
+    * The naive alternative is the full cross join this operator exists
+    * to avoid. */
+  def editDistance1Pairs(df: DataFrame, strCol: String): DataFrame = {
+    val names = df.select(col(strCol).as("name")).na.drop().distinct()
+    val dels = transform(sequence(lit(1), length(col("name"))),
+      i => concat(col("name").substr(lit(1), i - 1),
+        col("name").substr(i + 1, length(col("name")))))
+    val keyed = names.select(col("name"),
+      explode(concat(array(col("name")), dels)).as("key"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.key") === col("b.key") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .dropDuplicates("name_a", "name_b")
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+  }
 }

@@ -2603,7 +2603,59 @@ object RelQueries {
       s.read.schema(src.schema).option("rowTag", "row").xml(base)
         .orderBy("s_suppkey")
     }, Some("""
-      SELECT * FROM supplier ORDER BY s_suppkey"""))
+      SELECT * FROM supplier ORDER BY s_suppkey""")),
+
+    // Cohort retention matrix (the product-analytics staple): users are
+    // cohorted by first-active day, then each (cohort, day-offset k)
+    // cell counts distinct cohort members active k days later. Two
+    // aggregates + one join, all on the user key — the first-seen
+    // relation is |users|-sized and joins back on the same key the
+    // activity shuffle already used.
+    ("q167_cohort_retention", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = ev.groupBy("user_id").agg(min(col("day")).as("cohort"))
+      ev.join(first, "user_id")
+        .withColumn("k", datediff(col("day"), col("cohort")))
+        .filter(col("k") <= 13)
+        .groupBy("cohort", "k")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort", "k")
+    }, Some("""
+      WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      f AS (SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY 1)
+      SELECT cohort, date_diff('day', cohort, day) AS k,
+        COUNT(DISTINCT user_id) AS n_active
+      FROM ev JOIN f USING (user_id)
+      WHERE date_diff('day', cohort, day) <= 13
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Parquet schema evolution: two batches land with DIFFERENT schemas
+    // (the second adds o_custkey) under partition dirs, and ONE
+    // mergeSchema read reconciles them — missing columns null-fill, the
+    // partition column materializes from the path. The D6 "latest schema
+    // wins, old rows still readable" contract at the file-table layer,
+    // beside the Avro reader/writer resolution that covers it for OCF.
+    ("q168_mergeschema_evolution", (s: SparkSession, d: String) => {
+      val base = s"/tmp/graft_evo/${new java.io.File(d).getName}"
+      val o = t(s, d, "orders")
+      o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$base/b=1")
+      o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_custkey"))
+        .write.mode("overwrite").parquet(s"$base/b=2")
+      s.read.option("mergeSchema", "true").parquet(base)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_custkey"),
+          col("b").cast("int").as("b"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_totalprice, NULL AS o_custkey, 1 AS b
+      FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_custkey, 2 AS b
+      FROM orders WHERE o_orderstatus = 'O'
+      ORDER BY o_orderkey"""))
   )
 
   // Same-text SQL for q136/q137 (def: referenced during object init).

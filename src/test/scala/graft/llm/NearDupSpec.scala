@@ -104,4 +104,32 @@ class NearDupSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(short == Seq("a b"))
   }
+
+  test("editDistance1Pairs equals the naive quadratic join") {
+    import spark.implicits._
+    // planted: substitution (abcd/abed), deletion (abcd/abd), insertion
+    // (abd/xabd is dist 1? x+abd = insertion at front), unrelated, dupes
+    val names = Seq("abcd", "abed", "abd", "xabd", "zzzz", "abcd", "ab")
+    val df = names.toDF("s")
+    val fast = NearDup.editDistance1Pairs(df, "s")
+      .as[(String, String)].collect().toSet
+    val uniq = names.distinct
+    val naive = (for {
+      a <- uniq; b <- uniq if a < b
+      if levenshteinRef(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(fast == naive && naive.nonEmpty)
+    assert(fast.contains(("abcd", "abed")) && fast.contains(("abcd", "abd"))
+      && fast.contains(("abd", "xabd")) && fast.contains(("ab", "abd")))
+  }
+
+  private def levenshteinRef(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
 }
