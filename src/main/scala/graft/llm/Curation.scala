@@ -391,6 +391,47 @@ object Curation {
         array_join(col("col"), " ").as("chunk_text"))
   }
 
+  /** Training-sequence packing (the GPT-style token-stream chunker that
+    * CROSSES document boundaries, unlike [[chunkTokens]] which chunks
+    * within a doc): the corpus's token stream — documents concatenated
+    * in doc-id order — is cut into fixed `seqLen` sequences, and each
+    * (sequence, document) overlap is computed from pure integer
+    * arithmetic on the document's global token offset. Returns one row
+    * per (doc_id, seq_id) overlap with the token count contributed.
+    *
+    * The global offset is an EXCLUSIVE prefix sum over doc order —
+    * computed at scale as two levels: a per-bucket windowed cumsum
+    * (buckets = doc_id ranges, all parallel), plus cumulative BUCKET
+    * totals (one row per bucket — metadata-sized, the only unpartitioned
+    * window) broadcast back. No single reducer ever sees the per-doc
+    * relation, the token stream itself is never materialized, and every
+    * number is an exact integer. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, bucketSize: Long = 1L << 20): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val counts = docs.select(col(idCol).as("doc_id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("bkt", expr(s"doc_id div $bucketSize"))
+    val wLocal = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = counts
+      .withColumn("local_off", coalesce(sum(col("n")).over(wLocal), lit(0L)))
+    val wBkt = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktOff = counts.groupBy("bkt").agg(sum(col("n")).as("bn"))
+      .withColumn("bkt_off", coalesce(sum(col("bn")).over(wBkt), lit(0L)))
+      .select("bkt", "bkt_off")
+    local.join(broadcast(bktOff), "bkt")
+      .withColumn("off", col("local_off") + col("bkt_off"))
+      .select(col("doc_id"), col("n"), col("off"),
+        explode(sequence(expr(s"off div $seqLen"),
+          expr(s"(off + n - 1) div $seqLen"))).as("seq_id"))
+      .select(col("doc_id"), col("seq_id"),
+        (least((col("seq_id") + 1) * seqLen, col("off") + col("n")) -
+          greatest(col("seq_id") * seqLen, col("off"))).as("n_tokens"))
+  }
+
   /** Bigram language-model document scoring (the KenLM-style fluency
     * filter, integerized): each bigram occurrence (w1 w2) contributes
     * ctx(w1) div c(w1 w2) — the integer reciprocal of the conditional

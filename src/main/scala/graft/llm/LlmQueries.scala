@@ -1488,6 +1488,39 @@ object LlmQueries {
       SELECT a.name AS name_a, b.name AS name_b
       FROM n a JOIN n b
         ON a.name < b.name AND levenshtein(a.name, b.name) <= 1
-      ORDER BY 1, 2"""))
+      ORDER BY 1, 2""")),
+
+    // Training-sequence packing: the corpus token stream (docs
+    // concatenated in id order) cut into 512-token sequences, rolled up
+    // per sequence — tokens, docs spanned, boundary docs. The global
+    // offsets come from the two-level prefix sum (per-bucket cumsum +
+    // broadcast cumulative bucket totals); the oracle replays them with
+    // one flat window cumsum, which must agree exactly.
+    ("q170_pack_sequences", (s: SparkSession, d: String) => {
+      Curation.packSequences(t(s, d, "documents"), "doc_id", "text",
+          seqLen = 512, bucketSize = 100L)
+        .groupBy("seq_id").agg(sum(col("n_tokens")).as("n_tokens"),
+          count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("seq_id")
+    }, Some("""
+      WITH c AS (SELECT doc_id,
+          len(regexp_split_to_array(trim(text), '\s+')) AS n
+        FROM documents),
+      o AS (SELECT doc_id, n, CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS off
+        FROM c WHERE n > 0),
+      seqs AS (SELECT doc_id, n, off,
+          unnest(range(off // 512, (off + n - 1) // 512 + 1)) AS seq_id
+        FROM o),
+      per AS (SELECT seq_id, doc_id,
+          LEAST((seq_id + 1) * 512, off + n) - GREATEST(seq_id * 512, off)
+            AS tk
+        FROM seqs)
+      SELECT seq_id, CAST(SUM(tk) AS BIGINT) AS n_tokens,
+        COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
+        MAX(doc_id) AS last_doc
+      FROM per GROUP BY 1 ORDER BY 1"""))
   )
 }

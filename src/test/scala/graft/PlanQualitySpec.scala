@@ -215,4 +215,45 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q160: bloom probe never shuffles the fact side") {
+    val p = plan("q160_bloom_join")
+    // every hash exchange in the plan belongs to the metadata-sized
+    // bitmap build (distinct dim keys k#, bit_or words w#); the fact
+    // scan reaches the final single-row aggregate through broadcasts
+    // only, and no join is sort-merge
+    val all = "Exchange hashpartitioning\\(\\w+#".r.findAllIn(p).toSeq
+    val buildOnly = "Exchange hashpartitioning\\((w|k)#".r.findAllIn(p).toSeq
+    assert(all.size == buildOnly.size, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q165: interpolation collapses to ONE window over one exchange") {
+    val p = plan("q165_interpolate_series")
+    // all four ignore-nulls frames (back/fwd value+time) land in a
+    // single Window node over a single mo-hash exchange
+    assert("Exchange hashpartitioning\\(mo".r.findAllIn(p).length == 1, p)
+    assert("Window \\[".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q169: fuzzy join is an equi-join on blocking keys, not a product") {
+    val p = plan("q169_fuzzy_name_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q170: sequence packing shuffles only bucket-level relations") {
+    import org.apache.spark.sql.functions._
+    val df = graft.llm.Curation.packSequences(
+      Tables(spark, sfDir, "documents"), "doc_id", "text",
+      seqLen = 512, bucketSize = 100L)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the per-doc relation windows inside bkt partitions; the only
+    // single-partition window runs on the bucket-totals relation
+    // (metadata-sized). No exchange carries the token stream: nothing
+    // here explodes tokens at all.
+    assert(p.contains("Exchange hashpartitioning(bkt"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
 }

@@ -249,6 +249,32 @@ class CurationSpec extends SparkSpec {
     assert(kept == again)
   }
 
+  test("packSequences: offsets exact, tokens conserved, bucket-invariant") {
+    val docs = (0L until 50L).map { i =>
+      (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" "))
+    }.toDF("doc_id", "text").repartition(5)
+    def run(bs: Long) =
+      Curation.packSequences(docs, "doc_id", "text", seqLen = 10,
+          bucketSize = bs)
+        .as[(Long, Long, Long)].collect().toSet
+    val a = run(8L)
+    // reference: flat scan
+    var off = 0L
+    val ref = (0L until 50L).flatMap { i =>
+      val n = i % 7 + 1
+      val r = (off / 10 to (off + n - 1) / 10).map { s =>
+        (i, s, math.min((s + 1) * 10, off + n) - math.max(s * 10, off))
+      }
+      off += n
+      r
+    }.toSet
+    assert(a == ref)
+    assert(run(1L) == a && run(1000L) == a, "bucketSize changed the result")
+    // conservation: per-doc contributions sum to the doc's token count
+    val perDoc = a.groupBy(_._1).view.mapValues(_.toSeq.map(_._3).sum).toMap
+    (0L until 50L).foreach(i => assert(perDoc(i) == i % 7 + 1))
+  }
+
   test("bigramLmScore: hand-computed integer conditional surprisal") {
     // corpus: "a b a b" and "a b a c"
     // bigrams: d1 = [a b, b a, a b]; d2 = [a b, b a, a c]
