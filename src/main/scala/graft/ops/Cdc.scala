@@ -40,4 +40,21 @@ object Cdc {
           .otherwise("unchanged"))
       .select(keys.map(col) :+ col("change"): _*)
   }
+
+  /** Merkle-style bucket digests for cheap replica comparison: rows hash
+    * to a 64-bit xxhash64 over `cols`, fold into per-bucket `bit_xor`
+    * digests (bucket = keyCol mod nBuckets). Two table versions compare
+    * by joining the two |nBuckets|-row digest relations — the full rows
+    * never co-shuffle, so verifying a 100 TB replica costs one scan per
+    * side plus a metadata-sized join; only mismatched buckets need a
+    * row-level [[snapshotDiff]] afterwards. bit_xor is order- and
+    * partitioning-invariant (abelian), which is what makes the digest
+    * deterministic under any execution plan. */
+  def bucketDigests(df: DataFrame, keyCol: String, cols: Seq[String],
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    df.groupBy(pmod(col(keyCol), lit(nBuckets)).as("bucket"))
+      .agg(expr(s"bit_xor(xxhash64(${cols.mkString(", ")}))").as("digest"),
+        count(lit(1)).as("n_rows"))
+  }
 }

@@ -2655,7 +2655,116 @@ object RelQueries {
       UNION ALL
       SELECT o_orderkey, o_totalprice, o_custkey, 2 AS b
       FROM orders WHERE o_orderstatus = 'O'
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+
+    // Merkle-style replica verification: both table versions (the copy
+    // tampers o_custkey on ~1% of keys) fold to 64 per-bucket bit_xor
+    // digests of per-row xxhash64s; comparing the two digest relations
+    // pinpoints the buckets holding corruption WITHOUT ever co-shuffling
+    // the rows. The oracle replays the row hash (seed-chained two-column
+    // XXH64) and the xor fold, so the digests themselves hash-compare.
+    ("q171_bucket_digest_diff", (s: SparkSession, d: String) => {
+      val base = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val copy = base.withColumn("o_custkey",
+        when(pmod(col("o_orderkey"), lit(97)) === 13, col("o_custkey") + 1)
+          .otherwise(col("o_custkey")))
+      val db = Cdc.bucketDigests(base, "o_orderkey",
+        Seq("o_orderkey", "o_custkey"), 64)
+        .withColumnRenamed("digest", "d_base").withColumnRenamed("n_rows", "n_base")
+      val dc = Cdc.bucketDigests(copy, "o_orderkey",
+        Seq("o_orderkey", "o_custkey"), 64)
+        .withColumnRenamed("digest", "d_copy").withColumnRenamed("n_rows", "n_copy")
+      db.join(dc, "bucket")
+        .select(col("bucket"), col("d_base"), col("d_copy"),
+          (col("d_base") === col("d_copy") &&
+            col("n_base") === col("n_copy")).as("is_match"), col("n_base"))
+        .orderBy("bucket")
+    }, Some(s"""
+      WITH base AS (SELECT o_orderkey, o_custkey FROM orders),
+      copy AS (SELECT o_orderkey,
+          CASE WHEN o_orderkey % 97 = 13 THEN o_custkey + 1
+               ELSE o_custkey END AS o_custkey FROM orders),
+      bh1 AS (SELECT o_orderkey % 64 AS bucket, o_custkey,
+          ${graft.llm.XxHashOracle.hashLong(
+            "CAST(o_orderkey AS HUGEINT)", "CAST(42 AS HUGEINT)")} AS s1
+        FROM base),
+      bh2 AS (SELECT bucket, ${graft.llm.XxHashOracle.hashLong(
+            "CAST(o_custkey AS HUGEINT)", "s1")} AS hu FROM bh1),
+      bd AS (SELECT bucket, bit_xor(hu) AS du, COUNT(*) AS n_base
+             FROM bh2 GROUP BY 1),
+      ch1 AS (SELECT o_orderkey % 64 AS bucket, o_custkey,
+          ${graft.llm.XxHashOracle.hashLong(
+            "CAST(o_orderkey AS HUGEINT)", "CAST(42 AS HUGEINT)")} AS s1
+        FROM copy),
+      ch2 AS (SELECT bucket, ${graft.llm.XxHashOracle.hashLong(
+            "CAST(o_custkey AS HUGEINT)", "s1")} AS hu FROM ch1),
+      cd AS (SELECT bucket, bit_xor(hu) AS du FROM ch2 GROUP BY 1)
+      SELECT bd.bucket AS bucket,
+        CAST(${graft.llm.XxHashOracle.signed("bd.du")} AS BIGINT) AS d_base,
+        CAST(${graft.llm.XxHashOracle.signed("cd.du")} AS BIGINT) AS d_copy,
+        bd.du = cd.du AS is_match, n_base
+      FROM bd JOIN cd ON bd.bucket = cd.bucket
+      ORDER BY bucket""")),
+
+    // Winsorization at exact global percentiles: o_totalprice clipped to
+    // [p05, p95] (exact interpolated percentiles, broadcast back), then
+    // per-status totals. Clipped-boundary mass is counted and multiplied
+    // back in a pinned-order expression — CAST(inner AS DOUBLE) +
+    // n_lo*p05 + n_hi*p95 — so no order-dependent double sum ever forms:
+    // the in-range mass sums in exact decimal, the boundary mass is two
+    // exact products.
+    ("q172_winsorize_totals", (s: SparkSession, d: String) => {
+      val o = t(s, d, "orders")
+      val p = o.agg(expr("percentile(o_totalprice, 0.05)").as("p05"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"))
+      o.crossJoin(broadcast(p))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(when(col("o_totalprice") >= col("p05") &&
+            col("o_totalprice") <= col("p95"),
+            Exact.dec(col("o_totalprice"), 14))).as("inner"),
+          count(when(col("o_totalprice") < col("p05"), 1)).as("n_lo"),
+          count(when(col("o_totalprice") > col("p95"), 1)).as("n_hi"),
+          max(col("p05")).as("p05"), max(col("p95")).as("p95"))
+        .select(col("o_orderstatus"), col("n_lo"), col("n_hi"),
+          (col("inner").cast("double") + col("n_lo") * col("p05") +
+            col("n_hi") * col("p95")).as("w_total"))
+        .orderBy("o_orderstatus")
+    }, Some("""
+      WITH p AS (SELECT quantile_cont(o_totalprice, 0.05) AS p05,
+          quantile_cont(o_totalprice, 0.95) AS p95 FROM orders),
+      g AS (SELECT o_orderstatus,
+          SUM(CASE WHEN o_totalprice >= p05 AND o_totalprice <= p95
+              THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS inr,
+          COUNT(*) FILTER (WHERE o_totalprice < p05) AS n_lo,
+          COUNT(*) FILTER (WHERE o_totalprice > p95) AS n_hi,
+          MAX(p05) AS p05, MAX(p95) AS p95
+        FROM orders, p GROUP BY 1)
+      SELECT o_orderstatus, n_lo, n_hi,
+        CAST(inr AS DOUBLE) + n_lo * p05 + n_hi * p95 AS w_total
+      FROM g ORDER BY o_orderstatus""")),
+
+    // First-order Markov transition matrix over per-user event streams
+    // (the user-journey profile): lead(event_type) within user by event
+    // time, counted per (from, to). One window shuffle on the user key,
+    // one aggregate on the transition pair.
+    ("q173_markov_transitions", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "next_type")
+    }, Some("""
+      WITH x AS (SELECT event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS next_type
+        FROM events)
+      SELECT event_type, next_type, COUNT(*) AS n
+      FROM x WHERE next_type IS NOT NULL
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   // Same-text SQL for q136/q137 (def: referenced during object init).
