@@ -1521,6 +1521,30 @@ object LlmQueries {
       SELECT seq_id, CAST(SUM(tk) AS BIGINT) AS n_tokens,
         COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
         MAX(doc_id) AS last_doc
-      FROM per GROUP BY 1 ORDER BY 1"""))
+      FROM per GROUP BY 1 ORDER BY 1""")),
+
+    // Canonical text normalization ahead of exact dedup: a deterministic
+    // casing/punctuation wrapper is appended to every doc (the corpus is
+    // already clean), then normalizeText must fold it back — lowercase,
+    // strip non-alphanumerics, collapse whitespace. The normalized text
+    // itself is emitted, so the full string transform hash-compares.
+    ("q177_normalize_text", (s: SparkSession, d: String) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit("  Trailing-NOISE!!  ")).as("raw"))
+        .select(col("doc_id"), length(col("raw")).as("n_raw"),
+          TextOps.normalizeText(col("raw")).as("norm"))
+        .select(col("doc_id"), col("n_raw"), col("norm"),
+          length(col("norm")).as("n_norm"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH r AS (SELECT doc_id, text || '  Trailing-NOISE!!  ' AS raw
+                 FROM documents),
+      n AS (SELECT doc_id, length(raw) AS n_raw,
+          trim(regexp_replace(regexp_replace(lower(raw),
+            '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        FROM r)
+      SELECT doc_id, n_raw, norm, length(norm) AS n_norm
+      FROM n ORDER BY doc_id"""))
   )
 }

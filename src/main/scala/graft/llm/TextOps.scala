@@ -100,6 +100,16 @@ object TextOps {
     (size(grams) - size(array_distinct(grams))).cast("double") / size(grams)
   }
 
+  /** Canonical text normalization for dedup keys and quality gates:
+    * lowercase, non-alphanumerics to spaces, whitespace collapsed, ends
+    * trimmed. Pure codegen'd expression — composes with
+    * [[graft.ops.Keys.canonicalKey]] so near-identical casings/
+    * punctuation variants collapse to one fingerprint before exact
+    * dedup. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   /** Cross-document repeated-substring detection (the sliding-window
     * analysis behind substring-level training-data dedup, à la Lee et al.
     * "Deduplicating Training Data Makes Language Models Better" — there

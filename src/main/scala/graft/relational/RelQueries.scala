@@ -2764,7 +2764,89 @@ object RelQueries {
         FROM events)
       SELECT event_type, next_type, COUNT(*) AS n
       FROM x WHERE next_type IS NOT NULL
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Robust outlier detection via MAD (median absolute deviation): per
+    // status, median and MAD from exact interpolated percentiles (two
+    // passes, each a broadcast join back over the scan), outliers =
+    // |v - med| > mad * 3. Medians/MADs are single deterministic
+    // interpolations, the deviation arithmetic is fixed-order IEEE —
+    // everything hash-compares, unlike stddev-based fences whose
+    // accumulation order varies.
+    ("q174_mad_outliers", (s: SparkSession, d: String) => {
+      val o = t(s, d, "orders")
+      val med = o.groupBy("o_orderstatus")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+      val mad = o.join(broadcast(med), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(expr("percentile(abs(o_totalprice - med), 0.5)").as("mad"),
+          max(col("med")).as("med"))
+      o.join(broadcast(mad), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+          count(when(abs(col("o_totalprice") - col("med")) >
+            col("mad") * 3, 1)).as("n_outliers"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }, Some("""
+      WITH med AS (SELECT o_orderstatus,
+          quantile_cont(o_totalprice, 0.5) AS med FROM orders GROUP BY 1),
+      mad AS (SELECT o_orderstatus,
+          quantile_cont(abs(o_totalprice - med), 0.5) AS mad,
+          MAX(med) AS med
+        FROM orders JOIN med USING (o_orderstatus) GROUP BY 1)
+      SELECT o_orderstatus, MAX(med) AS med, MAX(mad) AS mad,
+        COUNT(*) FILTER (WHERE abs(o_totalprice - med) > mad * 3)
+          AS n_outliers,
+        COUNT(*) AS n
+      FROM orders JOIN mad USING (o_orderstatus)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Bucket-pruned keyed aggregate: a key-filtered read of the bucketed
+    // table touches ONLY the buckets the keys hash to
+    // (SelectedBucketsCount in the scan, plan-pinned), and the groupBy on
+    // the bucket key runs with NO exchange — the co-located layout paying
+    // off for selective reads and aggregation at once.
+    ("q175_bucket_pruned_lookup", (s: SparkSession, d: String) => {
+      Sinks.writeBucketed(t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus"),
+        "graft_bp_orders", "o_orderkey", 16)
+      s.table("graft_bp_orders")
+        .filter(col("o_orderkey").isin(10L, 2000L, 4321L))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n"), max(col("o_custkey")).as("max_cust"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, COUNT(*) AS n, MAX(o_custkey) AS max_cust
+      FROM orders WHERE o_orderkey IN (10, 2000, 4321)
+      GROUP BY o_orderkey ORDER BY o_orderkey""")),
+
+    // Dynamic partition pruning: the day-partitioned events table joined
+    // to a FILTERED day dimension — Spark injects the dim's day set as a
+    // runtime partition filter on the fact scan (dynamicpruningexpression,
+    // plan-pinned), so only the two matching day directories are read.
+    ("q176_dynamic_partition_prune", (s: SparkSession, d: String) => {
+      val dir = s"/tmp/graft_dpp/${new java.io.File(d).getName}/events"
+      Sinks.writeDayPartitioned(t(s, d, "events"), "ts", dir)
+      // partition discovery types `day` as DATE; the dim side matches it
+      // so the join key stays the raw partition attribute (DPP eligible),
+      // and the string form is derived only after aggregation
+      val dim = t(s, d, "events")
+        .select(to_date(col("ts")).as("day")).distinct()
+        .filter(col("day").isin("2024-01-02", "2024-01-05"))
+      s.read.parquet(dir).join(dim, "day")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          sum(Exact.dec(col("value"), 10)).cast("double").as("sum_value"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("sum_value"))
+        .orderBy("day")
+    }, Some("""
+      SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE strftime(ts, '%Y-%m-%d') IN ('2024-01-02', '2024-01-05')
+      GROUP BY 1 ORDER BY 1"""))
   )
 
   // Same-text SQL for q136/q137 (def: referenced during object init).

@@ -242,6 +242,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q175: key filter prunes buckets; agg on bucket key has no exchange") {
+    val p = plan("q175_bucket_pruned_lookup")
+    // 3 keys over 16 buckets: at most 3 buckets selected
+    val m = "SelectedBucketsCount: (\\d+) out of 16".r.findFirstMatchIn(p)
+    assert(m.isDefined, p)
+    assert(m.get.group(1).toInt <= 3, p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q176: dynamic partition pruning reaches the fact scan") {
+    val p = plan("q176_dynamic_partition_prune")
+    assert(p.contains("dynamicpruning"), p)
+  }
+
   test("q170: sequence packing shuffles only bucket-level relations") {
     import org.apache.spark.sql.functions._
     val df = graft.llm.Curation.packSequences(
