@@ -2846,7 +2846,68 @@ object RelQueries {
         CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
       FROM events
       WHERE strftime(ts, '%Y-%m-%d') IN ('2024-01-02', '2024-01-05')
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // SLIDING event-time windows (size 2d, slide 1d — each event lands in
+    // two overlapping windows) through a REAL micro-batch streaming
+    // execution into a memory sink, q81's tumbling companion. The oracle
+    // replays the overlap: each row contributes to the windows starting
+    // at trunc(ts) and trunc(ts) - 1 day.
+    ("q178_stream_sliding_window", (s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val stream = s.readStream.schema(raw.schema)
+        .option("basePath", d).parquet(s"$d/events.parque[t]")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "2 days", "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Exact.sumD(col("value")).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+      val sink = s"q178_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = stream.writeStream.format("memory")
+        .queryName(sink).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy("w_start", "event_type")
+    }, Some("""
+      WITH x AS (SELECT event_type, value,
+          date_trunc('day', ts) - k * INTERVAL 1 DAY AS w_start
+        FROM events, (SELECT unnest(range(2)) AS k))
+      SELECT strftime(w_start, '%Y-%m-%d') AS w_start, event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM x GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+
+    // Incremental materialized-view maintenance: the pre-1996 history is
+    // pre-aggregated ONCE and persisted as the MV store (exact-decimal
+    // partial sums — mergeable by construction); the 1996+ delta
+    // aggregates alone and merges by key union + re-sum. The oracle
+    // recomputes from scratch — merged partials must equal the flat
+    // aggregate exactly, which is precisely why the store holds DECIMAL,
+    // not double. At 100 TB only the delta and the |keys|-sized store
+    // ever move.
+    ("q179_incremental_rollup", (s: SparkSession, d: String) => {
+      val store = s"/tmp/graft_mv/${new java.io.File(d).getName}"
+      val o = t(s, d, "orders").select(col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        Exact.dec(col("o_totalprice"), 14).as("tp"))
+      o.filter(col("ym") < "1996-01")
+        .groupBy("o_orderstatus", "ym")
+        .agg(count(lit(1)).as("n"), sum(col("tp")).as("total"))
+        .write.mode("overwrite").parquet(store)
+      val delta = o.filter(col("ym") >= "1996-01")
+        .groupBy("o_orderstatus", "ym")
+        .agg(count(lit(1)).as("n"), sum(col("tp")).as("total"))
+      s.read.parquet(store).unionByName(delta)
+        .groupBy("o_orderstatus", "ym")
+        .agg(sum(col("n")).as("n"), sum(col("total")).cast("double").as("total"))
+        .orderBy("o_orderstatus", "ym")
+    }, Some("""
+      SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS ym,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, ym"""))
   )
 
   // Same-text SQL for q136/q137 (def: referenced during object init).
