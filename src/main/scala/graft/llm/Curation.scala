@@ -391,6 +391,39 @@ object Curation {
         array_join(col("col"), " ").as("chunk_text"))
   }
 
+  /** Token co-occurrence association mining (PMI-style, integerized):
+    * for token pairs sharing a document, lift_bp = c12 * N * 10000 div
+    * (c1 * c2) — the scaled integer ratio of observed to
+    * independence-expected co-occurrence (10000 = independence). A pure
+    * integer ordering equivalent to PMI's log without the log, so the
+    * ranking replays exactly.
+    *
+    * Scale posture: tokens below `minDf` document frequency are pruned
+    * BEFORE pairing (the df store is one gram-key aggregate), bounding
+    * the per-doc pair fan-out; the pair space shuffles on the doc key,
+    * pair counts combine map-side. */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long, topK: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+    val c1 = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minDf)
+    val tkf = toks.join(c1.select("tok"), "tok")
+    val pairs = tkf.as("a").join(tkf.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("t1"), col("b.tok").as("t2"))
+      .agg(count(lit(1)).as("c12"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(c1.select(col("tok").as("t1"), col("c").as("ca"))), "t1")
+      .join(broadcast(c1.select(col("tok").as("t2"), col("c").as("cb"))), "t2")
+      .crossJoin(broadcast(nDocs))
+      .select(col("t1"), col("t2"), col("c12"),
+        expr("c12 * n * 10000 div (ca * cb)").as("lift_bp"))
+      .orderBy(col("lift_bp").desc, col("t1"), col("t2"))
+      .limit(topK)
+  }
+
   /** Training-sequence packing (the GPT-style token-stream chunker that
     * CROSSES document boundaries, unlike [[chunkTokens]] which chunks
     * within a doc): the corpus's token stream — documents concatenated

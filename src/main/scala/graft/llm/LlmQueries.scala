@@ -1545,6 +1545,60 @@ object LlmQueries {
             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
         FROM r)
       SELECT doc_id, n_raw, norm, length(norm) AS n_norm
-      FROM n ORDER BY doc_id"""))
+      FROM n ORDER BY doc_id""")),
+
+    // Grouped top-k through the bounded-heap Aggregator (the relational
+    // use of §2.6's TopKCosine, q06's window formulation at scale): per
+    // return flag, the 5 highest-quantity lineitems — shuffle state is
+    // O(k) per (partition, group), never the full candidate set. Oracle
+    // is the row_number window form; both must agree exactly, ties
+    // breaking on the lower id.
+    ("q180_grouped_topk_agg", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val scored = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_quantity"))
+        .as[(String, Long, Double)]
+      val topk = new TopKCosine(5).toColumn
+      scored.groupByKey(_._1)
+        .mapValues { case (_, id, q) => Scored(id, q) }
+        .agg(topk.name("topk"))
+        .toDF("l_returnflag", "topk")
+        .select(col("l_returnflag"), posexplode(col("topk")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.neighbor_id").as("l_orderkey"), col("col.sim").as("qty"))
+        .orderBy("l_returnflag", "rank")
+    }, Some("""
+      WITH r AS (SELECT l_returnflag, l_orderkey, l_quantity,
+          row_number() OVER (PARTITION BY l_returnflag
+            ORDER BY l_quantity DESC, l_orderkey) AS rank
+        FROM lineitem)
+      SELECT l_returnflag, CAST(rank AS BIGINT) AS rank, l_orderkey,
+        l_quantity AS qty
+      FROM r WHERE rank <= 5 ORDER BY l_returnflag, rank""")),
+
+    // PMI-style token association mining: top-20 co-occurring pairs by
+    // integer-scaled lift (c12*N*10000 div (c1*c2) — observed over
+    // independence-expected, no floating log). Tokens pruned to df >= 5
+    // before pairing bounds the fan-out.
+    ("q181_pmi_pairs", (s: SparkSession, d: String) => {
+      Curation.pmiPairs(t(s, d, "documents"), "doc_id", "text",
+        minDf = 5L, topK = 20)
+    }, Some("""
+      WITH tk AS (SELECT DISTINCT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents),
+      c1 AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY 1
+             HAVING COUNT(*) >= 5),
+      tkf AS (SELECT tk.doc_id, tk.tok FROM tk JOIN c1 USING (tok)),
+      p AS (SELECT a.tok AS t1, b.tok AS t2, COUNT(*) AS c12
+        FROM tkf a JOIN tkf b
+          ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2),
+      nd AS (SELECT COUNT(*) AS n FROM documents)
+      SELECT t1, t2, c12,
+        CAST(c12 * n * 10000 // (ca.c * cb.c) AS BIGINT) AS lift_bp
+      FROM p JOIN c1 ca ON ca.tok = t1 JOIN c1 cb ON cb.tok = t2
+        CROSS JOIN nd
+      ORDER BY lift_bp DESC, t1, t2 LIMIT 20"""))
   )
 }

@@ -2907,7 +2907,43 @@ object RelQueries {
       SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS ym,
         COUNT(*) AS n,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
-      FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, ym"""))
+      FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, ym""")),
+
+    // DSv2 RUNTIME filtering (SupportsRuntimeFiltering — dynamic
+    // partition pruning pushed into the connector): the day-window table
+    // joins a file-backed, filtered hour dimension; Spark executes the
+    // dim first and hands its HourUTC values to the scan, which then
+    // plans partitions ONLY for the matching days — at 100 TB, the
+    // un-matched day fetches never leave the planner. Spec-pinned that
+    // exactly two days are fetched; the oracle rebuilds the connector's
+    // deterministic grid for the two hours.
+    ("q182_daywindow_runtime_filter", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val dimPath = s"/tmp/graft_rf/${new java.io.File(d).getName}/dim"
+      Seq("2024-01-02T05:00", "2024-01-05T17:00", "zzz-no-match")
+        .toDF("hour").write.mode("overwrite").parquet(dimPath)
+      val dim = s.read.parquet(dimPath).filter(col("hour") < "9")
+      s.read.format("graft.sources.v2.DayWindowSource")
+        .option("from", "2024-01-01").option("to", "2024-01-07").load()
+        .join(broadcast(dim), col("HourUTC") === col("hour"))
+        .groupBy(col("HourUTC"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("MunicipalityNo")).as("n_muni"))
+        .orderBy("HourUTC")
+    }, Some("""
+      WITH grid AS (
+        SELECT d || 'T' || lpad(CAST(h AS VARCHAR), 2, '0') || ':00'
+            AS HourUTC, m
+        FROM (SELECT unnest(['2024-01-01', '2024-01-02', '2024-01-03',
+                '2024-01-04', '2024-01-05', '2024-01-06', '2024-01-07'])
+                AS d),
+             (SELECT unnest(range(24)) AS h),
+             (SELECT unnest(['101', '155', '630']) AS m),
+             (SELECT unnest(['Erhverv', 'Privat']) AS b))
+      SELECT HourUTC, COUNT(*) AS n, COUNT(DISTINCT m) AS n_muni
+      FROM grid
+      WHERE HourUTC IN ('2024-01-02T05:00', '2024-01-05T17:00')
+      GROUP BY 1 ORDER BY HourUTC"""))
   )
 
   // Same-text SQL for q136/q137 (def: referenced during object init).

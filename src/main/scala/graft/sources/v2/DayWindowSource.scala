@@ -213,15 +213,44 @@ class AggResultReaderFactory extends PartitionReaderFactory {
 
 class DayWindowScan(from: String, to: String, required: StructType,
     daysPerTrigger: Option[Int] = None)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def description(): String = s"DayWindowScan[$from..$to]"
   override def toBatch: Batch = this
+
+  /** Runtime filtering (the DSv2 form of dynamic partition pruning): when
+    * this table joins a FILTERED dimension on HourUTC, Spark executes the
+    * dim side first and hands its HourUTC values here; partitions for
+    * days outside that set are never planned — and with the fetch running
+    * on executors, never fetched. The static day-pruning in
+    * `pushFilters` handles compile-time bounds; this handles bounds only
+    * known at run time. Values arrive as ISO hour strings whose first 10
+    * chars are the day (same invariant pushFilters uses). */
+  private var runtimeDays: Option[Set[String]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("HourUTC"))
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    filters.foreach {
+      case In("HourUTC", vs) =>
+        val days = vs.filter(_ != null).map(_.toString.take(10)).toSet
+        runtimeDays = Some(runtimeDays.fold(days)(_ intersect days))
+      case EqualTo("HourUTC", v) if v != null =>
+        val d = Set(v.toString.take(10))
+        runtimeDays = Some(runtimeDays.fold(d)(_ intersect d))
+      case _ => () // unsupported runtime filter: keep all partitions
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val start = LocalDate.parse(from)
     val end = LocalDate.parse(to)
     Iterator.iterate(start)(_.plusDays(1)).takeWhile(!_.isAfter(end))
+      .filter(d => runtimeDays.forall(_.contains(d.toString)))
       .map(d => DayPartition(d.toString,
         required.fieldNames): InputPartition)
       .toArray
@@ -291,10 +320,21 @@ object DayWindowReader {
   val municipalities: Seq[String] = Seq("101", "155", "630")
   val branches: Seq[String] = Seq("Erhverv", "Privat")
 
+  /** Test observability: the set of days actually fetched since the last
+    * clear — lets specs prove runtime filtering skipped partitions (the
+    * fetch happens on executors, but local-mode tests share the JVM). */
+  val fetchedDays: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** STUB fetch — deterministic synthetic records for one day. The real
     * implementation issues the day-window HTTP request here (on the
     * executor) and parses the `records` envelope (ops.Normalize). */
-  def fetchDay(day: String): Iterator[(String, String, String, Float)] =
+  def fetchDay(day: String): Iterator[(String, String, String, Float)] = {
+    fetchedDays.add(day)
+    fetchDayRows(day)
+  }
+
+  private def fetchDayRows(day: String): Iterator[(String, String, String, Float)] =
     for {
       h <- (0 until 24).iterator
       m <- municipalities.iterator

@@ -105,6 +105,36 @@ class DayWindowSourceSpec extends SparkSpec {
       "each day should land in its own micro-batch")
   }
 
+  test("runtime filtering prunes day partitions through a join") {
+    import scala.jdk.CollectionConverters._
+    DayWindowReader.fetchedDays.clear()
+    val fact = read("2024-01-01", "2024-01-07")
+    // the dim must be a real (file-backed) relation with its own filter —
+    // a literal LocalRelation never qualifies as a DPP filtering side
+    Seq("2024-01-02T05:00", "2024-01-05T17:00", "zzz-no-match")
+      .toDF("hour").write.mode("overwrite").parquet("/tmp/graft_rf_dim")
+    val dim = spark.read.parquet("/tmp/graft_rf_dim")
+      .filter(col("hour") < "9")
+    val out = fact.join(broadcast(dim), col("HourUTC") === col("hour"))
+    assert(out.count() == 2L * 3 * 2) // 2 hours x 3 muni x 2 branches
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"), p)
+    val fetched = DayWindowReader.fetchedDays.asScala.toSet
+    assert(fetched == Set("2024-01-02", "2024-01-05"),
+      s"runtime filter did not prune; fetched: $fetched")
+  }
+
+  test("plain row scan still fetches every day (no over-pruning)") {
+    import scala.jdk.CollectionConverters._
+    DayWindowReader.fetchedDays.clear()
+    val df = read("2024-01-01", "2024-01-03")
+    // collect() forces the row path (a bare count() is answered by the
+    // pushed aggregate from metadata — zero fetches, by design)
+    assert(df.collect().length == 3 * 24 * 3 * 2)
+    assert(DayWindowReader.fetchedDays.asScala.toSet ==
+      Set("2024-01-01", "2024-01-02", "2024-01-03"))
+  }
+
   test("deterministic across reads and composes with engine ops") {
     val a = read("2024-01-03", "2024-01-03").collect().toSet
     val b = read("2024-01-03", "2024-01-03").collect().toSet
