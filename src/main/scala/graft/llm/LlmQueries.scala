@@ -1599,6 +1599,46 @@ object LlmQueries {
         CAST(c12 * n * 10000 // (ca.c * cb.c) AS BIGINT) AS lift_bp
       FROM p JOIN c1 ca ON ca.tok = t1 JOIN c1 cb ON cb.tok = t2
         CROSS JOIN nd
-      ORDER BY lift_bp DESC, t1, t2 LIMIT 20"""))
+      ORDER BY lift_bp DESC, t1, t2 LIMIT 20""")),
+
+    // End-to-end corpus -> training sequences: exact-dedup keeper (the
+    // q34 fingerprint gate) feeds the cross-document sequence packer —
+    // the two-stage pipeline a training-data run actually executes, and
+    // the oracle replays BOTH stages (md5 keeper + flat prefix-sum
+    // packing), so the composition itself is what hash-compares.
+    ("q184_corpus_to_sequences", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val keepers = docs
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+        .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      val cleaned = docs.join(keepers.select("doc_id"), Seq("doc_id"),
+        "left_semi")
+      Curation.packSequences(cleaned, "doc_id", "text",
+          seqLen = 256, bucketSize = 100L)
+        .groupBy("seq_id").agg(sum(col("n_tokens")).as("n_tokens"),
+          count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy("seq_id")
+    }, Some("""
+      WITH fp AS (SELECT doc_id, text,
+          md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS f
+        FROM documents),
+      k AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+      c AS (SELECT fp.doc_id,
+          len(regexp_split_to_array(trim(fp.text), '\s+')) AS n
+        FROM fp JOIN k USING (doc_id)),
+      o AS (SELECT doc_id, n, CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS off
+        FROM c WHERE n > 0),
+      seqs AS (SELECT doc_id, n, off,
+          unnest(range(off // 256, (off + n - 1) // 256 + 1)) AS seq_id
+        FROM o),
+      per AS (SELECT seq_id, doc_id,
+          LEAST((seq_id + 1) * 256, off + n) - GREATEST(seq_id * 256, off)
+            AS tk
+        FROM seqs)
+      SELECT seq_id, CAST(SUM(tk) AS BIGINT) AS n_tokens,
+        COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+      FROM per GROUP BY 1 ORDER BY 1"""))
   )
 }

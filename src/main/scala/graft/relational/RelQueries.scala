@@ -2943,7 +2943,46 @@ object RelQueries {
       SELECT HourUTC, COUNT(*) AS n, COUNT(DISTINCT m) AS n_muni
       FROM grid
       WHERE HourUTC IN ('2024-01-02T05:00', '2024-01-05T17:00')
-      GROUP BY 1 ORDER BY HourUTC"""))
+      GROUP BY 1 ORDER BY HourUTC""")),
+
+    // Stream-stream LEFT OUTER join through the gate (the seventh real
+    // streaming execution): purchases left-join prior-hour views;
+    // unmatched purchases null-extend only when the watermark closes
+    // their window, so two far-future sentinel rows (one per side, a
+    // user that can never match) force every real window closed before
+    // the stream drains. The batch oracle is the plain left join.
+    ("q183_stream_outer_join", (s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val inDir = s"/tmp/graft_q183/${new java.io.File(d).getName}/in"
+      val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+      val far = maxTs + 30L * 24 * 3600 * 1000000000L
+      val sentinels = s.range(2).select(
+        (col("id") + 10000000L).as("event_id"),
+        (lit(far) + col("id") * 864000000000000L).as("ts"),
+        lit(-1L).as("user_id"),
+        when(col("id") === 0, "purchase").otherwise("view").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      raw.unionByName(sentinels).coalesce(2)
+        .write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream.schema(raw.schema).parquet(inDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val joined = graft.streaming.Streams.purchaseViewLeftJoin(stream)
+      val sink = s"q183_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = joined.writeStream.format("memory")
+        .queryName(sink).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).filter(col("user_id") >= 0)
+        .select("user_id", "p_id", "v_id")
+        .orderBy("user_id", "p_id", "v_id")
+    }, Some("""
+      SELECT p.user_id, p.event_id AS p_id, v.event_id AS v_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id
+        AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+      ORDER BY p.user_id, p_id, v_id"""))
   )
 
   // Same-text SQL for q136/q137 (def: referenced during object init).
