@@ -38,4 +38,21 @@ object Skew {
       col("__salt").cast("int"))
     saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Left outer join where NULL-keyed left rows bypass the join entirely:
+    * a null key can never match, but a plain left join still shuffles
+    * every null row into ONE hash partition (null skew — on fact tables
+    * where the FK is often null, that single reducer is the job). Here
+    * null rows split off BEFORE the exchange, null-extend by projection,
+    * and union back — they never shuffle at all. Result is identical to
+    * the plain left join by null-match semantics. */
+  def leftJoinNullBypass(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String): DataFrame = {
+    val joined = left.filter(col(leftKey).isNotNull)
+      .join(right, col(leftKey) === col(rightKey), "left")
+    val bypassed = left.filter(col(leftKey).isNull)
+      .select(left.columns.map(col) ++
+        right.schema.fields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+    joined.unionByName(bypassed)
+  }
 }

@@ -2982,7 +2982,69 @@ object RelQueries {
       LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         ON p.user_id = v.user_id
         AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
-      ORDER BY p.user_id, p_id, v_id"""))
+      ORDER BY p.user_id, p_id, v_id""")),
+
+    // Null-skew-proof left join: every 10th order's customer FK is
+    // nulled, then ops.Skew.leftJoinNullBypass routes those rows AROUND
+    // the join (a null key never matches, but a plain left join would
+    // shuffle them all into one hash partition — the classic null-skew
+    // reducer). The oracle runs the plain left join; identical results
+    // prove the bypass preserves null-match semantics.
+    ("q185_null_bypass_join", (s: SparkSession, d: String) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(10)) === 0, lit(null))
+          .otherwise(col("o_custkey")).as("fk"), col("o_orderstatus"))
+      val c = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      Skew.leftJoinNullBypass(o, c, "fk", "c_custkey")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          count(col("c_mktsegment")).as("n_matched"),
+          count(when(col("fk").isNull, 1)).as("n_null_fk"))
+        .orderBy("o_orderstatus")
+    }, Some("""
+      WITH o AS (SELECT o_orderkey,
+          CASE WHEN o_orderkey % 10 = 0 THEN NULL
+               ELSE o_custkey END AS fk, o_orderstatus FROM orders)
+      SELECT o_orderstatus, COUNT(*) AS n,
+        COUNT(c_mktsegment) AS n_matched,
+        COUNT(*) FILTER (WHERE fk IS NULL) AS n_null_fk
+      FROM o LEFT JOIN customer ON fk = c_custkey
+      GROUP BY 1 ORDER BY o_orderstatus""")),
+
+    // Time-weighted average (TWAP) over irregular samples: each reading
+    // holds until the next one, so its weight is the inter-arrival
+    // duration in exact integer microseconds; the weighted mass
+    // accumulates in DECIMAL (value x duration — exact), and ONE double
+    // division at the end yields the average. The last reading per user
+    // carries no duration, exactly as a TWAP window closes.
+    ("q186_time_weighted_avg", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("dur",
+          unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+        .filter(col("dur").isNotNull)
+        .groupBy("user_id")
+        .agg(sum(col("dur")).as("total_dur"),
+          sum(Exact.dec(col("value"), 20) * col("dur")).as("wsum"))
+        .select(col("user_id"), col("total_dur"),
+          (col("wsum").cast("string").cast("double") /
+            col("total_dur").cast("double")).as("twap"))
+        .orderBy("user_id")
+    }, Some("""
+      WITH x AS (SELECT user_id,
+          epoch_us(lead(ts) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id)) - epoch_us(ts) AS dur,
+          value
+        FROM events),
+      g AS (SELECT user_id, SUM(dur) AS total_dur,
+          SUM(CAST(value AS DECIMAL(20,2)) * dur) AS wsum
+        FROM x WHERE dur IS NOT NULL GROUP BY 1)
+      SELECT user_id, CAST(total_dur AS BIGINT) AS total_dur,
+        CAST(CAST(wsum AS VARCHAR) AS DOUBLE) /
+          CAST(total_dur AS DOUBLE) AS twap
+      FROM g ORDER BY user_id"""))
   )
 
   // Same-text SQL for q136/q137 (def: referenced during object init).
