@@ -418,8 +418,12 @@ object Curation {
       .join(broadcast(c1.select(col("tok").as("t1"), col("c").as("ca"))), "t1")
       .join(broadcast(c1.select(col("tok").as("t2"), col("c").as("cb"))), "t2")
       .crossJoin(broadcast(nDocs))
+      // numerator widened to DECIMAL: c12*n*10000 overflows BIGINT at
+      // ~1e9-doc corpora (the operator's own target scale); DIV on
+      // decimals floors exactly, result fits BIGINT since c12 <= ca, cb
       .select(col("t1"), col("t2"), col("c12"),
-        expr("c12 * n * 10000 div (ca * cb)").as("lift_bp"))
+        expr("CAST((CAST(c12 AS DECIMAL(22,0)) * n * 10000) DIV " +
+          "(CAST(ca AS DECIMAL(22,0)) * cb) AS BIGINT)").as("lift_bp"))
       .orderBy(col("lift_bp").desc, col("t1"), col("t2"))
       .limit(topK)
   }

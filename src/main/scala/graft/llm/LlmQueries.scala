@@ -1596,7 +1596,8 @@ object LlmQueries {
         GROUP BY 1, 2),
       nd AS (SELECT COUNT(*) AS n FROM documents)
       SELECT t1, t2, c12,
-        CAST(c12 * n * 10000 // (ca.c * cb.c) AS BIGINT) AS lift_bp
+        CAST(CAST(c12 AS HUGEINT) * n * 10000 //
+          (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_bp
       FROM p JOIN c1 ca ON ca.tok = t1 JOIN c1 cb ON cb.tok = t2
         CROSS JOIN nd
       ORDER BY lift_bp DESC, t1, t2 LIMIT 20""")),

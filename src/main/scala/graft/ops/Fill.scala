@@ -33,7 +33,13 @@ object Fill {
     * partition key (same sort order, so the planner reuses the exchange
     * and sort); the lerp itself is a fixed-order IEEE expression — one
     * subtraction pair, one multiply, one division — so interpolated
-    * values are bit-stable across engines and partitionings. */
+    * values are bit-stable across engines and partitionings.
+    *
+    * `timeCol` must be UNIQUE within a partition (it is the whole sort
+    * key — duplicate times make prev/next assignment partition-dependent,
+    * like forwardFill without a tie-break). A null row exactly BETWEEN
+    * two equal-time observations (nt == pt) takes the previous value
+    * flat rather than dividing by zero. */
   def interpolateLinear(df: DataFrame, partCols: Seq[Column], timeCol: String,
       valueCol: String, as: String): DataFrame = {
     val back = Window.partitionBy(partCols: _*).orderBy(col(timeCol))
@@ -50,6 +56,7 @@ object Fill {
       when(col(valueCol).isNotNull, col(valueCol))
         .when(pv.isNull, nv)
         .when(nv.isNull, pv)
+        .when(nt === pt, pv)
         .otherwise(pv + (nv - pv) * (col(timeCol) - pt).cast("double") /
           (nt - pt).cast("double")))
   }

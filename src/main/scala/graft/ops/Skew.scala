@@ -48,6 +48,10 @@ object Skew {
     * the plain left join by null-match semantics. */
   def leftJoinNullBypass(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String): DataFrame = {
+    val shared = left.columns.intersect(right.columns)
+    require(shared.isEmpty,
+      s"left and right must not share column names (ambiguous after the " +
+        s"join/union): ${shared.mkString(", ")} — rename one side first")
     val joined = left.filter(col(leftKey).isNotNull)
       .join(right, col(leftKey) === col(rightKey), "left")
     val bypassed = left.filter(col(leftKey).isNull)

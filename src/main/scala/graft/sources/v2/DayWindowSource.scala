@@ -320,9 +320,12 @@ object DayWindowReader {
   val municipalities: Seq[String] = Seq("101", "155", "630")
   val branches: Seq[String] = Seq("Erhverv", "Privat")
 
-  /** Test observability: the set of days actually fetched since the last
-    * clear — lets specs prove runtime filtering skipped partitions (the
-    * fetch happens on executors, but local-mode tests share the JVM). */
+  /** Test observability: when `recordFetches` is enabled (specs only —
+    * the flag keeps the production fetch path allocation-free and the
+    * set bounded), every fetched day lands here; local-mode tests share
+    * the JVM with the executors, so a spec can clear + assert to prove
+    * runtime filtering skipped partitions. */
+  @volatile var recordFetches: Boolean = false
   val fetchedDays: java.util.Set[String] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -330,7 +333,7 @@ object DayWindowReader {
     * implementation issues the day-window HTTP request here (on the
     * executor) and parses the `records` envelope (ops.Normalize). */
   def fetchDay(day: String): Iterator[(String, String, String, Float)] = {
-    fetchedDays.add(day)
+    if (recordFetches) fetchedDays.add(day)
     fetchDayRows(day)
   }
 

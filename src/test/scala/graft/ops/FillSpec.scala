@@ -38,6 +38,15 @@ class FillSpec extends SparkSpec {
     assert(r.toSeq == Seq(Some(3.0), None, None))
   }
 
+  test("interpolateLinear: equal-time neighbors fall back flat, never NaN") {
+    val df = Seq(("a", 5L, Some(1.0)), ("a", 5L, None: Option[Double]),
+      ("a", 5L, Some(2.0))).toDF("k", "t", "v")
+    val r = Fill.interpolateLinear(df, Seq(col("k")), "t", "v", "vi")
+      .select("vi").as[Double].collect()
+    assert(r.length == 3 && r.forall(x => !x.isNaN))
+    assert(r.forall(x => x == 1.0 || x == 2.0))
+  }
+
   test("interpolateLinear is partition-count invariant") {
     val rows = (0L until 100L).map { t =>
       ("k", t, if (t % 7 == 0) Some(t.toDouble * 1.5) else None)

@@ -107,6 +107,7 @@ class DayWindowSourceSpec extends SparkSpec {
 
   test("runtime filtering prunes day partitions through a join") {
     import scala.jdk.CollectionConverters._
+    DayWindowReader.recordFetches = true
     DayWindowReader.fetchedDays.clear()
     val fact = read("2024-01-01", "2024-01-07")
     // the dim must be a real (file-backed) relation with its own filter —
@@ -126,6 +127,7 @@ class DayWindowSourceSpec extends SparkSpec {
 
   test("plain row scan still fetches every day (no over-pruning)") {
     import scala.jdk.CollectionConverters._
+    DayWindowReader.recordFetches = true
     DayWindowReader.fetchedDays.clear()
     val df = read("2024-01-01", "2024-01-03")
     // collect() forces the row path (a bare count() is answered by the
