@@ -3044,7 +3044,57 @@ object RelQueries {
       SELECT user_id, CAST(total_dur AS BIGINT) AS total_dur,
         CAST(CAST(wsum AS VARCHAR) AS DOUBLE) /
           CAST(total_dur AS DOUBLE) AS twap
-      FROM g ORDER BY user_id"""))
+      FROM g ORDER BY user_id""")),
+
+    // Targeted key deletion (right-to-be-forgotten) on the hash-bucketed
+    // state layout: per-user aggregates land via the K5 upsert, every
+    // user_id ≡ 3 (mod 7) is erased by rewriting ONLY the buckets those
+    // keys hash to (staged two-rename swap, crash-recoverable), and the
+    // read-back must equal the oracle's aggregate-minus-doomed — proving
+    // untouched buckets carried their state through unmodified.
+    ("q187_targeted_delete", (s: SparkSession, d: String) => {
+      val dir = s"/tmp/graft_del/${new java.io.File(d).getName}/state"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      val users = t(s, d, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(Exact.dec(col("value"), 12)).as("sv"))
+      graft.streaming.Streams.upsertBatch(dir, Seq("user_id"), 16)(users, 0L)
+      val doomed = users.filter(pmod(col("user_id"), lit(7)) === 3)
+        .select("user_id")
+      graft.streaming.Streams.deleteKeys(dir, Seq("user_id"), doomed, 16,
+        batchId = 1L)
+      s.read.parquet(dir)
+        .select(col("user_id"), col("n"), col("sv").cast("double").as("sv"))
+        .orderBy("user_id")
+    }, Some("""
+      SELECT user_id, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+      FROM events WHERE user_id % 7 <> 3
+      GROUP BY 1 ORDER BY user_id""")),
+
+    // Per-group approx_percentile under an exact RANK gate (q147's
+    // discipline, grouped): the sketch's median estimate must sit within
+    // ±5% of the true rank inside its own group — the check runs INSIDE
+    // the query (one broadcast join back over the scan), so a sketch
+    // drifting out of its guarantee flips the emitted boolean and fails
+    // the hash compare. The estimate itself is never emitted (sketch
+    // merge order is partition-dependent); the invariant is.
+    ("q188_approx_group_bounds", (s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem")
+      val apx = li.groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("apx"),
+          count(lit(1)).as("n"))
+      li.join(broadcast(apx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(max(col("n")).as("n"),
+          count(when(col("l_quantity") <= col("apx"), 1)).as("n_le"))
+        .select(col("l_returnflag"), col("n"),
+          (col("n_le") * 100 >= col("n") * 45 &&
+            col("n_le") * 100 <= col("n") * 55).as("approx_ok"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag, COUNT(*) AS n, true AS approx_ok
+      FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
   )
 
   // Same-text SQL for q136/q137 (def: referenced during object init).

@@ -146,6 +146,55 @@ object Streams {
     }
   }
 
+  /** Targeted key deletion (the right-to-be-forgotten / retention-expiry
+    * maintenance op) on the [[upsertBatch]] bucket layout: ONLY buckets
+    * containing doomed keys are listed, anti-joined, and rewritten through
+    * the same staged two-rename swap — O(buckets touched) per request,
+    * independent of total state size, with the same crash contract
+    * ([[recoverPendingSwaps]] heals a mid-swap crash). A bucket whose
+    * every row is doomed stages nothing and its live directory is
+    * removed outright. `batchId` must be unique per request (it names
+    * the staging dir). */
+  def deleteKeys(stateDir: String, keys: Seq[String], doomed: DataFrame,
+      nBuckets: Int = 64, batchId: Long = System.nanoTime()): Unit = {
+    val spark = doomed.sparkSession
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverPendingSwaps(fs, statePath)
+    if (!fs.exists(statePath)) return
+    val bucket = pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
+    val dk = doomed.dropDuplicates(keys).withColumn("__bucket", bucket)
+      .persist()
+    try {
+      val touched = dk.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).sorted.toIndexedSeq
+      if (touched.isEmpty) return
+      val remaining = spark.read.parquet(stateDir)
+        .filter(col("__bucket").isin(touched: _*))
+        .join(dk.select(keys.map(col): _*), keys, "left_anti")
+      val staging =
+        new org.apache.hadoop.fs.Path(statePath, s".staging-del-$batchId")
+      remaining.write.mode("overwrite").partitionBy("__bucket")
+        .parquet(staging.toString)
+      touched.foreach { b =>
+        val live = new org.apache.hadoop.fs.Path(statePath, s"__bucket=$b")
+        val old = new org.apache.hadoop.fs.Path(statePath,
+          s".swap-old-__bucket=$b")
+        val staged = new org.apache.hadoop.fs.Path(staging, s"__bucket=$b")
+        if (fs.exists(staged)) {
+          if (fs.exists(live)) fs.rename(live, old)
+          fs.rename(staged, live)
+          if (fs.exists(old)) fs.delete(old, true)
+        } else if (fs.exists(live)) {
+          // every row in this bucket was doomed — the bucket is gone
+          fs.delete(live, true)
+        }
+        (): Unit
+      }
+      fs.delete(staging, true): Unit
+    } finally dk.unpersist(): Unit
+  }
+
   /** Stream-stream inner join (the ksqlDB stream-join surface): purchases
     * matched to the same user's views within the preceding hour. Both
     * sides are watermarked so the join state is bounded — Spark drops

@@ -143,4 +143,37 @@ class StreamsE2Spec extends SparkSpec {
       "carried-over key lost across simulated crash")
     assert(!marker.exists(), "swap marker not cleaned up")
   }
+
+  test("deleteKeys rewrites only doomed buckets; emptied buckets vanish") {
+    val stateDir = Files.createTempDirectory("del-state").toString + "/state"
+    def bucketOf(k: String): Int =
+      spark.range(1)
+        .select(pmod(xxhash64(lit(k)), lit(64)).cast("int")).head.getInt(0)
+    // keys in three distinct buckets: delete b entirely, keep a and c
+    assert(bucketOf("a") != bucketOf("b") && bucketOf("b") != bucketOf("c")
+      && bucketOf("a") != bucketOf("c"))
+    Streams.upsertBatch(stateDir, Seq("k"))(
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v"), 0L)
+    val aBucketDir = new java.io.File(s"$stateDir/__bucket=${bucketOf("a")}")
+    val before = aBucketDir.listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified)).toSet
+    assert(before.nonEmpty)
+    Streams.deleteKeys(stateDir, Seq("k"), Seq("b").toDF("k"),
+      nBuckets = 64, batchId = 99L)
+    // untouched bucket files byte-identical; doomed bucket dir removed
+    val after = aBucketDir.listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified)).toSet
+    assert(after == before, "untouched bucket was rewritten by delete")
+    assert(!new java.io.File(s"$stateDir/__bucket=${bucketOf("b")}").exists(),
+      "fully-doomed bucket directory should be gone")
+    val state = spark.read.parquet(stateDir)
+      .select("k", "v").as[(String, Long)].collect().toMap
+    assert(state == Map("a" -> 1L, "c" -> 3L))
+    // deleting a non-existent key is a no-op, not an error
+    Streams.deleteKeys(stateDir, Seq("k"), Seq("zz").toDF("k"),
+      nBuckets = 64, batchId = 100L)
+    assert(spark.read.parquet(stateDir).count() == 2)
+  }
 }
