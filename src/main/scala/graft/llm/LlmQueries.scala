@@ -1640,6 +1640,40 @@ object LlmQueries {
         FROM seqs)
       SELECT seq_id, CAST(SUM(tk) AS BIGINT) AS n_tokens,
         COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
-      FROM per GROUP BY 1 ORDER BY 1"""))
+      FROM per GROUP BY 1 ORDER BY 1""")),
+
+    // Deterministic train/validation holdout split (the eval-carving
+    // step every pipeline runs before training): a 5% validation gate on
+    // xxhash64(doc_id), with the split's INVARIANTS proven inside the
+    // query — per-source train+val counts sum to the source total and
+    // the same doc can never land in both (the gate is a pure row
+    // predicate, so membership is reproducible across runs, retries,
+    // and partitionings). The oracle replays the XXH64 gate.
+    ("q189_holdout_split", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+        .withColumn("split",
+          when(pmod(xxhash64(col("doc_id")), lit(100)) < 5, "val")
+            .otherwise("train"))
+      docs.groupBy("source").agg(
+          count(when(col("split") === "train", 1)).as("n_train"),
+          count(when(col("split") === "val", 1)).as("n_val"),
+          count(lit(1)).as("n_total"))
+        .select(col("source"), col("n_train"), col("n_val"),
+          (col("n_train") + col("n_val") === col("n_total"))
+            .as("complete"))
+        .orderBy("source")
+    }, Some(s"""
+      WITH h AS (SELECT doc_id, source,
+        CASE WHEN ((${XxHashOracle.signed(XxHashOracle.hashLong(
+          "CAST(doc_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} % 100)
+            + 100) % 100 < 5
+          THEN 'val' ELSE 'train' END AS split
+        FROM documents)
+      SELECT source,
+        COUNT(*) FILTER (WHERE split = 'train') AS n_train,
+        COUNT(*) FILTER (WHERE split = 'val') AS n_val,
+        COUNT(*) FILTER (WHERE split = 'train')
+          + COUNT(*) FILTER (WHERE split = 'val') = COUNT(*) AS complete
+      FROM h GROUP BY source ORDER BY source"""))
   )
 }
