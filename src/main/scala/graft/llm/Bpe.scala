@@ -106,6 +106,16 @@ object Bpe {
     * the same 2-pass literal replace as [[wordTokens]], so
     * [[duckTrainSql]] can replay the WHOLE training loop round-for-round.
     *
+    * Cost note: each round re-counts ALL adjacent pairs over the
+    * vocabulary relation. Production trainers (e.g. the original
+    * Sennrich et al. implementation) instead incrementally update only
+    * the pair counts adjacent to the just-merged pair — an O(affected
+    * words) delta per round. That optimization changes driver-side
+    * bookkeeping only (the relation math is identical); it is worth
+    * adopting if nMerges grows to real-vocabulary sizes (30k+), where
+    * re-count rounds dominate. The full re-count is kept here because it
+    * is what the DuckDB replay can mirror exactly.
+    *
     * @return (rank, a, b, merged) — the learned merges in rank order
     */
   def train(docs: DataFrame, idCol: String, textCol: String,

@@ -49,12 +49,22 @@ object Cdc {
     * side plus a metadata-sized join; only mismatched buckets need a
     * row-level [[snapshotDiff]] afterwards. bit_xor is order- and
     * partitioning-invariant (abelian), which is what makes the digest
-    * deterministic under any execution plan. */
+    * deterministic under any execution plan.
+    *
+    * bit_xor alone is blind to EVEN multiplicities (buckets {A,A} and
+    * {B,B} both xor to 0 with equal n_rows), so a second order-invariant
+    * fold — the wraparound SUM of the same hashes in DECIMAL(38,0) — is
+    * emitted alongside: a duplicated-row swap that cancels in the xor
+    * still moves the sum (and colliding BOTH folds plus the row count
+    * requires an engineered multiset, not a replication fault). */
   def bucketDigests(df: DataFrame, keyCol: String, cols: Seq[String],
       nBuckets: Int): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val quoted = cols.map(c => s"`${c.replace("`", "``")}`").mkString(", ")
     df.groupBy(pmod(col(keyCol), lit(nBuckets)).as("bucket"))
-      .agg(expr(s"bit_xor(xxhash64(${cols.mkString(", ")}))").as("digest"),
+      .agg(expr(s"bit_xor(xxhash64($quoted))").as("digest"),
+        expr(s"sum(cast(xxhash64($quoted) as decimal(38,0)))")
+          .as("digest_sum"),
         count(lit(1)).as("n_rows"))
   }
 }

@@ -69,6 +69,9 @@ object Sketches {
   class CountMin(cells: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
     override def zero: Array[Long] = new Array[Long](cells)
     override def reduce(b: Array[Long], idx: Long): Array[Long] = {
+      require(idx >= 0 && idx < cells,
+        s"CountMin cell index $idx outside [0, $cells) — depth/width " +
+          "mismatch between the index columns and the aggregator")
       b(idx.toInt) += 1L; b
     }
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {

@@ -3061,7 +3061,7 @@ object RelQueries {
       graft.streaming.Streams.upsertBatch(dir, Seq("user_id"), 16)(users, 0L)
       val doomed = users.filter(pmod(col("user_id"), lit(7)) === 3)
         .select("user_id")
-      graft.streaming.Streams.deleteKeys(dir, Seq("user_id"), doomed, 16,
+      graft.streaming.Streams.deleteKeys(dir, Seq("user_id"), doomed,
         batchId = 1L)
       s.read.parquet(dir)
         .select(col("user_id"), col("n"), col("sv").cast("double").as("sv"))

@@ -233,15 +233,34 @@ class DayWindowScan(from: String, to: String, required: StructType,
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("HourUTC"))
 
+  /** The ISO-hour invariant pushFilters relies on, now VALIDATED rather
+    * than assumed: only values whose first 10 chars parse as a calendar
+    * day contribute to pruning. A filter carrying any non-conforming
+    * value is treated like an unsupported filter (keep all partitions) —
+    * pruning on a garbage "day" would still be semantically safe (such a
+    * value can never join), but keep-all mirrors the unsupported-filter
+    * branch instead of leaning on a convention. */
+  private def asDay(v: Any): Option[String] = {
+    val s = String.valueOf(v).take(10)
+    try { LocalDate.parse(s); Some(s) } catch {
+      case _: java.time.format.DateTimeParseException => None
+    }
+  }
+
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import org.apache.spark.sql.sources.{EqualTo, In}
     filters.foreach {
       case In("HourUTC", vs) =>
-        val days = vs.filter(_ != null).map(_.toString.take(10)).toSet
-        runtimeDays = Some(runtimeDays.fold(days)(_ intersect days))
+        val nonNull = vs.filter(_ != null)
+        if (nonNull.forall(v => asDay(v).isDefined)) {
+          val days = nonNull.flatMap(asDay).toSet
+          runtimeDays = Some(runtimeDays.fold(days)(_ intersect days))
+        }
+        // else: a value didn't look like an ISO hour — keep all partitions
       case EqualTo("HourUTC", v) if v != null =>
-        val d = Set(v.toString.take(10))
-        runtimeDays = Some(runtimeDays.fold(d)(_ intersect d))
+        asDay(v).foreach { d =>
+          runtimeDays = Some(runtimeDays.fold(Set(d))(_ intersect Set(d)))
+        }
       case _ => () // unsupported runtime filter: keep all partitions
     }
   }

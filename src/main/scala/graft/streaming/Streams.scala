@@ -81,6 +81,16 @@ object Streams {
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
     val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverPendingSwaps(fs, statePath)
+    recoverPendingDeletes(spark, fs, statePath)
+    // The bucket count is part of the state's identity: persist it on first
+    // write and refuse a mismatched later value — rebucketing an existing
+    // state with a different modulus would scatter keys across buckets and
+    // silently break targeted reads/deletes.
+    persistedNBuckets(fs, statePath) match {
+      case Some(n) => require(n == nBuckets,
+        s"state at $stateDir was built with nBuckets=$n; got $nBuckets")
+      case None => writeNBuckets(fs, statePath, nBuckets)
+    }
     val bucket = pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
     // P7: state rows carry their ingest time, as the reference's Redis
     // upsert injects utcnow (fetch_data_energinet.py:44).
@@ -146,6 +156,34 @@ object Streams {
     }
   }
 
+  /** The bucket modulus the state was built with, persisted as a dot-file
+    * Spark readers ignore. Written once by [[upsertBatch]]; [[deleteKeys]]
+    * derives it from here instead of trusting a caller parameter (a
+    * mismatched modulus would hash doomed keys to the wrong bucket and
+    * silently miss rows). */
+  private def persistedNBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      statePath: org.apache.hadoop.fs.Path): Option[Int] = {
+    val f = new org.apache.hadoop.fs.Path(statePath, ".nbuckets")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  private def writeNBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      statePath: org.apache.hadoop.fs.Path, n: Int): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(statePath, ".nbuckets"),
+      true)
+    try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Targeted key deletion (the right-to-be-forgotten / retention-expiry
     * maintenance op) on the [[upsertBatch]] bucket layout: ONLY buckets
     * containing doomed keys are listed, anti-joined, and rewritten through
@@ -153,22 +191,60 @@ object Streams {
     * independent of total state size, with the same crash contract
     * ([[recoverPendingSwaps]] heals a mid-swap crash). A bucket whose
     * every row is doomed stages nothing and its live directory is
-    * removed outright. `batchId` must be unique per request (it names
-    * the staging dir). */
+    * removed outright.
+    *
+    * Request durability: the doomed-key set is persisted as a
+    * `.delete-req-<batchId>` manifest BEFORE any bucket swaps and removed
+    * only after all touched buckets have swapped. A crash mid-request
+    * therefore cannot silently leave doomed keys live — the next
+    * [[upsertBatch]] or [[deleteKeys]] call finds the manifest and
+    * re-applies the whole request (the anti-join is idempotent per
+    * bucket). The bucket modulus is read from the state dir's persisted
+    * `.nbuckets` (written by [[upsertBatch]]), never trusted from the
+    * caller. `batchId` must be unique per request and caller-supplied so
+    * a re-issued request replays deterministically.
+    *
+    * @return the bucket ids rewritten (or removed) by this request. */
   def deleteKeys(stateDir: String, keys: Seq[String], doomed: DataFrame,
-      nBuckets: Int = 64, batchId: Long = System.nanoTime()): Unit = {
+      batchId: Long): Seq[Int] = {
     val spark = doomed.sparkSession
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
     val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverPendingSwaps(fs, statePath)
-    if (!fs.exists(statePath)) return
+    recoverPendingDeletes(spark, fs, statePath)
+    if (!fs.exists(statePath)) return Nil
+    val req = new org.apache.hadoop.fs.Path(statePath,
+      s".delete-req-$batchId")
+    doomed.dropDuplicates(keys).select(keys.map(col): _*)
+      .write.mode("overwrite").parquet(req.toString)
+    val touched = applyDelete(spark, fs, statePath,
+      spark.read.parquet(req.toString), batchId)
+    fs.delete(req, true)
+    touched
+  }
+
+  /** The delete itself, re-drivable from a persisted manifest: hash the
+    * manifest keys with the state's own `.nbuckets` modulus, rewrite only
+    * the touched buckets via the staged two-rename swap. */
+  private def applyDelete(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      statePath: org.apache.hadoop.fs.Path,
+      manifest: DataFrame, batchId: Long): Seq[Int] = {
+    val keys = manifest.columns.toSeq
+    val nBuckets = persistedNBuckets(fs, statePath).getOrElse(
+      throw new IllegalStateException(
+        s"$statePath has no .nbuckets marker — not an upsertBatch state dir"))
+    val stateDir = statePath.toString
     val bucket = pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
-    val dk = doomed.dropDuplicates(keys).withColumn("__bucket", bucket)
-      .persist()
+    val dk = manifest.withColumn("__bucket", bucket).persist()
     try {
       val touched = dk.select("__bucket").distinct()
         .collect().map(_.getInt(0)).sorted.toIndexedSeq
-      if (touched.isEmpty) return
+      if (touched.isEmpty) return Nil
+      val liveBuckets = fs.listStatus(statePath)
+        .map(_.getPath.getName).filter(_.startsWith("__bucket=")).toSet
+      if (touched.forall(b => !liveBuckets.contains(s"__bucket=$b")))
+        return Nil // re-driven request whose buckets are already gone
       val remaining = spark.read.parquet(stateDir)
         .filter(col("__bucket").isin(touched: _*))
         .join(dk.select(keys.map(col): _*), keys, "left_anti")
@@ -191,8 +267,28 @@ object Streams {
         }
         (): Unit
       }
-      fs.delete(staging, true): Unit
+      fs.delete(staging, true)
+      touched
     } finally dk.unpersist(): Unit
+  }
+
+  /** Crash recovery for [[deleteKeys]]: a leftover `.delete-req-*`
+    * manifest means a prior delete request did not confirm completion —
+    * re-apply it in full (idempotent) and then clear the manifest, so a
+    * right-to-be-forgotten request can never be silently half-applied. */
+  private def recoverPendingDeletes(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      statePath: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(statePath)) return
+    fs.listStatus(statePath).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(".delete-req-")) {
+        val batchId = name.stripPrefix(".delete-req-").toLong
+        applyDelete(spark, fs, statePath,
+          spark.read.parquet(st.getPath.toString), batchId)
+        fs.delete(st.getPath, true): Unit
+      }
+    }
   }
 
   /** Stream-stream inner join (the ksqlDB stream-join surface): purchases

@@ -160,7 +160,7 @@ class StreamsE2Spec extends SparkSpec {
       .map(f => (f.getName, f.lastModified)).toSet
     assert(before.nonEmpty)
     Streams.deleteKeys(stateDir, Seq("k"), Seq("b").toDF("k"),
-      nBuckets = 64, batchId = 99L)
+      batchId = 99L)
     // untouched bucket files byte-identical; doomed bucket dir removed
     val after = aBucketDir.listFiles()
       .filter(_.getName.endsWith(".parquet"))
@@ -173,7 +173,38 @@ class StreamsE2Spec extends SparkSpec {
     assert(state == Map("a" -> 1L, "c" -> 3L))
     // deleting a non-existent key is a no-op, not an error
     Streams.deleteKeys(stateDir, Seq("k"), Seq("zz").toDF("k"),
-      nBuckets = 64, batchId = 100L)
+      batchId = 100L)
     assert(spark.read.parquet(stateDir).count() == 2)
+  }
+
+  test("deleteKeys: a stranded request manifest is re-applied on recovery") {
+    val stateDir = Files.createTempDirectory("delrec-state").toString + "/state"
+    Streams.upsertBatch(stateDir, Seq("k"))(
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v"), 0L)
+    // Simulate a delete request that crashed after persisting its manifest
+    // but before (fully) swapping buckets: only the manifest exists.
+    Seq("b").toDF("k").write.mode("overwrite")
+      .parquet(s"$stateDir/.delete-req-7")
+    // The next state operation must detect and re-apply the request —
+    // right-to-be-forgotten cannot be silently half-applied.
+    Streams.upsertBatch(stateDir, Seq("k"))(
+      Seq(("d", 4L)).toDF("k", "v"), 1L)
+    val state = spark.read.parquet(stateDir)
+      .select("k", "v").as[(String, Long)].collect().toMap
+    assert(state == Map("a" -> 1L, "c" -> 3L, "d" -> 4L),
+      s"stranded delete request not re-applied: $state")
+    assert(!new java.io.File(s"$stateDir/.delete-req-7").exists(),
+      "manifest not cleared after recovery")
+  }
+
+  test("upsertBatch persists nBuckets and refuses a mismatched modulus") {
+    val stateDir = Files.createTempDirectory("nb-state").toString + "/state"
+    Streams.upsertBatch(stateDir, Seq("k"), nBuckets = 8)(
+      Seq(("a", 1L)).toDF("k", "v"), 0L)
+    assert(new java.io.File(s"$stateDir/.nbuckets").exists())
+    intercept[IllegalArgumentException] {
+      Streams.upsertBatch(stateDir, Seq("k"), nBuckets = 16)(
+        Seq(("b", 2L)).toDF("k", "v"), 1L)
+    }
   }
 }
