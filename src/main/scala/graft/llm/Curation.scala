@@ -229,6 +229,37 @@ object Curation {
       .filter(col("n_shared_grams") >= minShared)
   }
 
+  /** Per-doc contamination REPORT at the industry-standard 13-gram
+    * granularity (the GPT-3/PaLM-style check): every training doc is
+    * emitted — clean ones included — with its distinct-gram count, the
+    * count shared with the benchmark, matched benchmark docs, and the
+    * overlap FRACTION in basis points (an exact integer: shared·10⁴ div
+    * total — no float division, so the relation replays bit-for-bit).
+    * Threshold-free by design: the caller picks the cut (e.g. drop at
+    * ≥50% overlap, flag at any), which is policy, not plumbing.
+    *
+    * Scale shape: ONE corpus-side gram scan, left-joined against the
+    * BROADCAST benchmark gram set (eval suites are MB-scale next to a
+    * 100 TB corpus), then one doc-keyed aggregation — the only shuffle,
+    * carrying 8-byte gram hashes, never text. */
+  def decontaminateOverlap(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 13): DataFrame = {
+    def grams(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+          explode(array_distinct(NearDup.wordNgrams(
+            TextOps.tokens(col(textCol)), n))).as("gram"))
+        .select(col(as), xxhash64(col("gram")).as("g"))
+    grams(train, "doc_id")
+      .join(broadcast(grams(bench, "bench_id")), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_grams"),
+        countDistinct(when(col("bench_id").isNotNull, col("g")))
+          .as("n_shared_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .withColumn("overlap_bp",
+        expr("n_shared_grams * 10000 div n_grams"))
+  }
+
   /** Deterministic rebalance-to-uniform: downsample every stratum to
     * (approximately) the size of the smallest one, by computing per-stratum
     * keep rates floor(min_count·100 / count) and gating rows with the same

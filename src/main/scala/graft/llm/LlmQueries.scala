@@ -1674,6 +1674,41 @@ object LlmQueries {
         COUNT(*) FILTER (WHERE split = 'val') AS n_val,
         COUNT(*) FILTER (WHERE split = 'train')
           + COUNT(*) FILTER (WHERE split = 'val') = COUNT(*) AS complete
-      FROM h GROUP BY source ORDER BY source"""))
+      FROM h GROUP BY source ORDER BY source""")),
+
+    // 13-gram decontamination report (the GPT-3/PaLM-standard benchmark-
+    // overlap check, upgrading q90's 3-gram flag list): EVERY training
+    // doc is emitted with its distinct 13-gram count, grams shared with
+    // the (doc_id % 97 == 0) benchmark slice, matched benchmark docs,
+    // and the overlap fraction in exact basis points (shared·10⁴ div
+    // total — integer, so the relation hash-compares). One corpus gram
+    // scan left-joined against the BROADCAST benchmark gram set; the
+    // only shuffle carries (doc_id, 8-byte gram hash).
+    ("q190_decontaminate_13gram", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      Curation.decontaminateOverlap(train, bench, "doc_id", "text", n = 13)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      g AS (SELECT DISTINCT doc_id,
+          unnest(CASE WHEN len(toks) >= 13
+            THEN list_transform(range(1, len(toks) - 11),
+              i -> array_to_string(toks[i:i+12], ' '))
+            ELSE [array_to_string(toks, ' ')] END) AS gram FROM t),
+      bench AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 97 = 0),
+      train AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0),
+      j AS (SELECT tr.doc_id, tr.gram, b.bench_id
+            FROM train tr LEFT JOIN bench b ON tr.gram = b.gram)
+      SELECT doc_id,
+        CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_grams,
+        CAST(COUNT(DISTINCT CASE WHEN bench_id IS NOT NULL THEN gram END)
+          AS BIGINT) AS n_shared_grams,
+        CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_docs,
+        CAST(COUNT(DISTINCT CASE WHEN bench_id IS NOT NULL THEN gram END)
+          * 10000 // COUNT(DISTINCT gram) AS BIGINT) AS overlap_bp
+      FROM j GROUP BY 1 ORDER BY doc_id"""))
   )
 }

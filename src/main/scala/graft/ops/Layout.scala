@@ -34,4 +34,17 @@ object Layout {
     (0 until bits).flatMap(i => Seq(
       s"((($a >> $i) & 1) << ${2 * i})",
       s"((($b >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+
+  /** Equi-depth range-file assignment: the file a value lands in is the
+    * COUNT OF BOUNDARIES STRICTLY BELOW it (boundaries = exact
+    * interpolated percentiles of the sort column, one broadcast row).
+    * Deterministic on purpose — `repartitionByRange`'s sampled range
+    * partitioner draws nondeterministic bounds, which is fine for the
+    * physical exchange but makes the resulting layout unverifiable;
+    * computing the bounds from the exact percentile aggregate costs one
+    * extra column-pruned pass and gives a manifest any engine can replay.
+    * The assignment itself is a codegen'd projection against the
+    * broadcast bounds array — shuffle-free above the scan. */
+  def rangeFileId(value: Column, boundaries: Column): Column =
+    size(filter(boundaries, b => value > b))
 }

@@ -3094,7 +3094,72 @@ object RelQueries {
         .orderBy("l_returnflag")
     }, Some("""
       SELECT l_returnflag, COUNT(*) AS n, true AS approx_ok
-      FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
+      FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // Range-partitioned sorted write — the 1-D complement to q151's
+    // z-order and what a 100 TB table layout actually ships: equi-depth
+    // file ranges from EXACT percentile boundaries (deterministic, unlike
+    // repartitionByRange's sampled partitioner — Layout.rangeFileId),
+    // rows landed sorted within each file, plus the per-file min/max
+    // MANIFEST that makes scans prunable. Three invariants are proven
+    // IN-QUERY: each landed file is physically sorted (read-back row
+    // order), file ranges are pairwise disjoint, and a manifest-guided
+    // pruned read (only file_id=0's directory listed) returns exactly the
+    // predicate's rows. The oracle replays boundary computation, file
+    // assignment, and the manifest; the physical checks replay as `true`.
+    ("q191_range_sorted_write", (s: SparkSession, d: String) => {
+      val dir = s"/tmp/graft_layout/${new java.io.File(d).getName}/range"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      val nFiles = 8
+      val qsSql = (1 until nFiles).map(i => i.toDouble / nFiles)
+        .mkString("array(", ", ", ")")
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_partkey").cast("long").as("pk"))
+      val bounds = li.agg(expr(s"percentile(pk, $qsSql)").as("bs"))
+      li.crossJoin(broadcast(bounds))
+        .withColumn("file_id", Layout.rangeFileId(col("pk"), col("bs")))
+        .drop("bs")
+        // Sort by (file_id, pk): the dynamic-partition writer requires
+        // rows grouped by partition value and injects its own (unstable)
+        // sort when the incoming order doesn't provide that — leading
+        // with file_id satisfies the requirement so the pk order lands.
+        .repartition(col("file_id")).sortWithinPartitions("file_id", "pk")
+        .write.mode("overwrite").partitionBy("file_id").parquet(dir)
+      val back = s.read.parquet(dir)
+        .withColumn("rid", monotonically_increasing_id())
+      val wLag = Window.partitionBy("file_id").orderBy("rid")
+      val manifest = back
+        .withColumn("in_order",
+          coalesce(lag(col("pk"), 1).over(wLag) <= col("pk"), lit(true)))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min("pk").as("pk_min"), max("pk").as("pk_max"),
+          expr("bool_and(in_order)").as("file_sorted"))
+      val pruned = s.read.parquet(dir).filter(col("file_id") === 0)
+        .agg(count(lit(1)).as("n_pruned"))
+      val direct = li.crossJoin(broadcast(bounds))
+        .filter(col("pk") <= element_at(col("bs"), 1))
+        .agg(count(lit(1)).as("n_direct"))
+      manifest.crossJoin(broadcast(pruned)).crossJoin(broadcast(direct))
+        .withColumn("no_overlap",
+          coalesce(lag(col("pk_max"), 1).over(Window.orderBy("file_id"))
+            <= col("pk_min"), lit(true)))
+        .select(col("file_id"), col("n_rows"), col("pk_min"), col("pk_max"),
+          col("file_sorted"), col("no_overlap"),
+          (col("n_pruned") === col("n_direct")).as("prune_ok"))
+        .orderBy("file_id")
+    }, Some(s"""
+      WITH b AS (SELECT quantile_cont(l_partkey,
+          [${(1 until 8).map(i => i.toDouble / 8).mkString(", ")}]) AS bs
+        FROM lineitem),
+      a AS (SELECT CAST(l_partkey AS BIGINT) AS pk,
+          len(list_filter(b.bs, x -> l_partkey > x)) AS file_id
+        FROM lineitem, b)
+      SELECT CAST(file_id AS INT) AS file_id, COUNT(*) AS n_rows,
+        MIN(pk) AS pk_min, MAX(pk) AS pk_max,
+        true AS file_sorted, true AS no_overlap, true AS prune_ok
+      FROM a GROUP BY 1 ORDER BY file_id"""))
   )
 
   // Same-text SQL for q136/q137 (def: referenced during object init).
