@@ -1709,6 +1709,55 @@ object LlmQueries {
         CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_docs,
         CAST(COUNT(DISTINCT CASE WHEN bench_id IS NOT NULL THEN gram END)
           * 10000 // COUNT(DISTINCT gram) AS BIGINT) AS overlap_bp
-      FROM j GROUP BY 1 ORDER BY doc_id"""))
+      FROM j GROUP BY 1 ORDER BY doc_id""")),
+
+    // Exact repeated-substring REMOVAL (finishing q163's detection into
+    // the Lee et al. dedup output): every 5-token window occurring more
+    // than once corpus-wide keeps only its first occurrence (argmin over
+    // the integer doc·2^20+pos key); later occurrences' spans are cut,
+    // overlapping cuts merge into intervals (per-doc window — partitions
+    // bounded by doc length), and the surviving tokens reassemble. The
+    // shuffle carries 8-byte window hashes, never text. The oracle
+    // replays window extraction, the argmin, the interval merge, and the
+    // token-level reassembly on the gram strings themselves.
+    ("q192_repeated_substring_removal", (s: SparkSession, d: String) => {
+      TextOps.removeRepeatedWindows(
+        t(s, d, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      wp AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 4)) AS j
+             FROM t WHERE len(toks) >= 5),
+      occ AS (SELECT doc_id, j,
+          array_to_string(toks[j+1:j+5], ' ') AS win,
+          doc_id * 1048576 + j AS key FROM wp),
+      f AS (SELECT win, MIN(key) AS fk FROM occ GROUP BY 1),
+      doomed AS (SELECT o.doc_id, o.j AS s, o.j + 4 AS e
+                 FROM occ o JOIN f ON o.win = f.win WHERE o.key <> f.fk),
+      m AS (SELECT doc_id, s, e,
+          CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+              ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            -1) THEN 1 ELSE 0 END AS ng
+        FROM doomed),
+      g AS (SELECT doc_id, s, e, SUM(ng) OVER (PARTITION BY doc_id
+          ORDER BY s ROWS UNBOUNDED PRECEDING) AS gid FROM m),
+      iv AS (SELECT doc_id, gid, MIN(s) AS s, MAX(e) AS e
+             FROM g GROUP BY 1, 2),
+      ivl AS (SELECT doc_id, list_sort(list([s, e])) AS ivs,
+          CAST(SUM(e - s + 1) AS BIGINT) AS n_removed
+        FROM iv GROUP BY 1)
+      SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        COALESCE(ivl.n_removed, 0) AS n_removed,
+        CASE WHEN ivl.ivs IS NULL THEN array_to_string(toks, ' ')
+          -- COALESCE: array_to_string([]) is NULL in DuckDB, '' in Spark
+          ELSE COALESCE(array_to_string(list_filter(
+            list_transform(range(0, len(toks)), p ->
+              CASE WHEN len(list_filter(ivl.ivs,
+                  iv -> p >= iv[1] AND p <= iv[2])) > 0
+                THEN NULL ELSE toks[p+1] END),
+            x -> x IS NOT NULL), ' '), '') END AS clean_text
+      FROM t LEFT JOIN ivl ON t.doc_id = ivl.doc_id
+      ORDER BY t.doc_id"""))
   )
 }

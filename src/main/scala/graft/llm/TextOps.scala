@@ -142,4 +142,71 @@ object TextOps {
       .agg(count(lit(1)).as("n_win"),
         count(when(col("__nd") >= 2, 1)).as("n_dup"))
   }
+
+  /** Exact repeated-substring REMOVAL — the full Lee et al. dedup output
+    * that [[crossDocRepeatedWindows]] only detects: every k-token window
+    * occurring more than once in the corpus keeps its FIRST occurrence
+    * (smallest (doc_id, position)) and every other occurrence's token
+    * span is cut; overlapping cut spans merge into intervals and the
+    * surviving tokens reassemble in order. Returns every document as
+    * (doc_id, n_tokens, n_removed, clean_text) — untouched docs included,
+    * fully-removed docs with empty text.
+    *
+    * Scale shape: windows leave the scan as 8-byte hashes (never text);
+    * the first-occurrence argmin is one map-side-combined `min` over an
+    * integer (doc_id · 2^posBits + position) key; doomed spans shuffle
+    * back keyed by doc; the interval merge is a PER-DOCUMENT window
+    * (partitions bounded by document length, never corpus-sized); the
+    * cut itself is a codegen'd array projection against each doc's own
+    * merged-interval list. Nothing all-pairs, nothing driver-side.
+    *
+    * @param posBits position bits in the argmin key — documents must
+    *        have fewer than 2^posBits tokens (guarded per row). */
+  def removeRepeatedWindows(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, posBits: Int = 20): DataFrame = {
+    require(k >= 1, s"window size must be >= 1, got $k")
+    require(posBits >= 1 && posBits <= 40, s"posBits out of range: $posBits")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      tokens(col(textCol)).as("__tk"))
+    val occ = base.filter(size(col("__tk")) >= k)
+      .select(col("doc_id"), size(col("__tk")).cast("long").as("__len"),
+        posexplode(transform(
+          sequence(lit(0), size(col("__tk")) - k),
+          j => xxhash64(array_join(slice(col("__tk"), j + lit(1), lit(k)), " "))))
+          .as(Seq("j", "h")))
+      // the too-long guard feeds the key expression so pruning can't
+      // drop it (assert_true is NULL on success, throws on violation)
+      .select(col("doc_id"), col("j").cast("long").as("j"), col("h"),
+        (col("doc_id") * (1L << posBits) + col("j") +
+          coalesce(assert_true(col("__len") < (1L << posBits),
+            lit(s"document longer than 2^$posBits tokens")).cast("long"),
+            lit(0L))).as("key"))
+    val firsts = occ.groupBy("h").agg(min(col("key")).as("first_key"))
+    val doomed = occ.join(firsts, "h")
+      .filter(col("key") =!= col("first_key"))
+      .select(col("doc_id"), col("j").as("s"), (col("j") + (k - 1)).as("e"))
+    val wOrd = Window.partitionBy("doc_id").orderBy("s")
+    val merged = doomed
+      .withColumn("ng", when(col("s") > coalesce(
+        max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(-1L)), 1).otherwise(0))
+      .withColumn("gid", sum(col("ng"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "gid")
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val ivl = merged.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"),
+        sum(col("e") - col("s") + 1).as("n_removed"))
+    base.join(ivl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        when(col("ivs").isNull, array_join(col("__tk"), " "))
+          .otherwise(array_join(filter(col("__tk"), (t, i) =>
+            !exists(col("ivs"), iv =>
+              i.cast("long") >= iv.getField("s") &&
+                i.cast("long") <= iv.getField("e"))), " "))
+          .as("clean_text"))
+  }
 }

@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Planted-duplicate tests for [[TextOps.removeRepeatedWindows]] — the
+  * Lee et al. repeated-substring removal output. */
+class TextOpsRemovalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String)], k: Int) =
+    TextOps.removeRepeatedWindows(rows.toDF("doc_id", "text"),
+        "doc_id", "text", k)
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("first occurrence survives; later occurrences are cut") {
+    val shared = "v w x y z"
+    val r = run(Seq(
+      (1L, s"a b $shared c d"),
+      (2L, s"p q $shared r s")), k = 5)
+    assert(r(1L) == ((9L, 0L, s"a b $shared c d")),
+      "first occurrence must be untouched")
+    assert(r(2L) == ((9L, 5L, "p q r s")),
+      "second occurrence must lose exactly the shared span")
+  }
+
+  test("overlapping doomed windows merge into one interval") {
+    // doc 2 repeats a 7-token run from doc 1: its three overlapping
+    // doomed 5-windows (positions 0,1,2) must merge to ONE 7-token cut,
+    // not 15 tokens of double-counted removal.
+    val run7 = "t u v w x y z"
+    val r = run(Seq((1L, s"$run7 end1"), (2L, s"$run7 end2")), k = 5)
+    assert(r(1L)._2 == 0L)
+    assert(r(2L) == ((8L, 7L, "end2")), s"got ${r(2L)}")
+  }
+
+  test("an exact duplicate document empties completely") {
+    val text = "a b c d e f g"
+    val r = run(Seq((1L, text), (2L, text)), k = 5)
+    assert(r(1L) == ((7L, 0L, text)))
+    assert(r(2L) == ((7L, 7L, "")), s"got ${r(2L)}")
+  }
+
+  test("within-document repeats keep only the first occurrence") {
+    val r = run(Seq((1L, "m n o p q SEP m n o p q")), k = 5)
+    // positions 6..10 repeat the window at 0..4 → cut 5 tokens
+    assert(r(1L) == ((11L, 5L, "m n o p q SEP")), s"got ${r(1L)}")
+  }
+
+  test("docs shorter than k pass through untouched") {
+    val r = run(Seq((1L, "a b c"), (2L, "a b c")), k = 5)
+    assert(r(1L) == ((3L, 0L, "a b c")))
+    assert(r(2L) == ((3L, 0L, "a b c")))
+  }
+
+  test("every shuffle keys on the 8-byte hash or doc id, never window text") {
+    val df = TextOps.removeRepeatedWindows(
+      Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text"),
+      "doc_id", "text", 5)
+    val p = df.queryExecution.executedPlan.toString
+    val parts = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(parts.nonEmpty, p)
+    assert(parts.forall(c => Set("h", "doc_id", "s").contains(c)),
+      s"unexpected shuffle keys $parts")
+  }
+}
