@@ -3159,7 +3159,66 @@ object RelQueries {
       SELECT CAST(file_id AS INT) AS file_id, COUNT(*) AS n_rows,
         MIN(pk) AS pk_min, MAX(pk) AS pk_max,
         true AS file_sorted, true AS no_overlap, true AS prune_ok
-      FROM a GROUP BY 1 ORDER BY file_id"""))
+      FROM a GROUP BY 1 ORDER BY file_id""")),
+
+    // Streaming state-store READ PATH (Spark's state data source): q96's
+    // global-dedup query runs against an explicit checkpoint, then the
+    // checkpoint's state store itself is read back with
+    // `spark.read.format("statestore")` and the DECODED KEYS are gated
+    // against the batch-derived distinct set. This is what state audits
+    // and right-to-be-forgotten verification need: the streaming state
+    // is no longer write-only. The state read is partition-parallel
+    // (one task per state partition) — no driver-side decode.
+    ("q193_statestore_dedup_read", (s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ck = s"/tmp/graft_ss/${new java.io.File(d).getName}/dedup_ck"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ck))
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val stream = s.readStream.schema(raw.schema)
+        .option("basePath", d).parquet(s"$d/events.parque[t]")
+        .select("user_id", "event_type")
+        .dropDuplicates("user_id", "event_type")
+      val sink = s"q193_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = stream.writeStream.format("memory")
+        .queryName(sink).outputMode("append")
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.format("statestore").load(ck)
+        .select(col("key.user_id").as("user_id"),
+          col("key.event_type").as("event_type"))
+        .orderBy("user_id", "event_type")
+    }, Some("""
+      SELECT DISTINCT user_id, event_type FROM events
+      ORDER BY user_id, event_type""")),
+
+    // State-store read of a streaming AGGREGATION checkpoint: the
+    // per-user running count lives in the store's VALUE rows; reading
+    // them back must reproduce the batch aggregate exactly — the
+    // materialized-view-maintenance audit (does the incremental state
+    // equal the from-scratch computation?) as a single oracle-gated
+    // relation, keys and values both decoded.
+    ("q194_statestore_agg_read", (s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ck = s"/tmp/graft_ss/${new java.io.File(d).getName}/agg_ck"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ck))
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val stream = s.readStream.schema(raw.schema)
+        .option("basePath", d).parquet(s"$d/events.parque[t]")
+        .groupBy("user_id").count()
+      val sink = s"q194_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = stream.writeStream.format("memory")
+        .queryName(sink).outputMode("update")
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.format("statestore").load(ck)
+        .select(col("key.user_id").as("user_id"),
+          col("value.count").as("n"))
+        .orderBy("user_id")
+    }, Some("""
+      SELECT user_id, COUNT(*) AS n FROM events
+      GROUP BY 1 ORDER BY user_id"""))
   )
 
   // Same-text SQL for q136/q137 (def: referenced during object init).
