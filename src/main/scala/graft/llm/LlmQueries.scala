@@ -1758,6 +1758,22 @@ object LlmQueries {
                 THEN NULL ELSE toks[p+1] END),
             x -> x IS NOT NULL), ' '), '') END AS clean_text
       FROM t LEFT JOIN ivl ON t.doc_id = ivl.doc_id
-      ORDER BY t.doc_id"""))
+      ORDER BY t.doc_id""")),
+
+    // IVF-PQ ANN — the 100 TB candidate-generation memory shape on top of
+    // q39's IVF cells: 8 subspaces × 8 dims learn 4-code spherical
+    // k-means codebooks (deterministic init + 1 Lloyd's round, per-round
+    // FLOAT rounding); corpus vectors encode to 8 codes in one
+    // exchange-free projection; probed-cell candidates score by ADC
+    // lookup sums (fixed fold order, no embeddings touched) and the top
+    // 40 rerank exactly. The oracle replays the WHOLE pipeline — k-means
+    // rounds unrolled, ADC add chain identical — from generated SQL.
+    ("q195_knn_ivf_pq", (s: SparkSession, d: String) => {
+      Similarity.ivfPqTopK(t(s, d, "embeddings"), "label",
+          col("vec_id") < 10, m = 8, subDim = 8, kCodes = 4, iters = 1,
+          nprobe = 3, candK = 40, k = 5)
+        .orderBy("query_id", "rank")
+    }, Some(Similarity.ivfPqDuckSql("label", "vec_id < 10", m = 8,
+      subDim = 8, kCodes = 4, iters = 1, nprobe = 3, candK = 40, k = 5)))
   )
 }

@@ -324,6 +324,196 @@ object Similarity {
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
   }
 
+  /** Product-quantization codebooks: the embedding splits into `m`
+    * subspaces of `subDim` dims; each subspace learns `k` centroids with
+    * the deterministic spherical [[kmeansCells]] (init = k lowest
+    * vec_ids' subvectors, `iters` Lloyd's rounds, per-round FLOAT
+    * rounding). Cells re-index densely to codes 0..k-1 in cell-id order
+    * so ADC lookup arrays index as sub·k + code.
+    *
+    * @return (sub, code, centroid) — m·k rows, metadata-sized
+    */
+  def pqCodebooks(emb: DataFrame, m: Int, subDim: Int, k: Int,
+      iters: Int): DataFrame = {
+    require(m >= 1 && subDim >= 1 && k >= 2)
+    val all = (0 until m).map { s =>
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
+      kmeansCells(sub, k, iters).withColumn("sub", lit(s))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("sub").orderBy("cell")
+    all.withColumn("code", row_number().over(w) - 1)
+      .select(col("sub"), col("code"), col("centroid"))
+  }
+
+  /** IVF-PQ ANN — the standard memory shape for 100 TB-scale candidate
+    * generation: coarse IVF cells prune the corpus to `nprobe` cells per
+    * query; inside them, candidates are scored by ASYMMETRIC DISTANCE
+    * COMPUTATION against `m`-byte PQ codes (a per-query lookup array of
+    * query-subvector · codebook-centroid dot products, summed in a FIXED
+    * fold order — no embedding is touched during scoring); the top
+    * `candK` approximate candidates then rerank with exact cosine.
+    *
+    * Scale shape: codes are assigned in ONE exchange-free projection
+    * over the corpus scan (m argmaxes against the broadcast codebook —
+    * the assignCells discipline); ADC scoring joins the ids+codes
+    * relation against broadcast (probed-cell × lookup-array) rows, so
+    * the only corpus-sized shuffle in the candidate stage carries
+    * (vec_id, m codes) — never float arrays; embeddings are re-attached
+    * for the candK-bounded exact rerank only. PQ here encodes raw
+    * vectors (FAISS by_residual=false form); residual encoding drops in
+    * by subtracting the cell centroid before [[pqCodebooks]].
+    */
+  def ivfPqTopK(emb: DataFrame, cellSource: String, queryPred: Column,
+      m: Int, subDim: Int, kCodes: Int, iters: Int,
+      nprobe: Int, candK: Int, k: Int): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val cells = centroids(emb, cellSource)
+      .select(col("cell"), col("centroid").cast("array<float>").as("centroid"))
+    val assigned = assignCells(base, cells)
+    val cb = pqCodebooks(emb, m, subDim, kCodes, iters)
+    // one broadcast row, ordered by (sub, code) → position sub·k+code+1;
+    // an empty training cell would break that indexing, so fail loudly
+    val cbArr = cb.agg(array_sort(collect_list(
+        struct(col("sub"), col("code"), col("centroid")))).as("__cb"))
+      .select(when(size(col("__cb")) === m * kCodes, col("__cb"))
+        .otherwise(raise_error(lit(
+          "PQ codebook lost a cell — lower kCodes or raise iters")))
+        .as("__cb"))
+    // m nearest-code argmaxes in ONE projection — nothing shuffles
+    val coded = assigned.crossJoin(broadcast(cbArr))
+      .select(col("vec_id"), col("cell"),
+        array((0 until m).map { s =>
+          val sl = slice(col("embedding"), s * subDim + 1, subDim)
+          (-array_max(transform(
+            slice(col("__cb"), s * kCodes + 1, kCodes),
+            c => struct(cosineSim(sl, c.getField("centroid")).as("csim"),
+              (-c.getField("code")).as("negcode"))))
+            .getField("negcode")).cast("int")
+        }: _*).as("codes"))
+    val q = assigned.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val probedCells = q.join(broadcast(cells))
+      .withColumn("csim", cosineSim(col("q_emb"), col("centroid")))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    // ADC lookup array per query: dot(q_sub, centroid), (sub, code) order
+    val lut = q.crossJoin(broadcast(cbArr))
+      .select(col("query_id"),
+        transform(col("__cb"), c =>
+          dotD(slice(col("q_emb"), c.getField("sub") * subDim + 1,
+            lit(subDim)), c.getField("centroid"))).as("lut"))
+    val probed = probedCells.join(lut, "query_id")
+    val adc = (0 until m).foldLeft(lit(0.0)) { (acc, s) =>
+      acc + element_at(col("lut"),
+        lit(s * kCodes) + element_at(col("codes"), s + 1) + 1)
+    }
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val cand = coded.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx", adc)
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= candK)
+      .select(col("query_id"), col("vec_id"))
+    cand.join(base, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("sim", cosineSim(col("embedding"), col("q_emb")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** Generated DuckDB replay of the ENTIRE [[ivfPqTopK]] pipeline —
+    * coarse label-mean cells, per-subspace Lloyd's rounds (unrolled, with
+    * the same per-round FLOAT rounding), dense re-indexing, code
+    * assignment, ADC lookup joins with the same left-associative add
+    * chain, candidate cut, and exact rerank. Generated from the same
+    * parameters as the Spark side so the two cannot drift (the
+    * Bpe.duckTrainSql discipline). */
+  def ivfPqDuckSql(cellSource: String, queryPredSql: String, m: Int,
+      subDim: Int, kCodes: Int, iters: Int, nprobe: Int, candK: Int,
+      k: Int): String = {
+    def sl(s: Int, v: String) = s"$v[${s * subDim + 1}:${(s + 1) * subDim}]"
+    val subCtes = (0 until m).map { s =>
+      val rounds = (1 to iters).map { r =>
+        s"""a_${s}_$r AS (SELECT vec_id, se, cell FROM (
+          SELECT b.vec_id, b.se, c.cell,
+            row_number() OVER (PARTITION BY b.vec_id
+              ORDER BY list_cosine_similarity(b.se, c.c) DESC, c.cell) AS rn
+          FROM sub_$s b, cents_${s}_${r - 1} c) WHERE rn = 1),
+        cents_${s}_$r AS (
+          SELECT cell, CAST(CAST(list(mm ORDER BY pos) AS FLOAT[]) AS DOUBLE[]) AS c
+          FROM (SELECT cell, pos, avg(x) AS mm FROM (
+              SELECT cell, unnest(se) AS x, generate_subscripts(se, 1) AS pos
+              FROM a_${s}_$r)
+            GROUP BY cell, pos) GROUP BY cell)"""
+      }.mkString(",\n")
+      s"""sub_$s AS (SELECT vec_id, ${sl(s, "e")} AS se FROM base),
+      cents_${s}_0 AS (SELECT vec_id AS cell, se AS c FROM sub_$s
+        WHERE vec_id IN (SELECT vec_id FROM base ORDER BY vec_id LIMIT $kCodes)),
+      $rounds,
+      cb_$s AS (SELECT row_number() OVER (ORDER BY cell) - 1 AS code, c
+                FROM cents_${s}_$iters),
+      code_$s AS (SELECT vec_id, code FROM (
+        SELECT b.vec_id, cb.code, row_number() OVER (PARTITION BY b.vec_id
+          ORDER BY list_cosine_similarity(b.se, cb.c) DESC, cb.code) AS rn
+        FROM sub_$s b, cb_$s cb) WHERE rn = 1)"""
+    }.mkString(",\n")
+    val cball = (0 until m)
+      .map(s => s"SELECT $s AS sub, code, c FROM cb_$s")
+      .mkString(" UNION ALL ")
+    val codeJoins = (0 until m).map { s =>
+      s"""JOIN code_$s k$s ON k$s.vec_id = a.vec_id
+         JOIN lut l$s ON l$s.query_id = p.query_id AND l$s.sub = $s
+           AND l$s.code = k$s.code"""
+    }.mkString("\n")
+    val adcChain = (0 until m).map(s => s"l$s.d").reduceLeft((a, b) => s"($a + $b)")
+    s"""
+    WITH base AS (SELECT vec_id, $cellSource AS lbl, embedding::DOUBLE[] AS e
+                  FROM embeddings),
+    cent AS (
+      SELECT lbl AS cell, CAST(CAST(list(mm ORDER BY pos) AS FLOAT[]) AS DOUBLE[]) AS c
+      FROM (SELECT lbl, pos, avg(x) AS mm
+        FROM (SELECT lbl, unnest(e) AS x, generate_subscripts(e, 1) AS pos FROM base)
+        GROUP BY lbl, pos) GROUP BY lbl),
+    assigned AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT b.vec_id, b.e, c.cell,
+          row_number() OVER (PARTITION BY b.vec_id
+            ORDER BY list_cosine_similarity(b.e, c.c) DESC, c.cell) AS rn
+        FROM base b, cent c) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM base WHERE $queryPredSql),
+    probed AS (SELECT query_id, cell FROM (
+      SELECT q.query_id, c.cell, row_number() OVER (PARTITION BY q.query_id
+        ORDER BY list_cosine_similarity(q.qe, c.c) DESC, c.cell) AS rn
+      FROM q, cent c) WHERE rn <= $nprobe),
+    $subCtes,
+    cball AS ($cball),
+    lut AS (SELECT q.query_id, cb.sub, cb.code,
+        list_inner_product(q.qe[cb.sub * $subDim + 1 : (cb.sub + 1) * $subDim],
+          cb.c) AS d
+      FROM q, cball cb),
+    scored AS (SELECT p.query_id, a.vec_id, $adcChain AS approx
+      FROM assigned a
+      JOIN probed p ON a.cell = p.cell AND a.vec_id <> p.query_id
+      $codeJoins),
+    candk AS (SELECT query_id, vec_id FROM (
+      SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        ORDER BY approx DESC, vec_id) AS crn FROM scored) WHERE crn <= $candK),
+    r AS (SELECT c.query_id, c.vec_id, row_number() OVER (PARTITION BY c.query_id
+        ORDER BY list_cosine_similarity(b.e, q.qe) DESC, c.vec_id) AS rank
+      FROM candk c JOIN base b ON b.vec_id = c.vec_id
+      JOIN q ON q.query_id = c.query_id)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
+    FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   /** Per-dimension min-max int8 (0..255) scalar quantization — the 4×
     * storage/bandwidth cut an embedding store takes before ANN serving.
     * q_i = floor((x_i − min_i) · 255 / (max_i − min_i)), clamped to 255

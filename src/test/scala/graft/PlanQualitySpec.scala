@@ -216,6 +216,35 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("IVF-PQ code assignment (m argmaxes) is exchange-free over the scan") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val cb = graft.llm.Similarity.pqCodebooks(emb, m = 8, subDim = 8,
+      k = 4, iters = 1).localCheckpoint(true) // precomputed index
+    val cbArr = cb.agg(array_sort(collect_list(
+      struct(col("sub"), col("code"), col("centroid")))).as("__cb"))
+    val coded = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cbArr))
+      .select(col("vec_id"), array((0 until 8).map { s =>
+        val sl = slice(col("embedding"), s * 8 + 1, 8)
+        (-array_max(transform(slice(col("__cb"), s * 4 + 1, 4),
+          c => struct(
+            graft.functions.GraftFunctions.cosineSim(sl,
+              c.getField("centroid")).as("csim"),
+            (-c.getField("code")).as("negcode"))))
+          .getField("negcode")).cast("int")
+      }: _*).as("codes"))
+    coded.collect() // settle AQE
+    val p = coded.queryExecution.executedPlan.toString
+    // the corpus-side path must be scan → broadcast join → projection:
+    // no window, no hash exchange anywhere (the codebook side is
+    // pre-materialized, so the only exchanges are its one-row agg and
+    // the broadcast itself)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q160: bloom probe never shuffles the fact side") {
     val p = plan("q160_bloom_join")
     // every hash exchange in the plan belongs to the metadata-sized

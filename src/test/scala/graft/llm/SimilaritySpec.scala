@@ -145,4 +145,46 @@ class SimilaritySpec extends SparkSpec {
     // Min codes to 0, max clamps to 255.
     assert(c1(1L)(1) == 0 && c1(2L)(1) == 255)
   }
+
+  test("IVF-PQ: useful recall vs brute; candK=corpus ≈ plain IVF") {
+    val brute = Similarity.bruteTopK(emb, col("vec_id") < 10, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // With the candidate cut wider than any cell the ADC ordering is
+    // irrelevant — IVF-PQ must equal plain IVF at the same nprobe (the
+    // exact rerank sees every probed-cell vector).
+    val ivf = Similarity.ivfTopK(emb, "label", col("vec_id") < 10, k = 5,
+        nprobe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqWide = Similarity.ivfPqTopK(emb, "label", col("vec_id") < 10,
+        m = 8, subDim = 8, kCodes = 4, iters = 1, nprobe = 3,
+        candK = 100000, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pqWide == ivf, "candK >= probed corpus must reduce to plain IVF")
+    // The real configuration: 40 ADC candidates out of ~150 probed.
+    val pq = Similarity.ivfPqTopK(emb, "label", col("vec_id") < 10,
+        m = 8, subDim = 8, kCodes = 4, iters = 1, nprobe = 3,
+        candK = 40, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF-PQ recall@5 = $recall")
+    // ADC candidates must be a useful approximation: the PQ result at
+    // candK=40 should retain most of what plain IVF finds.
+    val vsIvf = (ivf intersect pq).size.toDouble / ivf.size
+    assert(vsIvf >= 0.5, s"ADC kept only $vsIvf of IVF's result")
+  }
+
+  test("IVF-PQ: code assignment is one exchange-free projection") {
+    val cb = Similarity.pqCodebooks(emb, m = 8, subDim = 8, k = 4, iters = 1)
+    assert(cb.count() == 32, "8 subspaces x 4 codes")
+    // codes dense 0..3 per subspace
+    import spark.implicits._
+    val perSub = cb.groupBy("sub")
+      .agg(sort_array(collect_list(col("code"))).as("cs"))
+      .select("cs").as[Seq[Int]].collect()
+    assert(perSub.forall(_ == Seq(0, 1, 2, 3)))
+  }
 }
