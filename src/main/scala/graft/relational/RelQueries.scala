@@ -3218,8 +3218,105 @@ object RelQueries {
         .orderBy("user_id")
     }, Some("""
       SELECT user_id, COUNT(*) AS n FROM events
-      GROUP BY 1 ORDER BY user_id"""))
+      GROUP BY 1 ORDER BY user_id""")),
+
+    // Real SQL `DELETE FROM` against the group-based copy-on-write
+    // catalog (sources.v2.rowlevel): q187's right-to-be-forgotten
+    // contract, but typed by a user as plain DML. Spark plans the
+    // row-level rewrite — a runtime group-filter subquery finds the
+    // parquet files holding doomed rows, ONLY those files are read and
+    // swapped (RowLevelSpec pins untouched-file byte-identity) — and the
+    // re-read table must equal the oracle's aggregate-minus-doomed.
+    ("q196_sql_delete_rowlevel", (s: SparkSession, d: String) => {
+      val tbl = rowLevelTable(s, d, "del")
+      t(s, d, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("n"), Exact.sumD(col("value")).as("sv"))
+        .createOrReplaceTempView("q196_src")
+      s.sql(s"CREATE TABLE $tbl (user_id BIGINT, n BIGINT, sv DOUBLE)")
+      s.sql(s"INSERT INTO $tbl SELECT user_id, n, sv FROM q196_src")
+      s.sql(s"DELETE FROM $tbl WHERE user_id % 7 = 3")
+      s.table(tbl).orderBy("user_id")
+    }, Some("""
+      SELECT user_id, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+      FROM events WHERE user_id % 7 <> 3
+      GROUP BY 1 ORDER BY user_id""")),
+
+    // Real SQL `MERGE INTO` on the same catalog — the reference's
+    // idempotent re-ingest (D2/D3) as storage-side DML: day-1 state
+    // merged with the day-2 delta, matched keys accumulate, new keys
+    // insert, and stale keys (absent from the delta, n >= 8) age out via
+    // NOT MATCHED BY SOURCE DELETE. The double additions are sums of two
+    // exact-decimal-derived doubles in a pinned order, so the merged
+    // table hash-compares against the oracle's full-outer replay.
+    ("q197_sql_merge_upsert", (s: SparkSession, d: String) => {
+      val tbl = rowLevelTable(s, d, "mrg")
+      val o = t(s, d, "orders")
+      o.filter(col("o_orderdate") < "1997-01-01")
+        .groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("n"), Exact.sumD(col("o_totalprice")).as("total"))
+        .createOrReplaceTempView("q197_t0")
+      o.filter(col("o_orderdate") >= "1997-01-01")
+        .groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("n"), Exact.sumD(col("o_totalprice")).as("total"))
+        .createOrReplaceTempView("q197_delta")
+      s.sql(s"CREATE TABLE $tbl (k BIGINT, n BIGINT, total DOUBLE)")
+      s.sql(s"INSERT INTO $tbl SELECT k, n, total FROM q197_t0")
+      s.sql(s"""
+        MERGE INTO $tbl t USING q197_delta s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET n = t.n + s.n, total = t.total + s.total
+        WHEN NOT MATCHED THEN INSERT (k, n, total) VALUES (s.k, s.n, s.total)
+        WHEN NOT MATCHED BY SOURCE AND t.n >= 8 THEN DELETE""")
+      s.table(tbl).orderBy("k")
+    }, Some("""
+      WITH t0 AS (SELECT o_custkey AS k, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders WHERE o_orderdate < DATE '1997-01-01' GROUP BY 1),
+      delta AS (SELECT o_custkey AS k, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders WHERE o_orderdate >= DATE '1997-01-01' GROUP BY 1)
+      SELECT COALESCE(t.k, s.k) AS k,
+        CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL THEN t.n + s.n
+             WHEN s.k IS NOT NULL THEN s.n ELSE t.n END AS n,
+        CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL THEN t.total + s.total
+             WHEN s.k IS NOT NULL THEN s.total ELSE t.total END AS total
+      FROM t0 t FULL OUTER JOIN delta s ON t.k = s.k
+      WHERE NOT (s.k IS NULL AND t.n >= 8)
+      ORDER BY k""")),
+
+    // Real SQL `UPDATE` on the copy-on-write catalog: a governed-table
+    // correction (re-pricing one stratum) typed as DML; only groups
+    // holding matched rows rewrite. The updated value is one double
+    // multiply of an exact-decimal-derived double — deterministic.
+    ("q198_sql_update_rowlevel", (s: SparkSession, d: String) => {
+      val tbl = rowLevelTable(s, d, "upd")
+      t(s, d, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("n"), Exact.sumD(col("value")).as("sv"))
+        .createOrReplaceTempView("q198_src")
+      s.sql(s"CREATE TABLE $tbl (user_id BIGINT, n BIGINT, sv DOUBLE)")
+      s.sql(s"INSERT INTO $tbl SELECT user_id, n, sv FROM q198_src")
+      s.sql(s"UPDATE $tbl SET sv = sv * 2.0 WHERE user_id % 10 = 0")
+      s.table(tbl).orderBy("user_id")
+    }, Some("""
+      WITH g AS (SELECT user_id, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+        FROM events GROUP BY 1)
+      SELECT user_id, n,
+        CASE WHEN user_id % 10 = 0 THEN sv * 2.0 ELSE sv END AS sv
+      FROM g ORDER BY user_id"""))
   )
+
+  /** Registers the row-level catalog (idempotent) and returns a fresh
+    * per-sf table name for `op` (dropping any previous run's table). */
+  private def rowLevelTable(s: SparkSession, d: String, op: String): String = {
+    s.conf.set("spark.sql.catalog.graft_rl",
+      classOf[graft.sources.v2.rowlevel.GraftRowCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_rl.warehouse", "/tmp/graft_rl_wh")
+    val sf = new java.io.File(d).getName.replace(".", "_")
+    val tbl = s"graft_rl.db.${op}_$sf"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    tbl
+  }
 
   // Same-text SQL for q136/q137 (def: referenced during object init).
   private def unpivotSql = """

@@ -1,0 +1,504 @@
+package graft.sources.v2.rowlevel
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A catalog of MUTABLE parquet tables: `SupportsRowLevelOperations` with
+  * group-based COPY-ON-WRITE, so `MERGE INTO`, `UPDATE`, and `DELETE FROM`
+  * are real SQL against file-backed tables — the governed-storage form of
+  * the reference's idempotent re-ingest contract (D2/D3,
+  * fetch_data_statbank.py:116-121) that the hand-rolled operators (SCD2
+  * q89, CDC diff q158, targeted deletion q187) implement relationally.
+  *
+  * Mechanics (the Iceberg/Delta copy-on-write shape, reduced to its
+  * Spark-API skeleton):
+  * - a table is a directory of parquet files; each FILE is a rewrite
+  *   GROUP, plus a `_meta.json` holding the schema;
+  * - every scan can expose a `__group` METADATA COLUMN (the file a row
+  *   lives in);
+  * - a DML statement plans through [[GraftRowLevelOperation]]: Spark
+  *   first runs a runtime GROUP-FILTER subquery (distinct `__group` of
+  *   rows matching the condition), hands the surviving file set to the
+  *   operation's scan via `SupportsRuntimeV2Filtering`, reads ONLY those
+  *   files, computes the post-DML rows, and the commit atomically swaps
+  *   exactly those files for the newly written ones — untouched files
+  *   are never read, rewritten, or moved (spec-pinned);
+  * - plain writes support append and truncate (INSERT INTO / OVERWRITE).
+  *
+  * At 100 TB the group set is the unit of both pruning and rewrite — the
+  * per-statement cost is O(files holding matches), not O(table), the same
+  * contract as [[graft.streaming.Streams.deleteKeys]]'s bucket swap but
+  * driven from SQL. Commit publishes renames from a hidden staging dir;
+  * a crashed statement leaves only an ignorable staging dir behind
+  * (readers never see partial state; the statement re-runs).
+  *
+  * Supported column types (the reference contract's surface + keys):
+  * BOOLEAN, INT, BIGINT, DOUBLE, STRING, DATE.
+  *
+  * Usage:
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftRowCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/path/wh")
+  *   spark.sql("CREATE TABLE graft.db.t (k BIGINT, v DOUBLE) USING graft")
+  *   spark.sql("MERGE INTO graft.db.t t USING src s ON t.k = s.k ...")
+  * }}}
+  */
+class GraftRowCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def conf = new Configuration()
+  private def fs(p: Path): FileSystem = p.getFileSystem(conf)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null,
+      s"catalog $name needs spark.sql.catalog.$name.warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def tableDir(ident: Identifier): Path =
+    new Path((warehouse +: ident.namespace() :+ ident.name()).mkString("/"))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = new Path((warehouse +: namespace).mkString("/"))
+    val f = fs(ns)
+    if (!f.exists(ns)) throw new NoSuchNamespaceException(namespace)
+    f.listStatus(ns).filter(s => s.isDirectory &&
+        f.exists(new Path(s.getPath, GraftRowTable.MetaFile)))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    val meta = new Path(dir, GraftRowTable.MetaFile)
+    val f = fs(dir)
+    if (!f.exists(meta)) throw new NoSuchTableException(ident)
+    val in = f.open(meta)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    new GraftRowTable(ident.toString, dir.toString,
+      DataType.fromJson(json).asInstanceOf[StructType])
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft row-level tables are unpartitioned (files are the groups)")
+    GraftRowTable.validateSchema(schema)
+    val dir = tableDir(ident)
+    val f = fs(dir)
+    if (f.exists(new Path(dir, GraftRowTable.MetaFile)))
+      throw new TableAlreadyExistsException(ident)
+    f.mkdirs(dir)
+    val out = f.create(new Path(dir, GraftRowTable.MetaFile), true)
+    try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    new GraftRowTable(ident.toString, dir.toString, schema)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    val f = fs(dir)
+    f.exists(dir) && f.delete(dir, true)
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    val src = tableDir(from)
+    val dst = tableDir(to)
+    val f = fs(src)
+    if (!f.exists(src)) throw new NoSuchTableException(from)
+    if (f.exists(dst)) throw new TableAlreadyExistsException(to)
+    f.rename(src, dst): Unit
+  }
+
+  // --- namespaces: directories under the warehouse root ---
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    val f = fs(root)
+    if (!f.exists(root)) Array.empty
+    else f.listStatus(root).filter(_.isDirectory).map(s => Array(s.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val p = new Path((warehouse +: namespace).mkString("/"))
+    fs(p).exists(p)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] =
+    if (namespaceExists(namespace)) java.util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit = {
+    val p = new Path((warehouse +: namespace).mkString("/"))
+    fs(p).mkdirs(p): Unit
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = new Path((warehouse +: namespace).mkString("/"))
+    val f = fs(p)
+    f.exists(p) && f.delete(p, cascade)
+  }
+}
+
+object GraftRowTable {
+  val MetaFile = "_meta.json"
+  val GroupCol = "__group"
+
+  def validateSchema(schema: StructType): Unit = schema.fields.foreach { fl =>
+    fl.dataType match {
+      case BooleanType | IntegerType | LongType | DoubleType | StringType |
+           DateType => ()
+      case other => throw new UnsupportedOperationException(
+        s"column ${fl.name}: type $other not supported by graft row tables " +
+          "(BOOLEAN, INT, BIGINT, DOUBLE, STRING, DATE)")
+    }
+  }
+
+  /** Current data files (group ids) of a table dir, sorted for
+    * deterministic planning. */
+  def dataFiles(dir: String, f: FileSystem): Seq[String] =
+    f.listStatus(new Path(dir))
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_"))
+      .sorted.toSeq
+}
+
+class GraftRowTable(ident: String, dir: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  override def name(): String = ident
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = GraftRowTable.GroupCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file (copy-on-write group) holding the row"
+    })
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(dir, tableSchema, None)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(dir, info, None)
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(dir, tableSchema, info.command())
+}
+
+/** One DML statement's shared state: the scan records which files it
+  * actually planned (after runtime group filtering); the write's commit
+  * replaces exactly those files. */
+class GraftRowLevelOperation(dir: String, tableSchema: StructType,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+  @volatile var readFiles: Seq[String] = Nil
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(dir, tableSchema, Some(this))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(dir, info, Some(this))
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(GraftRowTable.GroupCol))
+}
+
+class GraftScanBuilder(dir: String, tableSchema: StructType,
+    op: Option[GraftRowLevelOperation])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  // may include the __group metadata column when the query asks for it
+  private var required: StructType = tableSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val f = new Path(dir).getFileSystem(new Configuration())
+    new GraftScan(dir, GraftRowTable.dataFiles(dir, f), tableSchema,
+      required, op)
+  }
+}
+
+class GraftScan(dir: String, allFiles: Seq[String], tableSchema: StructType,
+    required: StructType, op: Option[GraftRowLevelOperation])
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftRowScan[$dir, files=${allFiles.size}]"
+
+  /** Runtime GROUP filtering: Spark's row-level planning runs a subquery
+    * for the distinct `__group` values of rows matching the DML
+    * condition and hands them here — files without matches are never
+    * read, so copy-on-write touches O(matching files). Unparseable
+    * predicates keep all files (semantically safe). */
+  private var retained: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(GraftRowTable.GroupCol))
+
+  override def filter(predicates: Array[V2Predicate]): Unit =
+    predicates.foreach { p =>
+      groupValues(p).foreach { vs =>
+        retained = Some(retained.fold(vs)(_ intersect vs))
+      }
+    }
+
+  private def groupValues(p: V2Predicate): Option[Set[String]] = {
+    def isGroupCol(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case nr: NamedReference =>
+          nr.fieldNames.sameElements(Array(GraftRowTable.GroupCol))
+        case _ => false
+      }
+    def litStr(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_]
+          if l.value != null => Some(l.value.toString)
+      case _ => None
+    }
+    val ch = p.children()
+    p.name() match {
+      case "IN" if ch.nonEmpty && isGroupCol(ch.head) =>
+        val lits = ch.tail.flatMap(litStr)
+        if (lits.length == ch.length - 1) Some(lits.toSet) else None
+      case "=" if ch.length == 2 && isGroupCol(ch.head) =>
+        litStr(ch(1)).map(Set(_))
+      case _ => None
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = allFiles.filter(f => retained.forall(_.contains(f)))
+    op.foreach(_.readFiles = files)
+    files.map(f => GraftFilePartition(dir, f, tableSchema.json,
+      required.json): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory
+}
+
+case class GraftFilePartition(dir: String, file: String, tableSchemaJson: String,
+    requiredJson: String) extends InputPartition
+
+class GraftReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftFilePartition]
+    new GraftFileReader(p)
+  }
+}
+
+/** Reads one parquet group file into InternalRows (example Group API —
+  * the file was written by [[GraftDataWriter]] with the table schema). */
+class GraftFileReader(p: GraftFilePartition) extends PartitionReader[InternalRow] {
+  import org.apache.parquet.hadoop.ParquetReader
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+  import org.apache.parquet.example.data.Group
+
+  private val required = DataType.fromJson(p.requiredJson).asInstanceOf[StructType]
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(),
+        new Path(p.dir, p.file))
+      .withConf(new Configuration()).build()
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val g = current
+    val gt = g.getType
+    val vals = required.fields.map { fl =>
+      if (fl.name == GraftRowTable.GroupCol) UTF8String.fromString(p.file)
+      else {
+        val idx = gt.getFieldIndex(fl.name)
+        if (g.getFieldRepetitionCount(idx) == 0) null
+        else fl.dataType match {
+          case BooleanType => g.getBoolean(idx, 0)
+          case IntegerType | DateType => g.getInteger(idx, 0)
+          case LongType => g.getLong(idx, 0)
+          case DoubleType => g.getDouble(idx, 0)
+          case StringType => UTF8String.fromString(g.getString(idx, 0))
+          case other => throw new UnsupportedOperationException(other.toString)
+        }
+      }
+    }
+    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = reader.close()
+}
+
+class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
+    op: Option[GraftRowLevelOperation])
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new GraftBatchWrite(dir, info.schema(), info.queryId(), doTruncate, op)
+    override def description(): String = s"GraftRowWrite[$dir]"
+  }
+}
+
+case class GraftCommitMsg(file: Option[String]) extends WriterCommitMessage
+
+/** Copy-on-write commit: writers land whole files in a hidden staging
+  * dir; commit (driver-side) removes the replaced groups — the files the
+  * row-level scan read, or everything for truncate — and renames staged
+  * files in. Readers only ever see complete files; a crash before commit
+  * leaves just a dot-prefixed staging dir that the next statement
+  * ignores. */
+class GraftBatchWrite(dir: String, writeSchema: StructType, queryId: String,
+    truncate: Boolean, op: Option[GraftRowLevelOperation]) extends BatchWrite {
+
+  private val stagingName = s".staging-w-$queryId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    GraftWriterFactory(dir, stagingName, writeSchema.json)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val f = new Path(dir).getFileSystem(new Configuration())
+    val staging = new Path(dir, stagingName)
+    val staged = messages.collect { case GraftCommitMsg(Some(name)) => name }
+    val doomed: Seq[String] =
+      if (truncate) GraftRowTable.dataFiles(dir, f)
+      else op.map(_.readFiles).getOrElse(Nil)
+    doomed.foreach(n => f.delete(new Path(dir, n), false))
+    staged.foreach(n => f.rename(new Path(staging, n), new Path(dir, n)))
+    if (f.exists(staging)) f.delete(staging, true): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val f = new Path(dir).getFileSystem(new Configuration())
+    val staging = new Path(dir, stagingName)
+    if (f.exists(staging)) f.delete(staging, true): Unit
+  }
+}
+
+case class GraftWriterFactory(dir: String, stagingName: String,
+    schemaJson: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(dir, stagingName,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], partitionId, taskId)
+}
+
+/** Writes one parquet file per non-empty task (lazily opened, so empty
+  * tasks stage nothing). Metadata columns in the incoming schema (e.g.
+  * `__group` on carryover rows) are dropped — they describe the OLD
+  * file, not the new one. */
+class GraftDataWriter(dir: String, stagingName: String, schema: StructType,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+  import org.apache.parquet.example.data.simple.SimpleGroup
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.hadoop.util.HadoopOutputFile
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+  private val dataFields = schema.fields.zipWithIndex
+    .filter { case (fl, _) => fl.name != GraftRowTable.GroupCol }
+  private val fileName = f"part-$partitionId%05d-$taskId.parquet"
+
+  private lazy val messageType: MessageType = {
+    val b = Types.buildMessage()
+    dataFields.foreach { case (fl, _) =>
+      val t = fl.dataType match {
+        case BooleanType =>
+          Types.optional(PrimitiveTypeName.BOOLEAN).named(fl.name)
+        case IntegerType =>
+          Types.optional(PrimitiveTypeName.INT32).named(fl.name)
+        case DateType =>
+          Types.optional(PrimitiveTypeName.INT32)
+            .as(LogicalTypeAnnotation.dateType()).named(fl.name)
+        case LongType =>
+          Types.optional(PrimitiveTypeName.INT64).named(fl.name)
+        case DoubleType =>
+          Types.optional(PrimitiveTypeName.DOUBLE).named(fl.name)
+        case StringType =>
+          Types.optional(PrimitiveTypeName.BINARY)
+            .as(LogicalTypeAnnotation.stringType()).named(fl.name)
+        case other => throw new UnsupportedOperationException(other.toString)
+      }
+      b.addField(t)
+    }
+    b.named("graft_row")
+  }
+
+  private var writer: org.apache.parquet.hadoop.ParquetWriter[
+    org.apache.parquet.example.data.Group] = _
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null) {
+      val path = new Path(new Path(dir, stagingName), fileName)
+      writer = ExampleParquetWriter
+        .builder(HadoopOutputFile.fromPath(path, new Configuration()))
+        .withType(messageType).build()
+    }
+    val g = new SimpleGroup(messageType)
+    dataFields.foreach { case (fl, i) =>
+      if (!row.isNullAt(i)) fl.dataType match {
+        case BooleanType => g.add(fl.name, row.getBoolean(i))
+        case IntegerType | DateType => g.add(fl.name, row.getInt(i))
+        case LongType => g.add(fl.name, row.getLong(i))
+        case DoubleType => g.add(fl.name, row.getDouble(i))
+        case StringType => g.add(fl.name, row.getUTF8String(i).toString)
+        case other => throw new UnsupportedOperationException(other.toString)
+      }
+    }
+    writer.write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    GraftCommitMsg(if (writer != null) Some(fileName) else None)
+  }
+
+  override def abort(): Unit = close()
+
+  override def close(): Unit = if (writer != null) writer.close()
+}

@@ -1,0 +1,122 @@
+package graft.sources.v2
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** SQL DML (MERGE INTO / UPDATE / DELETE FROM) against the
+  * group-based copy-on-write catalog (graft.sources.v2.rowlevel). */
+class RowLevelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wh = {
+    val dir = Files.createTempDirectory("graft-wh").toString
+    spark.conf.set("spark.sql.catalog.rlt",
+      classOf[graft.sources.v2.rowlevel.GraftRowCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rlt.warehouse", dir)
+    dir
+  }
+
+  private def dataFiles(table: String): Map[String, Long] = {
+    val d = new java.io.File(s"$wh/db/$table")
+    d.listFiles().filter(f => f.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+  }
+
+  private def freshTable(name: String): Unit = {
+    wh: Unit
+    spark.sql(s"DROP TABLE IF EXISTS rlt.db.$name")
+    spark.sql(s"CREATE TABLE rlt.db.$name (k BIGINT, v DOUBLE, tag STRING)")
+    // two separate inserts → two separate files (groups)
+    spark.sql(s"INSERT INTO rlt.db.$name " +
+      "SELECT /*+ COALESCE(1) */ id AS k, CAST(id AS DOUBLE) / 2 AS v, " +
+      "'low' AS tag FROM range(0, 10)")
+    spark.sql(s"INSERT INTO rlt.db.$name " +
+      "SELECT /*+ COALESCE(1) */ id AS k, CAST(id AS DOUBLE) / 2 AS v, " +
+      "'high' AS tag FROM range(100, 110)")
+  }
+
+  test("create + insert + read back") {
+    freshTable("t0")
+    val rows = spark.table("rlt.db.t0").as[(Long, Double, String)]
+      .collect().sortBy(_._1)
+    assert(rows.length == 20)
+    assert(rows.head == ((0L, 0.0, "low")) && rows.last == ((109L, 54.5, "high")))
+    assert(dataFiles("t0").size == 2, "two inserts → two groups")
+  }
+
+  test("DELETE FROM rewrites only groups holding matches") {
+    freshTable("t1")
+    val before = dataFiles("t1")
+    val lowFile = spark.table("rlt.db.t1")
+      .select(col("__group")).where(col("k") < 50).distinct()
+      .as[String].collect()
+    assert(lowFile.length == 1, "low rows live in exactly one group")
+    spark.sql("DELETE FROM rlt.db.t1 WHERE k >= 100 AND k % 2 = 0")
+    val after = dataFiles("t1")
+    // the low file is untouched byte-for-byte; the high file was replaced
+    assert(after.contains(lowFile.head) &&
+      after(lowFile.head) == before(lowFile.head),
+      "group without matches was rewritten")
+    val highFile = (before.keySet - lowFile.head).head
+    assert(!after.contains(highFile), "group with matches must be replaced")
+    val ks = spark.table("rlt.db.t1").select("k").as[Long].collect().sorted
+    assert(ks.toSeq == (0L until 10L) ++ Seq(101L, 103L, 105L, 107L, 109L))
+  }
+
+  test("DELETE matching nothing leaves every file untouched") {
+    freshTable("t2")
+    val before = dataFiles("t2")
+    spark.sql("DELETE FROM rlt.db.t2 WHERE k = 999999")
+    assert(dataFiles("t2") == before)
+    assert(spark.table("rlt.db.t2").count() == 20)
+  }
+
+  test("UPDATE rewrites matched groups, preserves other columns") {
+    freshTable("t3")
+    val before = dataFiles("t3")
+    spark.sql("UPDATE rlt.db.t3 SET v = v * 10 WHERE k = 105")
+    val after = dataFiles("t3")
+    val untouched = before.filter { case (n, m) => after.get(n).contains(m) }
+    assert(untouched.size == 1, "exactly the low group survives untouched")
+    val r = spark.table("rlt.db.t3").where(col("k") === 105)
+      .as[(Long, Double, String)].collect().head
+    assert(r == ((105L, 525.0, "high")))
+    assert(spark.table("rlt.db.t3").count() == 20)
+  }
+
+  test("MERGE INTO: update matched, insert new, delete not-matched-by-source") {
+    freshTable("t4")
+    Seq((5L, 99.0, "patched"), (200L, 1.0, "new"))
+      .toDF("k", "v", "tag").createOrReplaceTempView("src4")
+    spark.sql("""
+      MERGE INTO rlt.db.t4 t USING src4 s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag
+      WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (s.k, s.v, s.tag)
+      WHEN NOT MATCHED BY SOURCE AND t.k >= 108 THEN DELETE""")
+    val m = spark.table("rlt.db.t4").as[(Long, Double, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(5L) == ((99.0, "patched")))
+    assert(m(200L) == ((1.0, "new")))
+    assert(!m.contains(108L) && !m.contains(109L))
+    assert(m(100L) == ((50.0, "high")))
+    assert(m.size == 19)
+  }
+
+  test("INSERT OVERWRITE truncates and replaces") {
+    freshTable("t5")
+    spark.sql("INSERT OVERWRITE rlt.db.t5 " +
+      "SELECT id AS k, 1.0 AS v, 'ow' AS tag FROM range(0, 3)")
+    val rows = spark.table("rlt.db.t5").as[(Long, Double, String)].collect()
+    assert(rows.length == 3 && rows.forall(_._3 == "ow"))
+  }
+
+  test("unsupported column types are rejected at CREATE") {
+    wh: Unit
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE rlt.db.bad (k BIGINT, x DECIMAL(10,2))")
+    }
+    assert(e.getMessage.contains("not supported"), e.getMessage)
+  }
+}
