@@ -3303,7 +3303,36 @@ object RelQueries {
         FROM events GROUP BY 1)
       SELECT user_id, n,
         CASE WHEN user_id % 10 = 0 THEN sv * 2.0 ELSE sv END AS sv
-      FROM g ORDER BY user_id"""))
+      FROM g ORDER BY user_id""")),
+
+    // Snapshot time travel on the copy-on-write catalog: every commit
+    // (insert, overwrite, DML rewrite) is a manifest-versioned snapshot
+    // whose data files survive until vacuum, so `VERSION AS OF` reads
+    // the pre-DML table — the audit/debug/rollback surface a governed
+    // 100 TB table needs. One query emits the pre-delete snapshot AND
+    // the post-delete current state; the oracle derives both from the
+    // base relation.
+    ("q199_sql_time_travel", (s: SparkSession, d: String) => {
+      val tbl = rowLevelTable(s, d, "tt")
+      t(s, d, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("n"), Exact.sumD(col("value")).as("sv"))
+        .createOrReplaceTempView("q199_src")
+      s.sql(s"CREATE TABLE $tbl (user_id BIGINT, n BIGINT, sv DOUBLE)")
+      s.sql(s"INSERT INTO $tbl SELECT user_id, n, sv FROM q199_src") // v1
+      s.sql(s"DELETE FROM $tbl WHERE user_id % 7 = 3")               // v2
+      s.sql(s"""
+        SELECT 'v1' AS snap, user_id, n, sv FROM $tbl VERSION AS OF 1
+        UNION ALL
+        SELECT 'current' AS snap, user_id, n, sv FROM $tbl""")
+        .orderBy("snap", "user_id")
+    }, Some("""
+      WITH g AS (SELECT user_id, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+        FROM events GROUP BY 1)
+      SELECT 'v1' AS snap, user_id, n, sv FROM g
+      UNION ALL
+      SELECT 'current' AS snap, user_id, n, sv FROM g WHERE user_id % 7 <> 3
+      ORDER BY snap, user_id"""))
   )
 
   /** Registers the row-level catalog (idempotent) and returns a fresh

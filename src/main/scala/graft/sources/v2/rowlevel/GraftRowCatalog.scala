@@ -86,16 +86,34 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces {
       .map(s => Identifier.of(namespace, s.getPath.getName))
   }
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table =
+    loadVersioned(ident, None)
+
+  /** Time travel: `SELECT ... FROM t VERSION AS OF <n>` pins snapshot n
+    * (every commit — insert, overwrite, or DML rewrite — is a new
+    * snapshot; data files of old snapshots survive until vacuum). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft table versions are integers, got '$version'")
+    }
+    loadVersioned(ident, Some(v))
+  }
+
+  private def loadVersioned(ident: Identifier, version: Option[Long]): Table = {
     val dir = tableDir(ident)
     val meta = new Path(dir, GraftRowTable.MetaFile)
     val f = fs(dir)
     if (!f.exists(meta)) throw new NoSuchTableException(ident)
+    version.foreach { v =>
+      require(f.exists(GraftRowTable.manifestPath(dir.toString, v)),
+        s"table $ident has no version $v")
+    }
     val in = f.open(meta)
     val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     new GraftRowTable(ident.toString, dir.toString,
-      DataType.fromJson(json).asInstanceOf[StructType])
+      DataType.fromJson(json).asInstanceOf[StructType], version)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -111,6 +129,7 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces {
     val out = f.create(new Path(dir, GraftRowTable.MetaFile), true)
     try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    GraftRowTable.writeManifest(dir.toString, f, 0L, Nil) // empty snapshot 0
     new GraftRowTable(ident.toString, dir.toString, schema)
   }
 
@@ -185,20 +204,90 @@ object GraftRowTable {
     }
   }
 
-  /** Current data files (group ids) of a table dir, sorted for
-    * deterministic planning. */
-  def dataFiles(dir: String, f: FileSystem): Seq[String] =
-    f.listStatus(new Path(dir))
-      .map(_.getPath.getName)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_"))
+  // --- snapshot manifests: version N = the file list in _vN.manifest.
+  // Commits write version N+1 and never delete data files (old snapshots
+  // stay readable — VERSION AS OF); GraftMaintenance.vacuum reclaims.
+
+  def manifestPath(dir: String, v: Long): Path =
+    new Path(dir, f"_v$v%08d.manifest")
+
+  def versions(dir: String, f: FileSystem): Seq[Long] =
+    f.listStatus(new Path(dir)).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_v") && n.endsWith(".manifest") =>
+        n.stripPrefix("_v").stripSuffix(".manifest").toLong }
       .sorted.toSeq
+
+  def currentVersion(dir: String, f: FileSystem): Long = {
+    val vs = versions(dir, f)
+    require(vs.nonEmpty, s"$dir has no snapshot manifest — not a graft table")
+    vs.max
+  }
+
+  def readManifest(dir: String, f: FileSystem, v: Long): Seq[String] = {
+    val p = manifestPath(dir, v)
+    require(f.exists(p), s"table at $dir has no version $v")
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Single-writer commit: stage the manifest under a dot name, then
+    * rename — the rename fails if the version already exists, so a
+    * concurrent second writer errors instead of clobbering history. */
+  def writeManifest(dir: String, f: FileSystem, v: Long,
+      files: Seq[String]): Unit = {
+    val tmp = new Path(dir, s".manifest-tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(files.sorted.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = manifestPath(dir, v)
+    if (f.exists(dst) || !f.rename(tmp, dst)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"concurrent commit: version $v already exists at $dir")
+    }
+  }
 }
 
-class GraftRowTable(ident: String, dir: String, tableSchema: StructType)
+/** Snapshot maintenance for the row-level catalog: retention vacuum and
+  * (via plain SQL) compaction.
+  *
+  * Compaction needs no special code — `INSERT OVERWRITE t SELECT ...
+  * FROM t` lands the same rows as fewer files in a NEW snapshot, prior
+  * snapshots untouched. Vacuum then bounds history: keep the newest
+  * `retainLast` snapshots, delete older manifests and every data file
+  * referenced by no surviving snapshot. At 100 TB both are O(files
+  * touched) metadata operations plus the rewritten bytes — exactly the
+  * Iceberg/Delta maintenance contract. */
+object GraftMaintenance {
+  /** @return (manifests dropped, data files deleted) */
+  def vacuum(warehouse: String, namespace: Seq[String], table: String,
+      retainLast: Int): (Int, Int) = {
+    require(retainLast >= 1, "must retain at least the current snapshot")
+    val dir = (warehouse +: namespace :+ table).mkString("/")
+    val p = new Path(dir)
+    val f = p.getFileSystem(new Configuration())
+    val vs = GraftRowTable.versions(dir, f)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.length - retainLast))
+    val referenced = keep.flatMap(v => GraftRowTable.readManifest(dir, f, v)).toSet
+    val onDisk = f.listStatus(p).map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_"))
+    val doomed = onDisk.filterNot(referenced)
+    doomed.foreach(n => f.delete(new Path(dir, n), false))
+    drop.foreach(v => f.delete(GraftRowTable.manifestPath(dir, v), false))
+    (drop.length, doomed.length)
+  }
+}
+
+class GraftRowTable(ident: String, dir: String, tableSchema: StructType,
+    pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
-  override def name(): String = ident
+  override def name(): String =
+    pinnedVersion.fold(ident)(v => s"$ident@v$v")
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -213,14 +302,18 @@ class GraftRowTable(ident: String, dir: String, tableSchema: StructType)
     })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(dir, tableSchema, None)
+    new GraftScanBuilder(dir, tableSchema, pinnedVersion, None)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty, "cannot write to a pinned VERSION AS OF")
     new GraftWriteBuilder(dir, info, None)
+  }
 
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty, "cannot run DML on a pinned VERSION AS OF")
     () => new GraftRowLevelOperation(dir, tableSchema, info.command())
+  }
 }
 
 /** One DML statement's shared state: the scan records which files it
@@ -233,7 +326,7 @@ class GraftRowLevelOperation(dir: String, tableSchema: StructType,
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(dir, tableSchema, Some(this))
+    new GraftScanBuilder(dir, tableSchema, None, Some(this))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(dir, info, Some(this))
@@ -243,7 +336,7 @@ class GraftRowLevelOperation(dir: String, tableSchema: StructType,
 }
 
 class GraftScanBuilder(dir: String, tableSchema: StructType,
-    op: Option[GraftRowLevelOperation])
+    pinnedVersion: Option[Long], op: Option[GraftRowLevelOperation])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   // may include the __group metadata column when the query asks for it
   private var required: StructType = tableSchema
@@ -253,7 +346,8 @@ class GraftScanBuilder(dir: String, tableSchema: StructType,
 
   override def build(): Scan = {
     val f = new Path(dir).getFileSystem(new Configuration())
-    new GraftScan(dir, GraftRowTable.dataFiles(dir, f), tableSchema,
+    val v = pinnedVersion.getOrElse(GraftRowTable.currentVersion(dir, f))
+    new GraftScan(dir, GraftRowTable.readManifest(dir, f, v), tableSchema,
       required, op)
   }
 }
@@ -388,12 +482,15 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
 
 case class GraftCommitMsg(file: Option[String]) extends WriterCommitMessage
 
-/** Copy-on-write commit: writers land whole files in a hidden staging
-  * dir; commit (driver-side) removes the replaced groups — the files the
-  * row-level scan read, or everything for truncate — and renames staged
-  * files in. Readers only ever see complete files; a crash before commit
-  * leaves just a dot-prefixed staging dir that the next statement
-  * ignores. */
+/** Copy-on-write SNAPSHOT commit: writers land whole files in a hidden
+  * staging dir; commit (driver-side) renames them in and publishes a new
+  * manifest whose file list drops the replaced groups — the files the
+  * row-level scan read, or everything for truncate. Replaced data files
+  * are NOT deleted: prior snapshots keep referencing them (time travel
+  * via VERSION AS OF) until [[GraftMaintenance.vacuum]] reclaims.
+  * Readers only ever see committed manifests; a crash before the
+  * manifest rename leaves a staging dir and orphan files the next
+  * vacuum sweeps. */
 class GraftBatchWrite(dir: String, writeSchema: StructType, queryId: String,
     truncate: Boolean, op: Option[GraftRowLevelOperation]) extends BatchWrite {
 
@@ -406,11 +503,14 @@ class GraftBatchWrite(dir: String, writeSchema: StructType, queryId: String,
     val f = new Path(dir).getFileSystem(new Configuration())
     val staging = new Path(dir, stagingName)
     val staged = messages.collect { case GraftCommitMsg(Some(name)) => name }
-    val doomed: Seq[String] =
-      if (truncate) GraftRowTable.dataFiles(dir, f)
-      else op.map(_.readFiles).getOrElse(Nil)
-    doomed.foreach(n => f.delete(new Path(dir, n), false))
+    val cur = GraftRowTable.currentVersion(dir, f)
+    val curFiles = GraftRowTable.readManifest(dir, f, cur)
+    val doomed: Set[String] =
+      if (truncate) curFiles.toSet
+      else op.map(_.readFiles.toSet).getOrElse(Set.empty)
     staged.foreach(n => f.rename(new Path(staging, n), new Path(dir, n)))
+    GraftRowTable.writeManifest(dir, f, cur + 1,
+      curFiles.filterNot(doomed) ++ staged)
     if (f.exists(staging)) f.delete(staging, true): Unit
   }
 

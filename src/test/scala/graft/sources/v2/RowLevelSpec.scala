@@ -18,11 +18,20 @@ class RowLevelSpec extends SparkSpec {
     dir
   }
 
+  /** Current-snapshot data files with on-disk mtimes. */
   private def dataFiles(table: String): Map[String, Long] = {
-    val d = new java.io.File(s"$wh/db/$table")
-    d.listFiles().filter(f => f.getName.endsWith(".parquet"))
-      .map(f => f.getName -> f.lastModified()).toMap
+    val dir = s"$wh/db/$table"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    import graft.sources.v2.rowlevel.GraftRowTable
+    val cur = GraftRowTable.currentVersion(dir, fs)
+    GraftRowTable.readManifest(dir, fs, cur)
+      .map(n => n -> new java.io.File(s"$dir/$n").lastModified()).toMap
   }
+
+  private def onDisk(table: String): Set[String] =
+    new java.io.File(s"$wh/db/$table").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
 
   private def freshTable(name: String): Unit = {
     wh: Unit
@@ -61,8 +70,60 @@ class RowLevelSpec extends SparkSpec {
       "group without matches was rewritten")
     val highFile = (before.keySet - lowFile.head).head
     assert(!after.contains(highFile), "group with matches must be replaced")
+    // copy-on-write keeps the replaced file ON DISK for old snapshots
+    assert(onDisk("t1").contains(highFile), "old snapshot's file vacuumed early")
     val ks = spark.table("rlt.db.t1").select("k").as[Long].collect().sorted
     assert(ks.toSeq == (0L until 10L) ++ Seq(101L, 103L, 105L, 107L, 109L))
+  }
+
+  test("VERSION AS OF reads pre-DML snapshots") {
+    freshTable("t6")
+    spark.sql("DELETE FROM rlt.db.t6 WHERE k >= 100")
+    assert(spark.table("rlt.db.t6").count() == 10)
+    // v0 empty, v1 first insert, v2 both inserts, v3 post-delete
+    assert(spark.sql("SELECT * FROM rlt.db.t6 VERSION AS OF 2").count() == 20)
+    assert(spark.sql("SELECT * FROM rlt.db.t6 VERSION AS OF 1").count() == 10)
+    assert(spark.sql("SELECT * FROM rlt.db.t6 VERSION AS OF 0").count() == 0)
+    val deleted = spark.sql(
+      "SELECT k FROM rlt.db.t6 VERSION AS OF 2 EXCEPT SELECT k FROM rlt.db.t6")
+      .as[Long].collect().sorted
+    assert(deleted.toSeq == (100L until 110L))
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM rlt.db.t6 VERSION AS OF 99").collect()
+    }
+    assert(e.getMessage.contains("no version"), e.getMessage)
+  }
+
+  test("vacuum drops old snapshots and reclaims unreferenced files") {
+    import graft.sources.v2.rowlevel.{GraftMaintenance, GraftRowTable}
+    freshTable("t7")
+    spark.sql("DELETE FROM rlt.db.t7 WHERE k >= 100") // v3 replaces high file
+    val kept = dataFiles("t7").keySet
+    val allOnDisk = onDisk("t7")
+    assert(allOnDisk.size > kept.size, "replaced file should still be on disk")
+    val (manifestsDropped, filesDeleted) =
+      GraftMaintenance.vacuum(wh, Seq("db"), "t7", retainLast = 1)
+    assert(manifestsDropped == 3 && filesDeleted == (allOnDisk -- kept).size)
+    assert(onDisk("t7") == kept, "only current-snapshot files survive vacuum")
+    // current read unaffected; time travel to vacuumed versions now fails
+    assert(spark.table("rlt.db.t7").count() == 10)
+    val dir = s"$wh/db/t7"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    assert(GraftRowTable.versions(dir, fs) == Seq(3L))
+  }
+
+  test("compaction is INSERT OVERWRITE self-select: fewer files, same rows") {
+    freshTable("t8")
+    assert(dataFiles("t8").size == 2)
+    val before = spark.table("rlt.db.t8").as[(Long, Double, String)]
+      .collect().toSet
+    spark.sql("INSERT OVERWRITE rlt.db.t8 " +
+      "SELECT /*+ COALESCE(1) */ * FROM rlt.db.t8")
+    assert(dataFiles("t8").size == 1, "compacted snapshot should be one file")
+    val after = spark.table("rlt.db.t8").as[(Long, Double, String)]
+      .collect().toSet
+    assert(after == before, "compaction must not change table contents")
   }
 
   test("DELETE matching nothing leaves every file untouched") {
