@@ -3332,7 +3332,52 @@ object RelQueries {
       SELECT 'v1' AS snap, user_id, n, sv FROM g
       UNION ALL
       SELECT 'current' AS snap, user_id, n, sv FROM g WHERE user_id % 7 <> 3
-      ORDER BY snap, user_id"""))
+      ORDER BY snap, user_id""")),
+
+    // Streaming CDC-apply: a file stream drains micro-batch by
+    // micro-batch (maxFilesPerTrigger=1) into the governed table via a
+    // per-batch MERGE INTO — the K5 keyed-upsert contract as storage-side
+    // SQL, each batch one copy-on-write snapshot. Accumulators are
+    // integer (count + exact cents), so the final state is independent
+    // of batch arrival order and hash-compares against the flat batch
+    // aggregate. This is the standard "stream into a lakehouse table"
+    // landing pattern (foreachBatch + MERGE).
+    ("q200_stream_merge_apply", (s: SparkSession, d: String) => {
+      val tbl = rowLevelTable(s, d, "cdc")
+      val sf = new java.io.File(d).getName
+      val src = s"/tmp/graft_cdc_src/$sf"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+      val ev = t(s, d, "events").select(col("user_id"),
+        (Exact.dec(col("value"), 12) * 100).cast("long").as("cents"),
+        pmod(xxhash64(col("event_id")), lit(2)).as("half"))
+      ev.filter(col("half") === 0).drop("half").coalesce(1)
+        .write.parquet(s"$src/h0")
+      ev.filter(col("half") === 1).drop("half").coalesce(1)
+        .write.parquet(s"$src/h1")
+      s.sql(s"CREATE TABLE $tbl (user_id BIGINT, n BIGINT, cents BIGINT)")
+      val q = s.readStream.schema("user_id LONG, cents LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/*")
+        .writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+          b.groupBy("user_id")
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+            .createOrReplaceTempView("q200_batch")
+          b.sparkSession.sql(s"""
+            MERGE INTO $tbl t USING q200_batch s ON t.user_id = s.user_id
+            WHEN MATCHED THEN UPDATE
+              SET n = t.n + s.n, cents = t.cents + s.cents
+            WHEN NOT MATCHED THEN INSERT (user_id, n, cents)
+              VALUES (s.user_id, s.n, s.cents)""")
+          (): Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(tbl).orderBy("user_id")
+    }, Some("""
+      SELECT user_id, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+          AS BIGINT) AS cents
+      FROM events GROUP BY 1 ORDER BY user_id"""))
   )
 
   /** Registers the row-level catalog (idempotent) and returns a fresh
