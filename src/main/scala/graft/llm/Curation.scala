@@ -485,11 +485,24 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = counts
       .withColumn("local_off", coalesce(sum(col("n")).over(wLocal), lit(0L)))
-    val wBkt = Window.orderBy("bkt")
+    // Bucket offsets via a SECOND prefix-sum level (super-buckets of
+    // 2^10 buckets): the only unpartitioned window runs over one row
+    // per super-bucket — nBuckets/1024 rows — so even a 10^12-doc
+    // corpus (10^6 buckets) leaves ~1000 rows on the global window.
+    val superSize = 1L << 10
+    val bn = counts.groupBy("bkt").agg(sum(col("n")).as("bn"))
+      .withColumn("sbkt", expr(s"bkt div $superSize"))
+    val wBktLocal = Window.partitionBy("sbkt").orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bktOff = counts.groupBy("bkt").agg(sum(col("n")).as("bn"))
-      .withColumn("bkt_off", coalesce(sum(col("bn")).over(wBkt), lit(0L)))
-      .select("bkt", "bkt_off")
+    val wSuper = Window.orderBy("sbkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val superOff = bn.groupBy("sbkt").agg(sum(col("bn")).as("sn"))
+      .withColumn("s_off", coalesce(sum(col("sn")).over(wSuper), lit(0L)))
+      .select("sbkt", "s_off")
+    val bktOff = bn
+      .withColumn("bkt_local", coalesce(sum(col("bn")).over(wBktLocal), lit(0L)))
+      .join(broadcast(superOff), "sbkt")
+      .select(col("bkt"), (col("bkt_local") + col("s_off")).as("bkt_off"))
     local.join(broadcast(bktOff), "bkt")
       .withColumn("off", col("local_off") + col("bkt_off"))
       .select(col("doc_id"), col("n"), col("off"),

@@ -3377,7 +3377,36 @@ object RelQueries {
       SELECT user_id, COUNT(*) AS n,
         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
           AS BIGINT) AS cents
-      FROM events GROUP BY 1 ORDER BY user_id"""))
+      FROM events GROUP BY 1 ORDER BY user_id""")),
+
+    // Snapshot history audit (the DESCRIBE HISTORY surface): the
+    // catalog's per-version log with row counts, over a lifecycle of
+    // create (v0 empty) → insert (v1) → DELETE rewrite (v2) →
+    // compaction via INSERT OVERWRITE self-select (v3, contents
+    // unchanged). File counts are partitioning-dependent and excluded;
+    // the version ladder and row counts replay from the base relation.
+    ("q201_table_history", (s: SparkSession, d: String) => {
+      val tbl = rowLevelTable(s, d, "hist")
+      t(s, d, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("n"), Exact.sumD(col("value")).as("sv"))
+        .createOrReplaceTempView("q201_src")
+      s.sql(s"CREATE TABLE $tbl (user_id BIGINT, n BIGINT, sv DOUBLE)")
+      s.sql(s"INSERT INTO $tbl SELECT user_id, n, sv FROM q201_src")
+      s.sql(s"DELETE FROM $tbl WHERE user_id % 7 = 3")
+      s.sql(s"INSERT OVERWRITE $tbl SELECT /*+ COALESCE(1) */ * FROM $tbl")
+      graft.sources.v2.rowlevel.GraftMaintenance
+        .history(s, "/tmp/graft_rl_wh", Seq("db"), tbl.split("\\.").last)
+        .select(col("version"), col("n_rows"))
+        .orderBy("version")
+    }, Some("""
+      WITH g AS (SELECT user_id FROM events GROUP BY user_id),
+      k AS (SELECT COUNT(*) AS full_n,
+        COUNT(*) FILTER (WHERE user_id % 7 <> 3) AS kept_n FROM g)
+      SELECT 0 AS version, 0 AS n_rows FROM k
+      UNION ALL SELECT 1, full_n FROM k
+      UNION ALL SELECT 2, kept_n FROM k
+      UNION ALL SELECT 3, kept_n FROM k
+      ORDER BY version"""))
   )
 
   /** Registers the row-level catalog (idempotent) and returns a fresh

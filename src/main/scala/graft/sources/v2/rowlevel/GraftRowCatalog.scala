@@ -262,6 +262,23 @@ object GraftRowTable {
   * touched) metadata operations plus the rewritten bytes — exactly the
   * Iceberg/Delta maintenance contract. */
 object GraftMaintenance {
+  /** Snapshot log (the DESCRIBE HISTORY audit surface): one row per
+    * retained snapshot with its file and row counts. The loop is
+    * snapshot-count-sized (driver metadata); each row count is a
+    * distributed scan of that snapshot's files. */
+  def history(spark: org.apache.spark.sql.SparkSession, warehouse: String,
+      namespace: Seq[String], table: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val dir = (warehouse +: namespace :+ table).mkString("/")
+    val f = new Path(dir).getFileSystem(new Configuration())
+    GraftRowTable.versions(dir, f).map { v =>
+      val files = GraftRowTable.readManifest(dir, f, v)
+      val n = if (files.isEmpty) 0L
+        else spark.read.parquet(files.map(nm => s"$dir/$nm"): _*).count()
+      (v, files.length.toLong, n)
+    }.toDF("version", "n_files", "n_rows")
+  }
+
   /** @return (manifests dropped, data files deleted) */
   def vacuum(warehouse: String, namespace: Seq[String], table: String,
       retainLast: Int): (Int, Int) = {
