@@ -3406,7 +3406,33 @@ object RelQueries {
       UNION ALL SELECT 1, full_n FROM k
       UNION ALL SELECT 2, kept_n FROM k
       UNION ALL SELECT 3, kept_n FROM k
-      ORDER BY version"""))
+      ORDER BY version""")),
+
+    // Merge-on-read DML (TBLPROPERTIES mode=mor): the same DELETE +
+    // UPDATE contract as q196/q198, but no data file is ever rewritten —
+    // statements append POSITION-DELETE files (and new data files for
+    // updated rows) and readers apply them per file. The
+    // write-amplification/read-amplification trade against copy-on-write
+    // for point DML on 100 TB tables; RowLevelSpec pins data-file
+    // byte-identity and compaction folding the deletes back down.
+    ("q202_sql_mor_dml", (s: SparkSession, d: String) => {
+      val tbl = rowLevelTable(s, d, "mor")
+      t(s, d, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("n"), Exact.sumD(col("value")).as("sv"))
+        .createOrReplaceTempView("q202_src")
+      s.sql(s"CREATE TABLE $tbl (user_id BIGINT, n BIGINT, sv DOUBLE) " +
+        "TBLPROPERTIES ('mode'='mor')")
+      s.sql(s"INSERT INTO $tbl SELECT user_id, n, sv FROM q202_src")
+      s.sql(s"DELETE FROM $tbl WHERE user_id % 7 = 3")
+      s.sql(s"UPDATE $tbl SET sv = sv * 2.0 WHERE user_id % 10 = 0")
+      s.table(tbl).orderBy("user_id")
+    }, Some("""
+      WITH g AS (SELECT user_id, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+        FROM events WHERE user_id % 7 <> 3 GROUP BY 1)
+      SELECT user_id, n,
+        CASE WHEN user_id % 10 = 0 THEN sv * 2.0 ELSE sv END AS sv
+      FROM g ORDER BY user_id"""))
   )
 
   /** Registers the row-level catalog (idempotent) and returns a fresh

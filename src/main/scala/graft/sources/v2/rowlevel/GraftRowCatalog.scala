@@ -112,8 +112,8 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces {
     val in = f.open(meta)
     val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    new GraftRowTable(ident.toString, dir.toString,
-      DataType.fromJson(json).asInstanceOf[StructType], version)
+    val (schema, mode) = GraftRowTable.parseMeta(json)
+    new GraftRowTable(ident.toString, dir.toString, schema, version, mode)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -121,16 +121,22 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces {
     require(partitions.isEmpty,
       "graft row-level tables are unpartitioned (files are the groups)")
     GraftRowTable.validateSchema(schema)
+    val mode = Option(properties.get("mode"))
+      .orElse(Option(properties.get(TableCatalog.OPTION_PREFIX + "mode")))
+      .getOrElse("cow")
+    require(mode == "cow" || mode == "mor",
+      s"table property mode must be cow or mor, got $mode")
     val dir = tableDir(ident)
     val f = fs(dir)
     if (f.exists(new Path(dir, GraftRowTable.MetaFile)))
       throw new TableAlreadyExistsException(ident)
     f.mkdirs(dir)
     val out = f.create(new Path(dir, GraftRowTable.MetaFile), true)
-    try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(GraftRowTable.metaJson(schema, mode)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     GraftRowTable.writeManifest(dir.toString, f, 0L, Nil) // empty snapshot 0
-    new GraftRowTable(ident.toString, dir.toString, schema)
+    new GraftRowTable(ident.toString, dir.toString, schema, None, mode)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -193,6 +199,27 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces {
 object GraftRowTable {
   val MetaFile = "_meta.json"
   val GroupCol = "__group"
+  val PosCol = "__pos"
+  val DeletePrefix = "delete-"
+
+  /** Meta file: {"mode": "cow"|"mor", "schema": <StructType json>}. */
+  def metaJson(schema: StructType, mode: String): String =
+    s"""{"mode": "$mode", "schema": ${schema.json}}"""
+
+  def parseMeta(json: String): (StructType, String) = {
+    val m = org.json4s.jackson.JsonMethods.parse(json)
+    val mode = (m \ "mode") match {
+      case org.json4s.JString(s) => s
+      case _ => "cow"
+    }
+    val schemaJson =
+      org.json4s.jackson.JsonMethods.compact(m \ "schema")
+    (DataType.fromJson(schemaJson).asInstanceOf[StructType], mode)
+  }
+
+  /** Manifest lines split into (data files, position-delete files). */
+  def splitFiles(lines: Seq[String]): (Seq[String], Seq[String]) =
+    lines.partition(!_.startsWith(DeletePrefix))
 
   def validateSchema(schema: StructType): Unit = schema.fields.foreach { fl =>
     fl.dataType match {
@@ -272,10 +299,18 @@ object GraftMaintenance {
     val dir = (warehouse +: namespace :+ table).mkString("/")
     val f = new Path(dir).getFileSystem(new Configuration())
     GraftRowTable.versions(dir, f).map { v =>
-      val files = GraftRowTable.readManifest(dir, f, v)
-      val n = if (files.isEmpty) 0L
-        else spark.read.parquet(files.map(nm => s"$dir/$nm"): _*).count()
-      (v, files.length.toLong, n)
+      val (data, dels) = GraftRowTable.splitFiles(
+        GraftRowTable.readManifest(dir, f, v))
+      val raw = if (data.isEmpty) 0L
+        else spark.read.parquet(data.map(nm => s"$dir/$nm"): _*).count()
+      // merge-on-read: subtract this snapshot's position deletes that
+      // land in this snapshot's data files
+      val deleted = if (dels.isEmpty || data.isEmpty) 0L
+        else spark.read.parquet(dels.map(nm => s"$dir/$nm"): _*)
+          .where(org.apache.spark.sql.functions.col("file")
+            .isin(data: _*))
+          .distinct().count()
+      (v, (data.length + dels.length).toLong, raw - deleted)
     }.toDF("version", "n_files", "n_rows")
   }
 
@@ -299,7 +334,7 @@ object GraftMaintenance {
 }
 
 class GraftRowTable(ident: String, dir: String, tableSchema: StructType,
-    pinnedVersion: Option[Long] = None)
+    pinnedVersion: Option[Long] = None, mode: String = "cow")
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -310,12 +345,18 @@ class GraftRowTable(ident: String, dir: String, tableSchema: StructType,
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
-  override def metadataColumns(): Array[MetadataColumn] =
-    Array(new MetadataColumn {
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
       override def name(): String = GraftRowTable.GroupCol
       override def dataType(): DataType = StringType
       override def isNullable: Boolean = false
-      override def comment(): String = "data file (copy-on-write group) holding the row"
+      override def comment(): String = "data file (rewrite group) holding the row"
+    },
+    new MetadataColumn {
+      override def name(): String = GraftRowTable.PosCol
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "row position within its data file"
     })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -326,10 +367,12 @@ class GraftRowTable(ident: String, dir: String, tableSchema: StructType,
     new GraftWriteBuilder(dir, info, None)
   }
 
+  /** cow → group-rewrite ReplaceData; mor → position-delete WriteDelta. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty, "cannot run DML on a pinned VERSION AS OF")
-    () => new GraftRowLevelOperation(dir, tableSchema, info.command())
+    if (mode == "mor") () => new GraftDeltaOperation(dir, tableSchema, info.command())
+    else () => new GraftRowLevelOperation(dir, tableSchema, info.command())
   }
 }
 
@@ -350,6 +393,138 @@ class GraftRowLevelOperation(dir: String, tableSchema: StructType,
 
   override def requiredMetadataAttributes(): Array[NamedReference] =
     Array(Expressions.column(GraftRowTable.GroupCol))
+}
+
+/** Merge-on-read DML (`SupportsDelta`): instead of rewriting groups,
+  * DELETE/UPDATE/MERGE write POSITION DELETES — tiny (file, pos) parquet
+  * files — plus new data files for inserted/updated rows; the commit
+  * only APPENDS to the manifest. Reads apply the deletes per file. This
+  * is the write-amplification/read-amplification trade against
+  * copy-on-write (table property mode=mor vs cow): a 100 TB table with
+  * point deletes pays KBs of delete files per statement instead of
+  * rewriting GB-scale groups, and compaction (INSERT OVERWRITE
+  * self-select) folds the deletes back down when read cost accumulates. */
+class GraftDeltaOperation(dir: String, tableSchema: StructType,
+    cmd: RowLevelOperation.Command)
+    extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(dir, tableSchema, None, None)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite =
+          new GraftDeltaBatchWrite(dir, info.schema(), info.queryId())
+        override def description(): String = s"GraftDeltaWrite[$dir]"
+      }
+    }
+
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(GraftRowTable.GroupCol),
+    Expressions.column(GraftRowTable.PosCol))
+
+  override def requiredMetadataAttributes(): Array[NamedReference] = Array(
+    Expressions.column(GraftRowTable.GroupCol),
+    Expressions.column(GraftRowTable.PosCol))
+}
+
+/** Delta commit: stage new data + delete files, then append them all to
+  * the next manifest — no existing file is removed or rewritten. */
+class GraftDeltaBatchWrite(dir: String, writeSchema: StructType,
+    queryId: String) extends DeltaBatchWrite {
+
+  private val stagingName = s".staging-w-$queryId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    GraftDeltaWriterFactory(dir, stagingName, writeSchema.json)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val f = new Path(dir).getFileSystem(new Configuration())
+    val staging = new Path(dir, stagingName)
+    val staged = messages.flatMap { case GraftDeltaCommitMsg(d, del) =>
+      d.toSeq ++ del.toSeq }
+    val cur = GraftRowTable.currentVersion(dir, f)
+    val curFiles = GraftRowTable.readManifest(dir, f, cur)
+    staged.foreach(n => f.rename(new Path(staging, n), new Path(dir, n)))
+    GraftRowTable.writeManifest(dir, f, cur + 1, curFiles ++ staged)
+    if (f.exists(staging)) f.delete(staging, true): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val f = new Path(dir).getFileSystem(new Configuration())
+    val staging = new Path(dir, stagingName)
+    if (f.exists(staging)) f.delete(staging, true): Unit
+  }
+}
+
+case class GraftDeltaCommitMsg(dataFile: Option[String],
+    deleteFile: Option[String]) extends WriterCommitMessage
+
+case class GraftDeltaWriterFactory(dir: String, stagingName: String,
+    schemaJson: String) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(dir, stagingName,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], partitionId, taskId)
+}
+
+/** Per-task delta writer: inserts go to a lazily-opened data file via
+  * [[GraftDataWriter]]; deletes (and the delete half of updates) buffer
+  * (file, pos) pairs and land as one position-delete parquet file. The
+  * row-id columns arrive as (`__group`, `__pos`) per [[GraftDeltaOperation.rowId]]. */
+class GraftDeltaWriter(dir: String, stagingName: String, schema: StructType,
+    partitionId: Int, taskId: Long) extends DeltaWriter[InternalRow] {
+  import org.apache.parquet.example.data.simple.SimpleGroup
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.hadoop.util.HadoopOutputFile
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+  private val inserts =
+    new GraftDataWriter(dir, stagingName, schema, partitionId, taskId)
+  private val deletes = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+  private val deleteFileName =
+    f"${GraftRowTable.DeletePrefix}$partitionId%05d-$taskId.parquet"
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit =
+    deletes += ((id.getUTF8String(0).toString, id.getLong(1)))
+
+  override def update(metadata: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = {
+    delete(metadata, id)
+    insert(row)
+  }
+
+  override def insert(row: InternalRow): Unit = inserts.write(row)
+
+  override def commit(): WriterCommitMessage = {
+    val dataMsg = inserts.commit().asInstanceOf[GraftCommitMsg]
+    val delFile = if (deletes.isEmpty) None else {
+      val mt = Types.buildMessage()
+        .addField(Types.required(PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named("file"))
+        .addField(Types.required(PrimitiveTypeName.INT64).named("pos"))
+        .named("graft_delete")
+      val path = new Path(new Path(dir, stagingName), deleteFileName)
+      val w = ExampleParquetWriter
+        .builder(HadoopOutputFile.fromPath(path, new Configuration()))
+        .withType(mt).build()
+      try deletes.foreach { case (file, pos) =>
+        val g = new SimpleGroup(mt)
+        g.add("file", file)
+        g.add("pos", pos)
+        w.write(g)
+      } finally w.close()
+      Some(deleteFileName)
+    }
+    GraftDeltaCommitMsg(dataMsg.file, delFile)
+  }
+
+  override def abort(): Unit = inserts.abort()
+
+  override def close(): Unit = inserts.close()
 }
 
 class GraftScanBuilder(dir: String, tableSchema: StructType,
@@ -420,9 +595,10 @@ class GraftScan(dir: String, allFiles: Seq[String], tableSchema: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = allFiles.filter(f => retained.forall(_.contains(f)))
+    val (data, deletes) = GraftRowTable.splitFiles(allFiles)
+    val files = data.filter(f => retained.forall(_.contains(f)))
     op.foreach(_.readFiles = files)
-    files.map(f => GraftFilePartition(dir, f, tableSchema.json,
+    files.map(f => GraftFilePartition(dir, f, deletes, tableSchema.json,
       required.json): InputPartition).toArray
   }
 
@@ -430,7 +606,8 @@ class GraftScan(dir: String, allFiles: Seq[String], tableSchema: StructType,
     new GraftReaderFactory
 }
 
-case class GraftFilePartition(dir: String, file: String, tableSchemaJson: String,
+case class GraftFilePartition(dir: String, file: String,
+    deleteFiles: Seq[String], tableSchemaJson: String,
     requiredJson: String) extends InputPartition
 
 class GraftReaderFactory extends PartitionReaderFactory {
@@ -441,21 +618,51 @@ class GraftReaderFactory extends PartitionReaderFactory {
 }
 
 /** Reads one parquet group file into InternalRows (example Group API —
-  * the file was written by [[GraftDataWriter]] with the table schema). */
+  * the file was written by [[GraftDataWriter]] with the table schema),
+  * applying the snapshot's position deletes for this file (merge-on-read)
+  * and exposing the `__group`/`__pos` metadata columns. The delete set is
+  * positions-only and loaded once per task; compaction folds delete
+  * files back into plain data files. */
 class GraftFileReader(p: GraftFilePartition) extends PartitionReader[InternalRow] {
   import org.apache.parquet.hadoop.ParquetReader
   import org.apache.parquet.hadoop.example.GroupReadSupport
   import org.apache.parquet.example.data.Group
 
   private val required = DataType.fromJson(p.requiredJson).asInstanceOf[StructType]
+  private val conf = new Configuration()
+
+  private val deletedPos: java.util.HashSet[Long] = {
+    val s = new java.util.HashSet[Long]()
+    p.deleteFiles.foreach { df =>
+      val r = ParquetReader.builder(new GroupReadSupport(),
+        new Path(p.dir, df)).withConf(conf).build()
+      try {
+        var g = r.read()
+        while (g != null) {
+          val gt = g.getType
+          if (g.getString(gt.getFieldIndex("file"), 0) == p.file)
+            s.add(g.getLong(gt.getFieldIndex("pos"), 0)): Unit
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    s
+  }
+
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(),
         new Path(p.dir, p.file))
-      .withConf(new Configuration()).build()
+      .withConf(conf).build()
   private var current: Group = _
+  private var pos: Long = -1L
 
   override def next(): Boolean = {
     current = reader.read()
+    pos += 1
+    while (current != null && deletedPos.contains(pos)) {
+      current = reader.read()
+      pos += 1
+    }
     current != null
   }
 
@@ -464,6 +671,7 @@ class GraftFileReader(p: GraftFilePartition) extends PartitionReader[InternalRow
     val gt = g.getType
     val vals = required.fields.map { fl =>
       if (fl.name == GraftRowTable.GroupCol) UTF8String.fromString(p.file)
+      else if (fl.name == GraftRowTable.PosCol) pos
       else {
         val idx = gt.getFieldIndex(fl.name)
         if (g.getFieldRepetitionCount(idx) == 0) null
@@ -558,7 +766,8 @@ class GraftDataWriter(dir: String, stagingName: String, schema: StructType,
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 
   private val dataFields = schema.fields.zipWithIndex
-    .filter { case (fl, _) => fl.name != GraftRowTable.GroupCol }
+    .filter { case (fl, _) =>
+      fl.name != GraftRowTable.GroupCol && fl.name != GraftRowTable.PosCol }
   private val fileName = f"part-$partitionId%05d-$taskId.parquet"
 
   private lazy val messageType: MessageType = {

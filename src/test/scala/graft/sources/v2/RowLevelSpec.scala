@@ -173,6 +173,70 @@ class RowLevelSpec extends SparkSpec {
     assert(rows.length == 3 && rows.forall(_._3 == "ow"))
   }
 
+  private def freshMorTable(name: String): Unit = {
+    wh: Unit
+    spark.sql(s"DROP TABLE IF EXISTS rlt.db.$name")
+    spark.sql(s"CREATE TABLE rlt.db.$name (k BIGINT, v DOUBLE, tag STRING) " +
+      "TBLPROPERTIES ('mode'='mor')")
+    spark.sql(s"INSERT INTO rlt.db.$name " +
+      "SELECT /*+ COALESCE(1) */ id AS k, CAST(id AS DOUBLE) / 2 AS v, " +
+      "'low' AS tag FROM range(0, 10)")
+    spark.sql(s"INSERT INTO rlt.db.$name " +
+      "SELECT /*+ COALESCE(1) */ id AS k, CAST(id AS DOUBLE) / 2 AS v, " +
+      "'high' AS tag FROM range(100, 110)")
+  }
+
+  test("merge-on-read DELETE: no data file rewritten, position deletes land") {
+    freshMorTable("m1")
+    val before = dataFiles("m1")
+    spark.sql("DELETE FROM rlt.db.m1 WHERE k >= 100 AND k % 2 = 0")
+    val after = dataFiles("m1")
+    // every pre-existing data file survives BYTE-IDENTICAL in the new
+    // snapshot — that is the merge-on-read contract
+    assert(before.forall { case (n, m) => after.get(n).contains(m) },
+      s"a data file was rewritten: before=$before after=$after")
+    val delFiles = after.keySet.filter(_.startsWith("delete-"))
+    assert(delFiles.nonEmpty, "expected a position-delete file")
+    val ks = spark.table("rlt.db.m1").select("k").as[Long].collect().sorted
+    assert(ks.toSeq == (0L until 10L) ++ Seq(101L, 103L, 105L, 107L, 109L))
+  }
+
+  test("merge-on-read UPDATE: delete + reinsert, old files untouched") {
+    freshMorTable("m2")
+    val before = dataFiles("m2")
+    spark.sql("UPDATE rlt.db.m2 SET v = v * 10 WHERE k = 105")
+    val after = dataFiles("m2")
+    assert(before.forall { case (n, m) => after.get(n).contains(m) })
+    val r = spark.table("rlt.db.m2").where(col("k") === 105)
+      .as[(Long, Double, String)].collect()
+    assert(r.toSeq == Seq((105L, 525.0, "high")))
+    assert(spark.table("rlt.db.m2").count() == 20)
+  }
+
+  test("merge-on-read MERGE + time travel + compaction folds deletes") {
+    freshMorTable("m3")
+    Seq((5L, 99.0, "patched"), (200L, 1.0, "new"))
+      .toDF("k", "v", "tag").createOrReplaceTempView("srcm3")
+    spark.sql("""
+      MERGE INTO rlt.db.m3 t USING srcm3 s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag
+      WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (s.k, s.v, s.tag)
+      WHEN NOT MATCHED BY SOURCE AND t.k >= 108 THEN DELETE""")
+    val m = spark.table("rlt.db.m3").as[(Long, Double, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(5L) == ((99.0, "patched")) && m(200L) == ((1.0, "new")))
+    assert(!m.contains(108L) && !m.contains(109L) && m.size == 19)
+    // pre-MERGE snapshot still reads clean
+    assert(spark.sql("SELECT * FROM rlt.db.m3 VERSION AS OF 2").count() == 20)
+    // compaction folds position deletes back into plain data files
+    spark.sql("INSERT OVERWRITE rlt.db.m3 " +
+      "SELECT /*+ COALESCE(1) */ * FROM rlt.db.m3")
+    val files = dataFiles("m3").keySet
+    assert(files.size == 1 && !files.exists(_.startsWith("delete-")))
+    assert(spark.table("rlt.db.m3").as[(Long, Double, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap == m)
+  }
+
   test("unsupported column types are rejected at CREATE") {
     wh: Unit
     val e = intercept[Exception] {
