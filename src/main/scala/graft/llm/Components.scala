@@ -233,4 +233,44 @@ object Components {
     }
     ranks
   }
+
+  /** Bounded-depth BFS from one source over an undirected edge list:
+    * min-hop level per reached vertex, levels 0..`maxDepth` (the
+    * neighborhood-expansion primitive behind link-graph audits and
+    * crawl-frontier analysis). Classic distributed BFS: per round, the
+    * FRONTIER (only the newly reached vertices, never the visited set)
+    * joins the edge list once — a frontier-sized keyed shuffle of two
+    * longs — and an anti-join against the visited set drops
+    * already-levelled vertices; per-round localCheckpoint keeps lineage
+    * flat like [[connectedComponentsStars]]. On a 100 TB graph each
+    * round's cost is O(edges incident to the frontier), and the depth
+    * bound caps the round count; the early-exit `isEmpty` probe is a
+    * metadata-sized driver check.
+    *
+    * @param edges (src, dst) pairs; direction/duplicates ignored
+    * @return (node, depth) — every vertex within `maxDepth` hops of `src`
+    */
+  def bfsLevels(edges: DataFrame, src: Long, maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und0 = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val und = und0
+      .union(und0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var visited = Seq((src, 0)).toDF("node", "depth").localCheckpoint(true)
+    var frontier = visited.select("node")
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier.join(und, frontier("node") === und("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.union(next.withColumn("depth", lit(depth)))
+        .localCheckpoint(true)
+      frontier = next
+    }
+    visited
+  }
 }

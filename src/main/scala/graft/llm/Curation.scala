@@ -562,4 +562,88 @@ object Curation {
       .groupBy("doc_id")
       .agg(sum(expr("n_docs div df")).as("rarity"))
   }
+
+  /** DSIR-shaped importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): every token hashes
+    * into one of `dim` buckets (power of two — the signed/unsigned-proof
+    * bucket of [[hashedLinearScore]]), the TARGET subset and the RAW
+    * corpus each induce a bucket mass table, and a document's importance
+    * is the ratio of its expected target-feature mass to its raw-feature
+    * mass, length-normalized by the corpus totals:
+    * weight = (Σ_b c(doc,b)·t[b] · Nr) / (Σ_b c(doc,b)·r[b] · Nt).
+    * (DSIR proper scores in the log domain; the linear-domain mass ratio
+    * keeps every operand an EXACT integer — numerator and denominator are
+    * BIGINT sums — so the single closing division is the only float and
+    * the ranking replays bit-for-bit in any engine.)
+    *
+    * Scale shape: the two mass tables are `dim`-row aggregates broadcast
+    * into the per-doc join — the corpus shuffles only on (doc, bucket)
+    * and doc keys, nothing corpus-sized is ever broadcast, and the
+    * hashed-feature trick is exactly what lets DSIR run on a 100 TB raw
+    * corpus (the feature space is fixed-size regardless of vocabulary).
+    *
+    * @param targetPred row predicate defining the target distribution
+    * @return top-`k` docs: (doc_id, num, den, weight), weight-desc
+    */
+  def dsirTopK(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, dim: Int = 1024, k: Int = 50): DataFrame = {
+    require((dim & (dim - 1)) == 0, "dim must be a power of two")
+    val cb = docs.select(col(idCol).as("doc_id"), targetPred.as("pos"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("tok")).bitwiseAND(lit((dim - 1).toLong)).as("b"))
+      .groupBy("doc_id", "pos", "b").agg(count(lit(1)).as("c"))
+    val tb = cb.filter(col("pos")).groupBy("b").agg(sum(col("c")).as("t"))
+    val rb = cb.groupBy("b").agg(sum(col("c")).as("r"))
+    val tot = cb.agg(
+      sum(when(col("pos"), col("c")).otherwise(lit(0L))).as("nt"),
+      sum(col("c")).as("nr"))
+    cb.join(broadcast(tb), Seq("b"), "left")
+      .join(broadcast(rb), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("c") * coalesce(col("t"), lit(0L))).as("num"),
+        sum(col("c") * col("r")).as("den"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("num"), col("den"),
+        ((col("num") * col("nr")).cast("double") /
+          (col("den") * col("nt")).cast("double")).as("weight"))
+      .orderBy(col("weight").desc, col("doc_id")).limit(k)
+  }
+
+  /** Chi-square token–label association (the supervised feature selection
+    * behind quality-classifier vocabularies): for each token, the 2×2
+    * doc-presence contingency table against a binary label, scored
+    * χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)). Every cell is an exact
+    * BIGINT doc count (presence, not frequency), the numerator and
+    * denominator are exact integer products, and the single closing
+    * division is the only float — rankings replay bit-for-bit. Tokens
+    * with document frequency outside [minDf, N−minDf] are dropped (the
+    * standard df gate; it also keeps the denominator nonzero).
+    *
+    * One (doc, token)-keyed aggregate over distinct per-doc tokens, one
+    * token-keyed aggregate, and a broadcast one-row totals join — at
+    * 100 TB the corpus shuffles once on the token key. Integer range:
+    * safe to ~5·10⁵ docs in int64 (N·(ad−bc)² ≤ N⁵/16); decimal-widen
+    * the two products past that. */
+  def chiSquareTerms(docs: DataFrame, idCol: String, textCol: String,
+      labelPred: Column, minDf: Int = 5, k: Int = 20): DataFrame = {
+    val pairs = docs.select(col(idCol).as("doc_id"), labelPred.as("pos"),
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+    val tot = docs.agg(count(lit(1)).as("n"),
+      sum(labelPred.cast("long")).as("ne"))
+    val byTok = pairs.groupBy("tok").agg(
+      sum(col("pos").cast("long")).as("a"), count(lit(1)).as("ab"))
+    byTok.crossJoin(broadcast(tot))
+      .filter(col("ab") >= minDf && col("ab") <= col("n") - minDf)
+      .withColumn("b", col("ab") - col("a"))
+      .withColumn("c", col("ne") - col("a"))
+      .withColumn("d", col("n") - col("ne") - col("b"))
+      .withColumn("chi2",
+        (col("n") * (col("a") * col("d") - col("b") * col("c"))
+          * (col("a") * col("d") - col("b") * col("c"))).cast("double")
+        / (col("ab") * (col("n") - col("ab")) * col("ne")
+          * (col("n") - col("ne"))).cast("double"))
+      .select("tok", "a", "b", "c", "d", "chi2")
+      .orderBy(col("chi2").desc, col("tok")).limit(k)
+  }
 }

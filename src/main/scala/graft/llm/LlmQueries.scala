@@ -1774,6 +1774,89 @@ object LlmQueries {
           nprobe = 3, candK = 40, k = 5)
         .orderBy("query_id", "rank")
     }, Some(Similarity.ivfPqDuckSql("label", "vec_id < 10", m = 8,
-      subDim = 8, kCodes = 4, iters = 1, nprobe = 3, candK = 40, k = 5)))
+      subDim = 8, kCodes = 4, iters = 1, nprobe = 3, candK = 40, k = 5))),
+
+    // Bounded-depth BFS over the part co-purchase graph (parts sharing an
+    // order): min-hop level per vertex from part 1, depth <= 4, reported
+    // as per-level counts with an exact id-sum checksum. Frontier-sized
+    // joins per round (never the visited set against the edges); the
+    // oracle replays the same traversal as a depth-bounded recursive CTE
+    // whose UNION dedup + MIN(depth) yields identical min-hop levels.
+    ("q204_bfs_levels", (s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey"))
+        .filter(col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      Components.bfsLevels(e, src = 1L, maxDepth = 4)
+        .groupBy("depth")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("sum_node"))
+        .orderBy("depth")
+    }, Some("""
+      WITH RECURSIVE e AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      walk(node, depth) AS (
+        SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+        UNION
+        SELECT e.dst, w.depth + 1 FROM walk w JOIN e ON w.node = e.src
+        WHERE w.depth < 4),
+      lvl AS (SELECT node, MIN(depth) AS depth FROM walk GROUP BY 1)
+      SELECT depth, COUNT(*) AS n_nodes, CAST(SUM(node) AS BIGINT) AS sum_node
+      FROM lvl GROUP BY 1 ORDER BY depth""")),
+
+    // DSIR importance resampling weights (target = English subset): every
+    // token hashes into 1024 buckets, the target/raw bucket-mass tables
+    // broadcast back, and each doc's importance is an exact-integer mass
+    // ratio — the one float is the closing division. The oracle replays
+    // the xxhash64 bucketing bit-for-bit (q132 discipline).
+    ("q206_dsir_weights", (s: SparkSession, d: String) => {
+      Curation.dsirTopK(t(s, d, "documents"), "doc_id", "text",
+        col("lang") === "en", dim = 1024, k = 50)
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents),
+      ${XxHashOracle.xxh64Ctes("toks")},
+      dp AS (SELECT doc_id, (lang = 'en') AS pos FROM documents),
+      cb AS (SELECT h.doc_id, dp.pos,
+          CAST(hu & CAST(1023 AS HUGEINT) AS BIGINT) AS b,
+          COUNT(*) AS c FROM hashed h JOIN dp USING (doc_id)
+        GROUP BY 1, 2, 3),
+      tb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS t FROM cb WHERE pos GROUP BY 1),
+      rb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS r FROM cb GROUP BY 1),
+      tot AS (SELECT CAST(SUM(CASE WHEN pos THEN c ELSE 0 END) AS BIGINT) AS nt,
+          CAST(SUM(c) AS BIGINT) AS nr FROM cb),
+      dw AS (SELECT doc_id, CAST(SUM(c * COALESCE(tb.t, 0)) AS BIGINT) AS num,
+          CAST(SUM(c * rb.r) AS BIGINT) AS den
+        FROM cb LEFT JOIN tb USING (b) JOIN rb USING (b) GROUP BY 1)
+      SELECT doc_id, num, den,
+        CAST(num * nr AS DOUBLE) / CAST(den * nt AS DOUBLE) AS weight
+      FROM dw, tot
+      ORDER BY weight DESC, doc_id LIMIT 50""")),
+
+    // Chi-square token-label feature selection (label = English): 2x2
+    // doc-presence contingency per token, exact BIGINT cells and
+    // products, one closing double division; df-gated to [5, N-5].
+    ("q207_chi2_terms", (s: SparkSession, d: String) => {
+      Curation.chiSquareTerms(t(s, d, "documents"), "doc_id", "text",
+        col("lang") === "en", minDf = 5, k = 20)
+    }, Some("""
+      WITH d0 AS (SELECT doc_id, (lang = 'en') AS pos, text FROM documents),
+      toks AS (SELECT doc_id, pos,
+          unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok
+        FROM d0),
+      tot AS (SELECT COUNT(*) AS n,
+          CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS ne FROM d0),
+      bt AS (SELECT tok, CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS a,
+          COUNT(*) AS ab FROM toks GROUP BY 1)
+      SELECT tok, a, CAST(ab - a AS BIGINT) AS b, CAST(ne - a AS BIGINT) AS c,
+        CAST(n - ne - (ab - a) AS BIGINT) AS d,
+        CAST(n * (a * (n - ne - (ab - a)) - (ab - a) * (ne - a))
+               * (a * (n - ne - (ab - a)) - (ab - a) * (ne - a)) AS DOUBLE)
+        / CAST(ab * (n - ab) * ne * (n - ne) AS DOUBLE) AS chi2
+      FROM bt, tot
+      WHERE ab >= 5 AND ab <= n - 5
+      ORDER BY chi2 DESC, tok LIMIT 20"""))
   )
 }

@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -3432,8 +3432,202 @@ object RelQueries {
         FROM events WHERE user_id % 7 <> 3 GROUP BY 1)
       SELECT user_id, n,
         CASE WHEN user_id % 10 = 0 THEN sv * 2.0 ELSE sv END AS sv
-      FROM g ORDER BY user_id"""))
+      FROM g ORDER BY user_id""")),
+
+    // Storage-partitioned join (SPJ): both sides are pre-laid-out on the
+    // join key and the DSv2 scans report KeyGroupedPartitioning with
+    // per-partition keys, so the join and the per-key aggregate plan with
+    // ZERO shuffle (PlanQualitySpec pins the exchange-free plan). At
+    // 100 TB this is the bucketed-table contract: a fact-fact join on a
+    // co-partitioned key moves no rows.
+    ("q203_spj_join", (s: SparkSession, d: String) => {
+      import graft.sources.v2.Spj
+      val sf = new java.io.File(d).getName.replace(".", "_")
+      val base = s"/tmp/graft_spj/$sf"
+      Spj.writeKeyed(t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal")),
+        s"$base/cust", "c_nationkey")
+      Spj.writeKeyed(t(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal")),
+        s"$base/supp", "s_nationkey")
+      Spj.spjJoin(s, base).orderBy("nationkey")
+    }, Some("""
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n_pairs,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))
+               + CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+      FROM customer JOIN supplier ON c_nationkey = s_nationkey
+      GROUP BY 1 ORDER BY nationkey""")),
+
+    // Regression family (regr_slope / regr_intercept / regr_r2) of
+    // discount on quantity, computed from EXACT integer moment sums —
+    // both measures are 2-decimal values, so scaling by 100 makes every
+    // row an exact BIGINT and n, Σx, Σy, Σx², Σxy, Σy² aggregate in pure
+    // int64 (order-independent across 1000 executors; the ×100 scaling
+    // cancels in slope and r2). int64→double is correctly rounded in
+    // every IEEE engine — unlike wide-DECIMAL→double, which DuckDB
+    // computes as two roundings (int128 / 10^scale) and the JVM as one —
+    // so the closed forms then evaluate identical expression trees over
+    // bit-identical inputs and the floats hash-match. The built-in
+    // regr_* aggregates are double accumulators whose partial-merge
+    // order varies run to run; the moment-sum decomposition is both the
+    // deterministic and the map-side-combinable (one pass, six partial
+    // sums) formulation. Range: sums fit int64 to ~10^12 rows.
+    ("q205_regression_stats", (s: SparkSession, d: String) => {
+      val x = (qty * lit(100)).cast("long")
+      val y = (disc * lit(100)).cast("long")
+      val g = t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"))
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double")
+      val syD = col("sy").cast("double")
+      val num = nD * col("sxy").cast("double") - sxD * syD
+      val den = nD * col("sxx").cast("double") - sxD * sxD
+      val deny = nD * col("syy").cast("double") - syD * syD
+      g.select(col("l_returnflag"), col("n"),
+          (num / den).as("slope"),
+          ((syD - num / den * sxD) / nD).as("intercept"),
+          (num * num / (den * deny)).as("r2"))
+        .orderBy("l_returnflag")
+    }, Some(s"""
+      WITH r AS (SELECT l_returnflag,
+          CAST($oQty * 100 AS BIGINT) AS x,
+          CAST($oDisc * 100 AS BIGINT) AS y
+        FROM lineitem),
+      g AS (SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+          CAST(SUM(x * x) AS BIGINT) AS sxx,
+          CAST(SUM(x * y) AS BIGINT) AS sxy,
+          CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM r GROUP BY 1)
+      SELECT l_returnflag, n,
+        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        (CAST(sy AS DOUBLE)
+           - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+        ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+          / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+      FROM g ORDER BY l_returnflag""")),
+
+    // NATIVE recursive CTE (Spark 4's WITH RECURSIVE / UnionLoop): a
+    // hierarchical ancestor rollup — each supplier's ancestor chain via
+    // integer halving (a binary hierarchy derived from the key), then
+    // descendant count / key-sum / exact-cents balance per ancestor.
+    // The SAME SQL text runs on both engines (q104 dateSpine
+    // convention): FLOOR(a/2) over doubles is exact to 2^53 and
+    // portable, SUM casts pin BIGINT on both sides. Spark executes the
+    // recursion as iterated distributed steps (UnionLoopExec), each
+    // round frontier-sized — depth is log2(max key), so 100 TB of keys
+    // is ~40 rounds of per-level joins, never a driver loop.
+    ("q208_recursive_rollup", (s: SparkSession, d: String) => {
+      t(s, d, "supplier").createOrReplaceTempView("supplier")
+      s.sql(recursiveRollupSql)
+    }, Some(recursiveRollupSql)),
+
+    // Skyline / Pareto frontier (Börzsönyi et al. 2001): parts that are
+    // Pareto-optimal under (minimize retail price, maximize size). The
+    // engine runs the two-level sorted sweep in ops.Skyline — one range
+    // shuffle, partition-local running-max windows, a one-row-per-
+    // partition broadcast carry, never a global single-partition window
+    // and never a pairwise product; the oracle replays the quadratic
+    // NOT EXISTS dominance definition. Exact integer dimensions (price
+    // in cents), so dominance ties are decided exactly.
+    ("q209_skyline_pareto", (s: SparkSession, d: String) => {
+      val p = t(s, d, "part").select(col("p_partkey"),
+        (graft.ops.Exact.dec(col("p_retailprice")) * lit(100))
+          .cast("long").as("price_cents"),
+        col("p_size"))
+      graft.ops.Skyline.skyline2D(p, "price_cents", "p_size")
+        .orderBy("price_cents", "p_partkey")
+    }, Some("""
+      WITH p AS (SELECT p_partkey,
+          CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+            AS price_cents, p_size
+        FROM part)
+      SELECT b.p_partkey, b.price_cents, b.p_size FROM p b
+      WHERE NOT EXISTS (SELECT 1 FROM p a
+        WHERE (a.price_cents < b.price_cents AND a.p_size >= b.p_size)
+           OR (a.price_cents <= b.price_cents AND a.p_size > b.p_size))
+      ORDER BY b.price_cents, b.p_partkey""")),
+
+    // dropDuplicatesWithinWatermark (Spark 3.5+ bounded-state dedup):
+    // unlike global dropDuplicates (q96) whose state grows forever, state
+    // here expires once the watermark passes event-time + delay — the
+    // only dedup that survives an unbounded 100 TB stream. Four staged
+    // micro-batches (mtime-ordered, one file each) prove both sides of
+    // the contract through the oracle: duplicates inside the delay are
+    // dropped (b0 in-batch dupes), and a key recurring AFTER its state
+    // expired re-emits (b3 repeats b0 keys two days later ⇒ n_emitted=2).
+    // TWO watermark-advancing batches sit in between because eviction
+    // uses the watermark current DURING a batch, which itself lags the
+    // data one batch (verified empirically): b1 moves event time to
+    // day 3, so b2 runs with wm = day3-1h > b0's expiry and evicts b0's
+    // state at its end — before b3's re-occurrences arrive. All rows in
+    // a staged batch share one event time, so the watermark ladder — and
+    // therefore the emitted multiset — is deterministic.
+    ("q210_stream_dedup_within_watermark", (s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      val sf = new java.io.File(d).getName
+      val base = s"/tmp/graft_wmdedup/$sf"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val keys = t(s, d, "events").select(col("user_id"), col("event_type"))
+      def stage(sub: String, pred: Column, ts: String, mtime: Long): Unit = {
+        val p = s"$base/in/$sub"
+        keys.filter(pred).withColumn("ts", lit(ts).cast("timestamp"))
+          .coalesce(1).write.parquet(p)
+        new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
+      }
+      stage("b0", col("user_id") % 10 < 5, "2024-01-01 00:00:00", 1000000L)
+      stage("b1", col("user_id") % 10 >= 5 && col("user_id") % 10 < 8,
+        "2024-01-03 00:00:00", 2000000L)
+      stage("b2", col("user_id") % 10 >= 8, "2024-01-03 00:30:00", 3000000L)
+      stage("b3", col("user_id") % 10 < 3, "2024-01-03 01:00:00", 4000000L)
+      val stream = s.readStream
+        .schema("user_id LONG, event_type STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in/*")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select("user_id", "event_type")
+      val sink = s"q210_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = stream.writeStream.format("memory")
+        .queryName(sink).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_emitted"))
+        .orderBy("user_id", "event_type")
+    }, Some("""
+      WITH k AS (SELECT DISTINCT user_id, event_type FROM events)
+      SELECT user_id, event_type,
+        CAST(CASE WHEN user_id % 10 < 3 THEN 2 ELSE 1 END AS BIGINT)
+          AS n_emitted
+      FROM k ORDER BY user_id, event_type"""))
   )
+
+  private def recursiveRollupSql = """
+    WITH RECURSIVE anc(node, a, bal) AS (
+      SELECT CAST(s_suppkey AS BIGINT), CAST(s_suppkey AS BIGINT),
+        CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+      FROM supplier
+      UNION ALL
+      SELECT node, CAST(FLOOR(a / 2) AS BIGINT), bal FROM anc WHERE a > 1)
+    SELECT a AS ancestor, COUNT(*) AS n_desc,
+      CAST(SUM(node) AS BIGINT) AS sum_desc,
+      CAST(SUM(bal) AS BIGINT) AS bal_cents
+    FROM anc GROUP BY a ORDER BY ancestor"""
 
   /** Registers the row-level catalog (idempotent) and returns a fresh
     * per-sf table name for `op` (dropping any previous run's table). */

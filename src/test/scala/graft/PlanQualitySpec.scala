@@ -299,4 +299,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning(bkt"), p)
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
   }
+
+  test("q206: DSIR mass tables broadcast; corpus never sort-merge-joined") {
+    val p = plan("q206_dsir_weights")
+    // the per-doc bucket counts join the two dim-row mass tables and the
+    // one-row totals via broadcast only — nothing corpus-sized moves
+    // beyond its own (doc,bucket)/doc keyed aggregates
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q207: chi-square totals are a broadcast one-row join") {
+    val p = plan("q207_chi2_terms")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // global top-k, not a full sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }

@@ -157,4 +157,47 @@ class ComponentsSpec extends SparkSpec {
     val r2 = Components.pageRankScaled(df2, iters = 3).as[(Long, Long)].collect().toMap
     assert(r1 == r2)
   }
+
+  /** Single-threaded BFS reference: min-hop levels via queue. */
+  private def bruteBfs(edges: Seq[(Long, Long)], src: Long,
+      maxDepth: Int): Map[Long, Int] = {
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .filter(e => e._1 != e._2)
+      .groupMap(_._1)(_._2)
+    val lvl = scala.collection.mutable.Map(src -> 0)
+    var frontier = Seq(src)
+    var d = 0
+    while (d < maxDepth && frontier.nonEmpty) {
+      d += 1
+      frontier = frontier.flatMap(v => adj.getOrElse(v, Nil))
+        .distinct.filterNot(lvl.contains)
+      frontier.foreach(v => lvl(v) = d)
+    }
+    lvl.toMap
+  }
+
+  test("bfsLevels: min-hop on a graph with shortcuts and a cut depth") {
+    // 1-2-3-4-5-6 chain, plus shortcut 1-4 (so 4 is depth 1, 5 depth 2),
+    // a triangle hanging off 2, and an unreachable island 90-91.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 4L), (2L, 7L), (7L, 8L), (8L, 2L), (90L, 91L))
+    for (depth <- Seq(1, 2, 4)) {
+      val got = Components.bfsLevels(edges.toDF("src", "dst"), 1L, depth)
+        .as[(Long, Int)].collect().toMap
+      assert(got == bruteBfs(edges, 1L, depth), s"depth=$depth")
+    }
+    val full = Components.bfsLevels(edges.toDF("src", "dst"), 1L, 4)
+      .as[(Long, Int)].collect().toMap
+    assert(full(4L) == 1 && full(5L) == 2 && full(6L) == 3)
+    assert(!full.contains(90L) && !full.contains(91L))
+  }
+
+  test("bfsLevels: direction-agnostic, dup-tolerant, early-exits") {
+    // Reversed + duplicated edges; component exhausted at depth 2 while
+    // maxDepth allows 10 — the early-exit must stop the loop.
+    val edges = Seq((2L, 1L), (2L, 1L), (3L, 2L), (1L, 2L))
+    val got = Components.bfsLevels(edges.toDF("src", "dst"), 1L, 10)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
 }

@@ -301,4 +301,50 @@ class CurationSpec extends SparkSpec {
     // n_win = tokens - k + 1
     assert(r(3L)._1 == 9 - 5 + 1)
   }
+
+  test("dsirTopK: target == corpus gives weight exactly 1 for every doc") {
+    // With the target predicate true everywhere, t[b] == r[b] per bucket
+    // and nt == nr, so num·nr == den·nt EXACTLY — the closing division
+    // must yield bit-exact 1.0 (the integer-arithmetic contract).
+    val r = Curation.dsirTopK(docs.limit(40), "doc_id", "text",
+      lit(true), dim = 1024, k = 40)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r.length == 40)
+    assert(r.forall(x => x._2 == x._3 && x._4 == 1.0), r.take(3).toSeq)
+  }
+
+  test("dsirTopK: target-exclusive vocabulary outranks target-absent") {
+    val fix = Seq(
+      (1L, "en", "alpha alpha alpha beta"),   // the target distribution
+      (2L, "en", "alpha beta beta gamma"),
+      (3L, "xx", "alpha beta gamma"),         // pure target vocabulary
+      (4L, "xx", "zebra quark nebula torus")  // disjoint vocabulary
+    ).toDF("doc_id", "lang", "text")
+    val r = Curation.dsirTopK(fix, "doc_id", "text",
+        col("lang") === "en", dim = 1024, k = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    val byId = r.map(x => x._1 -> x._4).toMap
+    assert(byId(3L) > byId(4L), byId.toSeq.sorted)
+    // disjoint vocabulary has zero target mass in its buckets (no
+    // collision among these 7 tokens in 1024 buckets): exact 0
+    assert(byId(4L) == 0.0, byId.toSeq.sorted)
+  }
+
+  test("chiSquareTerms: hand-computed 2x2 tables, df gate, presence not frequency") {
+    // 5 pos + 5 neg docs. Token p: all 5 pos only -> a=5,b=0,c=0,d=5,
+    // chi2 = 10*625/625 = 10. Token m: 2 pos 2 neg -> ad==bc, chi2 = 0.
+    // Token q: df 10 > n-minDf -> gated. Token r: df 1 < minDf -> gated.
+    // Doc 1 repeats p — presence counting must see it once.
+    val fix = Seq(
+      (1L, "en", "p p q m r"), (2L, "en", "p q m"), (3L, "en", "p q"),
+      (4L, "en", "p q"), (5L, "en", "p q"),
+      (6L, "xx", "q m"), (7L, "xx", "q m"), (8L, "xx", "q"),
+      (9L, "xx", "q"), (10L, "xx", "q")
+    ).toDF("doc_id", "lang", "text")
+    val r = Curation.chiSquareTerms(fix, "doc_id", "text",
+        col("lang") === "en", minDf = 2, k = 20)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(r.toSeq == Seq(("p", 5L, 0L, 0L, 5L, 10.0),
+      ("m", 2L, 2L, 3L, 3L, 0.0)))
+  }
 }
