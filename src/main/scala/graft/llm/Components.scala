@@ -273,4 +273,47 @@ object Components {
     }
     visited
   }
+
+  /** k-round Bellman-Ford single-source shortest paths over a directed
+    * weighted edge list (exact int64 weights): after round k, `dist` is
+    * the minimum path weight over paths of ≤ k edges — the bounded-round
+    * form every distributed SSSP runs (Pregel/GraphX semantics, one
+    * superstep per round). FRONTIER-optimized: each round relaxes only
+    * edges out of vertices whose distance improved last round (an
+    * unchanged vertex re-offers candidates the running min already
+    * absorbed — dropping them provably preserves the per-round result),
+    * so round cost is O(edges incident to the improved set), not
+    * O(all edges). Parallel-duplicate edges collapse to their min weight
+    * up front; per-round localCheckpoint keeps lineage flat; the
+    * early-exit probe is metadata-sized.
+    *
+    * @param edges (src, dst, w) triples, w ≥ 0
+    * @return (node, dist) — min ≤`rounds`-edge path weight from `src` */
+  def ssspRounds(edges: DataFrame, src: Long, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.groupBy("src", "dst").agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    var dist = Seq((src, 0L)).toDF("node", "dist").localCheckpoint(true)
+    var frontier = dist
+    var round = 0
+    while (round < rounds && !frontier.isEmpty) {
+      round += 1
+      val relax = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node"),
+          (frontier("dist") + e("w")).as("dist"))
+        .groupBy("node").agg(min("dist").as("dist"))
+      val merged = dist.as("d").join(relax.as("r"), Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("d.dist"), lit(Long.MaxValue)),
+            coalesce(col("r.dist"), lit(Long.MaxValue))).as("dist"),
+          (col("d.dist").isNull ||
+            (col("r.dist").isNotNull && col("r.dist") < col("d.dist")))
+            .as("__improved"))
+        .localCheckpoint(true)
+      frontier = merged.filter(col("__improved")).select("node", "dist")
+      dist = merged.select("node", "dist")
+    }
+    dist
+  }
 }

@@ -1857,6 +1857,41 @@ object LlmQueries {
         / CAST(ab * (n - ab) * ne * (n - ne) AS DOUBLE) AS chi2
       FROM bt, tot
       WHERE ab >= 5 AND ab <= n - 5
-      ORDER BY chi2 DESC, tok LIMIT 20"""))
+      ORDER BY chi2 DESC, tok LIMIT 20""")),
+
+    // k-round Bellman-Ford SSSP over the weighted co-purchase graph
+    // (weight = 1 + (src+dst) % 7, derived so both engines agree):
+    // min 4-edge-path weight from part 1. The engine runs the
+    // frontier-optimized distributed relaxation (Components.ssspRounds);
+    // the oracle replays FULL Bellman-Ford with the rounds unrolled as
+    // chained CTEs (the BPE replay discipline) — the frontier
+    // optimization provably preserves each round's result, so the two
+    // formulations hash-match. Exact int64 distances.
+    ("q211_sssp_rounds", (s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey"))
+        .filter(col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .withColumn("w", lit(1L) + (col("src") + col("dst")) % 7)
+      Components.ssspRounds(e, src = 1L, rounds = 4).orderBy("node")
+    }, Some {
+      val steps = (1 to 4).map { i =>
+        s"""d$i AS (SELECT node, MIN(dist) AS dist FROM (
+          SELECT node, dist FROM d${i - 1}
+          UNION ALL
+          SELECT e.dst AS node, d${i - 1}.dist + e.w AS dist
+          FROM d${i - 1} JOIN e ON d${i - 1}.node = e.src) GROUP BY 1)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      e AS (SELECT src, dst, 1 + (src + dst) % 7 AS w FROM pairs),
+      d0(node, dist) AS (SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+      $steps
+      SELECT node, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY node"""
+    })
   )
 }

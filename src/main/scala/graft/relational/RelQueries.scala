@@ -3614,7 +3614,95 @@ object RelQueries {
       SELECT user_id, event_type,
         CAST(CASE WHEN user_id % 10 < 3 THEN 2 ELSE 1 END AS BIGINT)
           AS n_emitted
-      FROM k ORDER BY user_id, event_type"""))
+      FROM k ORDER BY user_id, event_type""")),
+
+    // Rendezvous (highest-random-weight) shard routing — Thaler &
+    // Ravishankar 1996, the stateless consistent-placement scheme behind
+    // cache/shard routers: every key goes to argmax_node xxhash64(node,
+    // key). Computed as a shuffle-free map-only projection (struct-max
+    // over a per-row hash array — the assignCells discipline); the query
+    // routes every customer under 8 nodes AND under 9, and the
+    // (before, after) transition matrix PROVES the minimal-movement
+    // property through the oracle: every off-diagonal cell lands in
+    // node_after = 8 (keys only ever move TO the new node, ~1/9 of
+    // them). The oracle replays the seed-chained xxhash64 bit-for-bit
+    // and converts to signed before the argmax so both engines compare
+    // identically.
+    ("q212_rendezvous_routing", (s: SparkSession, d: String) => {
+      val keys = t(s, d, "customer").select(col("c_custkey").as("k"))
+      def assign(n: Int) =
+        array_max(transform(sequence(lit(0), lit(n - 1)),
+          c => struct(xxhash64(c, col("k")).as("h"), c.as("node"))))
+          .getField("node")
+      keys.withColumn("node_before", assign(8))
+        .withColumn("node_after", assign(9))
+        .groupBy("node_before", "node_after")
+        .agg(count(lit(1)).as("n_keys"), sum(col("k")).as("sum_keys"))
+        .orderBy("node_before", "node_after")
+    }, Some {
+      import graft.llm.XxHashOracle
+      val nodes = (0 to 8)
+        .map(n => s"($n, CAST('${XxHashOracle.familySeed(n)}' AS HUGEINT))")
+        .mkString(", ")
+      s"""
+      WITH keys AS (SELECT c_custkey AS k FROM customer),
+      nodes(node, seed) AS (VALUES $nodes),
+      h0 AS (SELECT k, node,
+          ${XxHashOracle.hashLong("CAST(k AS HUGEINT)", "seed")} AS hu
+        FROM keys CROSS JOIN nodes),
+      hs AS (SELECT k, node,
+          CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+            THEN hu - CAST('18446744073709551616' AS HUGEINT)
+            ELSE hu END AS BIGINT) AS h
+        FROM h0),
+      a8 AS (SELECT k, node AS node_before FROM (
+          SELECT k, node, ROW_NUMBER() OVER (PARTITION BY k
+            ORDER BY h DESC, node DESC) AS rn
+          FROM hs WHERE node < 8) t WHERE rn = 1),
+      a9 AS (SELECT k, node AS node_after FROM (
+          SELECT k, node, ROW_NUMBER() OVER (PARTITION BY k
+            ORDER BY h DESC, node DESC) AS rn
+          FROM hs) t WHERE rn = 1)
+      SELECT node_before, node_after, COUNT(*) AS n_keys,
+        CAST(SUM(k) AS BIGINT) AS sum_keys
+      FROM a8 JOIN a9 USING (k)
+      GROUP BY 1, 2 ORDER BY node_before, node_after"""
+    }),
+
+    // Exact weighted median per group (quantity-weighted price): the
+    // 100 TB-safe shape pre-aggregates the corpus to one row per
+    // (group, value) — a map-side-combinable keyed agg — and only THEN
+    // runs the cumulative window over the distinct-value relation, so
+    // the window input is value-cardinality-sized, not corpus-sized.
+    // All integer arithmetic: the weighted median is the smallest value
+    // whose doubled cumulative weight reaches the group total.
+    ("q213_weighted_median", (s: SparkSession, d: String) => {
+      val agg = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), (price * lit(100)).cast("long").as("cents"))
+        .agg(sum(qty.cast("long")).as("w"))
+      val byVal = Window.partitionBy("l_returnflag").orderBy("cents")
+      agg
+        .withColumn("cumw", sum(col("w")).over(byVal
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tw", sum(col("w")).over(Window.partitionBy("l_returnflag")))
+        .groupBy("l_returnflag")
+        .agg(max("tw").as("total_w"),
+          min(when(col("cumw") * 2 >= col("tw"), col("cents")))
+            .as("wmedian_cents"))
+        .orderBy("l_returnflag")
+    }, Some(s"""
+      WITH a AS (SELECT l_returnflag, CAST($oPrice * 100 AS BIGINT) AS cents,
+          CAST(SUM(CAST($oQty AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2),
+      c AS (SELECT l_returnflag, cents, w,
+          SUM(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+          SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM a)
+      SELECT l_returnflag, CAST(MAX(tw) AS BIGINT) AS total_w,
+        CAST(MIN(CASE WHEN cumw * 2 >= tw THEN cents END) AS BIGINT)
+          AS wmedian_cents
+      FROM c GROUP BY 1 ORDER BY l_returnflag"""))
   )
 
   private def recursiveRollupSql = """

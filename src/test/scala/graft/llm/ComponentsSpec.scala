@@ -192,6 +192,47 @@ class ComponentsSpec extends SparkSpec {
     assert(!full.contains(90L) && !full.contains(91L))
   }
 
+  /** Bounded-round Bellman-Ford reference: full relaxation each round. */
+  private def bruteSssp(edges: Seq[(Long, Long, Long)], src: Long,
+      rounds: Int): Map[Long, Long] = {
+    val e = edges.groupBy(t => (t._1, t._2))
+      .map { case ((s0, d0), ts) => (s0, d0, ts.map(_._3).min) }.toSeq
+    var dist = Map(src -> 0L)
+    for (_ <- 1 to rounds) {
+      val relax = e.flatMap { case (s0, d0, w) =>
+        dist.get(s0).map(ds => d0 -> (ds + w))
+      }
+      dist = (dist.toSeq ++ relax).groupMapReduce(_._1)(_._2)(math.min)
+    }
+    dist
+  }
+
+  test("ssspRounds: matches full Bellman-Ford on a weighted digraph") {
+    // Diamond with a cheap long path vs an expensive short path, a
+    // parallel duplicate edge (min weight wins), and a far tail that
+    // needs all rounds: frontier optimization must not change results.
+    val edges = Seq(
+      (1L, 2L, 10L), (1L, 2L, 4L),          // parallel dup, min = 4
+      (1L, 3L, 1L), (3L, 4L, 1L), (4L, 2L, 1L), // cheap 3-hop path to 2
+      (2L, 5L, 2L), (5L, 6L, 2L), (6L, 7L, 2L)) // tail
+    for (r <- Seq(1, 2, 3, 4, 6)) {
+      val got = Components.ssspRounds(edges.toDF("src", "dst", "w"), 1L, r)
+        .as[(Long, Long)].collect().toMap
+      assert(got == bruteSssp(edges, 1L, r), s"rounds=$r")
+    }
+    // the 3-hop path (cost 3) must beat the direct edge (cost 4)
+    val full = Components.ssspRounds(edges.toDF("src", "dst", "w"), 1L, 6)
+      .as[(Long, Long)].collect().toMap
+    assert(full(2L) == 3L && full(7L) == 9L)
+  }
+
+  test("ssspRounds: early-exits once no distance improves") {
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 5L))
+    val got = Components.ssspRounds(edges.toDF("src", "dst", "w"), 1L, 50)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 10L))
+  }
+
   test("bfsLevels: direction-agnostic, dup-tolerant, early-exits") {
     // Reversed + duplicated edges; component exhausted at depth 2 while
     // maxDepth allows 10 — the early-exit must stop the loop.
