@@ -3627,13 +3627,22 @@ object RelQueries {
     // node_after = 8 (keys only ever move TO the new node, ~1/9 of
     // them). The oracle replays the seed-chained xxhash64 bit-for-bit
     // and converts to signed before the argmax so both engines compare
-    // identically.
+    // identically. The argmax is a greatest() + first-match-from-the-top
+    // when-chain over UNROLLED hash columns, NOT array_max over a
+    // transform() of structs — higher-order functions and struct
+    // orderings run interpreted (no codegen), measured 25× slower for
+    // this projection; the unrolled form stays inside WholeStageCodegen.
     ("q212_rendezvous_routing", (s: SparkSession, d: String) => {
       val keys = t(s, d, "customer").select(col("c_custkey").as("k"))
-      def assign(n: Int) =
-        array_max(transform(sequence(lit(0), lit(n - 1)),
-          c => struct(xxhash64(c, col("k")).as("h"), c.as("node"))))
-          .getField("node")
+      def assign(n: Int): Column = {
+        val hs = (0 until n).map(i => xxhash64(lit(i), col("k")))
+        val best = greatest(hs: _*)
+        // ties: the HIGHEST node with the max hash wins (matches the
+        // oracle's ORDER BY h DESC, node DESC)
+        ((n - 2) to 0 by -1).foldLeft(when(hs(n - 1) === best, lit(n - 1))) {
+          (acc, i) => acc.when(hs(i) === best, lit(i))
+        }
+      }
       keys.withColumn("node_before", assign(8))
         .withColumn("node_after", assign(9))
         .groupBy("node_before", "node_after")
@@ -3702,7 +3711,128 @@ object RelQueries {
       SELECT l_returnflag, CAST(MAX(tw) AS BIGINT) AS total_w,
         CAST(MIN(CASE WHEN cumw * 2 >= tw THEN cents END) AS BIGINT)
           AS wmedian_cents
-      FROM c GROUP BY 1 ORDER BY l_returnflag"""))
+      FROM c GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // Observation API (CollectMetrics): accumulator-style metrics
+    // collected DURING a pipeline run — count + exact-cents sum of the
+    // gated rows piggyback on the write job (a noop sink stands in for
+    // the production sink), with no second scan of the input. This is
+    // the data-quality-counters surface every production pipeline bolts
+    // on; at 100 TB the alternative (re-scanning to audit) doubles the
+    // read. The observed row is driver-side but one metadata-sized
+    // tuple; the oracle recomputes both metrics relationally.
+    ("q214_observed_metrics", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation()
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") < lit(30))
+        .observe(obs, count(lit(1)).as("n_rows"),
+          sum((price * lit(100)).cast("long")).as("price_cents"))
+        .write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("price_cents").asInstanceOf[Long])).toDF("n_rows", "price_cents")
+    }, Some(s"""
+      SELECT COUNT(*) AS n_rows,
+        CAST(SUM(CAST($oPrice * 100 AS BIGINT)) AS BIGINT) AS price_cents
+      FROM lineitem WHERE CAST(l_quantity AS DECIMAL(10,2)) < 30""")),
+
+    // Exact Spearman rank correlation (quantity vs discount per return
+    // flag): average ranks are computed EXACTLY as doubled integers
+    // (2·#smaller + cnt + 1) from a per-(group, value) pre-aggregate —
+    // value-cardinality-sized, broadcast back — then the q205 moment-sum
+    // discipline closes the Pearson form over the integer ranks: six
+    // exact int64 sums, identical double expression trees, one closing
+    // SQRT+division (both correctly rounded IEEE, so the floats
+    // hash-match). 100 TB shape: the corpus shuffles once per moment
+    // aggregate; ranks join back via broadcast of the tiny value tables.
+    ("q215_spearman_rank", (s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem").select(col("l_returnflag").as("g"),
+        (qty * lit(100)).cast("long").as("x"),
+        (disc * lit(100)).cast("long").as("y"))
+      def ranks(c: String, out: String) = {
+        val w = Window.partitionBy("g").orderBy(c)
+        li.groupBy(col("g"), col(c)).agg(count(lit(1)).as("cnt"))
+          .withColumn(out, lit(2L) * coalesce(sum(col("cnt")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) +
+            col("cnt") + 1)
+          .select(col("g"), col(c), col(out))
+      }
+      val ranked = li
+        .join(broadcast(ranks("x", "rx")), Seq("g", "x"))
+        .join(broadcast(ranks("y", "ry")), Seq("g", "y"))
+      val m = ranked.groupBy("g").agg(count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("ry") * col("ry")).as("syy"))
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double")
+      val syD = col("sy").cast("double")
+      m.select(col("g").as("l_returnflag"), col("n"),
+          ((nD * col("sxy").cast("double") - sxD * syD) /
+            sqrt((nD * col("sxx").cast("double") - sxD * sxD) *
+              (nD * col("syy").cast("double") - syD * syD))).as("rho"))
+        .orderBy("l_returnflag")
+    }, Some(s"""
+      WITH r AS (SELECT l_returnflag AS g,
+          CAST($oQty * 100 AS BIGINT) AS x,
+          CAST($oDisc * 100 AS BIGINT) AS y
+        FROM lineitem),
+      vx AS (SELECT g, x, COUNT(*) AS cnt FROM r GROUP BY 1, 2),
+      rx AS (SELECT g, x, CAST(2 * COALESCE(SUM(cnt) OVER (PARTITION BY g
+          ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + cnt + 1 AS BIGINT) AS rxv
+        FROM vx),
+      vy AS (SELECT g, y, COUNT(*) AS cnt FROM r GROUP BY 1, 2),
+      ry AS (SELECT g, y, CAST(2 * COALESCE(SUM(cnt) OVER (PARTITION BY g
+          ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + cnt + 1 AS BIGINT) AS ryv
+        FROM vy),
+      j AS (SELECT r.g, rx.rxv, ry.ryv FROM r
+        JOIN rx ON r.g = rx.g AND r.x = rx.x
+        JOIN ry ON r.g = ry.g AND r.y = ry.y),
+      m AS (SELECT g, COUNT(*) AS n,
+          CAST(SUM(rxv) AS BIGINT) AS sx, CAST(SUM(ryv) AS BIGINT) AS sy,
+          CAST(SUM(rxv * rxv) AS BIGINT) AS sxx,
+          CAST(SUM(rxv * ryv) AS BIGINT) AS sxy,
+          CAST(SUM(ryv * ryv) AS BIGINT) AS syy
+        FROM j GROUP BY 1)
+      SELECT g AS l_returnflag, n,
+        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho
+      FROM m ORDER BY l_returnflag""")),
+
+    // Stream-stream LEFT SEMI join — the streaming existence filter
+    // (purchases with at least one prior-day view, emitted once, no view
+    // columns, no duplication on multiple matches). Completes the
+    // stream-stream family beside inner (q135) and left-outer (q183);
+    // real micro-batch execution through the oracle's EXISTS replay.
+    ("q216_stream_semi_join", (s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val stream = s.readStream.schema(raw.schema)
+        .option("basePath", d).parquet(s"$d/events.parque[t]")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val joined = graft.streaming.Streams.purchaseViewSemiJoin(stream, "24 hours")
+      val sink = s"q216_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = joined.writeStream.format("memory")
+        .queryName(sink).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).select("user_id", "p_id").orderBy("user_id", "p_id")
+    }, Some("""
+      SELECT p.user_id, p.event_id AS p_id
+      FROM events p
+      WHERE p.event_type = 'purchase' AND EXISTS (
+        SELECT 1 FROM events v
+        WHERE v.event_type = 'view' AND v.user_id = p.user_id
+          AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 24 HOUR)
+      ORDER BY p.user_id, p_id"""))
   )
 
   private def recursiveRollupSql = """

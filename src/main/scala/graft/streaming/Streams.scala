@@ -345,6 +345,27 @@ object Streams {
       .select(col("user_id"), col("p_id"), col("v_id"), col("p_ts"), col("v_ts"))
   }
 
+  /** Stream-stream LEFT SEMI join: each purchase emits ONCE iff at least
+    * one view precedes it within the window — the streaming existence
+    * filter (no view columns leak, multiple matches don't duplicate the
+    * purchase). Completes the stream-stream join family beside the inner
+    * (q135) and left-outer (q183) forms; state eviction follows the same
+    * watermark bounds as the inner join. */
+  def purchaseViewSemiJoin(events: DataFrame,
+      window: String = "24 hours"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", window)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", window)
+    purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL '$window'"),
+      "left_semi")
+  }
+
   /** Bespoke keyed state via flatMapGroupsWithState (the escape hatch the
     * reference's Redis counters map to when dropDuplicates/windows don't
     * fit): running per-user event count + cumulative value, one output row
