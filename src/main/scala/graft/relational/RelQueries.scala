@@ -3832,7 +3832,142 @@ object RelQueries {
         SELECT 1 FROM events v
         WHERE v.event_type = 'view' AND v.user_id = p.user_id
           AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 24 HOUR)
-      ORDER BY p.user_id, p_id"""))
+      ORDER BY p.user_id, p_id""")),
+
+    // Incremental view maintenance for a JOIN-aggregate (the delta
+    // algebra q179 applies to a rollup, extended to a two-sided join):
+    // ΔQ = Δo⋈c₀ ∪ o₀⋈Δc ∪ Δo⋈Δc — three DELTA-SIZED joins merged into
+    // the materialized base by key-summing, never a recompute of
+    // o₀⋈c₀. At 100 TB this is the difference between touching the
+    // day's increment and re-reading the table; deletions ride the same
+    // algebra with signed multiplicities. The oracle recomputes the
+    // full join flat — the delta result must hash-match it exactly
+    // (exact-cents integer accumulators make the merge order-free).
+    ("q217_incremental_join_mv", (s: SparkSession, d: String) => {
+      val ord = t(s, d, "orders").select(col("o_custkey"),
+        (Exact.dec(col("o_totalprice"), 12) * 100).cast("long").as("cents"),
+        col("o_orderdate"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val o0 = ord.filter(col("o_orderdate") < lit("1997-01-01"))
+      val dO = ord.filter(col("o_orderdate") >= lit("1997-01-01"))
+      val c0 = cust.filter(col("c_custkey") % 20 =!= 0)
+      val dC = cust.filter(col("c_custkey") % 20 === 0)
+      def q(a: DataFrame, b: DataFrame) =
+        a.join(b, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      val mv0 = q(o0, c0)
+      val deltas = q(dO, c0).unionAll(q(o0, dC)).unionAll(q(dO, dC))
+      mv0.unionAll(deltas).groupBy("c_nationkey")
+        .agg(sum("n").as("n"), sum("cents").as("cents"))
+        .orderBy("c_nationkey")
+    }, Some("""
+      SELECT c_nationkey, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+          AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1 ORDER BY c_nationkey""")),
+
+    // End-to-end entity resolution: edit-distance-1 blocking
+    // (deletion-neighborhood inverted index, q169's primitive) gated to
+    // same-nation blocks, then connected components over the match graph
+    // (alternating-star, q76's machinery), reported as multi-member
+    // entities with min-id canonical labels. The full dedupe-entities
+    // workload COMPOSED from library operators — candidate generation
+    // never leaves keyed joins, CC shuffles two longs per edge; the
+    // oracle replays quadratic-within-block levenshtein plus a
+    // transitive-closure recursive CTE.
+    ("q218_entity_resolution", (s: SparkSession, d: String) => {
+      import graft.llm.{Components, NearDup}
+      val c = t(s, d, "customer").select(col("c_custkey").as("id"),
+        col("c_nationkey").as("blk"), col("c_name").as("name"))
+      val e = NearDup.editDistance1Pairs(c, "name")
+        .join(c.select(col("name").as("name_a"), col("id").as("src"),
+          col("blk").as("blk_a")), Seq("name_a"))
+        .join(c.select(col("name").as("name_b"), col("id").as("dst"),
+          col("blk").as("blk_b")), Seq("name_b"))
+        .filter(col("blk_a") === col("blk_b"))
+        .select("src", "dst")
+      val endpoints = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      Components.connectedComponentsStars(endpoints, e)
+        .groupBy(col("component").as("entity_id"))
+        .agg(count(lit(1)).as("n_members"), sum(col("id")).as("sum_members"))
+        .filter(col("n_members") >= 2)
+        .orderBy("entity_id")
+    }, Some("""
+      WITH RECURSIVE
+      c AS (SELECT c_custkey AS id, c_nationkey AS blk, c_name AS name
+            FROM customer),
+      p AS (SELECT a.id AS src, b.id AS dst FROM c a JOIN c b
+            ON a.blk = b.blk AND a.name < b.name
+            AND levenshtein(a.name, b.name) <= 1),
+      edges AS (SELECT src AS u, dst AS v FROM p
+                UNION SELECT dst, src FROM p),
+      reach AS (SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+                WHERE e.v <> r.u),
+      comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS entity_id
+               FROM reach GROUP BY u)
+      SELECT entity_id, COUNT(*) AS n_members,
+        CAST(SUM(id) AS BIGINT) AS sum_members
+      FROM comp GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY entity_id""")),
+
+    // Three-valued-logic semantics pin: the SQL null edge cases that
+    // silently differ between hand-rolled engines, asserted equal across
+    // both through one scalar row — NOT IN against a subquery containing
+    // a NULL matches NOTHING (while NOT EXISTS counts normally),
+    // count(col) skips nulls where count(*) doesn't, count(DISTINCT)
+    // skips them too, SUM over an empty set is NULL (surfaced via
+    // coalesce), and GREATEST ignores nulls rather than propagating
+    // them. Every value is an exact integer.
+    ("q219_null_semantics", (s: SparkSession, d: String) => {
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("c_custkey")).as("k_n"))
+      val sub = c.select(
+        when(col("c_custkey") % 11 === 0, lit(null).cast("long"))
+          .otherwise(col("c_custkey")).as("s_k"))
+      // NOT IN with a nullable subquery must go through SQL for true
+      // three-valued semantics (the DataFrame left_anti join is
+      // NOT EXISTS, which deliberately differs — both appear below)
+      c.createOrReplaceTempView("q219_c")
+      sub.createOrReplaceTempView("q219_sub")
+      t(s, d, "orders").createOrReplaceTempView("q219_o")
+      s.sql("""
+        SELECT
+          (SELECT COUNT(*) FROM q219_c) AS n_total,
+          (SELECT COUNT(k_n) FROM q219_c) AS n_nonnull,
+          (SELECT COUNT(DISTINCT k_n) FROM q219_c) AS n_distinct,
+          (SELECT COUNT(*) FROM q219_o
+            WHERE o_custkey NOT IN (SELECT s_k FROM q219_sub)) AS n_not_in,
+          (SELECT COUNT(*) FROM q219_o o WHERE NOT EXISTS (
+            SELECT 1 FROM q219_sub s WHERE s.s_k = o.o_custkey))
+            AS n_not_exists,
+          (SELECT COALESCE(CAST(SUM(k_n) AS BIGINT), -1) FROM q219_c
+            WHERE k_n < 0) AS sum_empty,
+          (SELECT CAST(SUM(GREATEST(k_n, CAST(0 AS BIGINT))) AS BIGINT)
+            FROM q219_c) AS sum_greatest""")
+    }, Some("""
+      WITH c AS (SELECT c_custkey,
+          CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END AS k_n
+        FROM customer),
+      sub AS (SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL
+          ELSE c_custkey END AS s_k FROM customer)
+      SELECT
+        (SELECT COUNT(*) FROM c) AS n_total,
+        (SELECT COUNT(k_n) FROM c) AS n_nonnull,
+        (SELECT COUNT(DISTINCT k_n) FROM c) AS n_distinct,
+        (SELECT COUNT(*) FROM orders
+          WHERE o_custkey NOT IN (SELECT s_k FROM sub)) AS n_not_in,
+        (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (
+          SELECT 1 FROM sub s WHERE s.s_k = o.o_custkey)) AS n_not_exists,
+        (SELECT COALESCE(CAST(SUM(k_n) AS BIGINT), -1) FROM c
+          WHERE k_n < 0) AS sum_empty,
+        (SELECT CAST(SUM(GREATEST(k_n, CAST(0 AS BIGINT))) AS BIGINT)
+          FROM c) AS sum_greatest"""))
   )
 
   private def recursiveRollupSql = """
