@@ -3967,7 +3967,51 @@ object RelQueries {
         (SELECT COALESCE(CAST(SUM(k_n) AS BIGINT), -1) FROM c
           WHERE k_n < 0) AS sum_empty,
         (SELECT CAST(SUM(GREATEST(k_n, CAST(0 AS BIGINT))) AS BIGINT)
-          FROM c) AS sum_greatest"""))
+          FROM c) AS sum_greatest""")),
+
+    // Change data feed across snapshots (Delta's table_changes surface):
+    // the row-level catalog's versioned history turned into a
+    // (op, row) change stream by diffing two time-travel reads with BAG
+    // semantics (EXCEPT ALL both directions) — an UPDATE surfaces as
+    // delete(old) + insert(new), a DELETE as delete(old), with exact
+    // integer payloads. Lifecycle: INSERT (v1) → UPDATE %5 keys (v2) →
+    // DELETE %9 keys (v3); the oracle replays the CDF from the base
+    // relation with CASE logic. Snapshot diffs are snapshot-scan-sized —
+    // at 100 TB a real CDF would read the per-commit manifests (the
+    // history relation q201 exposes) instead of full scans; the diff
+    // here IS the semantic contract those manifests must reproduce.
+    ("q220_table_changes", (s: SparkSession, d: String) => {
+      val tbl = rowLevelTable(s, d, "cdf")
+      t(s, d, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum((Exact.dec(col("value"), 12) * 100).cast("long")).as("cents"))
+        .createOrReplaceTempView("q220_src")
+      s.sql(s"CREATE TABLE $tbl (user_id BIGINT, n BIGINT, cents BIGINT)")
+      s.sql(s"INSERT INTO $tbl SELECT user_id, n, cents FROM q220_src")
+      s.sql(s"UPDATE $tbl SET cents = cents + 100 WHERE user_id % 5 = 0")
+      s.sql(s"DELETE FROM $tbl WHERE user_id % 9 = 1")
+      s.sql(s"""
+        SELECT 'insert' AS op, user_id, n, cents FROM (
+          SELECT user_id, n, cents FROM $tbl VERSION AS OF 3
+          EXCEPT ALL
+          SELECT user_id, n, cents FROM $tbl VERSION AS OF 1)
+        UNION ALL
+        SELECT 'delete' AS op, user_id, n, cents FROM (
+          SELECT user_id, n, cents FROM $tbl VERSION AS OF 1
+          EXCEPT ALL
+          SELECT user_id, n, cents FROM $tbl VERSION AS OF 3)""")
+        .orderBy("op", "user_id")
+    }, Some("""
+      WITH g AS (SELECT user_id, COUNT(*) AS n,
+          CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+            AS BIGINT) AS cents
+        FROM events GROUP BY 1)
+      SELECT 'insert' AS op, user_id, n, CAST(cents + 100 AS BIGINT) AS cents
+        FROM g WHERE user_id % 5 = 0 AND user_id % 9 <> 1
+      UNION ALL
+      SELECT 'delete' AS op, user_id, n, cents
+        FROM g WHERE user_id % 9 = 1 OR user_id % 5 = 0
+      ORDER BY op, user_id"""))
   )
 
   private def recursiveRollupSql = """
