@@ -4011,8 +4011,95 @@ object RelQueries {
       UNION ALL
       SELECT 'delete' AS op, user_id, n, cents
         FROM g WHERE user_id % 9 = 1 OR user_id % 5 = 0
-      ORDER BY op, user_id"""))
+      ORDER BY op, user_id""")),
+
+    // AQE skew-join handling: 80% of the fact rows collapse onto ONE
+    // join key, the thresholds are tuned so the optimizer detects the
+    // hot partition at runtime and splits it (SortMergeJoin(skew=true),
+    // pinned in PlanQualitySpec with this same construction) — the
+    // engine-side answer to skew that ops.Skew's manual salting (q61/62)
+    // solves by hand. Confs are scoped: the join materializes eagerly
+    // under them (localCheckpoint), then they restore, so no other
+    // query inherits the disabled broadcast. The oracle checks the
+    // result is exactly the un-skew-handled answer.
+    ("q221_aqe_skew_join", (s: SparkSession, d: String) => {
+      // repartition first: a skewed REDUCE partition splits along
+      // MAP-output boundaries, so the single-file local scan (one
+      // mapper) must be fanned out for the splitter to have units to
+      // work with — on a real cluster the thousands of scan tasks
+      // provide this for free
+      val fact = t(s, d, "lineitem").repartition(8).select(
+        when(col("l_orderkey") % 10 < 8, lit(1L))
+          .otherwise(col("l_orderkey") % 100 + 1).as("k"),
+        (qty * lit(100)).cast("long").as("qc"))
+      val dim = t(s, d, "customer")
+        .filter(col("c_custkey") <= 100)
+        .select(col("c_custkey").as("k"), col("c_nationkey"))
+      val joined = fact.join(dim, "k").groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), sum("qc").as("qc"))
+        .orderBy("c_nationkey")
+      withScopedConfs(s,
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4096",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1024",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0")(joined)
+    }, Some("""
+      WITH f AS (SELECT CASE WHEN l_orderkey % 10 < 8 THEN 1
+          ELSE l_orderkey % 100 + 1 END AS k,
+          CAST(CAST(l_quantity AS DECIMAL(10,2)) * 100 AS BIGINT) AS qc
+        FROM lineitem)
+      SELECT c_nationkey, COUNT(*) AS n, CAST(SUM(qc) AS BIGINT) AS qc
+      FROM f JOIN customer ON k = c_custkey
+      WHERE c_custkey <= 100
+      GROUP BY 1 ORDER BY c_nationkey""")),
+
+    // Runtime bloom-filter join pruning: with a selective dim-side
+    // filter, the optimizer injects a bloom build on the dim side and a
+    // might_contain probe INTO THE FACT SCAN of a shuffle join — rows
+    // that cannot match never enter the exchange (the engine-side form
+    // of q160's hand-built bloom pre-filter; PlanQualitySpec pins
+    // might_contain in this construction). Conf scoping as in q221; the
+    // oracle checks the filter is semantically invisible.
+    ("q222_runtime_bloom_join", (s: SparkSession, d: String) => {
+      val sel = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1998-06-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val joined = t(s, d, "lineitem")
+        .select(col("l_orderkey"), (qty * lit(100)).cast("long").as("qc"))
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("qc").as("qc"))
+        .orderBy("bucket")
+      withScopedConfs(s,
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")(joined)
+    }, Some("""
+      SELECT o_custkey % 10 AS bucket, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(10,2)) * 100 AS BIGINT))
+          AS BIGINT) AS qc
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= DATE '1998-06-01'
+      GROUP BY 1 ORDER BY bucket"""))
   )
+
+  /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
+    * confs, restoring every previous value afterward — the scoping that
+    * makes per-query optimizer demonstrations (q221/q222) safe: the
+    * returned frame serves from checkpointed blocks, so later reads
+    * don't re-plan under the restored confs, and no other query
+    * inherits the overrides. */
+  private def withScopedConfs(s: SparkSession, confs: (String, String)*)(
+      df: DataFrame): DataFrame = {
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try df.localCheckpoint(true)
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 
   private def recursiveRollupSql = """
     WITH RECURSIVE anc(node, a, bal) AS (

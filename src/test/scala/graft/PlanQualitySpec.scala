@@ -316,4 +316,61 @@ class PlanQualitySpec extends SparkSpec {
     // global top-k, not a full sort
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  private def withConfs(confs: (String, String)*)(body: => Unit): Unit = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("q221: AQE detects and splits the hot join partition (skew=true)") {
+    import org.apache.spark.sql.functions._
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4096",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1024",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0") {
+      // multiple mappers required: a skewed reduce partition splits
+      // along map-output boundaries (single-file scan = one mapper =
+      // unsplittable). sf0.01: at sf0.001 the hot partition's constant
+      // key compresses below any sane threshold.
+      val skewSf = "/root/testdata/sf0.01"
+      val fact = Tables(spark, skewSf, "lineitem").repartition(8).select(
+        when(col("l_orderkey") % 10 < 8, lit(1L))
+          .otherwise(col("l_orderkey") % 100 + 1).as("k"),
+        col("l_quantity"))
+      val dim = Tables(spark, skewSf, "customer")
+        .filter(col("c_custkey") <= 100)
+        .select(col("c_custkey").as("k"), col("c_nationkey"))
+      val df = fact.join(dim, "k").groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"))
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p)
+    }
+  }
+
+  test("q222: runtime bloom filter reaches the fact side (might_contain)") {
+    import org.apache.spark.sql.functions._
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB") {
+      val sel = Tables(spark, sfDir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-06-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val df = Tables(spark, sfDir, "lineitem").select(col("l_orderkey"))
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), p)
+    }
+  }
 }
