@@ -316,4 +316,56 @@ object Components {
     }
     dist
   }
+
+  /** k-core decomposition by synchronous iterative peeling: each round
+    * drops every vertex whose degree within the current subgraph is < k,
+    * until a fixpoint (the k-core) or `maxRounds`. The standard corpus/
+    * graph-mining density filter (cohesive-subgraph extraction, spam/hub
+    * pruning before community detection).
+    *
+    * Semantics are the synchronous peel — alive(r+1) = {v in alive(r) :
+    * deg_alive(r)(v) >= k} — so a bounded-round replay (the q211/BPE
+    * unrolled-CTE discipline) reproduces it exactly; peeling is monotone,
+    * so rounds past the fixpoint are no-ops and an early exit is safe.
+    *
+    * 100 TB posture: each round is one degree aggregation plus two
+    * edge⋈alive semi joins — everything shuffled on vertex ids, two longs
+    * per edge, nothing vertex- or edge-sized on the driver (the
+    * convergence probe is the CC/SSSP (count, hash-sum) checksum).
+    * Lineage stays flat via per-round localCheckpoint.
+    *
+    * @param edges (src, dst) pairs; symmetrized and de-duplicated here
+    * @return surviving (node, core_deg) — degree within the k-core
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var e = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    var sum0 = checksum(e)
+    var rounds = 0
+    var converged = e.isEmpty
+    while (!converged && rounds < maxRounds) {
+      val alive = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("v"))
+      val next = e
+        .join(alive.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint(true)
+      val sum1 = checksum(next)
+      e.unpersist()
+      e = next
+      converged = sum1 == sum0
+      sum0 = sum1
+      rounds += 1
+    }
+    e.groupBy("src").agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("node"), col("core_deg"))
+  }
 }

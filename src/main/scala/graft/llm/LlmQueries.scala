@@ -1905,6 +1905,219 @@ object LlmQueries {
       d0(node, dist) AS (SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
       $steps
       SELECT node, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY node"""
-    })
+    }),
+
+    // End-to-end MinHash dedup (the FineWeb/RefinedWeb shape): LSH
+    // candidate pairs (q36's machinery) -> transitive closure over the
+    // >=tau similarity graph (alternating-star CC — near-dup similarity
+    // is not transitive, clusters are the standard resolution) -> one
+    // keeper per cluster (min doc_id) with the cluster's absorbed-dup
+    // count. Every stage is the audited 100 TB shape: banded ids-only
+    // shuffles for candidates, logarithmic-round two-longs-per-edge CC,
+    // and a keyed count — nothing corpus-sized is broadcast or windowed.
+    // The oracle replays XXH64 signatures, banding, scoring, a recursive
+    // closure, and the keeper aggregation in one DuckDB statement.
+    ("q223_minhash_dedup_e2e", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val pairs = NearDup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, bands = 16, rowsPerBand = 4, tau = 0.5)
+        .select(col("d1"), col("d2"))
+      val endpoints = pairs.select(col("d1").as("id"))
+        .union(pairs.select(col("d2").as("id"))).distinct()
+      val cc = Components.connectedComponentsStars(endpoints,
+        pairs.select(col("d1").as("src"), col("d2").as("dst")))
+      docs.select("doc_id")
+        .join(cc.select(col("id").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .select(coalesce(col("component"), col("doc_id")).as("keeper_id"))
+        .groupBy("keeper_id").agg(count(lit(1)).as("cluster_size"))
+        .orderBy("keeper_id")
+    }, Some(XxHashOracle.minhashDedupSql(n = 3, bands = 16,
+      rowsPerBand = 4, tau = 0.5))),
+
+    // PII scrubbing — the redaction pass every published-corpus pipeline
+    // runs before training (emails, IPv4s, phone numbers -> typed
+    // placeholder tokens, with per-class counts for the removal report).
+    // Pure map-side projection: three codegen'd regexes, zero shuffles.
+    // The corpus text carries no PII, so each doc deterministically
+    // embeds synthetic PII derived from its own id (varying per doc via
+    // id-parity branches) and the oracle replays the same construction;
+    // patterns are written in the Java/RE2 common dialect so both
+    // engines match identical spans.
+    ("q224_pii_scrub", (s: SparkSession, d: String) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phone = "\\+\\d{2} \\d{4} \\d{4}"
+      val raw = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com via 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0."),
+        ((col("doc_id") * 7) % 256).cast("string"),
+        lit(" call +45 5512 "),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        when(col("doc_id") % 2 === 0, lit(" backup 192.168.0.1"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+            lit(" cc admin@ops.example.org")).otherwise(lit("")))
+      t(s, d, "documents").select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          regexp_count(col("raw"), lit(email)).cast("long").as("n_emails"),
+          regexp_count(col("raw"), lit(ip)).cast("long").as("n_ips"),
+          regexp_count(col("raw"), lit(phone)).cast("long").as("n_phones"),
+          length(col("raw")).cast("long").as("len_raw"),
+          length(regexp_replace(regexp_replace(regexp_replace(col("raw"),
+              email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>"))
+            .cast("long").as("len_clean"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH raw AS (SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+            '@mail.example.com via 10.' ||
+            CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+            CAST((doc_id * 7) % 256 AS VARCHAR) ||
+            ' call +45 5512 ' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+            CASE WHEN doc_id % 2 = 0 THEN ' backup 192.168.0.1'
+                    ELSE '' END ||
+            CASE WHEN doc_id % 3 = 0 THEN ' cc admin@ops.example.org'
+                    ELSE '' END AS raw
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(raw,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+          AS n_emails,
+        CAST(len(regexp_extract_all(raw,
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        CAST(len(regexp_extract_all(raw,
+          '\+\d{2} \d{4} \d{4}')) AS BIGINT) AS n_phones,
+        CAST(length(raw) AS BIGINT) AS len_raw,
+        CAST(length(regexp_replace(regexp_replace(regexp_replace(raw,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+          '\+\d{2} \d{4} \d{4}', '<PHONE>', 'g')) AS BIGINT) AS len_clean
+      FROM raw ORDER BY doc_id""")),
+
+    // URL canonicalization + dedup — the CommonCrawl-style keep-one-per-
+    // canonical-URL pass: strip query/fragment, lowercase, drop www. and
+    // the trailing slash, then keep the best document (longest, then
+    // smallest id) per canonical key. Canonicalization is a map-side
+    // projection; the keeper is one keyed window — shuffled on the
+    // canonical key only. URLs are synthesized deterministically from
+    // (doc_id, source) since the corpus carries none; ids 280 apart
+    // collide by construction, so the dedup actually fires.
+    ("q225_url_canonical_dedup", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val url = concat(lit("HTTPS://WWW.Example"),
+        (col("doc_id") % 7).cast("string"), lit(".COM/"), col("source"),
+        lit("/Page"), (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("?utm_source=feed&ref=x"))
+          .when(col("doc_id") % 3 === 1, lit("#frag"))
+          .otherwise(lit("/")))
+      val canon = regexp_replace(regexp_replace(
+        lower(regexp_replace(url, "[?#].*$", "")),
+        "://www\\.", "://"), "/$", "")
+      val w = Window.partitionBy("canonical_url")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), canon.as("canonical_url"))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("n_docs", count(lit(1)).over(w))
+        .filter(col("rn") === 1)
+        .select(col("canonical_url"), col("n_docs"),
+          col("doc_id").as("keeper_doc_id"))
+        .orderBy("canonical_url")
+    }, Some("""
+      WITH u AS (SELECT doc_id, n_chars,
+          'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM/' ||
+            source || '/Page' || CAST(doc_id % 40 AS VARCHAR) ||
+            CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=x'
+                    WHEN doc_id % 3 = 1 THEN '#frag' ELSE '/' END AS url
+        FROM documents),
+      c AS (SELECT doc_id, n_chars,
+          regexp_replace(regexp_replace(
+            lower(regexp_replace(url, '[?#].*$', '')),
+            '://www\.', '://'), '/$', '') AS canonical_url
+        FROM u),
+      r AS (SELECT canonical_url, doc_id,
+          row_number() OVER (PARTITION BY canonical_url
+            ORDER BY n_chars DESC, doc_id) AS rn,
+          count(*) OVER (PARTITION BY canonical_url) AS n_docs
+        FROM c)
+      SELECT canonical_url, CAST(n_docs AS BIGINT) AS n_docs,
+        doc_id AS keeper_doc_id
+      FROM r WHERE rn = 1 ORDER BY canonical_url""")),
+
+    // k-core decomposition of the strong co-purchase graph (parts sharing
+    // >=2 distinct orders — the >=2 support gate sparsifies the dense
+    // co-occurrence relation the way real pipelines do before cohesion
+    // mining). Synchronous peel: drop degree<3 vertices each round to a
+    // fixpoint (11 rounds at sf0.01). The oracle unrolls 12 peel rounds
+    // as chained CTEs (the q211/BPE replay discipline) — peeling is
+    // monotone, so post-fixpoint rounds are no-ops and the engine's
+    // early exit is provably equivalent.
+    ("q226_kcore", (s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val strong = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey"))
+        .filter(col("a.l_partkey") =!= col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .agg(countDistinct(col("a.l_orderkey")).as("w"))
+        .filter(col("w") >= 2).select("src", "dst")
+      Components.kCore(strong, k = 3, maxRounds = 12).orderBy("node")
+    }, Some {
+      // MATERIALIZED: without it DuckDB inlines each a{i-1} reference,
+      // re-expanding the lineitem self-join exponentially across the 12
+      // unrolled rounds (observed as an open-file blowup at sf0.01).
+      val steps = (1 to 12).map { i =>
+        s"""a$i AS MATERIALIZED (SELECT pe.src AS v FROM pe
+          JOIN a${i - 1} u ON pe.src = u.v
+          JOIN a${i - 1} x ON pe.dst = x.v
+          GROUP BY pe.src HAVING COUNT(*) >= 3)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH pe AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+      a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM pe),
+      $steps
+      SELECT pe.src AS node, COUNT(*) AS core_deg FROM pe
+      JOIN a12 u ON pe.src = u.v JOIN a12 x ON pe.dst = x.v
+      GROUP BY 1 ORDER BY node"""
+    }),
+
+    // Sliding-window chunking with overlap — the RAG/context-window prep
+    // step: token windows of 32 with stride 24 (8-token overlap), last
+    // chunk covers the tail. Pure per-doc projection + explode, zero
+    // shuffles; chunk boundaries are integer arithmetic replayed exactly.
+    ("q228_chunk_overlap", (s: SparkSession, d: String) => {
+      val W = 32; val S = 24
+      t(s, d, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        .withColumn("len", size(col("toks")))
+        .withColumn("n_chunks", when(col("len") <= W, lit(1))
+          .otherwise(lit(1) +
+            ceil((col("len") - W).cast("double") / S).cast("int")))
+        .select(col("doc_id"), col("toks"), col("len"),
+          explode(sequence(lit(0), col("n_chunks") - 1)).as("ci"))
+        .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+          least(lit(W), col("len") - col("ci") * S).cast("long").as("n_toks"),
+          element_at(col("toks"), col("ci") * S + 1).as("first_tok"),
+          element_at(col("toks"), col("ci") * S
+            + least(lit(W), col("len") - col("ci") * S)).as("last_tok"))
+        .orderBy("doc_id", "chunk_idx")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      b AS (SELECT doc_id, toks, len(toks) AS n,
+          CASE WHEN len(toks) <= 32 THEN 1
+               ELSE 1 + CAST(ceil((len(toks) - 32) / 24.0) AS INT) END AS nc
+        FROM t),
+      c AS (SELECT doc_id, toks, n, unnest(range(nc)) AS ci FROM b)
+      SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        CAST(LEAST(32, n - ci * 24) AS BIGINT) AS n_toks,
+        toks[CAST(ci * 24 + 1 AS INT)] AS first_tok,
+        toks[CAST(ci * 24 + LEAST(32, n - ci * 24) AS INT)] AS last_tok
+      FROM c ORDER BY doc_id, chunk_idx"""))
   )
 }

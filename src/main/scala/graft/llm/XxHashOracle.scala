@@ -219,6 +219,42 @@ object XxHashOracle {
     ${minhashScore(k, tau)}"""
   }
 
+  /** End-to-end dedup variant: the q36 pair replay, then transitive
+    * closure over the >=tau pair graph (recursive CTE) and a min-id
+    * cluster label — replays minhashLshPairs + connectedComponentsStars
+    * + the keeper aggregation as one statement. Output is the dedup
+    * decision relation: one row per surviving (keeper) document with the
+    * number of near-duplicates its cluster absorbed. */
+  def minhashDedupSql(n: Int, bands: Int, rowsPerBand: Int,
+      tau: Double): String = {
+    val k = bands * rowsPerBand
+    val prefix = minhashPrefix(n, bands, rowsPerBand)
+      .replaceFirst("WITH", "WITH RECURSIVE")
+    s"""$prefix,
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    dup AS (SELECT d1, d2 FROM cand
+      JOIN sigarr s1 ON s1.doc_id = d1
+      JOIN sigarr s2 ON s2.doc_id = d2
+      WHERE CAST(len(list_filter(range(1, ${k + 1}),
+        k -> s1.sig[CAST(k AS INT)] = s2.sig[CAST(k AS INT)])) AS DOUBLE)
+        / $k >= $tau),
+    uedges AS (SELECT d1 AS u, d2 AS v FROM dup
+      UNION SELECT d2, d1 FROM dup),
+    reach AS (SELECT u, v FROM uedges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN uedges e ON r.v = e.u
+      WHERE e.v <> r.u),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+      FROM reach GROUP BY u),
+    lab AS (SELECT d.doc_id,
+        CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+      FROM documents d LEFT JOIN comp c USING (doc_id))
+    SELECT cluster_id AS keeper_id, COUNT(*) AS cluster_size
+    FROM lab GROUP BY 1 ORDER BY keeper_id"""
+  }
+
   /** Incremental variant: candidates are batch × corpus, where the two
     * predicates (over the placeholder `DOCID`) partition the id space —
     * replays [[graft.llm.NearDup.minhashLshAgainstIndex]]. */

@@ -4081,7 +4081,58 @@ object RelQueries {
           AS BIGINT) AS qc
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE o_orderdate >= DATE '1998-06-01'
-      GROUP BY 1 ORDER BY bucket"""))
+      GROUP BY 1 ORDER BY bucket""")),
+
+    // Declarative constraint verification (ops.Checks — the Deequ-style
+    // check suite, the gate a pipeline runs before publishing a table;
+    // distinct from q92's metric profiler). Six orders-side checks fuse
+    // into ONE scan+aggregate (uniqueness adds the count-distinct
+    // Expand); the cross-table referential check is an anti-join count
+    // unioned into the same report. Verdict semantics (n_violations,
+    // PASS/FAIL) replayed exactly in DuckDB.
+    ("q227_check_suite", (s: SparkSession, d: String) => {
+      val o = t(s, d, "orders")
+      val onOrders = Checks.verify(o, Seq(
+        Checks.uniqueness("uniqueness_o_orderkey", col("o_orderkey")),
+        Checks.rowCheck("completeness_o_custkey", col("o_custkey").isNull),
+        Checks.rowCheck("domain_o_orderstatus",
+          !col("o_orderstatus").isin("O", "F", "P")),
+        Checks.rowCheck("range_o_totalprice", !(col("o_totalprice") > 0)),
+        Checks.rowCheck("pattern_o_orderpriority",
+          !col("o_orderpriority").rlike("^[1-5]-")),
+        Checks.rowCheck("timeliness_o_orderdate",
+          col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+            col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))))
+      val orphans = t(s, d, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      val ri = Checks.verify(orphans,
+        Seq("referential_lineitem_orders" -> count(lit(1))))
+      onOrders.union(ri).orderBy("check_name")
+    }, Some("""
+      WITH a AS (SELECT
+          count(*) - count(DISTINCT o_orderkey) AS uniq_v,
+          count(*) FILTER (WHERE o_custkey IS NULL) AS comp_v,
+          count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) AS dom_v,
+          count(*) FILTER (WHERE NOT (o_totalprice > 0)) AS rng_v,
+          count(*) FILTER (WHERE NOT regexp_matches(o_orderpriority,
+            '^[1-5]-')) AS pat_v,
+          count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1992-01-01'
+            OR o_orderdate >= TIMESTAMP '1999-01-01') AS dt_v
+        FROM orders),
+      r AS (SELECT count(*) AS ri_v FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+          WHERE o.o_orderkey = l.l_orderkey)),
+      u AS (
+        SELECT 'uniqueness_o_orderkey' AS check_name, uniq_v AS v FROM a
+        UNION ALL SELECT 'completeness_o_custkey', comp_v FROM a
+        UNION ALL SELECT 'domain_o_orderstatus', dom_v FROM a
+        UNION ALL SELECT 'range_o_totalprice', rng_v FROM a
+        UNION ALL SELECT 'pattern_o_orderpriority', pat_v FROM a
+        UNION ALL SELECT 'timeliness_o_orderdate', dt_v FROM a
+        UNION ALL SELECT 'referential_lineitem_orders', ri_v FROM r)
+      SELECT check_name, CAST(v AS BIGINT) AS n_violations,
+        CASE WHEN v = 0 THEN 'PASS' ELSE 'FAIL' END AS status
+      FROM u ORDER BY check_name"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session

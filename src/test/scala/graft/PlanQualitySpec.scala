@@ -373,4 +373,39 @@ class PlanQualitySpec extends SparkSpec {
       assert(p.contains("might_contain"), p)
     }
   }
+
+  test("q224/q228: PII scrub and chunking are shuffle-free projections") {
+    // Map-side-only corpus passes: the only exchange allowed is the
+    // final presentation sort's range partitioning.
+    for (q <- Seq("q224_pii_scrub", "q228_chunk_overlap")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q:\n$p")
+      assert(!p.contains("HashAggregate"), s"$q:\n$p")
+    }
+  }
+
+  test("q225: URL dedup shuffles once, on the canonical key only") {
+    val p = plan("q225_url_canonical_dedup")
+    assert("Exchange hashpartitioning\\(canonical_url".r
+      .findAllIn(p).length == 1, p)
+    // Both window functions (row_number + count) share that one exchange.
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("kCore round: degree agg is partial+final; semi joins stay semi") {
+    import org.apache.spark.sql.functions._
+    // One synchronous peel round, the plan the loop repeats at scale.
+    val e = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+    val alive = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 3).select(col("src").as("v"))
+    val next = e
+      .join(alive.select(col("v").as("src")), Seq("src"), "left_semi")
+      .join(alive.select(col("v").as("dst")), Seq("dst"), "left_semi")
+    val p = next.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), p)
+    // Map-side combine on the degree count: >=2 HashAggregates.
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
 }

@@ -241,4 +241,60 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2))
   }
+
+  /** Reference k-core: synchronous peel over an adjacency map. */
+  private def bruteKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+    var adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .filter { case (a, b) => a != b }.distinct
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    var changed = true
+    while (changed) {
+      val alive = adj.filter(_._2.size >= k).keySet
+      val next = adj.collect {
+        case (v, ns) if alive(v) => v -> ns.intersect(alive)
+      }.filter(_._2.nonEmpty)
+      changed = next != adj
+      adj = next
+    }
+    adj.map { case (v, ns) => v -> ns.size }
+  }
+
+  private def runKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Int] =
+    Components.kCore(edges.toDF("src", "dst"), k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+
+  test("kCore: clique survives k=3, chain and triangle peel away") {
+    // K4 on {0..3} is the 3-core; a chain hung off it (4-5-6) and a
+    // separate triangle {10,11,12} must peel (max degree 2). The chain's
+    // attachment point 0 keeps its in-core degree 3, not 4.
+    val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    val extra = Seq((0L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val got = runKCore(k4 ++ extra, 3)
+    assert(got == Map(0L -> 3, 1L -> 3, 2L -> 3, 3L -> 3))
+    assert(got == bruteKCore(k4 ++ extra, 3))
+  }
+
+  test("kCore: cascade peel needs multiple rounds; k=1 keeps everything") {
+    // A "caterpillar": peeling leaves exposes new leaves round by round.
+    val chain = (0L until 8L).sliding(2).map(s => (s(0), s(1))).toSeq
+    assert(runKCore(chain, 2) == Map.empty)            // chain has no 2-core
+    assert(runKCore(chain, 1) == bruteKCore(chain, 1)) // everything, deg>=1
+    // Cycle + pendant: the cycle IS the 2-core, pendant drops.
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 9L))
+    assert(runKCore(cyc, 2) == Map(0L -> 2, 1L -> 2, 2L -> 2))
+  }
+
+  test("kCore: property vs brute peel on seeded random graphs") {
+    val rng = new scala.util.Random(13)
+    for (trial <- 1 to 6) {
+      val n = 4 + rng.nextInt(16)
+      val es = Seq.fill(8 + rng.nextInt(40)) {
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      val k = 2 + rng.nextInt(3)
+      assert(runKCore(es, k) == bruteKCore(es, k),
+        s"mismatch trial=$trial k=$k edges=$es")
+    }
+  }
 }
