@@ -368,4 +368,42 @@ object Components {
     e.groupBy("src").agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("node"), col("core_deg"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) for `rounds`
+    * fixed iterations: every vertex simultaneously adopts the most
+    * frequent label among its neighbors, ties broken on the SMALLEST
+    * label — fully deterministic, so a bounded-round replay reproduces
+    * it exactly (synchronous LPA can oscillate on bipartite structures,
+    * which is why this is a fixed-round schedule, not a fixpoint claim).
+    *
+    * 100 TB posture: each round is one edge⋈labels join (shuffled on
+    * vertex id, two longs per row) + one (vertex, label) count + one
+    * per-vertex argmax via max(struct(cnt, -label)) — a map-side-
+    * combined aggregate, NO window over the corpus. Lineage stays flat
+    * via per-round localCheckpoint; the driver never sees a vertex.
+    *
+    * @return (node, label) after `rounds` synchronous updates
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val ue = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    var lab = ue.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val next = ue
+        .join(lab.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint(true)
+      lab.unpersist()
+      lab = next
+    }
+    lab
+  }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.GraftFunctions.cosineSim
 import graft.ops.Dedup
 
 /** Training-data pipeline queries (the north-star ops of BASELINE.json):
@@ -29,6 +30,25 @@ object LlmQueries {
         .filter(col("a.l_partkey") =!= col("b.l_partkey"))
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
         .distinct()
+        .write.mode("overwrite").parquet(dir)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** Strong co-purchase graph — parts sharing >=2 distinct orders (the
+    * support gate that sparsifies the dense co-occurrence relation before
+    * cohesion mining). Materialized once per sf dir and shared by the
+    * graph-mining queries (q226 k-core, q230 label propagation), the
+    * coPurchaseEdges discipline. */
+  private def strongCoPurchaseEdges(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val dir = s"/tmp/graft_edges/${new java.io.File(d).getName}/strong"
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      li.as("a").join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey"))
+        .filter(col("a.l_partkey") =!= col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .agg(countDistinct(col("a.l_orderkey")).as("w"))
+        .filter(col("w") >= 2).select("src", "dst")
         .write.mode("overwrite").parquet(dir)
     }
     s.read.parquet(dir)
@@ -2056,14 +2076,8 @@ object LlmQueries {
     // monotone, so post-fixpoint rounds are no-ops and the engine's
     // early exit is provably equivalent.
     ("q226_kcore", (s: SparkSession, d: String) => {
-      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val strong = li.as("a")
-        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey"))
-        .filter(col("a.l_partkey") =!= col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .agg(countDistinct(col("a.l_orderkey")).as("w"))
-        .filter(col("w") >= 2).select("src", "dst")
-      Components.kCore(strong, k = 3, maxRounds = 12).orderBy("node")
+      Components.kCore(strongCoPurchaseEdges(s, d), k = 3, maxRounds = 12)
+        .orderBy("node")
     }, Some {
       // MATERIALIZED: without it DuckDB inlines each a{i-1} reference,
       // re-expanding the lineitem self-join exponentially across the 12
@@ -2118,6 +2132,186 @@ object LlmQueries {
         CAST(LEAST(32, n - ci * 24) AS BIGINT) AS n_toks,
         toks[CAST(ci * 24 + 1 AS INT)] AS first_tok,
         toks[CAST(ci * 24 + LEAST(32, n - ci * 24) AS INT)] AS last_tok
-      FROM c ORDER BY doc_id, chunk_idx"""))
+      FROM c ORDER BY doc_id, chunk_idx""")),
+
+    // MMR diverse re-ranking (Similarity.mmrSelect): greedy k-round
+    // selection, score = 0.5·sim(q,d) − 0.5·max sim(d, selected) — λ=0.5
+    // keeps both engine's weight literals exactly representable. The
+    // oracle unrolls the 5 greedy rounds: each picks the argmax over the
+    // remaining candidates against the union of prior picks. Ids/ranks
+    // out only (the q38/q39 float discipline — selection margins dwarf
+    // last-ulp cosine noise).
+    ("q229_mmr_rerank", (s: SparkSession, d: String) => {
+      Similarity.mmrSelect(t(s, d, "embeddings"), queryId = 3L,
+          k = 5, lambda = 0.5)
+        .orderBy("rank")
+    }, Some {
+      val rounds = (2 to 5).map { r =>
+        s"""p$r AS (SELECT c.vec_id, c.e, c.rel,
+            max(list_cosine_similarity(c.e, s.e)) AS red
+          FROM cand c, u${r - 1} s
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM u${r - 1})
+          GROUP BY c.vec_id, c.e, c.rel),
+        s$r AS (SELECT vec_id, e FROM p$r
+          ORDER BY rel * 0.5 - red * 0.5 DESC, vec_id LIMIT 1),
+        u$r AS (SELECT * FROM u${r - 1} UNION ALL SELECT * FROM s$r)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      q AS (SELECT e AS qe FROM base WHERE vec_id = 3),
+      cand AS MATERIALIZED (SELECT b.vec_id, b.e,
+          list_cosine_similarity(b.e, q.qe) AS rel
+        FROM base b, q WHERE b.vec_id <> 3),
+      s1 AS (SELECT vec_id, e FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+      u1 AS (SELECT * FROM s1),
+      $rounds
+      SELECT CAST(rank AS BIGINT) AS rank, vec_id FROM (
+        SELECT 1 AS rank, vec_id FROM s1
+        UNION ALL SELECT 2, vec_id FROM s2
+        UNION ALL SELECT 3, vec_id FROM s3
+        UNION ALL SELECT 4, vec_id FROM s4
+        UNION ALL SELECT 5, vec_id FROM s5)
+      ORDER BY rank"""
+    }),
+
+    // Synchronous label propagation (4 fixed rounds) over the strong
+    // co-purchase graph — community detection as corpora use it for
+    // domain clustering. Deterministic: most-frequent neighbor label,
+    // ties to the smallest label; the oracle replays every round with a
+    // count + row_number argmax per vertex (MATERIALIZED, the q226
+    // discipline). Fixed-round schedule, not a fixpoint claim —
+    // synchronous LPA can oscillate on bipartite structures.
+    ("q230_label_propagation", (s: SparkSession, d: String) => {
+      Components.labelPropagation(strongCoPurchaseEdges(s, d), rounds = 4)
+        .orderBy("node")
+    }, Some {
+      val steps = (1 to 4).map { i =>
+        s"""l$i AS MATERIALIZED (SELECT src AS node, label FROM (
+          SELECT e.src, l.label, COUNT(*) AS c,
+            row_number() OVER (PARTITION BY e.src
+              ORDER BY COUNT(*) DESC, l.label) AS rn
+          FROM ue e JOIN l${i - 1} l ON e.dst = l.node
+          GROUP BY e.src, l.label) WHERE rn = 1)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH pe AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+      ue AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe)
+        WHERE src <> dst),
+      l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM ue),
+      $steps
+      SELECT node, label FROM l4 ORDER BY node"""
+    }),
+
+    // Curriculum / round-robin stratified interleave — the deterministic
+    // epoch schedule a training-data mixer emits: within each language
+    // docs are ranked by quality proxy (n_chars desc), and strata are
+    // interleaved one-per-turn via epoch_pos = (rn−1)·nStrata + stratum.
+    // One keyed window per stratum + two metadata-sized broadcasts
+    // (stratum index, stratum count); the schedule key is emitted
+    // directly — deliberately NOT compacted with a global row_number,
+    // which would funnel the corpus through one partition.
+    ("q231_curriculum_interleave", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val strata = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .select(col("lang"), row_number().over(
+          Window.orderBy(col("lang"))).as("sidx"))
+      val nStrata = strata.agg(count(lit(1)).as("n_strata"))
+      docs.withColumn("rn", row_number().over(
+          Window.partitionBy("lang")
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .join(broadcast(strata), Seq("lang"))
+        .crossJoin(broadcast(nStrata))
+        .select(((col("rn") - 1) * col("n_strata") + col("sidx") - 1)
+            .cast("long").as("epoch_pos"),
+          col("doc_id"), col("lang"))
+        .orderBy("epoch_pos")
+    }, Some("""
+      WITH strata AS (SELECT lang,
+          row_number() OVER (ORDER BY lang) AS sidx
+        FROM (SELECT DISTINCT lang FROM documents)),
+      n AS (SELECT COUNT(*) AS n_strata FROM strata),
+      r AS (SELECT doc_id, lang,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents)
+      SELECT CAST((r.rn - 1) * n.n_strata + s.sidx - 1 AS BIGINT)
+          AS epoch_pos, r.doc_id, r.lang
+      FROM r JOIN strata s USING (lang), n
+      ORDER BY epoch_pos""")),
+
+    // Reciprocal Rank Fusion (Cormack et al. 2009) — the standard
+    // multi-retriever ensemble: fuse a cosine-similarity ranking with a
+    // euclidean-distance ranking of the same candidate pool via
+    // score = Σ 1/(60 + rank). Ranks are exact integers; each doc sums
+    // exactly two double terms (FP addition is commutative, so the
+    // 2-element sum is order-independent) — the fused ORDER is therefore
+    // deterministic and both engines emit ids/ranks only.
+    ("q232_rrf_fusion", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = base.filter(col("vec_id") === 3L)
+        .select(col("embedding").as("q_emb"))
+      // Both distances on element-wise DOUBLE arithmetic (floats cast
+      // before subtracting — float-subtract-then-widen would diverge
+      // from the oracle's DOUBLE[] replay).
+      val scored = base.filter(col("vec_id") =!= 3L)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          cosineSim(col("embedding"), col("q_emb")).as("cos"),
+          aggregate(zip_with(col("embedding"), col("q_emb"),
+              (a, b) => (a.cast("double") - b.cast("double")) *
+                (a.cast("double") - b.cast("double"))),
+            lit(0.0), (acc, x) => acc + x).as("dist2"))
+        .localCheckpoint(true)
+      // Each retriever's pool: TakeOrderedAndProject top-50 (distributed
+      // partial top-k), then rank within the k-sized pool — never a
+      // corpus-wide unpartitioned window.
+      def pool(ord: org.apache.spark.sql.Column*): DataFrame =
+        scored.orderBy(ord: _*).limit(50)
+          .withColumn("r", row_number().over(Window.orderBy(ord: _*)))
+      val byCos = pool(col("cos").desc, col("vec_id"))
+        .select(col("vec_id"), col("r").as("r1"))
+      val byDist = pool(col("dist2").asc, col("vec_id"))
+        .select(col("vec_id").as("vid2"), col("r").as("r2"))
+      byCos.join(byDist, col("vec_id") === col("vid2"), "full_outer")
+        .select(coalesce(col("vec_id"), col("vid2")).as("vec_id"),
+          col("r1"), col("r2"),
+          (coalesce(lit(1.0) / (col("r1") + 60), lit(0.0)) +
+            coalesce(lit(1.0) / (col("r2") + 60), lit(0.0))).as("__rrf"))
+        .withColumn("fused_rank", row_number().over(
+          Window.orderBy(col("__rrf").desc, col("vec_id"))).cast("long"))
+        .filter(col("fused_rank") <= 20)
+        .select(col("fused_rank"), col("vec_id"),
+          col("r1").cast("long").as("rank_cos"),
+          col("r2").cast("long").as("rank_dist"))
+        .orderBy("fused_rank")
+    }, Some("""
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      q AS (SELECT e AS qe FROM base WHERE vec_id = 3),
+      scored AS MATERIALIZED (SELECT b.vec_id,
+          list_cosine_similarity(b.e, q.qe) AS cos,
+          list_sum(list_transform(list_zip(b.e, q.qe),
+            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist2
+        FROM base b, q WHERE b.vec_id <> 3),
+      c1 AS (SELECT vec_id,
+          row_number() OVER (ORDER BY cos DESC, vec_id) AS r1
+        FROM scored QUALIFY r1 <= 50),
+      c2 AS (SELECT vec_id AS vid2,
+          row_number() OVER (ORDER BY dist2 ASC, vec_id) AS r2
+        FROM scored QUALIFY r2 <= 50),
+      fused AS (SELECT COALESCE(vec_id, vid2) AS vec_id, r1, r2,
+          COALESCE(CAST(1.0 AS DOUBLE) / (r1 + 60), CAST(0.0 AS DOUBLE)) +
+          COALESCE(CAST(1.0 AS DOUBLE) / (r2 + 60), CAST(0.0 AS DOUBLE))
+            AS rrf
+        FROM c1 FULL JOIN c2 ON vec_id = vid2)
+      SELECT CAST(row_number() OVER (ORDER BY rrf DESC, vec_id) AS BIGINT)
+          AS fused_rank, vec_id,
+        CAST(r1 AS BIGINT) AS rank_cos, CAST(r2 AS BIGINT) AS rank_dist
+      FROM fused QUALIFY fused_rank <= 20 ORDER BY fused_rank"""))
   )
 }

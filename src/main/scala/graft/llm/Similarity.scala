@@ -550,4 +550,53 @@ object Similarity {
             .cast("int")
         }).as("qvec"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein '98) —
+    * the RAG diversification pass: greedily select k results balancing
+    * query relevance against redundancy with what's already selected,
+    * score(d) = λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s); ties broken on
+    * the smaller id (the suite's ranking discipline: ids/ranks out,
+    * never recomputed float scores).
+    *
+    * 100 TB posture: relevance is computed ONCE over the candidate scan
+    * and pinned (localCheckpoint); each of the k greedy rounds then
+    * joins the candidates against a ≤k-row BROADCAST selected set, takes
+    * a map-side-combined per-candidate max, and ships exactly one argmax
+    * row to the driver (TakeOrderedAndProject(1)). Nothing corpus-sized
+    * is collected, windowed globally, or recomputed per round.
+    */
+  def mmrSelect(emb: DataFrame, queryId: Long, k: Int,
+      lambda: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val q = base.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    val cand = base.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"),
+        cosineSim(col("embedding"), col("q_emb")).as("rel"))
+      .localCheckpoint(true)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (_ <- 1 to k) {
+      val best =
+        if (picked.isEmpty)
+          cand.orderBy(col("rel").desc, col("vec_id")).limit(1)
+        else {
+          val remaining = cand.filter(!col("vec_id").isin(picked.toSeq: _*))
+          val sel = cand.filter(col("vec_id").isin(picked.toSeq: _*))
+            .select(col("embedding").as("s_emb"))
+          remaining.crossJoin(broadcast(sel))
+            .groupBy(col("vec_id"), col("rel"))
+            .agg(max(cosineSim(col("embedding"), col("s_emb"))).as("red"))
+            .select(col("vec_id"),
+              (col("rel") * lambda - col("red") * (1 - lambda)).as("score"))
+            .orderBy(col("score").desc, col("vec_id")).limit(1)
+        }
+      picked += best.select("vec_id").as[Long].head()
+    }
+    picked.toSeq.zipWithIndex
+      .map { case (id, i) => (i + 1L, id) }
+      .toDF("rank", "vec_id")
+  }
 }

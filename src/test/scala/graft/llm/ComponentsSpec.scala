@@ -297,4 +297,51 @@ class ComponentsSpec extends SparkSpec {
         s"mismatch trial=$trial k=$k edges=$es")
     }
   }
+
+  /** Reference synchronous LPA: mode of neighbor labels, ties → min. */
+  private def bruteLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .filter { case (a, b) => a != b }.distinct
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var lab: Map[Long, Long] = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      lab = adj.map { case (v, ns) =>
+        val counts = ns.map(lab).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        val bestCnt = counts.values.max
+        v -> counts.collect { case (l, c) if c == bestCnt => l }.min
+      }
+    }
+    lab
+  }
+
+  private def runLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+    Components.labelPropagation(edges.toDF("src", "dst"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation: two cliques joined by a bridge settle into two communities") {
+    val c1 = Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L), (1L, 3L), (2L, 3L))
+    val c2 = Seq((10L, 11L), (10L, 12L), (11L, 12L), (10L, 13L), (11L, 13L), (12L, 13L))
+    val es = c1 ++ c2 ++ Seq((3L, 10L))
+    val got = runLpa(es, 4)
+    assert(got == bruteLpa(es, 4))
+    // Both cliques collapse onto their min label.
+    assert(Seq(0L, 1L, 2L).forall(got(_) == 0L))
+    assert(Seq(11L, 12L, 13L).forall(v => got(v) == got(11L)))
+  }
+
+  test("labelPropagation: property vs brute on seeded random graphs") {
+    val rng = new scala.util.Random(29)
+    for (trial <- 1 to 5) {
+      val n = 4 + rng.nextInt(12)
+      val es = Seq.fill(6 + rng.nextInt(30)) {
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      if (es.nonEmpty) {
+        val r = 1 + rng.nextInt(4)
+        assert(runLpa(es, r) == bruteLpa(es, r),
+          s"mismatch trial=$trial rounds=$r edges=$es")
+      }
+    }
+  }
 }

@@ -187,4 +187,50 @@ class SimilaritySpec extends SparkSpec {
       .select("cs").as[Seq[Int]].collect()
     assert(perSub.forall(_ == Seq(0, 1, 2, 3)))
   }
+
+  /** Driver-side greedy MMR over collected vectors — the reference. */
+  private def bruteMmr(vecs: Map[Long, Array[Float]], qId: Long, k: Int,
+      lambda: Double): Seq[Long] = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = vecs(qId)
+    val cand = (vecs - qId).map { case (id, v) => id -> cos(v, q) }
+    val sel = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (_ <- 1 to k) {
+      val best = cand.keys.filterNot(sel.contains).minBy { id =>
+        val red = if (sel.isEmpty) 0.0
+          else sel.map(s => cos(vecs(id), vecs(s))).max
+        val score = if (sel.isEmpty) cand(id)
+          else lambda * cand(id) - (1 - lambda) * red
+        (-score, id)
+      }
+      sel += best
+    }
+    sel.toSeq
+  }
+
+  test("MMR: matches driver-side greedy; first pick is the cosine argmax") {
+    val sub = emb.filter(col("vec_id") < 120)
+    val vecs = sub.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val got = Similarity.mmrSelect(sub, queryId = 3L, k = 4, lambda = 0.5)
+      .orderBy("rank").select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == bruteMmr(vecs, 3L, 4, 0.5))
+    assert(got.distinct.size == 4 && !got.contains(3L))
+  }
+
+  test("MMR: λ=1 degenerates to pure relevance ranking (brute top-k)") {
+    val sub = emb.filter(col("vec_id") < 100)
+    val topk = Similarity.bruteTopK(sub, col("vec_id") === 3, k = 4)
+      .orderBy("rank").select("neighbor_id").collect().map(_.getLong(0)).toSeq
+    val mmr = Similarity.mmrSelect(sub, queryId = 3L, k = 4, lambda = 1.0)
+      .orderBy("rank").select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(mmr == topk)
+  }
 }
