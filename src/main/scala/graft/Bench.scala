@@ -18,6 +18,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // Optional regex over query names (local iteration only — the driver
+    // never sets it, so driver benches always cover the full surface).
+    val nameFilter: String => Boolean =
+      sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {
+        case Some(pat) => val r = pat.r; n => r.findFirstIn(n).isDefined
+        case None      => _ => true
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,11 +35,12 @@ object Bench {
     // startup once so the timed numbers below reflect steady-state
     // per-query cost rather than whichever query happens to run first.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     val samples: Seq[(String, Seq[Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.filter(kv => nameFilter(kv._1))
+        .toSeq.sortBy(_._1).map { case (name, fn) =>
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => () }

@@ -258,18 +258,24 @@ object Components {
     val und = und0
       .union(und0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
-    var visited = Seq((src, 0)).toDF("node", "depth").localCheckpoint(true)
-    var frontier = visited.select("node")
+    // `visited` is a lazy UNION of per-round checkpointed frontiers:
+    // each frontier materializes exactly once (its own checkpoint), so
+    // the anti-join reads D small materialized pieces instead of
+    // re-writing the whole accumulated set every round (which is
+    // O(depth x reached) extra materialization — quadratic in depth).
+    var levels = List(Seq((src, 0)).toDF("node", "depth").localCheckpoint(true))
+    def visited = levels.reduce(_ union _)
+    var frontier = levels.head.select("node")
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
       depth += 1
       val next = frontier.join(und, frontier("node") === und("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
+        .withColumn("depth", lit(depth))
         .localCheckpoint(true)
-      visited = visited.union(next.withColumn("depth", lit(depth)))
-        .localCheckpoint(true)
-      frontier = next
+      levels ::= next
+      frontier = next.select("node")
     }
     visited
   }

@@ -123,6 +123,26 @@ class NearDupSpec extends SparkSpec {
       && fast.contains(("abd", "xabd")) && fast.contains(("ab", "abd")))
   }
 
+  test("editDistance1Edges equals the naive within-block quadratic join") {
+    import spark.implicits._
+    // two blocks; cross-block near-matches (abcd in 1 vs abed in 2) must
+    // NOT pair; zero-run names (a0001/a0002) exercise the key dedup
+    val rows = Seq((1L, 1, "abcd"), (2L, 1, "abd"), (3L, 2, "abed"),
+      (4L, 2, "abee"), (5L, 1, "a0001"), (6L, 1, "a0002"), (7L, 2, "zzzz"))
+    val df = rows.toDF("id", "blk", "s")
+    val fast = NearDup.editDistance1Edges(df, "id", "s", "blk")
+      .as[(Long, Long)].collect().toSet
+    val naive = (for {
+      (ia, ba, sa) <- rows; (ib, bb, sb) <- rows
+      if ba == bb && sa < sb && levenshteinRef(sa, sb) <= 1
+    } yield (ia, ib)).toSet
+    assert(fast == naive && naive.nonEmpty)
+    val block = rows.map(r => r._1 -> r._2).toMap
+    assert(fast.contains((1L, 2L)) && fast.contains((5L, 6L))
+      && fast.contains((3L, 4L))
+      && fast.forall { case (a, b) => block(a) == block(b) })
+  }
+
   private def levenshteinRef(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
