@@ -2312,6 +2312,25 @@ object LlmQueries {
       SELECT CAST(row_number() OVER (ORDER BY rrf DESC, vec_id) AS BIGINT)
           AS fused_rank, vec_id,
         CAST(r1 AS BIGINT) AS rank_cos, CAST(r2 AS BIGINT) AS rank_dist
-      FROM fused QUALIFY fused_rank <= 20 ORDER BY fused_rank"""))
+      FROM fused QUALIFY fused_rank <= 20 ORDER BY fused_rank""")),
+
+    // Contiguous global sequence ids (shard/sample numbering) via
+    // ops.Layout.globalRowNumber — the TWO-LEVEL scheme: per-coarse-value
+    // counts prefix-summed over a value-cardinality-sized relation
+    // (metadata), then a KEYED window within each coarse group plus the
+    // broadcast offset. The corpus never crosses a single-partition
+    // window (the q231 comment's "deliberately NOT compacted" idiom,
+    // resolved properly); the oracle is the bare ROW_NUMBER the naive
+    // plan would hand one task.
+    ("q234_global_rownum", (s: SparkSession, d: String) => {
+      graft.ops.Layout.globalRowNumber(
+          t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          coarseKey = "n_chars", fineKey = "doc_id")
+        .select(col("doc_id"), col("rn"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+          AS BIGINT) AS rn
+      FROM documents ORDER BY doc_id"""))
   )
 }

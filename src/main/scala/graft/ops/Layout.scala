@@ -47,4 +47,35 @@ object Layout {
     * broadcast bounds array — shuffle-free above the scan. */
   def rangeFileId(value: Column, boundaries: Column): Column =
     size(filter(boundaries, b => value > b))
+
+  /** Contiguous global row numbers over (coarseKey DESC, fineKey ASC)
+    * WITHOUT a single-partition window — the two-level scheme every
+    * 100 TB "assign sequence ids" job needs (a bare
+    * `row_number() OVER (ORDER BY ...)` funnels the corpus through ONE
+    * task; Spark even warns). Level 1: per-coarse-value counts
+    * (value-cardinality-sized) prefix-summed by a window over that tiny
+    * relation — metadata, not corpus. Level 2: a KEYED window ranks
+    * `fineKey` within each coarse group, and the broadcast offset makes
+    * the id global: `rn = offset(coarse) + rank_within(coarse)`. Shuffle
+    * ledger: one groupBy on coarseKey + one keyed window — both
+    * corpus-keyed, neither global. Caveat: a coarse value holding a
+    * macroscopic corpus fraction skews its group's window — pick a key
+    * with spread (or pre-salt and add a third level, the
+    * [[graft.llm.Curation]] packSequences discipline).
+    *
+    * @return input plus `rn` — 1-based, dense, equal to
+    *         ROW_NUMBER() OVER (ORDER BY coarseKey DESC, fineKey) */
+  def globalRowNumber(df: org.apache.spark.sql.DataFrame, coarseKey: String,
+      fineKey: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = df.groupBy(col(coarseKey)).agg(count(lit(1)).as("__n"))
+    val offsets = grp.withColumn("__offset",
+        coalesce(sum(col("__n")).over(Window.orderBy(col(coarseKey).desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(coarseKey), col("__offset"))
+    df.join(broadcast(offsets), Seq(coarseKey))
+      .withColumn("rn", col("__offset") + row_number().over(
+        Window.partitionBy(coarseKey).orderBy(fineKey)))
+      .drop("__offset")
+  }
 }

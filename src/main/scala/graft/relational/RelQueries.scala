@@ -4131,7 +4131,49 @@ object RelQueries {
         UNION ALL SELECT 'referential_lineitem_orders', ri_v FROM r)
       SELECT check_name, CAST(v AS BIGINT) AS n_violations,
         CASE WHEN v = 0 THEN 'PASS' ELSE 'FAIL' END AS status
-      FROM u ORDER BY check_name"""))
+      FROM u ORDER BY check_name""")),
+
+    // Stream-stream FULL OUTER join — the last member of the streaming
+    // join family (inner q135, left-outer q183, left-semi q216):
+    // unmatched rows on EITHER side null-extend when the watermark
+    // closes their window, so views that never led to a purchase
+    // surface alongside purchases that had no prior view. Same sentinel
+    // scaffold as q183 (one far-future row per side, a user that can
+    // never match) forces every real window closed before the stream
+    // drains; the batch oracle is the plain FULL JOIN.
+    ("q233_stream_full_outer_join", (s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val inDir = s"/tmp/graft_q233/${new java.io.File(d).getName}/in"
+      val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+      val far = maxTs + 30L * 24 * 3600 * 1000000000L
+      val sentinels = s.range(2).select(
+        (col("id") + 20000000L).as("event_id"),
+        (lit(far) + col("id") * 864000000000000L).as("ts"),
+        lit(-1L).as("user_id"),
+        when(col("id") === 0, "purchase").otherwise("view").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      raw.unionByName(sentinels).coalesce(2)
+        .write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream.schema(raw.schema).parquet(inDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val joined = graft.streaming.Streams.purchaseViewFullJoin(stream)
+      val sink = s"q233_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = joined.writeStream.format("memory")
+        .queryName(sink).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).filter(col("user_id") >= 0)
+        .select("user_id", "p_id", "v_id")
+        .orderBy("user_id", "p_id", "v_id")
+    }, Some("""
+      SELECT COALESCE(p.user_id, v.user_id) AS user_id,
+        p.event_id AS p_id, v.event_id AS v_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id
+        AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+      ORDER BY user_id NULLS FIRST, p_id NULLS FIRST, v_id NULLS FIRST"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session

@@ -345,6 +345,33 @@ object Streams {
       .select(col("user_id"), col("p_id"), col("v_id"), col("p_ts"), col("v_ts"))
   }
 
+  /** Stream-stream FULL OUTER join: matches emit immediately; an
+    * unmatched row on EITHER side null-extends once the watermark
+    * guarantees no future partner can arrive — purchases with no
+    * prior-hour view AND views with no following-hour purchase both
+    * surface. The state-eviction bound is identical to the inner form
+    * (watermark + time-range condition on both sides); what full-outer
+    * adds is the null-extension obligation on both state stores. The
+    * completion of the stream-stream join family: inner (q135),
+    * left-outer (q183), left-semi (q216), full-outer (q233). */
+  def purchaseViewFullJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", "1 hour")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "fullOuter")
+      .select(coalesce(col("p_user"), col("v_user")).as("user_id"),
+        col("p_id"), col("v_id"))
+  }
+
   /** Stream-stream LEFT SEMI join: each purchase emits ONCE iff at least
     * one view precedes it within the window — the streaming existence
     * filter (no view columns leak, multiple matches don't duplicate the

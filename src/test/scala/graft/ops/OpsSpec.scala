@@ -88,6 +88,19 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq(39L, 0L, 21L, 42L)) // a fills even bits, b odd bits
   }
 
+  test("globalRowNumber equals the single-partition ROW_NUMBER") {
+    import org.apache.spark.sql.expressions.Window
+    // duplicate coarse values, a tie-heavy group, and a singleton
+    val df = Seq((1L, 10L), (2L, 30L), (3L, 10L), (4L, 20L), (5L, 30L),
+      (6L, 10L), (7L, 25L)).toDF("id", "sz").repartition(4)
+    val fast = Layout.globalRowNumber(df, "sz", "id")
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    val naive = df.withColumn("rn", row_number().over(
+        Window.orderBy(col("sz").desc, col("id"))).cast("long"))
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    assert(fast == naive && naive.values.toSeq.sorted == (1L to 7L))
+  }
+
   test("line dedup: duplicated boilerplate dropped except first occurrence") {
     val docs = Seq(
       (1L, "COOKIE BANNER\nalpha one\nSHARED FOOTER"),

@@ -423,6 +423,49 @@ class StreamsSpec extends SparkSpec {
       (299L, Some(999L)), (298L, Some(998L))), s"got $out")
   }
 
+  test("stream-stream FULL OUTER join: both sides null-extend on close") {
+    val srcDir = tmp("src"); val outDir = tmp("out"); val ckDir = tmp("ck")
+    def push(rows: Seq[(String, Long, String, Long)]): Unit =
+      rows.toDF("ts", "user_id", "event_type", "event_id")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    val sch = StructType(Seq(
+      StructField("ts", TimestampType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("event_id", LongType)))
+    push(Seq(
+      ("2024-01-01 10:00:00", 1L, "view", 100L),
+      ("2024-01-01 10:30:00", 1L, "purchase", 200L),
+      ("2024-01-01 10:30:00", 2L, "purchase", 201L),  // no views for user 2
+      ("2024-01-01 10:30:00", 3L, "view", 301L)))     // no purchase for user 3
+    val stream = spark.readStream.schema(sch).parquet(srcDir)
+    val q = Streams.purchaseViewFullJoin(stream)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir).start()
+    q.processAllAvailable()
+    // advance BOTH sides' watermarks (global wm = min), twice, so both
+    // the unmatched purchase and the unmatched view close + evict
+    push(Seq(("2024-01-02 00:00:00", 9L, "view", 999L),
+             ("2024-01-02 00:00:00", 9L, "purchase", 299L)))
+    q.processAllAvailable()
+    push(Seq(("2024-01-03 00:00:00", 9L, "view", 998L),
+             ("2024-01-03 00:00:00", 9L, "purchase", 298L)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(outDir)
+      .select("user_id", "p_id", "v_id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    // user 2's purchase null-extends on the view side; user 3's view
+    // null-extends on the purchase side — BOTH surface, unlike q183's
+    // left-outer where an unmatched view is silently dropped.
+    assert(out == Set(
+      (1L, Some(200L), Some(100L)),
+      (2L, Some(201L), None),
+      (3L, None, Some(301L)),
+      (9L, Some(299L), Some(999L)), (9L, Some(298L), Some(998L))),
+      s"got $out")
+  }
+
   test("streaming sessionize emits closed sessions") {
     val srcDir = tmp("src"); val outDir = tmp("out"); val ckDir = tmp("ck")
     eventsDf(Seq(
