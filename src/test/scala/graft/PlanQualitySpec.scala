@@ -408,4 +408,29 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
+
+  test("editDistance1Edges: block key is IN the equi-join, not a post-filter") {
+    import org.apache.spark.sql.functions._
+    val df = graft.llm.NearDup.editDistance1Edges(
+      Tables(spark, sfDir, "customer"), "c_custkey", "c_name", "c_nationkey")
+    val p = df.queryExecution.executedPlan.toString
+    // the join keys must include BOTH the deletion key and the block —
+    // a post-join block filter would generate all cross-block candidates
+    assert("hashpartitioning\\(key#\\d+, blk#\\d+".r.findFirstIn(p).isDefined
+      || "SortMergeJoin \\[key#\\d+, blk#\\d+".r.findFirstIn(p).isDefined
+      || "BroadcastHashJoin \\[key#\\d+, blk#\\d+".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q234: offsets broadcast; the corpus window is keyed, never global") {
+    val p = plan("q234_global_rownum")
+    // the offset relation reaches the corpus via broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exactly one single-partition window — the value-cardinality-sized
+    // offsets prefix sum; the corpus row_number partitions by n_chars
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1, p)
+    assert("Window \\[.*row_number.*partitionBy=\\[n_chars".r
+      .findFirstIn(p.replaceAll("\n", " ")).isDefined ||
+      "hashpartitioning\\(n_chars".r.findFirstIn(p).isDefined, p)
+  }
 }
