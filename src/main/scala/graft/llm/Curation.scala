@@ -260,6 +260,47 @@ object Curation {
         expr("n_shared_grams * 10000 div n_grams"))
   }
 
+  /** Largest-remainder (Hamilton) apportionment of an exact token budget
+    * across strata: quota_s = budget·avail_s/total, every stratum gets
+    * floor(quota_s), and the seats lost to flooring go one each to the
+    * largest fractional remainders (remainder = (budget·avail_s) mod
+    * total, ties to the smaller stratum key) — allocations sum EXACTLY
+    * to the budget, all in int64/decimal arithmetic, no float rounding
+    * drift. The step a production data mixer runs after the mixture
+    * weights are chosen (q162's temperature rates say "what fraction";
+    * this says "exactly how many tokens per source so the shard totals
+    * add up").
+    *
+    * Scale shape: the corpus appears ONLY in the availability aggregate
+    * (column-pruned, map-side combined); everything after is the
+    * stratum-count-sized relation — windows over it are metadata, the
+    * [[graft.ops.Layout.globalRowNumber]] level-1 discipline.
+    *
+    * @return one row per stratum: (stratumCol, avail, alloc) with
+    *         sum(alloc) = min(budget, sum(avail)) when budget <= total
+    */
+  def apportionBudget(df: DataFrame, stratumCol: String, weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val avail = df.groupBy(stratumCol)
+      .agg(sum(col(weightCol)).cast("decimal(38,0)").as("avail"))
+    val tot = avail.agg(sum(col("avail")).as("__tot"))
+    val quotas = avail.crossJoin(broadcast(tot))
+      .select(col(stratumCol), col("avail"),
+        expr(s"CAST(avail * $budget DIV __tot AS BIGINT)").as("__fl"),
+        expr(s"(avail * $budget) % __tot").as("__rem"))
+    // stratum-count-sized from here on: one tiny window ranks remainders,
+    // a second sums the floors to find the leftover seat count
+    val leftover = quotas.agg((lit(budget) - sum(col("__fl"))).as("__extra"))
+    quotas.crossJoin(broadcast(leftover))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__rem").desc, col(stratumCol))))
+      .select(col(stratumCol), col("avail").cast("long").as("avail"),
+        (col("__fl") + when(col("__rk") <= col("__extra"), 1L)
+          .otherwise(0L)).as("alloc"))
+  }
+
   /** Deterministic rebalance-to-uniform: downsample every stratum to
     * (approximately) the size of the smallest one, by computing per-stratum
     * keep rates floor(min_count·100 / count) and gating rows with the same

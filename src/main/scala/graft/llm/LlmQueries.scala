@@ -2331,6 +2331,66 @@ object LlmQueries {
     }, Some("""
       SELECT doc_id, CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
           AS BIGINT) AS rn
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // Largest-remainder token-budget apportionment (Curation
+    // .apportionBudget): after the mixture WEIGHTS are chosen (q162),
+    // this decides exactly how many units each source contributes so the
+    // totals sum to the budget — floor quotas + one seat per largest
+    // fractional remainder, all integer/decimal arithmetic (the float-
+    // free discipline; allocations provably sum to the budget). Corpus
+    // appears only in the availability aggregate; the apportionment
+    // itself runs on the stratum-count-sized relation.
+    ("q235_budget_apportion", (s: SparkSession, d: String) => {
+      Curation.apportionBudget(t(s, d, "documents"), "lang", "n_chars",
+          budget = 100000L)
+        .orderBy("lang")
+    }, Some("""
+      WITH a AS (SELECT lang, CAST(SUM(n_chars) AS HUGEINT) AS avail
+                 FROM documents GROUP BY 1),
+      tt AS (SELECT SUM(avail) AS tot FROM a),
+      q AS (SELECT lang, avail,
+          CAST(avail * 100000 // tot AS BIGINT) AS fl,
+          (avail * 100000) % tot AS rem
+        FROM a, tt),
+      x AS (SELECT 100000 - SUM(fl) AS extra FROM q)
+      SELECT lang, CAST(avail AS BIGINT) AS avail,
+        CAST(fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+              <= extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      FROM q, x ORDER BY lang""")),
+
+    // Asymmetric n-gram CONTAINMENT dedup (NearDup.containmentPairs):
+    // Broder's containment coefficient flags excerpt/quote/wrapper
+    // relations symmetric Jaccard misses (a fragment inside a much
+    // larger container has tiny Jaccard but high containment). One
+    // undirected intersection count per candidate pair yields BOTH
+    // directed rows; the threshold is an exact integer cross-multiply.
+    ("q236_containment_pairs", (s: SparkSession, d: String) => {
+      NearDup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 3, minPct = 70)
+        .orderBy("d_sub", "d_sup")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      g AS (SELECT DISTINCT doc_id,
+              unnest(CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [array_to_string(toks, ' ')] END) AS gram
+            FROM t),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+      inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      j AS (SELECT d1, d2, n_common, sa.sz AS sz1, sb.sz AS sz2
+            FROM inter JOIN sizes sa ON sa.doc_id = d1
+                       JOIN sizes sb ON sb.doc_id = d2),
+      dir AS (SELECT d1 AS d_sub, d2 AS d_sup, n_common, sz1 AS sz_sub FROM j
+              UNION ALL
+              SELECT d2, d1, n_common, sz2 FROM j)
+      SELECT d_sub, d_sup, CAST(n_common AS BIGINT) AS n_common,
+        CAST(sz_sub AS BIGINT) AS sz_sub
+      FROM dir WHERE n_common * 100 >= 70 * sz_sub
+      ORDER BY d_sub, d_sup"""))
   )
 }

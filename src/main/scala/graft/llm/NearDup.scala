@@ -87,6 +87,48 @@ object NearDup {
     res
   }
 
+  /** Exact n-gram CONTAINMENT pairs — the asymmetric near-dup relation
+    * Jaccard misses: containment(sub→sup) = |grams(sub) ∩ grams(sup)| /
+    * |grams(sub)| flags a short document whose content is (mostly) a
+    * SUBSET of a longer one (quotes, excerpts, wrapper pages around a
+    * syndicated body) even when the symmetric Jaccard is tiny because
+    * the container is much larger. Broder's containment coefficient —
+    * the relation behind "this doc is an excerpt of that one" dedup
+    * policies (keep the superset, drop the fragment).
+    *
+    * Same inverted-index discipline as [[jaccardPairs]] (8-byte gram
+    * hashes, one undirected intersection count per candidate pair);
+    * both DIRECTED rows derive from the single symmetric n_common, and
+    * the threshold is an exact integer cross-multiply
+    * (100·n_common >= minPct·sz_sub) — no float compare in the gate.
+    *
+    * @param minPct containment threshold in percent (e.g. 80)
+    * @return (d_sub, d_sup, n_common, sz_sub) — directed: d_sub's grams
+    *         are >= minPct% contained in d_sup's */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minPct: Int): DataFrame = {
+    require(minPct > 0 && minPct <= 100, s"minPct in (0,100], got $minPct")
+    val grams = gramsOf(docs, idCol, textCol, n)
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+    val directed = inter
+      .select(col("d1").as("d_sub"), col("d2").as("d_sup"),
+        col("n_common"), col("sz1").as("sz_sub"))
+      .union(inter.select(col("d2"), col("d1"), col("n_common"), col("sz2")))
+      .filter(col("n_common") * 100 >= lit(minPct) * col("sz_sub"))
+    val res = directed.localCheckpoint(true)
+    grams.unpersist()
+    res
+  }
+
   /** Exact n-gram Jaccard similar pairs via PREFIX FILTERING (the
     * AllPairs/PPJoin candidate scheme — Bayardo et al., WWW'07): same
     * output as [[jaccardPairs]], subquadratic candidate generation.

@@ -347,4 +347,24 @@ class CurationSpec extends SparkSpec {
     assert(r.toSeq == Seq(("p", 5L, 0L, 0L, 5L, 10.0),
       ("m", 2L, 2L, 3L, 3L, 0.0)))
   }
+
+  test("apportionBudget: hand-computed largest-remainder, sums exactly") {
+    // avail 30/30/40 of 100, budget 10: quotas 3.0/3.0/4.0 — no
+    // remainder seats. avail 10/10/10 of 30, budget 10: quotas 10/3
+    // each -> floors 3,3,3, extra 1 goes to smallest key 'a'.
+    val even = Seq(("a", 30L), ("b", 30L), ("c", 40L)).toDF("s", "w")
+    val r1 = Curation.apportionBudget(even, "s", "w", 10L)
+      .orderBy("s").as[(String, Long, Long)].collect()
+    assert(r1.toSeq == Seq(("a", 30L, 3L), ("b", 30L, 3L), ("c", 40L, 4L)))
+    val thirds = Seq(("a", 10L), ("b", 10L), ("c", 10L)).toDF("s", "w")
+    val r2 = Curation.apportionBudget(thirds, "s", "w", 10L)
+      .orderBy("s").as[(String, Long, Long)].collect()
+    assert(r2.toSeq == Seq(("a", 10L, 4L), ("b", 10L, 3L), ("c", 10L, 3L)))
+    // property: allocations always sum to the budget
+    val skew = Seq(("a", 7L), ("b", 13L), ("c", 999L), ("d", 1L))
+      .toDF("s", "w")
+    val total = Curation.apportionBudget(skew, "s", "w", 12345L)
+      .agg(sum("alloc")).as[Long].head()
+    assert(total == 12345L)
+  }
 }

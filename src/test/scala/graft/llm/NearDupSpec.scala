@@ -143,6 +143,28 @@ class NearDupSpec extends SparkSpec {
       && fast.forall { case (a, b) => block(a) == block(b) })
   }
 
+  test("containmentPairs: fragment flagged inside container, not vice versa") {
+    import spark.implicits._
+    // doc 2 is a verbatim fragment of doc 1 (all of its 3-grams are in
+    // doc 1), but doc 1 is much larger: containment(2→1)=100%, while
+    // containment(1→2) and jaccard are both small. doc 3 is unrelated.
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val frag = (5 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, body), (2L, frag), (3L, "x y z q r s"))
+      .toDF("doc_id", "text")
+    val out = NearDup.containmentPairs(docs, "doc_id", "text",
+        n = 3, minPct = 80)
+      .select("d_sub", "d_sup").as[(Long, Long)].collect().toSet
+    assert(out == Set((2L, 1L)), s"got $out")
+    // symmetric near-identical pair emits BOTH directions
+    val twins = Seq((1L, "a b c d e f"), (2L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val both = NearDup.containmentPairs(twins, "doc_id", "text",
+        n = 3, minPct = 80)
+      .select("d_sub", "d_sup").as[(Long, Long)].collect().toSet
+    assert(both == Set((1L, 2L), (2L, 1L)), s"got $both")
+  }
+
   private def levenshteinRef(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
