@@ -301,6 +301,31 @@ object Curation {
           .otherwise(0L)).as("alloc"))
   }
 
+  /** Exact-count stratified sample hitting an [[apportionBudget]]
+    * allocation: apportion `budget` DOCUMENTS across strata
+    * proportionally (largest-remainder, so the per-stratum counts sum
+    * exactly to the budget), then take exactly alloc_s docs per stratum
+    * by hash rank — the reproducible take-order of `sampleExactK`
+    * (xxhash64 asc, id tiebreak). Unlike the rate-based gates
+    * ([[sampleStratified]], [[temperatureMix]]) whose output size is
+    * binomial around the target, the sample size here is EXACT — what a
+    * shard-budgeted export actually needs. Alloc table is
+    * stratum-count-sized (broadcast); the rank is a keyed window.
+    *
+    * @return input rows of the selected sample (all columns) */
+  def sampleApportioned(df: DataFrame, idCol: String, stratumCol: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alloc = apportionBudget(df.withColumn("__one", lit(1L)),
+        stratumCol, "__one", budget)
+      .select(col(stratumCol), col("alloc"))
+    df.join(broadcast(alloc), Seq(stratumCol))
+      .withColumn("__rk", row_number().over(Window.partitionBy(stratumCol)
+        .orderBy(xxhash64(col(idCol)), col(idCol))))
+      .filter(col("__rk") <= col("alloc"))
+      .drop("__rk", "alloc")
+  }
+
   /** Deterministic rebalance-to-uniform: downsample every stratum to
     * (approximately) the size of the smallest one, by computing per-stratum
     * keep rates floor(min_count·100 / count) and gating rows with the same

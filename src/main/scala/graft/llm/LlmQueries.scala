@@ -2391,6 +2391,40 @@ object LlmQueries {
       SELECT d_sub, d_sup, CAST(n_common AS BIGINT) AS n_common,
         CAST(sz_sub AS BIGINT) AS sz_sub
       FROM dir WHERE n_common * 100 >= 70 * sz_sub
-      ORDER BY d_sub, d_sup"""))
+      ORDER BY d_sub, d_sup""")),
+
+    // Exact-count stratified sample (Curation.sampleApportioned): q235's
+    // largest-remainder apportionment decides per-stratum DOC counts
+    // summing exactly to the budget; the q102 hash-rank take
+    // materializes them — the shard-budgeted export whose output size
+    // is exact, not binomial-around-target like rate gates. Oracle
+    // replays both stages: the Hamilton allocation CTE chain + the
+    // seed-42 xxhash64 rank.
+    ("q237_sample_apportioned", (s: SparkSession, d: String) => {
+      Curation.sampleApportioned(t(s, d, "documents"), "doc_id", "lang",
+          budget = 300L)
+        .select("doc_id", "lang").orderBy("lang", "doc_id")
+    }, Some(s"""
+      WITH a AS (SELECT lang, CAST(COUNT(*) AS HUGEINT) AS avail
+                 FROM documents GROUP BY 1),
+      tt AS (SELECT SUM(avail) AS tot FROM a),
+      q AS (SELECT lang, avail,
+          CAST(avail * 300 // tot AS BIGINT) AS fl,
+          (avail * 300) % tot AS rem
+        FROM a, tt),
+      x AS (SELECT 300 - SUM(fl) AS extra FROM q),
+      al AS (SELECT lang, fl + CASE
+            WHEN row_number() OVER (ORDER BY rem DESC, lang) <= extra
+            THEN 1 ELSE 0 END AS alloc
+        FROM q, x),
+      h AS (SELECT doc_id, lang,
+        ${XxHashOracle.signed(XxHashOracle.hashLong(
+          "CAST(doc_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} AS hv
+        FROM documents),
+      r AS (SELECT doc_id, lang,
+          row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+        FROM h)
+      SELECT r.doc_id, r.lang FROM r JOIN al USING (lang)
+      WHERE rk <= alloc ORDER BY lang, doc_id"""))
   )
 }

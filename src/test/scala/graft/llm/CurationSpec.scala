@@ -367,4 +367,25 @@ class CurationSpec extends SparkSpec {
       .agg(sum("alloc")).as[Long].head()
     assert(total == 12345L)
   }
+
+  test("sampleApportioned: exact output size, reproducible, proportional") {
+    val langed = docs.withColumn("lang2",
+      concat(lit("l"), pmod(col("doc_id"), lit(4))))
+    def take() = Curation.sampleApportioned(langed, "doc_id", "lang2", 97L)
+      .select("doc_id").as[Long].collect().toSet
+    val s1 = take()
+    assert(s1.size == 97, s"exact-count violated: ${s1.size}")
+    assert(s1 == take(), "not reproducible")
+    // per-stratum counts match the Hamilton allocation of 97 over the
+    // stratum sizes (each within 1 of the proportional quota)
+    val sizes = langed.groupBy("lang2").count()
+      .as[(String, Long)].collect().toMap
+    val n = sizes.values.sum
+    val got = langed.filter(col("doc_id").isin(s1.toSeq: _*))
+      .groupBy("lang2").count().as[(String, Long)].collect().toMap
+    got.foreach { case (l, c) =>
+      val quota = 97.0 * sizes(l) / n
+      assert(math.abs(c - quota) <= 1.0, s"$l: got $c, quota $quota")
+    }
+  }
 }
