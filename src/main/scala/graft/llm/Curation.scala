@@ -276,8 +276,12 @@ object Curation {
     * stratum-count-sized relation — windows over it are metadata, the
     * [[graft.ops.Layout.globalRowNumber]] level-1 discipline.
     *
-    * @return one row per stratum: (stratumCol, avail, alloc) with
-    *         sum(alloc) = min(budget, sum(avail)) when budget <= total
+    * @return one row per stratum: (stratumCol, avail, alloc);
+    *         sum(alloc) = budget always. When budget > sum(avail) an
+    *         alloc_s may exceed avail_s (apportionment is agnostic to
+    *         capacity) — a consumer that TAKES alloc_s items, e.g.
+    *         [[sampleApportioned]], then exhausts the stratum and
+    *         returns fewer than budget rows.
     */
   def apportionBudget(df: DataFrame, stratumCol: String, weightCol: String,
       budget: Long): DataFrame = {
@@ -324,6 +328,61 @@ object Curation {
         .orderBy(xxhash64(col(idCol)), col(idCol))))
       .filter(col("__rk") <= col("alloc"))
       .drop("__rk", "alloc")
+  }
+
+  /** Cross-source score calibration: a raw quality score is comparable
+    * only WITHIN its source (each source's scorer has its own scale and
+    * offset — web-crawl perplexity vs. curated-corpus perplexity), so
+    * mixing policies threshold the within-source PERCENTILE instead.
+    * calib_bp = (rank-1)·10000 DIV (n_s-1) — the basis-point
+    * percent_rank, computed in exact integers (rank ties share a value,
+    * n_s = 1 pins to 0) so both engines agree bit-for-bit where a float
+    * percent_rank could differ in the last ulp. One keyed window + one
+    * stratum-count-sized broadcast; the corpus never crosses a global
+    * window.
+    *
+    * @return input plus `calib_bp` in [0, 10000] */
+  def calibrateScores(df: DataFrame, stratumCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
+    df.join(broadcast(counts), Seq(stratumCol))
+      .withColumn("__r", rank().over(
+        Window.partitionBy(stratumCol).orderBy(scoreCol)))
+      .withColumn("calib_bp",
+        when(col("__n") === 1, 0L).otherwise(
+          expr("(__r - 1) * 10000 DIV (__n - 1)")))
+      .drop("__r", "__n")
+  }
+
+  /** Vocabulary coverage / OOV curve: for each candidate vocab size S
+    * (top-S tokens by corpus frequency), the fraction of all token
+    * OCCURRENCES not covered — the curve a tokenizer design reads to
+    * pick its vocab size. Token ranks come from
+    * [[graft.ops.Layout.globalRowNumber]] (coarse = frequency, fine =
+    * token) so the vocabulary relation never crosses a single-partition
+    * window either; coverage per size is a conditional aggregate over
+    * the sizes×vocab join, not a prefix sum. All integer until the
+    * closing basis-point division (DIV — exact).
+    *
+    * @return one row per size: (vocab_size, n_types, covered, oov_bp) */
+  def vocabCoverage(df: DataFrame, textCol: String,
+      sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty, "sizes must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val freqs = df.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val ranked = graft.ops.Layout.globalRowNumber(freqs, "freq", "tok")
+    val total = freqs.agg(sum(col("freq")).as("__tot"))
+    ranked.crossJoin(broadcast(sizes.toDF("vocab_size")))
+      .filter(col("rn") <= col("vocab_size"))
+      .groupBy("vocab_size")
+      .agg(count(lit(1)).as("n_types"), sum(col("freq")).as("covered"))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_size").cast("long").as("vocab_size"),
+        col("n_types"), col("covered"),
+        expr("10000 - covered * 10000 DIV __tot").as("oov_bp"))
   }
 
   /** Deterministic rebalance-to-uniform: downsample every stratum to

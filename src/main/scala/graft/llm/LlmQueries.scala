@@ -2425,6 +2425,53 @@ object LlmQueries {
           row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
         FROM h)
       SELECT r.doc_id, r.lang FROM r JOIN al USING (lang)
-      WHERE rk <= alloc ORDER BY lang, doc_id"""))
+      WHERE rk <= alloc ORDER BY lang, doc_id""")),
+
+    // Cross-source score calibration (Curation.calibrateScores): raw
+    // quality scores are comparable only within their source, so mixing
+    // thresholds the within-source percentile — basis-point percent_rank
+    // in EXACT integers ((rank-1)*10000 DIV (n-1); a float percent_rank
+    // could differ in the last ulp between engines). One keyed window +
+    // a stratum-count broadcast; same calib_bp = same standing in your
+    // own source, whatever the raw scale.
+    ("q238_score_calibration", (s: SparkSession, d: String) => {
+      Curation.calibrateScores(t(s, d, "documents"), "lang", "n_chars")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("calib_bp"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH n AS (SELECT lang, COUNT(*) AS ns FROM documents GROUP BY 1),
+      r AS (SELECT doc_id, lang, n_chars,
+          rank() OVER (PARTITION BY lang ORDER BY n_chars) AS rk
+        FROM documents)
+      SELECT doc_id, r.lang, n_chars,
+        CAST(CASE WHEN ns = 1 THEN 0
+             ELSE (rk - 1) * 10000 // (ns - 1) END AS BIGINT) AS calib_bp
+      FROM r JOIN n ON r.lang = n.lang
+      ORDER BY doc_id""")),
+
+    // Vocabulary coverage / OOV curve (Curation.vocabCoverage): token
+    // occurrences NOT covered by the top-S-by-frequency vocab, per
+    // candidate size — the tokenizer-design curve. Ranks via the q234
+    // two-level scheme (the vocabulary never crosses a single-partition
+    // window); per-size coverage is a conditional aggregate, not a
+    // prefix sum; exact integers to the closing DIV.
+    ("q239_vocab_coverage", (s: SparkSession, d: String) => {
+      Curation.vocabCoverage(t(s, d, "documents"), "text",
+          sizes = Seq(100, 500, 1000, 5000, 20000))
+        .orderBy("vocab_size")
+    }, Some("""
+      WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+            AS tok FROM documents),
+      f AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY 1),
+      rk AS (SELECT tok, freq,
+          row_number() OVER (ORDER BY freq DESC, tok) AS rn FROM f),
+      tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM f),
+      sz(vocab_size) AS (VALUES (100), (500), (1000), (5000), (20000))
+      SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+        COUNT(*) AS n_types, CAST(SUM(freq) AS BIGINT) AS covered,
+        CAST(10000 - CAST(SUM(freq) AS BIGINT) * 10000 // t AS BIGINT)
+          AS oov_bp
+      FROM sz JOIN rk ON rn <= vocab_size, tot
+      GROUP BY vocab_size, t ORDER BY vocab_size"""))
   )
 }

@@ -388,4 +388,26 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(c - quota) <= 1.0, s"$l: got $c, quota $quota")
     }
   }
+
+  test("calibrateScores: hand-computed basis points, ties share, n=1 is 0") {
+    // src a: scores 10,20,20,40 (n=4): ranks 1,2,2,4 ->
+    // bp 0, 3333, 3333, 10000. src b: one row -> 0.
+    val fix = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L),
+      (4L, "a", 40L), (5L, "b", 7L)).toDF("id", "src", "score")
+    val out = Curation.calibrateScores(fix, "src", "score")
+      .select("id", "calib_bp").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 3333L, 3L -> 3333L,
+      4L -> 10000L, 5L -> 0L), s"got $out")
+  }
+
+  test("vocabCoverage: hand-computed OOV at each size") {
+    // freqs: x:4, y:2, z:1, w:1 (total 8). Ranked x,y,z,w.
+    // S=1: covered 4 -> oov 5000bp. S=2: 6 -> 2500. S=4: 8 -> 0.
+    val fix = Seq("x x y z", "x x y w").toDF("text")
+    val out = Curation.vocabCoverage(fix, "text", Seq(1, 2, 4))
+      .select("vocab_size", "n_types", "covered", "oov_bp")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 4L, 5000L), (2L, 2L, 6L, 2500L),
+      (4L, 4L, 8L, 0L)), s"got $out")
+  }
 }
