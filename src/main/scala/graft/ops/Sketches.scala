@@ -110,4 +110,32 @@ object Sketches {
         (lit(i.toLong) * width +
           pmod(xxhash64(lit(i), key), lit(width.toLong))).cast("int") + 1)
     }: _*)
+
+  /** K-minimum-values (KMV / bottom-k) distinct-count sketch — the
+    * order-statistics member of the sketch family (HLL q157 keeps
+    * register maxima; KMV keeps the k smallest hash values, merges by
+    * union+re-truncate, and ALSO supports set intersection estimates,
+    * which HLL cannot). Estimator: with U = unsigned position of the
+    * k-th smallest of D uniform 64-bit hashes, E[U] ≈ k/(D+1)·2^64, so
+    * D̂ = (k-1)·2^64/U (the unbiased form). Deterministic end to end:
+    * hashes are xxhash64 (seed 42), the k smallest survive a
+    * TakeOrderedAndProject (per-partition top-k, never a global sort),
+    * and the one float is the closing division — both engines divide
+    * the same exact integers. Returns ONE row:
+    * (n_kept, kth_hash signed, est_distinct); n_kept < k means the
+    * sketch saw fewer than k distinct keys and the exact count IS
+    * n_kept. */
+  def kmvDistinct(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val hashes = df.select(xxhash64(col(keyCol)).as("h")).distinct()
+    hashes.orderBy("h").limit(k)
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash"))
+      .select(col("n_kept"), col("kth_hash"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 64)) /
+            (col("kth_hash").cast("decimal(38,0)") +
+              lit("9223372036854775808").cast("decimal(38,0)"))
+              .cast("double"))
+          .as("est_distinct"))
+  }
 }

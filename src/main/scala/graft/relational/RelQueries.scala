@@ -4173,7 +4173,87 @@ object RelQueries {
       FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
         ON p.user_id = v.user_id
         AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
-      ORDER BY user_id NULLS FIRST, p_id NULLS FIRST, v_id NULLS FIRST"""))
+      ORDER BY user_id NULLS FIRST, p_id NULLS FIRST, v_id NULLS FIRST""")),
+
+    // Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric two-sample
+    // location test, completing the stats family beside moments (q71),
+    // regression (q205), Spearman (q215), chi-square (q207): does the
+    // n_chars distribution of English docs differ from the rest? The
+    // q215 doubled-rank discipline keeps EVERYTHING integer: doubled
+    // average ranks from the value-count pre-aggregate (ties share),
+    // doubled U = Σr2 − n(n+1) per group; the identity
+    // u2_en + u2_other = 2·n_en·n_other is the built-in cross-check.
+    // The corpus crosses one value-count aggregate; the rank window
+    // runs on the value-cardinality-sized relation.
+    ("q240_mann_whitney_u", (s: SparkSession, d: String) => {
+      val v = t(s, d, "documents")
+        .select((col("lang") === "en").as("grp"), col("n_chars").as("v"))
+      val cnts = v.groupBy("v").agg(count(lit(1)).as("cnt"),
+        sum(when(col("grp"), 1L).otherwise(0L)).as("cnt_en"))
+      val w = Window.orderBy("v")
+      val r2 = cnts.withColumn("r2",
+        lit(2L) * coalesce(sum(col("cnt")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) +
+          col("cnt") + 1)
+      r2.agg(sum(col("cnt_en")).as("n_en"),
+          sum(col("cnt") - col("cnt_en")).as("n_other"),
+          sum(col("cnt_en") * col("r2")).as("rr_en"),
+          sum((col("cnt") - col("cnt_en")) * col("r2")).as("rr_other"))
+        .select(col("n_en"), col("n_other"),
+          (col("rr_en") - col("n_en") * (col("n_en") + 1)).as("u2_en"),
+          (col("rr_other") - col("n_other") * (col("n_other") + 1))
+            .as("u2_other"))
+    }, Some("""
+      WITH v AS (SELECT (lang = 'en') AS grp, n_chars AS v FROM documents),
+      c AS (SELECT v, COUNT(*) AS cnt,
+          SUM(CASE WHEN grp THEN 1 ELSE 0 END) AS cnt_en
+        FROM v GROUP BY 1),
+      r AS (SELECT v, cnt, cnt_en,
+          2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + cnt + 1 AS r2
+        FROM c),
+      m AS (SELECT CAST(SUM(cnt_en) AS BIGINT) AS n_en,
+          CAST(SUM(cnt - cnt_en) AS BIGINT) AS n_other,
+          CAST(SUM(cnt_en * r2) AS BIGINT) AS rr_en,
+          CAST(SUM((cnt - cnt_en) * r2) AS BIGINT) AS rr_other
+        FROM r)
+      SELECT n_en, n_other,
+        CAST(rr_en - n_en * (n_en + 1) AS BIGINT) AS u2_en,
+        CAST(rr_other - n_other * (n_other + 1) AS BIGINT) AS u2_other
+      FROM m""")),
+
+    // KMV (bottom-k) distinct sketch under the exact gate (the q147
+    // discipline: approx and exact side by side, both replayed): the
+    // order-statistics sketch member beside HLL (q157), bloom (q160),
+    // count-min (q161) — k smallest xxhash64 values, estimate
+    // (k-1)·2^64/U from the k-th. The k survivors come from a
+    // TakeOrderedAndProject (per-partition top-k), never a global sort;
+    // the one float is the closing division of identical exact ints.
+    ("q241_kmv_distinct", (s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem")
+      Sketches.kmvDistinct(li, "l_orderkey", k = 256)
+        .crossJoin(broadcast(
+          li.agg(countDistinct(col("l_orderkey")).as("exact_distinct"))))
+    }, Some {
+      import graft.llm.XxHashOracle
+      val h = XxHashOracle.signed(XxHashOracle.hashLong(
+        "CAST(l_orderkey AS HUGEINT)", "CAST(42 AS HUGEINT)"))
+      s"""
+      WITH h AS (SELECT DISTINCT $h AS h FROM lineitem),
+      k AS (SELECT h FROM h ORDER BY h LIMIT 256),
+      s AS (SELECT COUNT(*) AS n_kept,
+            CAST(MAX(h) AS BIGINT) AS kth_hash FROM k),
+      e AS (SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct
+            FROM lineitem)
+      SELECT n_kept, kth_hash,
+        CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+             ELSE 255.0 * 18446744073709551616.0 /
+               CAST(CAST(kth_hash AS HUGEINT)
+                 + CAST('9223372036854775808' AS HUGEINT) AS DOUBLE)
+        END AS est_distinct, exact_distinct
+      FROM s, e"""
+    })
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session

@@ -67,4 +67,24 @@ class SketchesSpec extends SparkSpec {
       .as[Seq[Long]].head()
     assert(a == b)
   }
+
+  test("kmv: exact below k, estimate within 3/sqrt(k) above, invariant") {
+    // fewer distinct keys than k: n_kept IS the exact count
+    val small = (0L until 500L).map(_ % 40).toDF("k")
+    val (nk, _, est) = Sketches.kmvDistinct(small, "k", 256)
+      .as[(Long, Long, Double)].head()
+    assert(nk == 40L && est == 40.0)
+    // many distinct: relative error of the k-th order statistic is
+    // ~1/sqrt(k) (sigma); allow 3 sigma
+    val big = (0L until 100000L).toDF("k")
+    val (nk2, _, est2) = Sketches.kmvDistinct(big, "k", 256)
+      .as[(Long, Long, Double)].head()
+    assert(nk2 == 256L)
+    assert(math.abs(est2 - 100000.0) / 100000.0 < 3.0 / math.sqrt(256),
+      s"estimate $est2")
+    // partition-invariant (top-k is a total order, no sampling)
+    val est3 = Sketches.kmvDistinct(big.repartition(13), "k", 256)
+      .as[(Long, Long, Double)].head()._3
+    assert(est2 == est3)
+  }
 }
