@@ -48,6 +48,73 @@ object Layout {
   def rangeFileId(value: Column, boundaries: Column): Column =
     size(filter(boundaries, b => value > b))
 
+  /** Hilbert-curve index of a 2-D point (the xy2d walk of the classic
+    * iterative algorithm): like [[zValue]] a space-filling order that
+    * keeps rows close in BOTH dimensions close in ONE sort key, but the
+    * Hilbert curve never makes the long diagonal jumps Morton order
+    * takes between quadrant boundaries, so per-file min/max boxes come
+    * out tighter — the curve production table formats reach for when
+    * Z-order clustering isn't tight enough. One bit level per chained
+    * projection (simultaneous x/y/d rewrite via `withColumns`, so
+    * Catalyst keeps the expression tree LINEAR in `bits` — a single
+    * nested expression would re-expand the rotation 6-fold per level),
+    * all integer CASE/AND/XOR arithmetic: map-only, codegen'd,
+    * replayable bit-for-bit from [[hilbertSqlCtes]].
+    *
+    * @param bits curve order; coords must lie in [0, 2^bits)
+    * @return input plus `out` — the Hilbert d in [0, 4^bits) */
+  def hilbertIndex(df: org.apache.spark.sql.DataFrame, xCol: String,
+      yCol: String, bits: Int, out: String = "h"):
+      org.apache.spark.sql.DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val init = df.withColumns(Map(
+      "__hx" -> col(xCol).cast("long"), "__hy" -> col(yCol).cast("long"),
+      "__hd" -> lit(0L)))
+    val walked = (bits - 1 to 0 by -1).foldLeft(init) { (cur, i) =>
+      val s = 1L << i
+      val rx = when(col("__hx").bitwiseAND(lit(s)) > 0, lit(1L))
+        .otherwise(lit(0L))
+      val ry = when(col("__hy").bitwiseAND(lit(s)) > 0, lit(1L))
+        .otherwise(lit(0L))
+      cur.withColumns(Map(
+        "__hd" -> (col("__hd") + lit(s * s) *
+          (lit(3L) * rx).bitwiseXOR(ry)),
+        // rotation: ry=1 keeps the frame; ry=0 swaps axes, and rx=1
+        // additionally reflects both coordinates
+        "__hx" -> when(ry === 1, col("__hx"))
+          .when(rx === 1, lit(s - 1) - col("__hy")).otherwise(col("__hy")),
+        "__hy" -> when(ry === 1, col("__hy"))
+          .when(rx === 1, lit(s - 1) - col("__hx")).otherwise(col("__hx"))))
+    }
+    walked.withColumn(out, col("__hd")).drop("__hx", "__hy", "__hd")
+  }
+
+  /** The same walk as chained DuckDB CTEs (one per bit level, mirroring
+    * the engine's per-level projections — generated from the same loop
+    * so the two cannot drift). `src` must provide `hx`, `hy` columns
+    * plus whatever `keep` lists; the final CTE `h$bits` carries keep ++
+    * (hx, hy, hd). */
+  def hilbertSqlCtes(src: String, keep: Seq[String], bits: Int): String = {
+    val init = s"h0 AS (SELECT ${(keep ++ Seq("hx", "hy")).mkString(", ")}, " +
+      s"CAST(0 AS BIGINT) AS hd FROM $src)"
+    val steps = (bits - 1 to 0 by -1).zipWithIndex.map { case (i, idx) =>
+      val s = 1L << i
+      // every reference is p.-qualified: DuckDB lateral column aliases
+      // would otherwise shadow the source hx/hy mid-SELECT
+      val cols = keep.map(c => s"p.$c").mkString(", ")
+      s"""h${idx + 1} AS (SELECT $cols,
+        CASE WHEN (p.hy & $s) > 0 THEN p.hx
+             WHEN (p.hx & $s) > 0 THEN ${s - 1} - p.hy ELSE p.hy END AS hx,
+        CASE WHEN (p.hy & $s) > 0 THEN p.hy
+             WHEN (p.hx & $s) > 0 THEN ${s - 1} - p.hx ELSE p.hx END AS hy,
+        p.hd + ${s * s} *
+          xor(3 * CASE WHEN (p.hx & $s) > 0 THEN 1 ELSE 0 END,
+            CASE WHEN (p.hy & $s) > 0 THEN 1 ELSE 0 END) AS hd
+        FROM h$idx p)"""
+    }
+    (init +: steps).mkString(",\n      ")
+  }
+
   /** Contiguous global row numbers over (coarseKey DESC, fineKey ASC)
     * WITHOUT a single-partition window — the two-level scheme every
     * 100 TB "assign sequence ids" job needs (a bare

@@ -138,4 +138,35 @@ object Sketches {
               .cast("double"))
           .as("est_distinct"))
   }
+
+  /** KMV set-INTERSECTION estimate — the operation [[kmvDistinct]]'s
+    * sketch family supports and HLL cannot: the bottom-k of the UNION's
+    * hash space is a uniform sample of the union, so the fraction of
+    * its members present in both sets estimates the Jaccard, and
+    * est_inter = (m/k)·D̂_union. `inA`/`inB` are membership predicates
+    * evaluated per input row; per-key flags fold with max (a key seen
+    * on either side keeps both memberships). One keyed aggregate over
+    * the corpus + one top-k; everything after is k rows.
+    *
+    * @return one row: (n_kept, n_both, est_union, est_inter) */
+  def kmvIntersect(df: DataFrame, keyCol: String, inA: Column, inB: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val flags = df.filter(inA || inB)
+      .select(xxhash64(col(keyCol)).as("h"),
+        inA.cast("int").as("a"), inB.cast("int").as("b"))
+      .groupBy("h").agg(max(col("a")).as("a"), max(col("b")).as("b"))
+    val top = flags.orderBy("h").limit(k)
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("a") * col("b")).as("n_both"), max(col("h")).as("kth"))
+    top.select(col("n_kept"), col("n_both"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 64)) /
+            (col("kth").cast("decimal(38,0)") +
+              lit("9223372036854775808").cast("decimal(38,0)"))
+              .cast("double"))
+          .as("est_union"))
+      .withColumn("est_inter",
+        col("n_both").cast("double") / col("n_kept") * col("est_union"))
+  }
 }

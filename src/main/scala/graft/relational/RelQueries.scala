@@ -4253,6 +4253,88 @@ object RelQueries {
                  + CAST('9223372036854775808' AS HUGEINT) AS DOUBLE)
         END AS est_distinct, exact_distinct
       FROM s, e"""
+    }),
+
+    // Hilbert-curve layout (ops.Layout.hilbertIndex) — q151's Z-order
+    // sibling with the curve that never takes Morton's quadrant-boundary
+    // diagonal jumps, so per-file min/max boxes come out tighter. Same
+    // manifest shape as q151 (64 equal-width curve ranges -> per-file
+    // min/max of both dimensions); the oracle replays the xy2d walk
+    // through hilbertSqlCtes — one CTE per bit level, generated from
+    // the same loop as the engine's per-level projections.
+    ("q242_hilbert_layout", (s: SparkSession, d: String) => {
+      import graft.ops.Layout
+      val li = t(s, d, "lineitem").select(
+        (col("l_partkey") % 4096).cast("long").as("pk"),
+        (col("l_suppkey") % 4096).cast("long").as("sk"))
+      val h = Layout.hilbertIndex(li, "pk", "sk", bits = 12)
+      val width = h.agg((expr("max(h) div 64") + 1).as("width"))
+      h.crossJoin(broadcast(width))
+        .withColumn("bucket", expr("h div width"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("pk").as("pk_min"), max("pk").as("pk_max"),
+          min("sk").as("sk_min"), max("sk").as("sk_max"))
+        .orderBy("bucket")
+    }, Some(s"""
+      WITH src AS (SELECT CAST(l_partkey % 4096 AS BIGINT) AS pk,
+          CAST(l_suppkey % 4096 AS BIGINT) AS sk,
+          CAST(l_partkey % 4096 AS BIGINT) AS hx,
+          CAST(l_suppkey % 4096 AS BIGINT) AS hy FROM lineitem),
+      ${graft.ops.Layout.hilbertSqlCtes("src", Seq("pk", "sk"), 12)},
+      b AS (SELECT hd AS h, pk, sk FROM h12),
+      w AS (SELECT (MAX(h) // 64) + 1 AS width FROM b)
+      SELECT h // width AS bucket, COUNT(*) AS n,
+        MIN(pk) AS pk_min, MAX(pk) AS pk_max,
+        MIN(sk) AS sk_min, MAX(sk) AS sk_max
+      FROM b, w GROUP BY 1 ORDER BY bucket""")),
+
+    // KMV set-intersection estimate under the exact gate — the
+    // operation q241's sketch family supports and HLL cannot: how many
+    // customers ordered in BOTH 1995 and 1997? The union's bottom-k is
+    // a uniform hash sample, m/k of it in both sides estimates the
+    // Jaccard, est_inter = (m/k)·D̂_union. Join-cardinality estimation
+    // without touching either full key set twice. Exact counts ride
+    // alongside; both engines divide identical exact integers.
+    ("q243_kmv_intersect", (s: SparkSession, d: String) => {
+      val o = t(s, d, "orders").select(col("o_custkey"),
+        year(col("o_orderdate")).as("yr"))
+      val exact = o.groupBy("o_custkey")
+        .agg(max(when(col("yr") === 1995, 1).otherwise(0)).as("a"),
+          max(when(col("yr") === 1997, 1).otherwise(0)).as("b"))
+        .agg(sum(col("a") * col("b")).as("exact_inter"))
+      Sketches.kmvIntersect(o, "o_custkey",
+          col("yr") === 1995, col("yr") === 1997, k = 256)
+        .crossJoin(broadcast(exact))
+    }, Some {
+      import graft.llm.XxHashOracle
+      val h = XxHashOracle.signed(XxHashOracle.hashLong(
+        "CAST(o_custkey AS HUGEINT)", "CAST(42 AS HUGEINT)"))
+      s"""
+      WITH o AS (SELECT o_custkey, EXTRACT(year FROM o_orderdate) AS yr
+                 FROM orders),
+      f AS (SELECT o_custkey,
+          MAX(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS a,
+          MAX(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS b
+        FROM o GROUP BY 1),
+      fk AS (SELECT $h AS h, a, b FROM f
+             WHERE a = 1 OR b = 1),
+      k AS (SELECT h, a, b FROM fk ORDER BY h LIMIT 256),
+      s AS (SELECT COUNT(*) AS n_kept,
+          CAST(SUM(a * b) AS BIGINT) AS n_both,
+          CAST(MAX(h) AS BIGINT) AS kth FROM k),
+      e AS (SELECT CAST(SUM(a * b) AS BIGINT) AS exact_inter FROM f),
+      u AS (SELECT n_kept, n_both,
+          CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+               ELSE 255.0 * 18446744073709551616.0 /
+                 CAST(CAST(kth AS HUGEINT)
+                   + CAST('9223372036854775808' AS HUGEINT) AS DOUBLE)
+          END AS est_union
+        FROM s)
+      SELECT n_kept, n_both, est_union,
+        CAST(n_both AS DOUBLE) / n_kept * est_union AS est_inter,
+        exact_inter
+      FROM u, e"""
     })
   )
 

@@ -88,6 +88,25 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq(39L, 0L, 21L, 42L)) // a fills even bits, b odd bits
   }
 
+  test("hilbertIndex: bijection on the full grid, unit steps, locality") {
+    // order-3 curve over the full 8x8 grid: d must be a permutation of
+    // 0..63 and consecutive d cells must be Manhattan-adjacent (THE
+    // Hilbert property Z-order lacks — Morton jumps diagonally at
+    // quadrant boundaries)
+    val grid = (for { x <- 0 to 7; y <- 0 to 7 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val walked = Layout.hilbertIndex(grid, "x", "y", bits = 3)
+      .select("h", "x", "y").as[(Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(walked.map(_._1).toSeq == (0L to 63L), "not a bijection")
+    walked.sliding(2).foreach { case Array((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-unit step ($x1,$y1)->($x2,$y2)")
+    }
+    // origin convention of the xy2d walk: d=0 at (0,0)
+    assert(walked.head == ((0L, 0L, 0L)))
+  }
+
   test("globalRowNumber equals the single-partition ROW_NUMBER") {
     import org.apache.spark.sql.expressions.Window
     // duplicate coarse values, a tie-heavy group, and a singleton

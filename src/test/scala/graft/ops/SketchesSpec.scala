@@ -87,4 +87,26 @@ class SketchesSpec extends SparkSpec {
       .as[(Long, Long, Double)].head()._3
     assert(est2 == est3)
   }
+
+  test("kmvIntersect: known overlap estimated within 3 sigma, exact below k") {
+    // A = [0, 20000), B = [10000, 30000): union 30000, inter 10000
+    val rows = (0L until 30000L).map(i => (i, i < 20000L, i >= 10000L))
+      .toDF("k", "ina", "inb")
+    val (nk, m, estU, estI) = Sketches.kmvIntersect(rows, "k",
+        col("ina"), col("inb"), 256)
+      .as[(Long, Long, Double, Double)].head()
+    assert(nk == 256L)
+    // union estimate: ~1/sqrt(k) sigma; intersection adds binomial
+    // noise on m/k (sigma ~ sqrt(p(1-p)/k) relative ~ 15%) — 3 sigma
+    assert(math.abs(estU - 30000.0) / 30000.0 < 3.0 / math.sqrt(256), s"$estU")
+    assert(math.abs(estI - 10000.0) / 10000.0 < 0.45, s"$estI")
+    assert(m > 0)
+    // tiny domain: n_kept < k makes the union exact
+    val small = (0L until 50L).map(i => (i, i < 30L, i >= 20L))
+      .toDF("k", "ina", "inb")
+    val (nk2, m2, estU2, estI2) = Sketches.kmvIntersect(small, "k",
+        col("ina"), col("inb"), 256)
+      .as[(Long, Long, Double, Double)].head()
+    assert(nk2 == 50L && m2 == 10L && estU2 == 50.0 && estI2 == 10.0)
+  }
 }
