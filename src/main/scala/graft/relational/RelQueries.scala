@@ -4335,7 +4335,102 @@ object RelQueries {
         CAST(n_both AS DOUBLE) / n_kept * est_union AS est_inter,
         exact_inter
       FROM u, e"""
-    })
+    }),
+
+    // Exact two-sample Kolmogorov-Smirnov statistic — THE
+    // distribution-drift test (is this week's doc-length distribution
+    // the same as the reference period's?), beside Mann-Whitney's
+    // location test (q240). sup|F1-F2| is computed WITHOUT floats:
+    // D_num = max_v |cum1(v)·n2 - cum2(v)·n1| over the value-count
+    // relation, D = D_num/(n1·n2) as the one closing division. The
+    // corpus crosses one value-count aggregate; both cumulative sums
+    // ride a single window over the value-cardinality-sized relation.
+    ("q244_ks_statistic", (s: SparkSession, d: String) => {
+      val v = t(s, d, "documents")
+        .select((col("lang") === "en").as("grp"), col("n_chars").as("v"))
+      val cnts = v.groupBy("v").agg(
+        sum(when(col("grp"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("grp"), 0L).otherwise(1L)).as("c2"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = cnts.select(
+        sum(col("c1")).over(w).as("f1"), sum(col("c2")).over(w).as("f2"))
+      val tot = cnts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      cum.crossJoin(broadcast(tot))
+        .agg(max(abs(col("f1") * col("n2") - col("f2") * col("n1")))
+          .as("d_num"), first(col("n1")).as("n1"), first(col("n2")).as("n2"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          (col("d_num").cast("double") /
+            (col("n1") * col("n2")).cast("double")).as("d_stat"))
+    }, Some("""
+      WITH v AS (SELECT (lang = 'en') AS grp, n_chars AS v FROM documents),
+      c AS (SELECT v,
+          SUM(CASE WHEN grp THEN 1 ELSE 0 END) AS c1,
+          SUM(CASE WHEN grp THEN 0 ELSE 1 END) AS c2
+        FROM v GROUP BY 1),
+      f AS (SELECT
+          SUM(c1) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+          SUM(c2) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+        FROM c),
+      t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+          CAST(SUM(c2) AS BIGINT) AS n2 FROM c)
+      SELECT n1, n2,
+        CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num,
+        CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS DOUBLE)
+          / CAST(n1 * n2 AS DOUBLE) AS d_stat
+      FROM f, t GROUP BY n1, n2""")),
+
+    // Bitmap-index audience overlap — the roaring-bitmap technique as
+    // relational algebra: each year's buyer set packs into 32-bit words
+    // (word = key div 32, one bit_or aggregate), pairwise overlap is
+    // popcount(AND) summed over co-located words. The shuffle carries
+    // domain/32 words per audience instead of the member lists, and the
+    // word join is an equi-join on word index — how audience-overlap
+    // matrices are computed over billions of members. Bitmaps are
+    // EXACT, so the oracle replays the same packing and also the
+    // direct distinct-member counts: they must agree.
+    ("q245_bitmap_audience", (s: SparkSession, d: String) => {
+      val o = t(s, d, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          col("o_custkey").as("k"))
+        .filter(col("yr").isin(1995, 1996, 1997)).distinct()
+      val words = o.groupBy(col("yr"), expr("k div 32").as("w"))
+        .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(k % 32 AS INT))"))
+          .as("bits"))
+      val counts = words.groupBy("yr")
+        .agg(sum(bit_count(col("bits")).cast("long")).as("n"))
+      val shared = words.as("a").join(words.as("b"),
+          col("a.w") === col("b.w") && col("a.yr") < col("b.yr"))
+        .groupBy(col("a.yr").as("yr_a"), col("b.yr").as("yr_b"))
+        .agg(sum(bit_count(col("a.bits").bitwiseAND(col("b.bits")))
+          .cast("long")).as("n_shared"))
+      shared
+        .join(broadcast(counts.select(col("yr").as("yr_a"), col("n").as("n_a"))),
+          "yr_a")
+        .join(broadcast(counts.select(col("yr").as("yr_b"), col("n").as("n_b"))),
+          "yr_b")
+        .select("yr_a", "yr_b", "n_a", "n_b", "n_shared")
+        .orderBy("yr_a", "yr_b")
+    }, Some("""
+      WITH o AS (SELECT DISTINCT EXTRACT(year FROM o_orderdate) AS yr,
+          o_custkey AS k
+        FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996, 1997)),
+      words AS (SELECT yr, k // 32 AS w,
+          bit_or(CAST(1 AS BIGINT) << CAST(k % 32 AS INT)) AS bits
+        FROM o GROUP BY 1, 2),
+      counts AS (SELECT yr, CAST(SUM(bit_count(bits)) AS BIGINT) AS n
+        FROM words GROUP BY 1),
+      shared AS (SELECT a.yr AS yr_a, b.yr AS yr_b,
+          CAST(SUM(bit_count(a.bits & b.bits)) AS BIGINT) AS n_shared
+        FROM words a JOIN words b ON a.w = b.w AND a.yr < b.yr
+        GROUP BY 1, 2)
+      SELECT yr_a, yr_b, ca.n AS n_a, cb.n AS n_b, n_shared
+      FROM shared JOIN counts ca ON ca.yr = yr_a
+                  JOIN counts cb ON cb.yr = yr_b
+      ORDER BY yr_a, yr_b"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
