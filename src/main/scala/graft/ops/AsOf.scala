@@ -42,4 +42,36 @@ object AsOf {
       .filter(col("__side") === 1)
       .drop("__side", "__rts")
   }
+
+  /** FORWARD as-of: `asofCol` = the smallest right-side `ts` that is >=
+    * the left row's `ts` for the same `key` (null if none) — the
+    * "next event after" lookup (first fill after an order, first
+    * heartbeat after a deploy) that mirrors [[lastRightTs]]'s
+    * point-in-time lookback. Same single union + one keyed window sort
+    * — the frame flips to [current, unbounded following] with
+    * `first(ignoreNulls)`; left rows sort before right rows at equal
+    * timestamps so the match stays inclusive. Linear in |L| + |R| like
+    * the backward form — never a pairwise range join. */
+  def firstRightTs(left: DataFrame, right: DataFrame, key: String, ts: String,
+      asofCol: String = "asof_ts"): DataFrame = {
+    val leftCols = left.columns
+    val l = left.withColumn("__side", lit(0))
+      .withColumn("__rts", lit(null).cast(left.schema(ts).dataType))
+    val r = right.select(col(key), col(ts))
+      .withColumn("__side", lit(1))
+      .withColumn("__rts", col(ts))
+    val rAligned = r.select(
+      leftCols.map { c =>
+        if (c == key || c == ts) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)
+      } ++ Seq(col("__side"), col("__rts")): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.select(leftCols.map(col) ++ Seq(col("__side"), col("__rts")): _*)
+      .unionByName(rAligned)
+      .withColumn(asofCol, first(col("__rts"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .drop("__side", "__rts")
+  }
 }

@@ -4430,7 +4430,31 @@ object RelQueries {
       SELECT yr_a, yr_b, ca.n AS n_a, cb.n AS n_b, n_shared
       FROM shared JOIN counts ca ON ca.yr = yr_a
                   JOIN counts cb ON cb.yr = yr_b
-      ORDER BY yr_a, yr_b"""))
+      ORDER BY yr_a, yr_b""")),
+
+    // FORWARD as-of join (ops.AsOf.firstRightTs) — the "next event
+    // after" lookup completing the as-of family (backward window-form
+    // q18, backward native plan node q65): for each view, the user's
+    // EARLIEST purchase at-or-after it. Same union + one keyed window
+    // sort, frame flipped to [current, unbounded following] — linear in
+    // |L|+|R|, never the quadratic pairwise range join the oracle runs.
+    ("q246_asof_forward", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts")
+      AsOf.firstRightTs(views, purchases, "user_id", "ts", "next_purchase_ts")
+        .filter(col("next_purchase_ts").isNotNull)
+        .select("event_id", "user_id", "next_purchase_ts")
+        .orderBy("event_id")
+    }, Some("""
+      SELECT v.event_id, v.user_id, min(p.ts) AS next_purchase_ts
+      FROM events v JOIN events p
+        ON v.user_id = p.user_id AND p.ts >= v.ts
+       AND p.event_type = 'purchase'
+      WHERE v.event_type = 'view'
+      GROUP BY v.event_id, v.user_id ORDER BY v.event_id"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session

@@ -188,4 +188,63 @@ object GraftProps extends Properties("graft") {
         got == expected
       }
     }
+
+  property("apportionBudget: sums to budget, every alloc within 1 of quota") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(1L, 1000L)).map(_.take(8)),
+      Gen.choose(0L, 5000L)) { (weights, budget) =>
+      val df = weights.zipWithIndex
+        .map { case (w, i) => (s"s$i", w) }.toDF("s", "w")
+      val out = graft.llm.Curation.apportionBudget(df, "s", "w", budget)
+        .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      val tot = weights.sum.toDouble
+      val quotaOk = weights.zipWithIndex.forall { case (w, i) =>
+        math.abs(out(s"s$i") - budget * w / tot) < 1.0 + 1e-9
+      }
+      out.values.sum == budget && quotaOk
+    }
+
+  property("globalRowNumber = single-partition ROW_NUMBER, any data") =
+    Prop.forAll(Gen.nonEmptyListOf(
+      for { id <- Gen.choose(0L, 500L); c <- Gen.choose(0L, 6L) }
+        yield (id, c)).map(_.take(25).distinctBy(_._1))) { rows =>
+      val df = rows.toDF("id", "sz").repartition(4)
+      val fast = graft.ops.Layout.globalRowNumber(df, "sz", "id")
+        .select("id", "rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val naive = rows.sortBy { case (id, c) => (-c, id) }
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      fast == naive
+    }
+
+  property("hilbertIndex: bijection with unit steps, any curve order") =
+    Prop.forAll(Gen.choose(1, 4)) { bits =>
+      val n = 1 << bits
+      val grid = (for { x <- 0 until n; y <- 0 until n }
+        yield (x.toLong, y.toLong)).toDF("x", "y")
+      val walked = graft.ops.Layout.hilbertIndex(grid, "x", "y", bits)
+        .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+        .sortBy(_._1)
+      walked.map(_._1).toSeq == (0L until (n.toLong * n)) &&
+        walked.sliding(2).forall {
+          case Array((_, x1, y1), (_, x2, y2)) =>
+            math.abs(x1 - x2) + math.abs(y1 - y2) == 1
+          case _ => true
+        }
+    }
+
+  property("forward as-of = brute-force min future right ts, any data") =
+    Prop.forAll(asofLeft, asofLeft) { (l, r) =>
+      val left = l.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("id", "k", "t")
+      val right = r.map { case (k, t) => (k, t) }.toDF("k", "t")
+      val got = graft.ops.AsOf.firstRightTs(left, right, "k", "t", "nxt")
+        .select("id", "nxt")
+        .collect().map(x => (x.getLong(0), Option(x.get(1)))).toMap
+      val brute = l.zipWithIndex.map { case ((k, t), i) =>
+        val future = r.filter(p => p._1 == k && p._2 >= t).map(_._2)
+        (i.toLong, if (future.isEmpty) None else Some(future.min: Any))
+      }.toMap
+      got == brute
+    }
 }
