@@ -4454,7 +4454,189 @@ object RelQueries {
         ON v.user_id = p.user_id AND p.ts >= v.ts
        AND p.event_type = 'purchase'
       WHERE v.event_type = 'view'
-      GROUP BY v.event_id, v.user_id ORDER BY v.event_id"""))
+      GROUP BY v.event_id, v.user_id ORDER BY v.event_id""")),
+
+    // Gaps-and-islands — longest consecutive-day activity streak per
+    // user. The island id is dayNum - row_number() (constant within a
+    // run of consecutive days), so the whole computation is one keyed
+    // window plus two keyed aggregations: no self-join, no range join,
+    // every shuffle keyed on user_id and linear in distinct
+    // (user, day) pairs. The streak analytic a 100 TB events table
+    // actually runs (DAU streaks, on-time delivery runs).
+    ("q247_streak_islands", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("user_id").orderBy("day_num")
+      val islands = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .withColumn("day_num",
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+        .withColumn("grp", col("day_num") - row_number().over(w))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      islands.groupBy("user_id")
+        .agg(max("len").as("longest_streak"),
+          count(lit(1)).as("n_islands"),
+          sum("len").cast("long").as("n_active_days"))
+        .filter(col("longest_streak") >= 3)
+        .orderBy("user_id")
+    }, Some("""
+      WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events),
+      numbered AS (SELECT user_id,
+          CAST(day - DATE '1970-01-01' AS BIGINT) AS day_num,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        FROM days),
+      islands AS (SELECT user_id, day_num - rn AS grp,
+          CAST(COUNT(*) AS BIGINT) AS len
+        FROM numbered GROUP BY 1, 2)
+      SELECT user_id, MAX(len) AS longest_streak,
+        CAST(COUNT(*) AS BIGINT) AS n_islands,
+        CAST(SUM(len) AS BIGINT) AS n_active_days
+      FROM islands GROUP BY user_id
+      HAVING MAX(len) >= 3
+      ORDER BY user_id""")),
+
+    // Market-basket association rules — brand co-occurrence across
+    // order baskets with support, confidence, and lift. The pair space
+    // is generated per basket (bounded by distinct brands per order,
+    // never corpus-quadratic), counts stay BIGINT end to end, and
+    // confidence/lift are each ONE double division of exact integer
+    // products. Item totals are brand-cardinality-sized and broadcast
+    // onto the pair relation.
+    ("q248_market_basket", (s: SparkSession, d: String) => {
+      val baskets = t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct()
+      val totals = baskets.agg(count_distinct(col("ok")).as("n_orders"))
+      val items = baskets.groupBy("brand").agg(count(lit(1)).as("n_item"))
+      val pairs = baskets.as("a")
+        .join(baskets.as("b"),
+          col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
+        .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 20)
+      pairs
+        .join(broadcast(items.select(col("brand").as("brand_a"),
+          col("n_item").as("n_a"))), "brand_a")
+        .join(broadcast(items.select(col("brand").as("brand_b"),
+          col("n_item").as("n_b"))), "brand_b")
+        .crossJoin(broadcast(totals))
+        .select(col("brand_a"), col("brand_b"), col("n_pair"),
+          col("n_a"), col("n_b"),
+          (col("n_pair").cast("double") / col("n_a").cast("double"))
+            .as("confidence"),
+          ((col("n_pair") * col("n_orders")).cast("double")
+            / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+        .orderBy("brand_a", "brand_b")
+    }, Some("""
+      WITH baskets AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      totals AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders
+        FROM baskets),
+      items AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_item
+        FROM baskets GROUP BY 1),
+      pairs AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+          CAST(COUNT(*) AS BIGINT) AS n_pair
+        FROM baskets a JOIN baskets b
+          ON a.ok = b.ok AND a.brand < b.brand
+        GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+      SELECT brand_a, brand_b, n_pair,
+        ia.n_item AS n_a, ib.n_item AS n_b,
+        CAST(n_pair AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS confidence,
+        CAST(n_pair * n_orders AS DOUBLE)
+          / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+      FROM pairs
+      JOIN items ia ON ia.brand = brand_a
+      JOIN items ib ON ib.brand = brand_b
+      CROSS JOIN totals
+      ORDER BY brand_a, brand_b""")),
+
+    // Rolling 7-day distinct actives — for every event day, how many
+    // users had ≥1 event in the trailing week. Windowed COUNT(DISTINCT)
+    // doesn't compose (distinct isn't subtractable), so the scalable
+    // form is the interval sweep: merge each user's active days into
+    // gap-≤6 segments (one lag/lead window keyed on user), emit +1 at
+    // segment start and -1 at segment end + 7, and take a running sum
+    // over the day spine. Everything user-keyed is linear; the final
+    // cumsum runs on the DAY GRAIN (calendar-sized, metadata at any
+    // corpus scale). The oracle cross-checks with the quadratic
+    // day×activity range join.
+    ("q249_rolling_actives", (s: SparkSession, d: String) => {
+      val active = t(s, d, "events")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("dn"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("dn")
+      val seg = active
+        .withColumn("prev", lag("dn", 1).over(w))
+        .withColumn("next", lead("dn", 1).over(w))
+      val starts = seg
+        .filter(col("prev").isNull || col("dn") - col("prev") > 6)
+        .select(col("dn").as("day_num"), lit(1L).as("delta"))
+      val ends = seg
+        .filter(col("next").isNull || col("next") - col("dn") > 6)
+        .select((col("dn") + 7).as("day_num"), lit(-1L).as("delta"))
+      val spine = active.select(col("dn").as("day_num")).distinct()
+      val cum = starts.unionByName(ends)
+        .unionByName(spine.withColumn("delta", lit(0L)))
+        .groupBy("day_num").agg(sum("delta").as("d"))
+        .withColumn("active_7d",
+          sum("d").over(Window.orderBy("day_num")).cast("long"))
+      cum.join(spine, Seq("day_num"), "left_semi")
+        .select("day_num", "active_7d")
+        .orderBy("day_num")
+    }, Some("""
+      WITH active AS (SELECT DISTINCT user_id,
+          CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn
+        FROM events),
+      spine AS (SELECT DISTINCT dn AS day_num FROM active)
+      SELECT s.day_num,
+        CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_7d
+      FROM spine s JOIN active a
+        ON a.dn BETWEEN s.day_num - 6 AND s.day_num
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Exponentially decayed engagement score (the decayed-counter
+    // ranking primitive: halving weight per day, 20-day horizon) —
+    // kept EXACT by dyadic weights: numerator is Σ cents·2^(19-age)
+    // in BIGINT, the score one double division by the constant
+    // 2^20-1. Computed on the per-(priority, day) AGGREGATE, so the
+    // 20-day self-range-join multiplies the calendar-grain relation,
+    // never the raw fact table — at 100 TB the join input is still
+    // (groups × days) rows.
+    ("q250_decayed_engagement", (s: SparkSession, d: String) => {
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+            .cast("long").as("dn"))
+        .agg(sum((Exact.dec(col("o_totalprice")) * 100).cast("long"))
+          .cast("long").as("cents"))
+      val a = daily.select(col("prio"), col("dn").as("dna"))
+      val b = daily.select(col("prio"), col("dn").as("dnb"), col("cents"))
+      a.join(b, Seq("prio"))
+        .filter(col("dnb").between(col("dna") - 19, col("dna")))
+        .groupBy(col("prio"), col("dna").as("day_num"))
+        .agg(sum(expr("cents * shiftleft(CAST(1 AS BIGINT), CAST(19 - (dna - dnb) AS INT))"))
+          .cast("long").as("n"))
+        .withColumn("score", col("n").cast("double") / lit(1048575.0d))
+        .orderBy("prio", "day_num")
+    }, Some("""
+      WITH daily AS (SELECT o_orderpriority AS prio,
+          CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+          CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+            AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2)
+      SELECT a.prio, a.dn AS day_num,
+        CAST(SUM(b.cents
+          * (CAST(1 AS BIGINT) << CAST(19 - (a.dn - b.dn) AS INT)))
+          AS BIGINT) AS n,
+        CAST(SUM(b.cents
+          * (CAST(1 AS BIGINT) << CAST(19 - (a.dn - b.dn) AS INT)))
+          AS DOUBLE) / 1048575.0 AS score
+      FROM daily a JOIN daily b
+        ON a.prio = b.prio AND b.dn BETWEEN a.dn - 19 AND a.dn
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
