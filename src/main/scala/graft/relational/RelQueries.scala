@@ -4636,7 +4636,92 @@ object RelQueries {
           AS DOUBLE) / 1048575.0 AS score
       FROM daily a JOIN daily b
         ON a.prio = b.prio AND b.dn BETWEEN a.dn - 19 AND a.dn
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Grid-blocked spatial neighbor join — all point pairs within
+    // Chebyshev distance 8 on a 1024×1024 integer grid, the bucketed
+    // form of a spatial self-join: block points into 8×8 cells, probe
+    // only the 3×3 cell neighborhood (cell size ≥ radius makes ±1
+    // sufficient), then apply the exact distance filter. The candidate
+    // space is density-bounded per cell — never the all-pairs square —
+    // and the join is a plain equi-join on cell id, so it shuffles on
+    // cell and scales with occupancy, not corpus². Coordinates derive
+    // from xxhash64 so the oracle replays them bit-for-bit and runs
+    // the quadratic form as the cross-check.
+    ("q251_grid_neighbors", (s: SparkSession, d: String) => {
+      val cells = t(s, d, "customer")
+        .select(col("c_custkey").as("k"),
+          pmod(xxhash64(lit(0), col("c_custkey")), lit(1024L)).as("x"),
+          pmod(xxhash64(lit(1), col("c_custkey")), lit(1024L)).as("y"))
+        .withColumn("cx", expr("x div 8"))
+        .withColumn("cy", expr("y div 8"))
+      val probe = cells
+        .select(col("k").as("ka"), col("x").as("xa"), col("y").as("ya"),
+          col("cx"), col("cy"))
+        .withColumn("dx", explode(array((-1 to 1).map(i => lit(i.toLong)): _*)))
+        .withColumn("dy", explode(array((-1 to 1).map(i => lit(i.toLong)): _*)))
+        .select(col("ka"), col("xa"), col("ya"),
+          (col("cx") + col("dx")).as("jcx"), (col("cy") + col("dy")).as("jcy"))
+      val build = cells
+        .select(col("k").as("kb"), col("x").as("xb"), col("y").as("yb"),
+          col("cx").as("jcx"), col("cy").as("jcy"))
+      probe.join(build, Seq("jcx", "jcy"))
+        .filter(col("ka") < col("kb"))
+        .withColumn("dist",
+          greatest(abs(col("xa") - col("xb")), abs(col("ya") - col("yb"))))
+        .filter(col("dist") <= 8)
+        .select("ka", "kb", "dist")
+        .orderBy("ka", "kb")
+    }, Some(s"""
+      WITH pts AS (SELECT c_custkey AS k,
+          CAST(${xxLongMod("c_custkey", 0, 1024)} AS BIGINT) AS x,
+          CAST(${xxLongMod("c_custkey", 1, 1024)} AS BIGINT) AS y
+        FROM customer)
+      SELECT a.k AS ka, b.k AS kb,
+        GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) AS dist
+      FROM pts a JOIN pts b ON a.k < b.k
+      WHERE GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) <= 8
+      ORDER BY 1, 2""")),
+
+    // Seasonal-baseline anomaly flags — days whose revenue exceeds
+    // 1.5× their day-of-week mean. The threshold is evaluated by
+    // integer CROSS-MULTIPLICATION (2·cents·n_dow > 3·Σ_dow), so the
+    // flag decision involves no floating point at all; the reported
+    // ratio is the single double division at the end. Day-of-week is
+    // day_num % 7 (pure arithmetic, engine-independent). The baseline
+    // relation is 7 rows — broadcast onto the day-grain aggregate.
+    ("q252_seasonal_anomaly", (s: SparkSession, d: String) => {
+      val daily = t(s, d, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("day_num"))
+        .agg(sum((Exact.dec(col("o_totalprice")) * 100).cast("long"))
+          .cast("long").as("cents"))
+        .withColumn("dow", pmod(col("day_num"), lit(7L)))
+      val base = daily.groupBy("dow")
+        .agg(sum("cents").cast("long").as("sum_dow"),
+          count(lit(1)).as("n_dow"))
+      daily.join(broadcast(base), "dow")
+        .filter(col("cents") * col("n_dow") * 2 > col("sum_dow") * 3)
+        .select(col("day_num"), col("dow"), col("cents"),
+          ((col("cents") * col("n_dow")).cast("double")
+            / col("sum_dow").cast("double")).as("ratio"))
+        .orderBy("day_num")
+    }, Some("""
+      WITH daily AS (SELECT
+          CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+            AS day_num,
+          CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+            AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+      d2 AS (SELECT day_num, cents, day_num % 7 AS dow FROM daily),
+      base AS (SELECT dow, CAST(SUM(cents) AS BIGINT) AS sum_dow,
+          CAST(COUNT(*) AS BIGINT) AS n_dow
+        FROM d2 GROUP BY 1)
+      SELECT day_num, d2.dow, cents,
+        CAST(cents * n_dow AS DOUBLE) / CAST(sum_dow AS DOUBLE) AS ratio
+      FROM d2 JOIN base ON d2.dow = base.dow
+      WHERE cents * n_dow * 2 > sum_dow * 3
+      ORDER BY day_num"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
