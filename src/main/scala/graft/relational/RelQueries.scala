@@ -4721,7 +4721,72 @@ object RelQueries {
         CAST(cents * n_dow AS DOUBLE) / CAST(sum_dow AS DOUBLE) AS ratio
       FROM d2 JOIN base ON d2.dow = base.dow
       WHERE cents * n_dow * 2 > sum_dow * 3
-      ORDER BY day_num"""))
+      ORDER BY day_num""")),
+
+    // Positional phrase search — the adjacency query over a positional
+    // inverted index: posting lists (doc, position) for each phrase
+    // term, joined on doc and consecutive position. Each posting list
+    // is TERM-FILTERED BEFORE the join (index-probe-sized, not
+    // corpus-sized), and the join is a doc+position equi-join — the
+    // relational form of "find the phrase" that an inverted index
+    // serves at scale.
+    ("q253_phrase_search", (s: SparkSession, d: String) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val p1 = toks.filter(col("tok") === "hash")
+        .select(col("doc_id"), col("pos"))
+      val p2 = toks.filter(col("tok") === "value")
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      p1.join(p2, Seq("doc_id", "pos"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (SELECT doc_id,
+          unnest(string_split(text, ' ')) AS tok,
+          generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)
+      SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.tok = 'hash' AND b.tok = 'value'
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Multi-touch attribution — for every purchase, the number of view
+    // touchpoints by the same user in the preceding 7 days (organic
+    // purchases report 0). The touch window is evaluated in
+    // MICROSECOND INTEGERS (unix_micros / epoch_us — no interval or
+    // float boundary ambiguity), and the purchase×view expansion is a
+    // user-keyed equi-join with the range as a post-filter: per-user
+    // candidate space, never a global cross product.
+    ("q254_touch_attribution", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          unix_micros(col("ts")).as("pus"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("vus"))
+      val touches = purchases.join(views, Seq("user_id"))
+        .filter(col("vus") <= col("pus")
+          && col("pus") - col("vus") <= lit(604800000000L))
+        .groupBy("pid").agg(count(lit(1)).as("n_touches"))
+      purchases.join(touches, Seq("pid"), "left")
+        .select(col("pid").as("event_id"), col("user_id"),
+          coalesce(col("n_touches"), lit(0L)).as("n_touches"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pus
+        FROM events WHERE event_type = 'purchase'),
+      v AS (SELECT user_id, epoch_us(ts) AS vus
+        FROM events WHERE event_type = 'view'),
+      tch AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_touches
+        FROM p JOIN v ON p.user_id = v.user_id
+          AND v.vus <= p.pus AND p.pus - v.vus <= 604800000000
+        GROUP BY 1)
+      SELECT pid AS event_id, p.user_id,
+        CAST(COALESCE(n_touches, 0) AS BIGINT) AS n_touches
+      FROM p LEFT JOIN tch USING (pid)
+      ORDER BY 1"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
