@@ -433,4 +433,34 @@ class PlanQualitySpec extends SparkSpec {
       .findFirstIn(p.replaceAll("\n", " ")).isDefined ||
       "hashpartitioning\\(n_chars".r.findFirstIn(p).isDefined, p)
   }
+
+  test("q248: basket pair join is keyed on order; dims broadcast") {
+    val p = plan("q248_market_basket")
+    // item counts + totals reach the pair relation via broadcast only;
+    // the basket self-join is an equi-join on the order key
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // one-row totals
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q249: the sweep is windowed+keyed — no range join anywhere") {
+    val p = plan("q249_rolling_actives")
+    // the scalable form: user-keyed lag/lead windows and a day-grain
+    // cumsum; the quadratic day×activity range join (the oracle's
+    // cross-check) must NOT appear as a nested-loop/cartesian plan
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("hashpartitioning\\(user_id".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q251: spatial candidates come from a cell equi-join") {
+    val p = plan("q251_grid_neighbors")
+    // the 3×3 neighborhood probe joins on (jcx, jcy) — an equi-join —
+    // and the exact distance check is a post-filter on candidates;
+    // an all-pairs plan (cartesian / nested-loop) is the regression
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[jcx"
+      .r.findFirstIn(p).isDefined, p)
+  }
 }
