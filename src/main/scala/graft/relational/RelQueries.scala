@@ -4786,7 +4786,104 @@ object RelQueries {
       SELECT pid AS event_id, p.user_id,
         CAST(COALESCE(n_touches, 0) AS BIGINT) AS n_touches
       FROM p LEFT JOIN tch USING (pid)
-      ORDER BY 1"""))
+      ORDER BY 1""")),
+
+    // Sparse dot-product similarity join via an inverted index — the
+    // exact-integer core of TF-weighted document similarity: per-doc
+    // term counts meet through a posting-list join on the TERM, partial
+    // products aggregate per pair, global top-100 by dot product.
+    // Hot terms are the scale hazard (a term in half the corpus joins
+    // |corpus|²/4 pairs), so terms with document frequency above 25%
+    // of the corpus are dropped from the index first — the standard
+    // stopword-df cap of AllPairs-style similarity search. Every count
+    // and product is BIGINT; top-k is TakeOrderedAndProject, not a
+    // full sort.
+    ("q255_sparse_dot_topk", (s: SparkSession, d: String) => {
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val nDocs = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+      val kept = tf
+        .join(broadcast(
+          tf.groupBy("tok").agg(count(lit(1)).as("df"))
+            .crossJoin(broadcast(nDocs))
+            .filter(col("df") * 4 <= col("n_docs"))
+            .select("tok")), "tok")
+      kept.as("a")
+        .join(kept.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(sum(col("a.tf") * col("b.tf")).cast("long").as("dot"))
+        .orderBy(desc("dot"), col("da"), col("db"))
+        .limit(100)
+    }, Some("""
+      WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      cnt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tf GROUP BY 1, 2),
+      kept AS (SELECT cnt.* FROM cnt JOIN (
+          SELECT tok FROM cnt
+          GROUP BY tok
+          HAVING COUNT(*) * 4 <= (SELECT COUNT(*) FROM documents)
+        ) keep USING (tok))
+      SELECT a.doc_id AS da, b.doc_id AS db,
+        CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+      FROM kept a JOIN kept b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      ORDER BY dot DESC, da, db LIMIT 100""")),
+
+    // Maximum drawdown per order priority — the peak-to-trough
+    // analytic over the cumulative daily revenue curve, entirely in
+    // integer cents: keyed cumulative sum, keyed running maximum, and
+    // the worst (drawdown, day) picked by one more keyed aggregation
+    // with a deterministic row_number tiebreak. Three windows over ONE
+    // keyed exchange (all share the partition/order), zero floating
+    // point until the final ratio.
+    ("q256_max_drawdown", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("prio").orderBy("day_num")
+      val curve = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          datediff(to_date(col("o_orderdate")),
+            lit("1970-01-01").cast("date")).cast("long").as("day_num"))
+        .agg(sum((Exact.dec(col("o_totalprice")) * 100).cast("long"))
+          .cast("long").as("cents"))
+        .withColumn("cum", sum("cents").over(w).cast("long"))
+        .withColumn("peak", max("cum").over(w).cast("long"))
+        .withColumn("dd", col("peak") - col("cum"))
+      curve
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("prio").orderBy(desc("dd"), col("day_num"))))
+        .filter(col("rn") === 1)
+        .select(col("prio"), col("day_num").as("trough_day"),
+          col("dd").as("max_drawdown"), col("peak").as("peak_cents"),
+          (col("dd").cast("double") / col("peak").cast("double"))
+            .as("dd_frac"))
+        .orderBy("prio")
+    }, Some("""
+      WITH daily AS (SELECT o_orderpriority AS prio,
+          CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+            AS day_num,
+          CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+            AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2),
+      curve AS (SELECT prio, day_num,
+          CAST(SUM(cents) OVER (PARTITION BY prio ORDER BY day_num)
+            AS BIGINT) AS cum
+        FROM daily),
+      dd AS (SELECT prio, day_num, cum,
+          CAST(MAX(cum) OVER (PARTITION BY prio ORDER BY day_num)
+            AS BIGINT) AS peak
+        FROM curve),
+      ranked AS (SELECT prio, day_num, peak, peak - cum AS dd,
+          ROW_NUMBER() OVER (PARTITION BY prio
+            ORDER BY peak - cum DESC, day_num) AS rn
+        FROM dd)
+      SELECT prio, day_num AS trough_day, dd AS max_drawdown,
+        peak AS peak_cents,
+        CAST(dd AS DOUBLE) / CAST(peak AS DOUBLE) AS dd_frac
+      FROM ranked WHERE rn = 1
+      ORDER BY prio"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
