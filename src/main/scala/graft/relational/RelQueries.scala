@@ -4884,6 +4884,61 @@ object RelQueries {
         CAST(dd AS DOUBLE) / CAST(peak AS DOUBLE) AS dd_frac
       FROM ranked WHERE rn = 1
       ORDER BY prio"""))
+  ) ++ roundSixMore
+
+  private lazy val roundSixMore: Seq[(String, Q, Option[String])] = Seq(
+    // Quota-constrained top-k — global top 40 orders by price, but at
+    // most 3 per customer (the diversity-quota form of retrieval
+    // ranking, cheaper than MMR re-ranking when the constraint is a
+    // hard cap). One customer-keyed window applies the quota, then the
+    // global cut is TakeOrderedAndProject — no full sort. Ties break
+    // on the order key on both engines, so the cut is deterministic.
+    ("q257_quota_topk", (s: SparkSession, d: String) => {
+      val wq = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 3)
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(40)
+    }, Some("""
+      WITH ranked AS (SELECT o_orderkey, o_custkey, o_totalprice,
+          CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        FROM orders)
+      SELECT * FROM ranked WHERE rn <= 3
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 40""")),
+
+    // State-bucket skew report — operational introspection for the K5
+    // bucketed state layout: replay `pmod(xxhash64(key), 64)` (the
+    // exact bucket function Streams.upsertBatch uses) over the
+    // incoming key column and report per-bucket row counts plus the
+    // hot-bucket factor (max·n/total, one double division). This is
+    // how you SIZE nBuckets before building GB-scale state: the whole
+    // report is one map-side hash + one 64-group aggregate; the
+    // one-row total broadcasts back.
+    ("q258_bucket_skew_report", (s: SparkSession, d: String) => {
+      val sized = t(s, d, "events")
+        .groupBy(pmod(xxhash64(col("user_id")), lit(64L)).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"))
+      sized
+        .crossJoin(broadcast(sized.agg(sum("n_rows").cast("long").as("total"))))
+        .select(col("bucket"), col("n_rows"),
+          ((col("n_rows") * 64).cast("double") / col("total").cast("double"))
+            .as("skew_x"))
+        .orderBy("bucket")
+    }, Some(s"""
+      WITH sized AS (SELECT
+          CAST((${graft.llm.XxHashOracle.hashLong(
+            "CAST(user_id AS HUGEINT)", "CAST(42 AS HUGEINT)")}) % 64
+            AS BIGINT) AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 1)
+      SELECT bucket, n_rows,
+        CAST(n_rows * 64 AS DOUBLE)
+          / CAST((SELECT SUM(n_rows) FROM sized) AS DOUBLE) AS skew_x
+      FROM sized ORDER BY bucket"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
