@@ -74,4 +74,40 @@ object AsOf {
       .filter(col("__side") === 0)
       .drop("__side", "__rts")
   }
+
+  /** Value-carrying backward as-of — the point-in-time (PIT) lookup
+    * against a versioned dimension: `asofCol` = the right-side `valueCol`
+    * from the row with the greatest right `ts` <= the left row's `ts`
+    * for the same `key` (null if no version precedes). This is the
+    * warehouse "dimension state at fact time" enrich over an SCD-style
+    * version table, in the same linear union + one keyed window sort as
+    * [[lastRightTs]] — never the quadratic `join on key and vf <= ts`
+    * + arg_max the oracle cross-checks with. `right` must have at most
+    * one row per (key, ts): dedupe versions first or the carried value
+    * is sort-order-dependent. */
+  def lastRightValue(left: DataFrame, right: DataFrame, key: String,
+      ts: String, valueCol: String, asofCol: String = "asof_value"): DataFrame = {
+    val leftCols = left.columns
+    require(!leftCols.contains(valueCol),
+      s"left already has a column named $valueCol")
+    val vType = right.schema(valueCol).dataType
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(vType))
+    val rAligned = right.select(col(key), col(ts), col(valueCol))
+      .withColumn("__side", lit(0))
+      .withColumn("__rv", col(valueCol))
+      .select(
+        leftCols.map { c =>
+          if (c == key || c == ts) col(c)
+          else lit(null).cast(left.schema(c).dataType).as(c)
+        } ++ Seq(col("__side"), col("__rv")): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.select(leftCols.map(col) ++ Seq(col("__side"), col("__rv")): _*)
+      .unionByName(rAligned)
+      .withColumn(asofCol, last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__rv")
+  }
 }

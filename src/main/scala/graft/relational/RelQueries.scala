@@ -4939,6 +4939,88 @@ object RelQueries {
         CAST(n_rows * 64 AS DOUBLE)
           / CAST((SELECT SUM(n_rows) FROM sized) AS DOUBLE) AS skew_x
       FROM sized ORDER BY bucket"""))
+  ) ++ roundSixPit
+
+  private lazy val roundSixPit: Seq[(String, Q, Option[String])] = Seq(
+    // Point-in-time dimension lookup (AsOf.lastRightValue) — enrich
+    // each event with the user's order-priority STATE as of the event
+    // time, the warehouse "dimension version at fact time" join against
+    // an SCD-style version table. The engine side is the linear
+    // union + one keyed window sort (value carried forward by
+    // last(ignoreNulls)); the oracle cross-checks with the quadratic
+    // `join on key and vf <= ts` + arg_max it replaces. Versions are
+    // deduped to one per (user, day) first so the carried value is
+    // well-defined.
+    ("q259_pit_lookup", (s: SparkSession, d: String) => {
+      val dim = t(s, d, "orders")
+        .select(col("o_custkey").as("user_id"),
+          col("o_orderdate").as("ts"),
+          col("o_orderpriority").as("state"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "ts").orderBy(desc("o_orderkey"))))
+        .filter(col("rn") === 1)
+        .select("user_id", "ts", "state")
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsOf.lastRightValue(ev, dim, "user_id", "ts", "state", "state_at")
+        .filter(col("state_at").isNotNull)
+        .select("event_id", "user_id", "state_at")
+        .orderBy("event_id")
+    }, Some("""
+      WITH vers AS (SELECT o_custkey AS k, o_orderdate AS vf,
+          o_orderpriority AS state,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+            ORDER BY o_orderkey DESC) AS rn
+        FROM orders),
+      d AS (SELECT k, vf, state FROM vers WHERE rn = 1)
+      SELECT e.event_id, e.user_id, arg_max(d.state, d.vf) AS state_at
+      FROM events e JOIN d ON d.k = e.user_id AND d.vf <= e.ts
+      GROUP BY 1, 2 ORDER BY 1""")),
+
+    // Percent-of-parent hierarchy report — each nation's share of its
+    // region's revenue and each region's share of the total, the BI
+    // contribution rollup. All masses are exact integers (revenue in
+    // 1e-4 units — discounted revenue carries 4 decimals); each share
+    // is ONE double division; parent totals reach children through
+    // windows over the nation-grain aggregate (25 rows), so the fact
+    // table is touched exactly once.
+    ("q260_share_of_parent", (s: SparkSession, d: String) => {
+      val rev = t(s, d, "lineitem")
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum((price * (Exact.one - disc) * 10000).cast("long"))
+          .cast("long").as("rev_e4"))
+      rev
+        .withColumn("region_rev",
+          sum("rev_e4").over(Window.partitionBy("r_name")).cast("long"))
+        .withColumn("total_rev",
+          sum("rev_e4").over(Window.partitionBy()).cast("long"))
+        .select(col("r_name"), col("n_name"), col("rev_e4"),
+          (col("rev_e4").cast("double") / col("region_rev").cast("double"))
+            .as("share_of_region"),
+          (col("region_rev").cast("double") / col("total_rev").cast("double"))
+            .as("region_share_of_total"))
+        .orderBy("r_name", "n_name")
+    }, Some(s"""
+      WITH rev AS (SELECT r_name, n_name,
+          CAST(SUM(CAST($oRev * 10000 AS BIGINT)) AS BIGINT) AS rev_e4
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2)
+      SELECT r_name, n_name, rev_e4,
+        CAST(rev_e4 AS DOUBLE)
+          / CAST(CAST(SUM(rev_e4) OVER (PARTITION BY r_name) AS BIGINT)
+            AS DOUBLE) AS share_of_region,
+        CAST(CAST(SUM(rev_e4) OVER (PARTITION BY r_name) AS BIGINT) AS DOUBLE)
+          / CAST(CAST(SUM(rev_e4) OVER () AS BIGINT) AS DOUBLE)
+          AS region_share_of_total
+      FROM rev ORDER BY r_name, n_name"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session

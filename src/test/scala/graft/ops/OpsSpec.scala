@@ -80,6 +80,32 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq("10:00", "11:00", null))
   }
 
+  test("as-of value lookup: carries the version's value, inclusive tie") {
+    val facts = Seq(
+      (100L, 1L, "2024-01-01 10:00:00"),
+      (101L, 1L, "2024-01-01 12:00:00"),
+      (102L, 1L, "2024-01-01 08:00:00"), // before any version
+      (103L, 2L, "2024-01-01 10:00:00")  // key with no versions
+    ).toDF("event_id", "user_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val versions = Seq(
+      (1L, "2024-01-01 09:00:00", "bronze"),
+      (1L, "2024-01-01 10:00:00", "silver"), // tie with fact@10:00 -> wins
+      (1L, "2024-01-01 11:00:00", "gold")
+    ).toDF("user_id", "ts", "tier")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = AsOf.lastRightValue(facts, versions, "user_id", "ts", "tier")
+      .orderBy("event_id").select("asof_value").as[String].collect()
+    assert(out.toSeq == Seq("silver", "gold", null, null))
+    // brute-force cross-check: quadratic arg_max over vf <= ts
+    val brute = facts.as("f").join(versions.as("v"),
+        col("f.user_id") === col("v.user_id") && col("v.ts") <= col("f.ts"))
+      .groupBy(col("f.event_id"))
+      .agg(max_by(col("v.tier"), col("v.ts")).as("tier"))
+    val bruteMap = brute.as[(Long, String)].collect().toMap
+    assert(bruteMap == Map(100L -> "silver", 101L -> "gold"))
+  }
+
   test("zValue interleaves bits: z(3,5) = 39, z preserves locality order") {
     val df = Seq((3L, 5L), (0L, 0L), (7L, 0L), (0L, 7L)).toDF("a", "b")
     val out = df.select(Layout.zValue(col("a"), col("b"), 8).as("z"))
