@@ -5020,7 +5020,112 @@ object RelQueries {
         CAST(CAST(SUM(rev_e4) OVER (PARTITION BY r_name) AS BIGINT) AS DOUBLE)
           / CAST(CAST(SUM(rev_e4) OVER () AS BIGINT) AS DOUBLE)
           AS region_share_of_total
-      FROM rev ORDER BY r_name, n_name"""))
+      FROM rev ORDER BY r_name, n_name""")),
+
+    // Multi-level fallback dimension join — resolve each part's
+    // reference price against the most specific rule that exists:
+    // (brand, size) average when the group is dense enough (≥8 parts),
+    // else the brand average, else the global average. The relational
+    // form of hierarchical default lookup (price books, rate cards,
+    // config cascades): two LEFT joins + a one-row cross join, every
+    // rule table aggregate-sized and BROADCAST, level decided by
+    // COALESCE order. Each average is one double division of exact
+    // integer (cents, count) pairs, pre-divided per rule so the output
+    // is deterministic.
+    ("q261_fallback_join", (s: SparkSession, d: String) => {
+      val part = t(s, d, "part")
+        .withColumn("cents", (Exact.dec(col("p_retailprice")) * 100).cast("long"))
+      val r1 = part.groupBy(col("p_brand").as("b1"), col("p_size").as("s1"))
+        .agg(sum("cents").cast("long").as("c1"), count(lit(1)).as("n1"))
+        .filter(col("n1") >= 8)
+        .withColumn("ref1", col("c1").cast("double") / col("n1").cast("double"))
+        .select("b1", "s1", "ref1")
+      val r2 = part.groupBy(col("p_brand").as("b2"))
+        .agg(sum("cents").cast("long").as("c2"), count(lit(1)).as("n2"))
+        .withColumn("ref2", col("c2").cast("double") / col("n2").cast("double"))
+        .select("b2", "ref2")
+      val r3 = part.agg(sum("cents").cast("long").as("c3"),
+          count(lit(1)).as("n3"))
+        .withColumn("ref3", col("c3").cast("double") / col("n3").cast("double"))
+        .select("ref3")
+      part.select("p_partkey", "p_brand", "p_size")
+        .join(broadcast(r1),
+          col("p_brand") === col("b1") && col("p_size") === col("s1"), "left")
+        .join(broadcast(r2), col("p_brand") === col("b2"), "left")
+        .crossJoin(broadcast(r3))
+        .select(col("p_partkey"),
+          when(col("ref1").isNotNull, 1)
+            .when(col("ref2").isNotNull, 2).otherwise(3).as("level"),
+          coalesce(col("ref1"), col("ref2"), col("ref3")).as("ref_cents"))
+        .orderBy("p_partkey")
+    }, Some("""
+      WITH p AS (SELECT p_partkey, p_brand, p_size,
+          CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM part),
+      r1 AS (SELECT p_brand AS b1, p_size AS s1,
+          CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ref1
+        FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 8),
+      r2 AS (SELECT p_brand AS b2,
+          CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ref2
+        FROM p GROUP BY 1),
+      r3 AS (SELECT
+          CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ref3
+        FROM p)
+      SELECT p_partkey,
+        CAST(CASE WHEN ref1 IS NOT NULL THEN 1
+          WHEN ref2 IS NOT NULL THEN 2 ELSE 3 END AS INT) AS level,
+        COALESCE(ref1, ref2, ref3) AS ref_cents
+      FROM p
+      LEFT JOIN r1 ON p_brand = b1 AND p_size = s1
+      LEFT JOIN r2 ON p_brand = b2
+      CROSS JOIN r3
+      ORDER BY p_partkey""")),
+
+    // Per-key interval union — total DISTINCT covered time per user
+    // when each event opens a 30-minute session window, with
+    // overlapping windows merged (the SLA-coverage / billable-time
+    // analytic where double-counting overlap is the classic bug).
+    // Merge via the associative running-max sweep: a new segment
+    // starts where the interval's start clears every earlier end
+    // (prev running max); segment lengths are max(end)−min(start).
+    // Two keyed windows + one keyed aggregation, all in MICROSECOND
+    // INTEGERS — no interval arithmetic, no self-join.
+    ("q262_interval_union", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("user_id").orderBy("st")
+      val prevMax = Window.partitionBy("user_id").orderBy("st")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val iv = t(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("st"))
+        .withColumn("en", col("st") + lit(1800000000L))
+        .withColumn("prev_max", max("en").over(prevMax))
+        .withColumn("is_new",
+          (col("prev_max").isNull || col("st") > col("prev_max")).cast("long"))
+        .withColumn("seg", sum("is_new").over(w).cast("long"))
+      iv.groupBy("user_id", "seg")
+        .agg((max("en") - min("st")).as("len"))
+        .groupBy("user_id")
+        .agg(sum("len").cast("long").as("covered_us"),
+          count(lit(1)).as("n_segments"))
+        .orderBy("user_id")
+    }, Some("""
+      WITH iv AS (SELECT user_id, epoch_us(ts) AS st,
+          epoch_us(ts) + 1800000000 AS en
+        FROM events),
+      swept AS (SELECT user_id, st, en,
+          MAX(en) OVER (PARTITION BY user_id ORDER BY st
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        FROM iv),
+      segs AS (SELECT user_id, st, en,
+          CAST(SUM(CASE WHEN prev_max IS NULL OR st > prev_max
+            THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY st)
+            AS BIGINT) AS seg
+        FROM swept)
+      SELECT user_id,
+        CAST(SUM(len) AS BIGINT) AS covered_us,
+        CAST(COUNT(*) AS BIGINT) AS n_segments
+      FROM (SELECT user_id, seg, MAX(en) - MIN(st) AS len
+            FROM segs GROUP BY 1, 2)
+      GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
