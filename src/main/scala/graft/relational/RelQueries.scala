@@ -5125,7 +5125,68 @@ object RelQueries {
         CAST(COUNT(*) AS BIGINT) AS n_segments
       FROM (SELECT user_id, seg, MAX(en) - MIN(st) AS len
             FROM segs GROUP BY 1, 2)
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // User-journey trigrams — frequency of every 3-step event-type
+    // path, the sequence-mining extension of q173's Markov bigrams:
+    // per-user orderings come from ONE keyed window (two lead()s over
+    // the same sort — no self-joins on consecutive positions), then a
+    // path-grain count. The (ts, event_id) sort key makes same-instant
+    // events deterministic on both engines.
+    ("q263_journey_trigrams", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("e1"))
+        .withColumn("e2", lead("e1", 1).over(w))
+        .withColumn("e3", lead("e1", 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("path"))
+    }, Some("""
+      WITH seq AS (SELECT user_id, event_type AS e1,
+          LEAD(event_type, 1) OVER w AS e2,
+          LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT e1 || '>' || e2 || '>' || e3 AS path,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE e3 IS NOT NULL
+      GROUP BY 1 ORDER BY n DESC, path""")),
+
+    // Accumulating-snapshot fact build — collapse each order's
+    // lifecycle into one milestone row (placed → first ship → last
+    // ship, line count, span), the Kimball accumulating-snapshot
+    // pattern that turns an event-grain fact into a process-grain
+    // table. One keyed aggregation over lineitem + a broadcast-scale
+    // join back to orders; span arithmetic stays in integer days.
+    ("q264_accumulating_snapshot", (s: SparkSession, d: String) => {
+      val lines = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          min(to_date(col("l_shipdate"))).as("first_ship"),
+          max(to_date(col("l_shipdate"))).as("last_ship"))
+      t(s, d, "orders")
+        .join(lines, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("n_lines") >= 6)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("placed"),
+          col("first_ship"), col("last_ship"), col("n_lines"),
+          datediff(col("last_ship"), to_date(col("o_orderdate")))
+            .cast("long").as("span_days"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      WITH lines AS (SELECT l_orderkey,
+          CAST(COUNT(*) AS BIGINT) AS n_lines,
+          MIN(CAST(l_shipdate AS DATE)) AS first_ship,
+          MAX(CAST(l_shipdate AS DATE)) AS last_ship
+        FROM lineitem GROUP BY 1)
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS placed,
+        first_ship, last_ship, n_lines,
+        CAST(last_ship - CAST(o_orderdate AS DATE) AS BIGINT) AS span_days
+      FROM orders JOIN lines ON o_orderkey = l_orderkey
+      WHERE n_lines >= 6
+      ORDER BY o_orderkey"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
