@@ -4567,24 +4567,8 @@ object RelQueries {
           datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
             .cast("long").as("dn"))
         .distinct()
-      val w = Window.partitionBy("user_id").orderBy("dn")
-      val seg = active
-        .withColumn("prev", lag("dn", 1).over(w))
-        .withColumn("next", lead("dn", 1).over(w))
-      val starts = seg
-        .filter(col("prev").isNull || col("dn") - col("prev") > 6)
-        .select(col("dn").as("day_num"), lit(1L).as("delta"))
-      val ends = seg
-        .filter(col("next").isNull || col("next") - col("dn") > 6)
-        .select((col("dn") + 7).as("day_num"), lit(-1L).as("delta"))
-      val spine = active.select(col("dn").as("day_num")).distinct()
-      val cum = starts.unionByName(ends)
-        .unionByName(spine.withColumn("delta", lit(0L)))
-        .groupBy("day_num").agg(sum("delta").as("d"))
-        .withColumn("active_7d",
-          sum("d").over(Window.orderBy("day_num")).cast("long"))
-      cum.join(spine, Seq("day_num"), "left_semi")
-        .select("day_num", "active_7d")
+      Intervals.rollingActiveCounts(active, "user_id", "dn", 7)
+        .withColumnRenamed("active", "active_7d")
         .orderBy("day_num")
     }, Some("""
       WITH active AS (SELECT DISTINCT user_id,
@@ -5091,21 +5075,12 @@ object RelQueries {
     // Two keyed windows + one keyed aggregation, all in MICROSECOND
     // INTEGERS — no interval arithmetic, no self-join.
     ("q262_interval_union", (s: SparkSession, d: String) => {
-      val w = Window.partitionBy("user_id").orderBy("st")
-      val prevMax = Window.partitionBy("user_id").orderBy("st")
-        .rowsBetween(Window.unboundedPreceding, -1)
       val iv = t(s, d, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("st"))
         .withColumn("en", col("st") + lit(1800000000L))
-        .withColumn("prev_max", max("en").over(prevMax))
-        .withColumn("is_new",
-          (col("prev_max").isNull || col("st") > col("prev_max")).cast("long"))
-        .withColumn("seg", sum("is_new").over(w).cast("long"))
-      iv.groupBy("user_id", "seg")
-        .agg((max("en") - min("st")).as("len"))
-        .groupBy("user_id")
-        .agg(sum("len").cast("long").as("covered_us"),
-          count(lit(1)).as("n_segments"))
+      Intervals.unionPerKey(iv, "user_id", "st", "en")
+        .withColumnRenamed("covered", "covered_us")
+        .select("user_id", "covered_us", "n_segments")
         .orderBy("user_id")
     }, Some("""
       WITH iv AS (SELECT user_id, epoch_us(ts) AS st,

@@ -233,6 +233,60 @@ object GraftProps extends Properties("graft") {
         }
     }
 
+  property("interval union sweep = brute-force covered set, any data") =
+    Prop.forAll(Gen.nonEmptyListOf(
+      for { k <- Gen.choose(0L, 3L); s <- Gen.choose(0L, 40L);
+            len <- Gen.choose(1L, 8L) } yield (k, s, s + len))
+        .map(_.take(20))) { ivs =>
+      val df = ivs.toDF("k", "st", "en")
+      val got = graft.ops.Intervals.unionPerKey(df, "k", "st", "en")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      val brute = ivs.groupBy(_._1).map { case (k, xs) =>
+        val pts = xs.flatMap { case (_, s, e) => s until e }.toSet
+        // segment count on the merged point set: starts with no
+        // predecessor point (touching intervals merge, as in the sweep)
+        val nSeg = pts.count(p => !pts.contains(p - 1))
+        k -> (pts.size.toLong, nSeg.toLong)
+      }
+      got == brute
+    }
+
+  property("rolling actives sweep = brute trailing-window distinct") =
+    Prop.forAll(Gen.nonEmptyListOf(
+      for { k <- Gen.choose(0L, 5L); d <- Gen.choose(0L, 30L) }
+        yield (k, d)).map(_.take(30).distinct)) { act =>
+      val df = act.toDF("k", "dn")
+      val got = graft.ops.Intervals.rollingActiveCounts(df, "k", "dn", 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val days = act.map(_._2).distinct
+      val brute = days.map { d =>
+        d -> act.filter(p => p._2 <= d && p._2 > d - 7).map(_._1)
+          .distinct.size.toLong
+      }.toMap
+      got == brute
+    }
+
+  property("PIT value lookup = brute-force arg-max version, any data") =
+    Prop.forAll(asofLeft, asofLeft) { (l, r) =>
+      val left = l.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("id", "k", "t")
+      // one version per (k, t): keep the max tag so the lookup target
+      // is well-defined (lastRightValue requires deduped versions)
+      val vers = r.zipWithIndex.map { case ((k, t), i) => (k, t, s"v$i") }
+        .groupBy(p => (p._1, p._2)).map(_._2.maxBy(_._3)).toSeq
+      val right = vers.toDF("k", "t", "tag")
+      val got = graft.ops.AsOf.lastRightValue(left, right, "k", "t", "tag")
+        .select("id", "asof_value")
+        .collect().map(x => (x.getLong(0), Option(x.get(1)))).toMap
+      val brute = l.zipWithIndex.map { case ((k, t), i) =>
+        val past = vers.filter(p => p._1 == k && p._2 <= t)
+        (i.toLong,
+          if (past.isEmpty) None
+          else Some(past.maxBy(_._2)._3: Any))
+      }.toMap
+      got == brute
+    }
+
   property("forward as-of = brute-force min future right ts, any data") =
     Prop.forAll(asofLeft, asofLeft) { (l, r) =>
       val left = l.zipWithIndex
