@@ -5161,7 +5161,76 @@ object RelQueries {
         CAST(last_ship - CAST(o_orderdate AS DATE) AS BIGINT) AS span_days
       FROM orders JOIN lines ON o_orderkey = l_orderkey
       WHERE n_lines >= 6
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+
+    // Semi-additive aggregation — closing balance per quarter: the
+    // LAST order value per customer per quarter (a pick, additive over
+    // accounts but NOT over time), then summed across customers. The
+    // measure class (balances, inventory levels, headcount) that
+    // breaks naive rollups; the engine form is one keyed
+    // row_number-pick + one aggregation, with the (orderdate,
+    // orderkey) sort key making same-day closings deterministic.
+    // Balances stay in integer cents.
+    ("q265_semiadditive_closing", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("o_custkey", "q")
+        .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("q", concat(year(col("o_orderdate")),
+          lit("Q"), quarter(col("o_orderdate"))))
+        .withColumn("cents",
+          (Exact.dec(col("o_totalprice")) * 100).cast("long"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("q")
+        .agg(sum("cents").cast("long").as("closing_cents"),
+          count(lit(1)).as("n_accounts"))
+        .orderBy("q")
+    }, Some("""
+      WITH ranked AS (SELECT
+          CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) || 'Q' ||
+            CAST(EXTRACT(quarter FROM o_orderdate) AS VARCHAR) AS q,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey,
+            EXTRACT(year FROM o_orderdate), EXTRACT(quarter FROM o_orderdate)
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders)
+      SELECT q, CAST(SUM(cents) AS BIGINT) AS closing_cents,
+        CAST(COUNT(*) AS BIGINT) AS n_accounts
+      FROM ranked WHERE rn = 1
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Bipartite two-hop neighborhood — for each customer, how many
+    // OTHER customers bought at least one of the same parts (the
+    // friends-of-friends projection of the customer—part graph).
+    // The scale hazard is hub vertices: a part bought by half the
+    // customers contributes |customers|²/4 pairs, so parts above 64
+    // distinct buyers are EXCLUDED from the projection first (the
+    // hub-cap discipline, same as q255's document-frequency cap — at
+    // 100 TB you'd route hubs through a sketch instead). The join is
+    // part-keyed, candidate space bounded by cap² per part.
+    ("q266_two_hop_neighbors", (s: SparkSession, d: String) => {
+      val edges = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("pk"))
+        .distinct()
+      val ok = edges.groupBy("pk").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") <= 64).select("pk")
+      val kept = edges.join(broadcast(ok), Seq("pk"))
+      kept.as("a").join(kept.as("b"),
+          col("a.pk") === col("b.pk") && col("a.c") =!= col("b.c"))
+        .select(col("a.c").as("c"), col("b.c").as("peer"))
+        .distinct()
+        .groupBy("c").agg(count(lit(1)).as("n_two_hop"))
+        .orderBy("c")
+    }, Some("""
+      WITH edges AS (SELECT DISTINCT o_custkey AS c, l_partkey AS pk
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ok AS (SELECT pk FROM edges GROUP BY pk HAVING COUNT(*) <= 64),
+      kept AS (SELECT edges.* FROM edges JOIN ok USING (pk)),
+      pairs AS (SELECT DISTINCT a.c AS c, b.c AS peer
+        FROM kept a JOIN kept b ON a.pk = b.pk AND a.c <> b.c)
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS n_two_hop
+      FROM pairs GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
