@@ -463,4 +463,34 @@ class PlanQualitySpec extends SparkSpec {
     assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[jcx"
       .r.findFirstIn(p).isDefined, p)
   }
+
+  test("q255: df-capped keep set broadcasts; top-k never fully sorts") {
+    val p = plan("q255_sparse_dot_topk")
+    // the kept-token set reaches the tf relation via broadcast, the
+    // posting join is an equi-join on the term, and the global cut is
+    // TakeOrderedAndProject — a full Sort before limit is the
+    // regression at corpus scale
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q259: PIT lookup is one keyed window — no pairwise range join") {
+    val p = plan("q259_pit_lookup")
+    // AsOf.lastRightValue = union + one window partitioned on the key;
+    // the quadratic `join on key and vf <= ts` (the oracle's form)
+    // must not appear
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Union"), p)
+    assert("hashpartitioning\\(user_id".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q266: hub cap reaches the edge relation before the pair join") {
+    val p = plan("q266_two_hop_neighbors")
+    // the ≤64-degree keep set is broadcast onto edges; the projection
+    // join is an equi-join on the part key
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
