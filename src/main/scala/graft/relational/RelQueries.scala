@@ -5230,7 +5230,118 @@ object RelQueries {
       pairs AS (SELECT DISTINCT a.c AS c, b.c AS peer
         FROM kept a JOIN kept b ON a.pk = b.pk AND a.c <> b.c)
       SELECT c, CAST(COUNT(*) AS BIGINT) AS n_two_hop
-      FROM pairs GROUP BY 1 ORDER BY 1"""))
+      FROM pairs GROUP BY 1 ORDER BY 1""")),
+
+    // Pro-rata allocation with exact reconciliation — spread each
+    // order's total across its line items proportional to extended
+    // price, in integer cents, with the Hamilton largest-remainder
+    // rule applied PER ORDER via windows (floor everyone, hand the
+    // leftover cents to the largest fractional remainders, ties by
+    // line number). The finance allocation op where naive rounding
+    // leaves orders off by a cent; here the in-query audit proves
+    // every order reconciles exactly. No driver loop — the remainder
+    // rank is one keyed window.
+    ("q267_prorata_allocation", (s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          (Exact.dec(col("l_extendedprice")) * 100).cast("long").as("w"))
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey").as("ok"),
+          (Exact.dec(col("o_totalprice")) * 100).cast("long").as("total"))
+      val wsum = Window.partitionBy("ok")
+      val base = li.join(orders, Seq("ok"))
+        .withColumn("wtot", sum("w").over(wsum).cast("long"))
+        .withColumn("floor_c", expr("(total * w) div wtot"))
+        .withColumn("rem", col("total") * col("w") % col("wtot"))
+        .withColumn("short",
+          (col("total") - sum(expr("(total * w) div wtot")).over(wsum))
+            .cast("long"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("ok").orderBy(desc("rem"), col("ln"))))
+        .withColumn("alloc_c",
+          col("floor_c") + when(col("rk") <= col("short"), 1L).otherwise(0L))
+      base.groupBy("ok")
+        .agg(count(lit(1)).as("n_lines"),
+          sum("alloc_c").cast("long").as("alloc_sum"),
+          max("total").as("total_cents"))
+        .withColumn("reconciled", col("alloc_sum") === col("total_cents"))
+        .filter(col("n_lines") >= 6)
+        .orderBy("ok")
+    }, Some("""
+      WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS w
+        FROM lineitem),
+      o AS (SELECT o_orderkey AS ok,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS total
+        FROM orders),
+      base AS (SELECT ok, ln, w, total,
+          CAST(SUM(w) OVER (PARTITION BY ok) AS BIGINT) AS wtot
+        FROM li JOIN o USING (ok)),
+      fl AS (SELECT ok, ln, total,
+          (total * w) // wtot AS floor_c,
+          (total * w) % wtot AS rem
+        FROM base),
+      ranked AS (SELECT ok, ln, total, floor_c,
+          CAST(total - SUM(floor_c) OVER (PARTITION BY ok) AS BIGINT)
+            AS short,
+          ROW_NUMBER() OVER (PARTITION BY ok ORDER BY rem DESC, ln) AS rk
+        FROM fl),
+      alloc AS (SELECT ok, total,
+          floor_c + CASE WHEN rk <= short THEN 1 ELSE 0 END AS alloc_c
+        FROM ranked)
+      SELECT ok, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        CAST(SUM(alloc_c) AS BIGINT) AS alloc_sum,
+        CAST(MAX(total) AS BIGINT) AS total_cents,
+        CAST(SUM(alloc_c) AS BIGINT) = CAST(MAX(total) AS BIGINT)
+          AS reconciled
+      FROM alloc GROUP BY ok
+      HAVING COUNT(*) >= 6
+      ORDER BY ok""")),
+
+    // Sessionized bounce rate — gap-based (30-minute) sessionization
+    // via the lag-gap cumulative sum, then the share of single-event
+    // sessions per day: the product-analytics KPI whose scalable form
+    // is the same keyed sweep as q262 (one lag window + one keyed
+    // cumsum, never a self-join). Counts BIGINT; the rate is one
+    // double division.
+    ("q268_bounce_rate", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val sess = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag("us", 1).over(w))
+        .withColumn("new_s",
+          (col("prev").isNull || col("us") - col("prev") > lit(1800000000L))
+            .cast("long"))
+        .withColumn("seg", sum("new_s").over(w))
+        .groupBy("user_id", "seg")
+        .agg(count(lit(1)).as("n_ev"),
+          min(expr("us div 86400000000")).as("day_num"))
+      sess.groupBy("day_num")
+        .agg(count(lit(1)).as("n_sessions"),
+          count(when(col("n_ev") === 1, 1)).as("n_bounces"))
+        .withColumn("bounce_rate",
+          col("n_bounces").cast("double") / col("n_sessions").cast("double"))
+        .orderBy("day_num")
+    }, Some("""
+      WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        FROM events),
+      swept AS (SELECT user_id, event_id, us,
+          LAG(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id)
+            AS prev
+        FROM ev),
+      segs AS (SELECT user_id, us,
+          CAST(SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000
+            THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+              ORDER BY us, event_id) AS BIGINT) AS seg
+        FROM swept),
+      sess AS (SELECT user_id, seg, CAST(COUNT(*) AS BIGINT) AS n_ev,
+          CAST(MIN(us // 86400000000) AS BIGINT) AS day_num
+        FROM segs GROUP BY 1, 2)
+      SELECT day_num, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        CAST(COUNT(*) FILTER (WHERE n_ev = 1) AS BIGINT) AS n_bounces,
+        CAST(COUNT(*) FILTER (WHERE n_ev = 1) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+      FROM sess GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
