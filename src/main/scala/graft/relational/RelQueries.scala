@@ -5341,7 +5341,74 @@ object RelQueries {
         CAST(COUNT(*) FILTER (WHERE n_ev = 1) AS BIGINT) AS n_bounces,
         CAST(COUNT(*) FILTER (WHERE n_ev = 1) AS DOUBLE)
           / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
-      FROM sess GROUP BY 1 ORDER BY 1"""))
+      FROM sess GROUP BY 1 ORDER BY 1""")),
+
+    // Conversion-latency histogram — hours from each view to the
+    // user's NEXT purchase, bucketed. The latency join is the linear
+    // forward as-of (union + one keyed window, q246's machinery), not
+    // the quadratic min-future join the oracle replays; bucketing is
+    // integer microsecond arithmetic end to end.
+    ("q269_conversion_latency", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      AsOf.firstRightTs(views, purchases, "user_id", "ts", "np")
+        .filter(col("np").isNotNull)
+        .groupBy(expr("(unix_micros(np) - unix_micros(ts)) div 3600000000")
+          .as("hours"))
+        .agg(count(lit(1)).as("n_views"))
+        .filter(col("hours") <= 72)
+        .orderBy("hours")
+    }, Some("""
+      WITH lat AS (SELECT v.event_id,
+          (epoch_us(MIN(p.ts)) - epoch_us(v.ts)) // 3600000000 AS hours
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id AND p.ts >= v.ts
+         AND p.event_type = 'purchase'
+        WHERE v.event_type = 'view'
+        GROUP BY v.event_id, v.ts)
+      SELECT hours, CAST(COUNT(*) AS BIGINT) AS n_views
+      FROM lat WHERE hours <= 72
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Rolling median baseline — the robust alternative to the moving
+    // average: median of the trailing 15 days of daily revenue, via a
+    // BOUNDED frame collect_list + sort_array + lower-median pick (an
+    // exact integer pick, no percentile interpolation). The frame
+    // array is ≤15 elements — constant memory per row at any scale —
+    // and spike days are flagged by integer cross-multiplication
+    // (cents > 2·median), no floats anywhere.
+    ("q270_rolling_median", (s: SparkSession, d: String) => {
+      val w = Window.orderBy("day_num").rowsBetween(-14, 0)
+      t(s, d, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("day_num"))
+        .agg(sum((Exact.dec(col("o_totalprice")) * 100).cast("long"))
+          .cast("long").as("cents"))
+        .withColumn("arr", sort_array(collect_list("cents").over(w)))
+        .withColumn("med15",
+          expr("element_at(arr, CAST((size(arr) + 1) div 2 AS INT))")
+            .cast("long"))
+        .select(col("day_num"), col("cents"), col("med15"),
+          (col("cents") > col("med15") * 2).as("is_spike"))
+        .orderBy("day_num")
+    }, Some("""
+      WITH daily AS (SELECT
+          CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+            AS day_num,
+          CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+            AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+      rolled AS (SELECT day_num, cents,
+          list_sort(list(cents) OVER (ORDER BY day_num
+            ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)) AS arr
+        FROM daily)
+      SELECT day_num, cents,
+        CAST(arr[CAST((len(arr) + 1) // 2 AS INT)] AS BIGINT) AS med15,
+        cents > 2 * arr[CAST((len(arr) + 1) // 2 AS INT)] AS is_spike
+      FROM rolled ORDER BY day_num"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
