@@ -5408,7 +5408,98 @@ object RelQueries {
       SELECT day_num, cents,
         CAST(arr[CAST((len(arr) + 1) // 2 AS INT)] AS BIGINT) AS med15,
         cents > 2 * arr[CAST((len(arr) + 1) // 2 AS INT)] AS is_spike
-      FROM rolled ORDER BY day_num"""))
+      FROM rolled ORDER BY day_num""")),
+
+    // Interval INTERSECTION of two session sets per key — time where a
+    // user had BOTH a view-session and a click-session open (the
+    // calendar-overlap / concurrent-billing analytic). The sweep
+    // generalizes q262's union: every window emits ±1 boundary deltas
+    // tagged by set, one keyed sort orders all boundaries, two
+    // running sums track each set's open depth, and the span to the
+    // next boundary counts when both depths are positive. Same-position
+    // boundaries are harmless under any tie order (their spans are
+    // zero-length), but the (pos, da, db) sort key pins one order on
+    // both engines anyway. Microsecond integers; linear; no self-join.
+    ("q271_interval_intersect", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("st"))
+        .withColumn("en", col("st") + lit(1800000000L))
+      val bounds = ev.select(col("user_id"), col("st").as("pos"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("da"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("db"))
+        .unionByName(ev.select(col("user_id"), col("en").as("pos"),
+          when(col("event_type") === "view", -1L).otherwise(0L).as("da"),
+          when(col("event_type") === "click", -1L).otherwise(0L).as("db")))
+      val w = Window.partitionBy("user_id").orderBy("pos", "da", "db")
+      bounds
+        .withColumn("depth_a", sum("da").over(w))
+        .withColumn("depth_b", sum("db").over(w))
+        .withColumn("nxt", lead("pos", 1).over(w))
+        .filter(col("nxt").isNotNull
+          && col("depth_a") > 0 && col("depth_b") > 0)
+        .groupBy("user_id")
+        .agg(sum(col("nxt") - col("pos")).cast("long").as("both_open_us"))
+        .filter(col("both_open_us") > 0)
+        .orderBy("user_id")
+    }, Some("""
+      WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS st,
+          epoch_us(ts) + 1800000000 AS en
+        FROM events WHERE event_type IN ('view', 'click')),
+      bounds AS (
+        SELECT user_id, st AS pos,
+          CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS da,
+          CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS db
+        FROM ev
+        UNION ALL
+        SELECT user_id, en AS pos,
+          CASE WHEN event_type = 'view' THEN -1 ELSE 0 END AS da,
+          CASE WHEN event_type = 'click' THEN -1 ELSE 0 END AS db
+        FROM ev),
+      swept AS (SELECT user_id, pos,
+          SUM(da) OVER w AS depth_a, SUM(db) OVER w AS depth_b,
+          LEAD(pos, 1) OVER w AS nxt
+        FROM bounds
+        WINDOW w AS (PARTITION BY user_id ORDER BY pos, da, db))
+      SELECT user_id, CAST(SUM(nxt - pos) AS BIGINT) AS both_open_us
+      FROM swept
+      WHERE nxt IS NOT NULL AND depth_a > 0 AND depth_b > 0
+      GROUP BY 1 HAVING SUM(nxt - pos) > 0
+      ORDER BY 1""")),
+
+    // Exact Gini coefficient of customer revenue concentration — the
+    // inequality metric as pure integer algebra: rank customers by
+    // revenue with the TWO-LEVEL global row number (offsets broadcast,
+    // the corpus-scale form of a global sort-rank — Layout
+    // .globalRowNumber), accumulate Σ rank·cents in BIGINT, and close
+    // with G = ((n+1)·B − 2·Σ_desc) / (n·B): one double division.
+    ("q272_gini_concentration", (s: SparkSession, d: String) => {
+      val cust = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum((Exact.dec(col("o_totalprice")) * 100).cast("long"))
+          .cast("long").as("sz"))
+      Layout.globalRowNumber(cust, "sz", "o_custkey")
+        .agg(count(lit(1)).as("n"),
+          sum("sz").cast("long").as("total_cents"),
+          sum(col("rn") * col("sz")).cast("long").as("a_desc"))
+        .select(col("n"), col("total_cents"),
+          (((col("n") + 1) * col("total_cents") - col("a_desc") * 2)
+            .cast("double")
+            / (col("n") * col("total_cents")).cast("double")).as("gini"))
+    }, Some("""
+      WITH cust AS (SELECT o_custkey AS k,
+          CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+            AS BIGINT) AS sz
+        FROM orders GROUP BY 1),
+      ranked AS (SELECT sz,
+          CAST(ROW_NUMBER() OVER (ORDER BY sz DESC, k) AS BIGINT) AS rn
+        FROM cust)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(sz) AS BIGINT) AS total_cents,
+        CAST((COUNT(*) + 1) * SUM(sz) - 2 * SUM(rn * sz) AS DOUBLE)
+          / CAST(COUNT(*) * SUM(sz) AS DOUBLE) AS gini
+      FROM ranked"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
