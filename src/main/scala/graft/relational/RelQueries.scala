@@ -5499,7 +5499,69 @@ object RelQueries {
         CAST(SUM(sz) AS BIGINT) AS total_cents,
         CAST((COUNT(*) + 1) * SUM(sz) - 2 * SUM(rn * sz) AS DOUBLE)
           / CAST(COUNT(*) * SUM(sz) AS DOUBLE) AS gini
-      FROM ranked"""))
+      FROM ranked""")),
+
+    // Embedding introspection — per-vector sparsity and peak-dimension
+    // stats via array higher-order functions (filter/array_max/
+    // array_position), entirely codegen'd projections over the scan:
+    // active-dimension count at a magnitude threshold, the argmax
+    // dimension (first occurrence — deterministic under ties), and the
+    // peak value itself (a raw stored-float PICK, no arithmetic). The
+    // vector column never explodes to rows and never shuffles.
+    ("q273_embedding_stats", (s: SparkSession, d: String) => {
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          size(filter(col("embedding"),
+            x => abs(x) > lit(0.25))).cast("long").as("nnz"),
+          array_position(col("embedding"), array_max(col("embedding")))
+            .cast("long").as("argmax_dim"),
+          array_max(col("embedding")).as("max_val"))
+        .orderBy("vec_id")
+    }, Some("""
+      SELECT vec_id, label,
+        CAST(len(list_filter(embedding, x -> abs(x) > 0.25)) AS BIGINT)
+          AS nnz,
+        CAST(list_position(embedding, list_max(embedding)) AS BIGINT)
+          AS argmax_dim,
+        list_max(embedding) AS max_val
+      FROM embeddings ORDER BY vec_id""")),
+
+    // Join-explosion preflight — BEFORE running a fat key join,
+    // predict its output size from per-key multiplicities:
+    // Σ n_left(k)·n_right(k), and surface the keys that dominate it.
+    // The 100 TB discipline this encodes: a join's cost is decided by
+    // its hottest keys, and the check is two key-grain aggregates plus
+    // one equi-join on the key — nothing fact-sized is joined to
+    // anything. Counts and products BIGINT; each key's share is one
+    // double division against the broadcast one-row total.
+    ("q274_join_preflight", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val a = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(count(lit(1)).as("n_a"))
+      val b = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(count(lit(1)).as("n_b"))
+      val pred = a.join(b, Seq("user_id"))
+        .withColumn("pred_rows", col("n_a") * col("n_b"))
+      val total = pred.agg(sum("pred_rows").cast("long").as("total_pred"))
+      pred.crossJoin(broadcast(total))
+        .select(col("user_id"), col("n_a"), col("n_b"), col("pred_rows"),
+          (col("pred_rows").cast("double") / col("total_pred").cast("double"))
+            .as("share"))
+        .orderBy(desc("pred_rows"), col("user_id"))
+        .limit(20)
+    }, Some("""
+      WITH a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_a
+        FROM events WHERE event_type = 'view' GROUP BY 1),
+      b AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_b
+        FROM events WHERE event_type = 'click' GROUP BY 1),
+      pred AS (SELECT user_id, n_a, n_b, n_a * n_b AS pred_rows
+        FROM a JOIN b USING (user_id)),
+      total AS (SELECT CAST(SUM(pred_rows) AS BIGINT) AS total_pred
+        FROM pred)
+      SELECT user_id, n_a, n_b, pred_rows,
+        CAST(pred_rows AS DOUBLE) / CAST(total_pred AS DOUBLE) AS share
+      FROM pred CROSS JOIN total
+      ORDER BY pred_rows DESC, user_id LIMIT 20"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
