@@ -5561,7 +5561,81 @@ object RelQueries {
       SELECT user_id, n_a, n_b, pred_rows,
         CAST(pred_rows AS DOUBLE) / CAST(total_pred AS DOUBLE) AS share
       FROM pred CROSS JOIN total
-      ORDER BY pred_rows DESC, user_id LIMIT 20"""))
+      ORDER BY pred_rows DESC, user_id LIMIT 20""")),
+
+    // SQL-defined scalar function (Spark 4 SQL UDF) — the revenue
+    // formula packaged as `CREATE TEMPORARY FUNCTION ... RETURNS
+    // BIGINT RETURN <expr>` and used inside an aggregate. Unlike a
+    // JVM closure UDF this stays a Catalyst expression (inlined at
+    // plan time, codegen'd, pushdown-transparent) — the right way to
+    // share business formulas across SQL users. The function body
+    // keeps the exact-decimal discipline (1e-4 revenue units); the
+    // oracle inlines the same expression.
+    ("q275_sql_udf", (s: SparkSession, d: String) => {
+      t(s, d, "lineitem").createOrReplaceTempView("li_q275")
+      s.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION q275_rev_e4(
+            p DOUBLE, disc DOUBLE) RETURNS BIGINT
+        RETURN CAST(CAST(p AS DECIMAL(12,2))
+          * (CAST(1 AS DECIMAL(3,2)) - CAST(disc AS DECIMAL(4,2)))
+          * 10000 AS BIGINT)""")
+      s.sql("""
+        SELECT l_returnflag,
+          CAST(SUM(q275_rev_e4(l_extendedprice, l_discount)) AS BIGINT)
+            AS rev_e4,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM li_q275 GROUP BY 1 ORDER BY 1""")
+    }, Some(s"""
+      SELECT l_returnflag,
+        CAST(SUM(CAST($oRev * 10000 AS BIGINT)) AS BIGINT) AS rev_e4,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // Top-N-plus-OTHER reporting rollup — the dashboard pattern: the
+    // top 3 brands per region keep their names, everything else folds
+    // into an OTHER bucket so totals still reconcile. One keyed window
+    // ranks the (region, brand) aggregate (dim-grain, tiny), the
+    // relabel is a projection, and the second aggregate collapses the
+    // tail — the fact table is scanned once.
+    ("q276_topn_other", (s: SparkSession, d: String) => {
+      val rev = t(s, d, "lineitem")
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("r_name"), col("p_brand"))
+        .agg(sum((price * (Exact.one - disc) * 10000).cast("long"))
+          .cast("long").as("rev_e4"))
+      rev
+        .withColumn("rk", row_number().over(Window.partitionBy("r_name")
+          .orderBy(desc("rev_e4"), col("p_brand"))))
+        .withColumn("bucket",
+          when(col("rk") <= 3, col("p_brand")).otherwise(lit("OTHER")))
+        .groupBy(col("r_name"), col("bucket"))
+        .agg(sum("rev_e4").cast("long").as("rev_e4"),
+          count(lit(1)).as("n_brands"))
+        .orderBy("r_name", "bucket")
+    }, Some(s"""
+      WITH rev AS (SELECT r_name, p_brand,
+          CAST(SUM(CAST($oRev * 10000 AS BIGINT)) AS BIGINT) AS rev_e4
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2),
+      ranked AS (SELECT r_name, p_brand, rev_e4,
+          ROW_NUMBER() OVER (PARTITION BY r_name
+            ORDER BY rev_e4 DESC, p_brand) AS rk
+        FROM rev)
+      SELECT r_name,
+        CASE WHEN rk <= 3 THEN p_brand ELSE 'OTHER' END AS bucket,
+        CAST(SUM(rev_e4) AS BIGINT) AS rev_e4,
+        CAST(COUNT(*) AS BIGINT) AS n_brands
+      FROM ranked GROUP BY 1, 2
+      ORDER BY 1, 2"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
