@@ -5635,7 +5635,104 @@ object RelQueries {
         CAST(SUM(rev_e4) AS BIGINT) AS rev_e4,
         CAST(COUNT(*) AS BIGINT) AS n_brands
       FROM ranked GROUP BY 1, 2
-      ORDER BY 1, 2"""))
+      ORDER BY 1, 2""")),
+
+    // Partition-completeness audit (backfill planner) — which months
+    // of the urgent-order feed are missing days, and how many: build
+    // the calendar spine between the feed's own min/max with
+    // sequence() (no driver code), anti-join the observed days, roll
+    // missing counts up to months. The audit every partitioned
+    // ingestion runs before declaring a table queryable; spine and
+    // day relations are calendar-grain (metadata-sized at any scale).
+    ("q277_backfill_audit", (s: SparkSession, d: String) => {
+      val days = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(to_date(col("o_orderdate")).as("day")).distinct()
+      val spine = days.agg(min("day").as("lo"), max("day").as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      spine.join(days, Seq("day"), "left_anti")
+        .groupBy(trunc(col("day"), "month").as("month"))
+        .agg(count(lit(1)).as("n_missing"),
+          min("day").as("first_missing"))
+        .orderBy("month")
+    }, Some("""
+      WITH days AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day
+        FROM orders WHERE o_orderpriority = '1-URGENT'),
+      spine AS (SELECT unnest(generate_series(
+          (SELECT MIN(day) FROM days), (SELECT MAX(day) FROM days),
+          INTERVAL 1 DAY))::DATE AS day),
+      missing AS (SELECT day FROM spine
+        WHERE day NOT IN (SELECT day FROM days))
+      SELECT date_trunc('month', day)::DATE AS month,
+        CAST(COUNT(*) AS BIGINT) AS n_missing,
+        MIN(day) AS first_missing
+      FROM missing GROUP BY 1 ORDER BY 1""")),
+
+    // Referential-conformance matrix — every foreign-key edge of the
+    // star schema audited in one relation: distinct child keys,
+    // orphans (anti-join against the parent), and the conformance
+    // verdict. Each check is key-grain (distinct child keys, not
+    // fact rows) and the parents are dimension-sized — the audit
+    // costs one distinct per edge at any fact scale.
+    ("q278_fk_conformance", (s: SparkSession, d: String) => {
+      def edge(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame = {
+        val keys = child.select(col(ck).as("k")).distinct()
+        val orphans = keys.join(parent.select(col(pk).as("k")).distinct(),
+          Seq("k"), "left_anti")
+        keys.agg(count(lit(1)).as("n_child_keys"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("relationship"),
+            col("n_child_keys"), col("n_orphans"),
+            (col("n_orphans") === 0).as("conformant"))
+      }
+      val li = t(s, d, "lineitem")
+      edge("lineitem.orderkey->orders", li, "l_orderkey",
+          t(s, d, "orders"), "o_orderkey")
+        .unionByName(edge("lineitem.partkey->part", li, "l_partkey",
+          t(s, d, "part"), "p_partkey"))
+        .unionByName(edge("lineitem.suppkey->supplier", li, "l_suppkey",
+          t(s, d, "supplier"), "s_suppkey"))
+        .unionByName(edge("orders.custkey->customer", t(s, d, "orders"),
+          "o_custkey", t(s, d, "customer"), "c_custkey"))
+        .unionByName(edge("events.user_id->customer", t(s, d, "events"),
+          "user_id", t(s, d, "customer"), "c_custkey"))
+        .orderBy("relationship")
+    }, Some("""
+      WITH checks AS (
+        SELECT 'lineitem.orderkey->orders' AS relationship,
+          (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_child_keys,
+          (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey AS k
+            FROM lineitem) c WHERE k NOT IN
+            (SELECT o_orderkey FROM orders)) AS n_orphans
+        UNION ALL
+        SELECT 'lineitem.partkey->part',
+          (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
+          (SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey AS k
+            FROM lineitem) c WHERE k NOT IN
+            (SELECT p_partkey FROM part))
+        UNION ALL
+        SELECT 'lineitem.suppkey->supplier',
+          (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
+          (SELECT COUNT(*) FROM (SELECT DISTINCT l_suppkey AS k
+            FROM lineitem) c WHERE k NOT IN
+            (SELECT s_suppkey FROM supplier))
+        UNION ALL
+        SELECT 'orders.custkey->customer',
+          (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+          (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey AS k
+            FROM orders) c WHERE k NOT IN
+            (SELECT c_custkey FROM customer))
+        UNION ALL
+        SELECT 'events.user_id->customer',
+          (SELECT COUNT(DISTINCT user_id) FROM events),
+          (SELECT COUNT(*) FROM (SELECT DISTINCT user_id AS k
+            FROM events) c WHERE k NOT IN
+            (SELECT c_custkey FROM customer)))
+      SELECT relationship, CAST(n_child_keys AS BIGINT) AS n_child_keys,
+        CAST(n_orphans AS BIGINT) AS n_orphans,
+        n_orphans = 0 AS conformant
+      FROM checks ORDER BY relationship"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
