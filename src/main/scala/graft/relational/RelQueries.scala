@@ -5732,7 +5732,137 @@ object RelQueries {
       SELECT relationship, CAST(n_child_keys AS BIGINT) AS n_child_keys,
         CAST(n_orphans AS BIGINT) AS n_orphans,
         n_orphans = 0 AS conformant
-      FROM checks ORDER BY relationship"""))
+      FROM checks ORDER BY relationship""")),
+
+    // Revenue bridge (price/volume decomposition) — explain a brand's
+    // year-over-year revenue delta as volume effect ((q2-q1)·u1) plus
+    // price effect ((u2-u1)·q2), the FP&A waterfall identity. One
+    // conditional aggregate per (brand, measure) over a single fact
+    // scan — no self-join of years; effects are one double division of
+    // exact integers each (cross-products in DECIMAL(38,0)/HUGEINT so
+    // the integer part never overflows at any scale).
+    ("q279_revenue_bridge", (s: SparkSession, d: String) => {
+      val yr = year(col("l_shipdate"))
+      val revRow = (price * (Exact.one - disc) * 10000).cast("long")
+      val qtyRow = (qty * 100).cast("long")
+      t(s, d, "lineitem")
+        .filter(yr.isin(1997, 1998))
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          sum(when(yr === 1997, revRow).otherwise(lit(0L)))
+            .cast("long").as("rev1_e4"),
+          sum(when(yr === 1998, revRow).otherwise(lit(0L)))
+            .cast("long").as("rev2_e4"),
+          sum(when(yr === 1997, qtyRow).otherwise(lit(0L)))
+            .cast("long").as("qty1_e2"),
+          sum(when(yr === 1998, qtyRow).otherwise(lit(0L)))
+            .cast("long").as("qty2_e2"))
+        .filter(col("qty1_e2") > 0 && col("qty2_e2") > 0)
+        .select(col("p_brand"), col("rev1_e4"), col("rev2_e4"),
+          (col("rev2_e4") - col("rev1_e4")).as("delta_rev_e4"),
+          ((col("qty2_e2") - col("qty1_e2")).cast("decimal(18,0)")
+              * col("rev1_e4").cast("decimal(20,0)")).cast("double")
+            .divide(col("qty1_e2").cast("double"))
+            .as("volume_effect_e4"),
+          (col("rev2_e4").cast("double")
+            - (col("rev1_e4").cast("decimal(20,0)")
+                * col("qty2_e2").cast("decimal(18,0)")).cast("double")
+              / col("qty1_e2").cast("double"))
+            .as("price_effect_e4"))
+        .orderBy("p_brand")
+    }, Some(s"""
+      WITH li AS (
+        SELECT p_brand, EXTRACT(year FROM l_shipdate) AS yr,
+          CAST($oRev * 10000 AS BIGINT) AS rev_e4,
+          CAST($oQty * 100 AS BIGINT) AS qty_e2
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE EXTRACT(year FROM l_shipdate) IN (1997, 1998)),
+      b AS (SELECT p_brand,
+          CAST(SUM(CASE WHEN yr = 1997 THEN rev_e4 ELSE 0 END) AS BIGINT)
+            AS rev1_e4,
+          CAST(SUM(CASE WHEN yr = 1998 THEN rev_e4 ELSE 0 END) AS BIGINT)
+            AS rev2_e4,
+          CAST(SUM(CASE WHEN yr = 1997 THEN qty_e2 ELSE 0 END) AS BIGINT)
+            AS qty1_e2,
+          CAST(SUM(CASE WHEN yr = 1998 THEN qty_e2 ELSE 0 END) AS BIGINT)
+            AS qty2_e2
+        FROM li GROUP BY 1)
+      SELECT p_brand, rev1_e4, rev2_e4,
+        rev2_e4 - rev1_e4 AS delta_rev_e4,
+        CAST((CAST(qty2_e2 AS HUGEINT) - qty1_e2) * rev1_e4 AS DOUBLE)
+          / CAST(qty1_e2 AS DOUBLE) AS volume_effect_e4,
+        CAST(rev2_e4 AS DOUBLE)
+          - CAST(CAST(rev1_e4 AS HUGEINT) * qty2_e2 AS DOUBLE)
+            / CAST(qty1_e2 AS DOUBLE) AS price_effect_e4
+      FROM b WHERE qty1_e2 > 0 AND qty2_e2 > 0
+      ORDER BY p_brand""")),
+
+    // ABC (Pareto) classification — parts bucketed A/B/C by cumulative
+    // revenue share (≤70% / ≤90% / rest). The global prefix sum over
+    // "revenue descending" uses the two-level discipline: the coarse key
+    // is length(bin(rev_e4)) — an EXACT integer log2 bucket, monotone in
+    // revenue, so per-bucket offsets (a window over a ≤63-row relation)
+    // plus a KEYED within-bucket cumsum reproduce the global running
+    // total without funneling part-grain rows through one task. Class
+    // cuts are integer cross-multiplications in DECIMAL(38,0)/HUGEINT —
+    // no float thresholds. The oracle replays with the naive global
+    // window (its privilege at sf0.01).
+    ("q280_abc_classification", (s: SparkSession, d: String) => {
+      val rev = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum((price * (Exact.one - disc) * 10000).cast("long"))
+          .cast("long").as("rev_e4"))
+      val bucketed = rev.withColumn("__bkt", length(bin(col("rev_e4"))))
+      val offs = bucketed.groupBy("__bkt")
+        .agg(sum("rev_e4").as("__bsum"))
+        .withColumn("__off", coalesce(
+          sum("__bsum").over(Window.orderBy(col("__bkt").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("__bkt"), col("__off"))
+      val total = rev.agg(sum("rev_e4").cast("long").as("total_e4"))
+      val cum = bucketed.join(broadcast(offs), Seq("__bkt"))
+        .withColumn("cum_e4", col("__off")
+          + sum("rev_e4").over(Window.partitionBy("__bkt")
+            .orderBy(col("rev_e4").desc, col("l_partkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(total))
+      cum.withColumn("abc_class",
+          when(col("cum_e4").cast("decimal(38,0)") * 10
+            <= col("total_e4").cast("decimal(38,0)") * 7, "A")
+          .when(col("cum_e4").cast("decimal(38,0)") * 10
+            <= col("total_e4").cast("decimal(38,0)") * 9, "B")
+          .otherwise("C"))
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_parts"),
+          sum("rev_e4").cast("long").as("class_rev_e4"))
+        .crossJoin(broadcast(total))
+        .select(col("abc_class"), col("n_parts"), col("class_rev_e4"),
+          (col("class_rev_e4").cast("double")
+            / col("total_e4").cast("double")).as("share"))
+        .orderBy("abc_class")
+    }, Some(s"""
+      WITH rev AS (SELECT l_partkey,
+          CAST(SUM(CAST($oRev * 10000 AS BIGINT)) AS BIGINT) AS rev_e4
+        FROM lineitem GROUP BY 1),
+      tot AS (SELECT CAST(SUM(rev_e4) AS BIGINT) AS total_e4 FROM rev),
+      cum AS (SELECT l_partkey, rev_e4,
+          CAST(SUM(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_e4
+        FROM rev),
+      cls AS (SELECT
+          CASE WHEN CAST(cum_e4 AS HUGEINT) * 10
+                 <= CAST(total_e4 AS HUGEINT) * 7 THEN 'A'
+               WHEN CAST(cum_e4 AS HUGEINT) * 10
+                 <= CAST(total_e4 AS HUGEINT) * 9 THEN 'B'
+               ELSE 'C' END AS abc_class, rev_e4
+        FROM cum CROSS JOIN tot)
+      SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        CAST(SUM(rev_e4) AS BIGINT) AS class_rev_e4,
+        CAST(SUM(rev_e4) AS DOUBLE)
+          / (SELECT CAST(total_e4 AS DOUBLE) FROM tot) AS share
+      FROM cls GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
