@@ -22,11 +22,25 @@ object Tables {
     // ns->us handling). Integer `div` — a double division would lose
     // precision at 1.7e18 ns epochs.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  /** Normalizes the `ts` column to session-timezone TIMESTAMP regardless
+    * of how the parquet writer declared it: TIMESTAMP(NANOS) arrives as
+    * a nanos LONG under `nanosAsLong` (truncate to micros — the same
+    * ns->us handling DuckDB applies), TIMESTAMP(MICROS) without
+    * isAdjustedToUTC arrives as TIMESTAMP_NTZ (reinterpret as UTC — the
+    * session timezone, so the instant is unchanged and `unix_micros` /
+    * watermarks / windows resolve). Streaming readers share this so the
+    * batch and stream views of the same file agree. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     df.schema.fields.find(_.name == "ts") match {
-      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case Some(f) if f.dataType == LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(f) if f.dataType == TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }

@@ -148,6 +148,46 @@ object Components {
     (labels, rounds)
   }
 
+  /** Per-node local clustering coefficient — [[triangleCount]]'s
+    * degree-ordered orientation, but keeping each closed wedge's three
+    * endpoints so every node gets its own triangle count; the
+    * coefficient is 2·tri / (deg·(deg−1)) — one double division of
+    * exact integers. Same skew posture as triangleCount: a hub's wedge
+    * space is capped by its out-degree under the orientation, and every
+    * shuffle carries only node ids.
+    *
+    * @param edges undirected (src, dst); orientation/duplicates ignored
+    * @return (v, dg, n_tri, lcc) per node appearing in any edge
+    */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    val bid = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = bid.groupBy(col("src").as("v")).agg(count(lit(1)).as("dg"))
+    val o = bid
+      .join(deg.select(col("v").as("src"), col("dg").as("dsrc")), "src")
+      .join(deg.select(col("v").as("dst"), col("dg").as("ddst")), "dst")
+      .filter(struct(col("dsrc"), col("src")) < struct(col("ddst"), col("dst")))
+      .select(col("src"), col("dst"))
+      .localCheckpoint(true)
+    val tri = o.select(col("src").as("a"), col("dst").as("b"))
+      .join(o.select(col("src").as("b"), col("dst").as("c")), "b")
+      .join(o.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(col("v"), col("dg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("dg") >= 2,
+          (coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
+            (col("dg") * (col("dg") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
+
   /** Exact triangle count over an undirected pair graph — the classic
     * MapReduce graph statistic (clustering-coefficient numerator; for a
     * near-dup graph it measures how clique-like the duplicate clusters

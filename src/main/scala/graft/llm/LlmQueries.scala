@@ -2472,6 +2472,113 @@ object LlmQueries {
         CAST(10000 - CAST(SUM(freq) AS BIGINT) * 10000 // t AS BIGINT)
           AS oov_bp
       FROM sz JOIN rk ON rn <= vocab_size, tot
-      GROUP BY vocab_size, t ORDER BY vocab_size"""))
+      GROUP BY vocab_size, t ORDER BY vocab_size""")),
+
+    // Per-node local clustering coefficient over the q148 embedding
+    // near-dup graph (Components.localClustering): how clique-like each
+    // node's neighborhood is — the per-node refinement of q148's global
+    // triangle count, same degree-ordered orientation so hub wedge
+    // spaces stay capped. The oracle enumerates the same triangles with
+    // the id-ordered 3-way self-join and unnests each triangle to its
+    // three corners; lcc is one double division of exact integers.
+    ("q285_local_clustering", (s: SparkSession, d: String) => {
+      val pairs = Similarity.nearDupPairs(t(s, d, "embeddings"), "label",
+          tau = 0.25)
+        .select(col("v1").as("src"), col("v2").as("dst"))
+      Components.localClustering(pairs).orderBy("v")
+    }, Some("""
+      WITH pairs AS (
+        SELECT a.vec_id AS v1, b.vec_id AS v2
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+          b.embedding::DOUBLE[]) >= 0.25),
+      tri AS (SELECT x.v1 AS a, x.v2 AS b, y.v2 AS c
+              FROM pairs x JOIN pairs y ON y.v1 = x.v2
+              JOIN pairs z ON z.v1 = x.v1 AND z.v2 = y.v2),
+      pern AS (SELECT v, COUNT(*) AS n_tri FROM
+               (SELECT unnest([a, b, c]) AS v FROM tri) GROUP BY 1),
+      deg AS (SELECT v, COUNT(*) AS dg FROM
+              (SELECT v1 AS v FROM pairs
+               UNION ALL SELECT v2 FROM pairs) GROUP BY 1)
+      SELECT deg.v AS v, CAST(dg AS BIGINT) AS dg,
+        CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_tri,
+        CASE WHEN dg >= 2
+          THEN CAST(COALESCE(n_tri, 0) * 2 AS DOUBLE)
+            / CAST(dg * (dg - 1) AS DOUBLE)
+          ELSE 0.0 END AS lcc
+      FROM deg LEFT JOIN pern ON deg.v = pern.v
+      ORDER BY deg.v""")),
+
+    // CCNet-style perplexity bucketing — per-language head/middle/tail
+    // thirds by the q164 integer bigram-LM score (lower = more fluent).
+    // Rank-based ntile with a (score, doc_id) total order is EXACT and
+    // engine-agnostic, unlike float quantile cutoffs; the within-
+    // language sort is the honest cost (at 100 TB you'd swap in
+    // approx-percentile cutoffs per language — q188's gate pattern —
+    // accepting boundary fuzz; the rank form here is the exactness
+    // anchor such a rollout is validated against).
+    ("q286_perplexity_buckets", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      import org.apache.spark.sql.expressions.Window
+      val scored = Curation.bigramLmScore(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      val w = Window.partitionBy("lang")
+        .orderBy(col("lm_score"), col("doc_id"))
+      scored.withColumn("bucket", ntile(3).over(w).cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("lm_score").as("min_score"), max("lm_score").as("max_score"))
+        .orderBy("lang", "bucket")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+          THEN list_transform(range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i + 1])
+          ELSE [array_to_string(toks, ' ')] END) AS gram FROM t),
+      s AS (SELECT gram, COUNT(*) AS c2 FROM g GROUP BY 1),
+      sw AS (SELECT gram, c2, split_part(gram, ' ', 1) AS w1 FROM s),
+      cx AS (SELECT w1, SUM(c2) AS c1 FROM sw GROUP BY 1),
+      sc AS (SELECT doc_id, CAST(SUM(c1 // c2) AS BIGINT) AS lm_score
+             FROM g JOIN sw USING (gram) JOIN cx USING (w1)
+             GROUP BY doc_id),
+      b AS (SELECT d.lang, sc.lm_score,
+          ntile(3) OVER (PARTITION BY d.lang
+            ORDER BY sc.lm_score, sc.doc_id) AS bucket
+        FROM sc JOIN documents d USING (doc_id))
+      SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+        COUNT(*) AS n_docs,
+        CAST(MIN(lm_score) AS BIGINT) AS min_score,
+        CAST(MAX(lm_score) AS BIGINT) AS max_score
+      FROM b GROUP BY 1, 2 ORDER BY lang, bucket""")),
+
+    // First-occurrence 3-gram novelty (TextOps.ngramNovelty) — the
+    // "does this document add anything new" curation signal: fraction
+    // of each doc's distinct 3-grams whose smallest containing doc_id
+    // is the doc itself, in exact basis points. Text never shuffles —
+    // grams travel as 8-byte xxhash64 values, replayed in DuckDB via
+    // the generated XXH64; the oracle dedups on (doc, hash) AFTER
+    // hashing exactly as the engine does, so even a hash collision
+    // would be mirrored rather than mismatched.
+    ("q287_ngram_novelty", (s: SparkSession, d: String) => {
+      TextOps.ngramNovelty(t(s, d, "documents"), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH tkn AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+      toks AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+          THEN list_transform(range(1, len(tk) - 1),
+            i -> array_to_string(tk[i:i+2], ' '))
+          ELSE [array_to_string(tk, ' ')] END) AS tok FROM tkn),
+      ${XxHashOracle.xxh64Ctes("toks")},
+      hd AS (SELECT DISTINCT doc_id, hu FROM hashed),
+      fo AS (SELECT hu, MIN(doc_id) AS first_doc FROM hd GROUP BY 1)
+      SELECT doc_id, COUNT(*) AS n_grams,
+        COUNT(*) FILTER (WHERE first_doc = doc_id) AS n_novel,
+        CAST(COUNT(*) FILTER (WHERE first_doc = doc_id) * 10000
+          // COUNT(*) AS BIGINT) AS novelty_bp
+      FROM hd JOIN fo USING (hu)
+      GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

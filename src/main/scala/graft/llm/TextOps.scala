@@ -209,4 +209,36 @@ object TextOps {
                 i.cast("long") <= iv.getField("e"))), " "))
           .as("clean_text"))
   }
+
+  /** First-occurrence n-gram novelty — the curation signal behind
+    * "prefer documents that add new content": for each document, the
+    * fraction of its DISTINCT n-grams whose first corpus occurrence
+    * (smallest doc id) is this document. A fully-derivative doc scores
+    * 0; the corpus's first doc scores 10000 bp.
+    *
+    * Scale shape: grams leave the scan as 8-byte xxhash64 values (text
+    * never shuffles); the first-occurrence argmin is one map-side-
+    * combined `min(doc_id)` per gram hash; the join back carries only
+    * (hash, doc_id) pairs. Documents shorter than n tokens contribute
+    * their whole token sequence as a single gram (the q190 fallback),
+    * so every doc appears in the output. */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    val grams = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__tk"))
+      .select(col("doc_id"), explode(
+        when(size(col("__tk")) >= n,
+          transform(sequence(lit(0), size(col("__tk")) - n),
+            j => array_join(slice(col("__tk"), j + lit(1), lit(n)), " ")))
+          .otherwise(array(array_join(col("__tk"), " ")))).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("h"))
+      .distinct()
+    val first = grams.groupBy("h").agg(min("doc_id").as("__first"))
+    grams.join(first, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("__first") === col("doc_id"), 1)).as("n_novel"))
+      .withColumn("novelty_bp", expr("n_novel * 10000 div n_grams"))
+  }
 }

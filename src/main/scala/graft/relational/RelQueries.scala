@@ -1126,7 +1126,7 @@ object RelQueries {
       // file path: anchor basePath at the table dir and glob the one file.
       val stream = s.readStream.schema(raw.schema)
         .option("basePath", d).parquet(s"$d/events.parque[t]")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeTs)
         .withWatermark("ts", "1 day")
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         // Exact decimal sum: partial aggregates from any number of tasks
@@ -1708,7 +1708,7 @@ object RelQueries {
       val raw = s.read.parquet(s"$d/events.parquet")
       val stream = s.readStream.schema(raw.schema)
         .option("basePath", d).parquet(s"$d/events.parque[t]")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeTs)
         .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"),
@@ -1787,7 +1787,7 @@ object RelQueries {
       val raw = s.read.parquet(s"$d/events.parquet")
       val stream = s.readStream.schema(raw.schema)
         .option("basePath", d).parquet(s"$d/events.parque[t]")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeTs)
       val joined = graft.streaming.Streams.purchaseViewJoin(stream, "24 hours")
       val sink = s"q135_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val q = joined.writeStream.format("memory")
@@ -2859,7 +2859,7 @@ object RelQueries {
       val raw = s.read.parquet(s"$d/events.parquet")
       val stream = s.readStream.schema(raw.schema)
         .option("basePath", d).parquet(s"$d/events.parque[t]")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeTs)
         .withWatermark("ts", "1 day")
         .groupBy(window(col("ts"), "2 days", "1 day"), col("event_type"))
         .agg(count(lit(1)).as("n"), Exact.sumD(col("value")).as("sum_value"))
@@ -2954,20 +2954,19 @@ object RelQueries {
     ("q183_stream_outer_join", (s: SparkSession, d: String) => {
       s.conf.set("spark.sql.session.timeZone", "UTC")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(s"$d/events.parquet")
+      val raw = Tables.normalizeTs(s.read.parquet(s"$d/events.parquet"))
       val inDir = s"/tmp/graft_q183/${new java.io.File(d).getName}/in"
-      val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
-      val far = maxTs + 30L * 24 * 3600 * 1000000000L
+      val maxTs = raw.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val far = maxTs + 30L * 24 * 3600 * 1000000L
       val sentinels = s.range(2).select(
         (col("id") + 10000000L).as("event_id"),
-        (lit(far) + col("id") * 864000000000000L).as("ts"),
+        timestamp_micros(lit(far) + col("id") * 864000000000L).as("ts"),
         lit(-1L).as("user_id"),
         when(col("id") === 0, "purchase").otherwise("view").as("event_type"),
         lit(0.0).as("value"), lit("{}").as("props"))
       raw.unionByName(sentinels).coalesce(2)
         .write.mode("overwrite").parquet(inDir)
       val stream = s.readStream.schema(raw.schema).parquet(inDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val joined = graft.streaming.Streams.purchaseViewLeftJoin(stream)
       val sink = s"q183_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val q = joined.writeStream.format("memory")
@@ -3818,7 +3817,7 @@ object RelQueries {
       val raw = s.read.parquet(s"$d/events.parquet")
       val stream = s.readStream.schema(raw.schema)
         .option("basePath", d).parquet(s"$d/events.parque[t]")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeTs)
       val joined = graft.streaming.Streams.purchaseViewSemiJoin(stream, "24 hours")
       val sink = s"q216_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val q = joined.writeStream.format("memory")
@@ -4144,20 +4143,19 @@ object RelQueries {
     ("q233_stream_full_outer_join", (s: SparkSession, d: String) => {
       s.conf.set("spark.sql.session.timeZone", "UTC")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(s"$d/events.parquet")
+      val raw = Tables.normalizeTs(s.read.parquet(s"$d/events.parquet"))
       val inDir = s"/tmp/graft_q233/${new java.io.File(d).getName}/in"
-      val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
-      val far = maxTs + 30L * 24 * 3600 * 1000000000L
+      val maxTs = raw.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val far = maxTs + 30L * 24 * 3600 * 1000000L
       val sentinels = s.range(2).select(
         (col("id") + 20000000L).as("event_id"),
-        (lit(far) + col("id") * 864000000000000L).as("ts"),
+        timestamp_micros(lit(far) + col("id") * 864000000000L).as("ts"),
         lit(-1L).as("user_id"),
         when(col("id") === 0, "purchase").otherwise("view").as("event_type"),
         lit(0.0).as("value"), lit("{}").as("props"))
       raw.unionByName(sentinels).coalesce(2)
         .write.mode("overwrite").parquet(inDir)
       val stream = s.readStream.schema(raw.schema).parquet(inDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val joined = graft.streaming.Streams.purchaseViewFullJoin(stream)
       val sink = s"q233_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val q = joined.writeStream.format("memory")
@@ -5862,7 +5860,241 @@ object RelQueries {
         CAST(SUM(rev_e4) AS BIGINT) AS class_rev_e4,
         CAST(SUM(rev_e4) AS DOUBLE)
           / (SELECT CAST(total_e4 AS DOUBLE) FROM tot) AS share
-      FROM cls GROUP BY 1 ORDER BY 1"""))
+      FROM cls GROUP BY 1 ORDER BY 1""")),
+
+    // Cumulative distinct users per day — the first-touch identity:
+    // cumulative COUNT(DISTINCT user) through day D equals the count of
+    // users whose FIRST event day is <= D. One per-user min (keyed
+    // shuffle), one day-grain count, one running sum over a day-grain
+    // relation (~tens of rows — metadata-sized single-partition window,
+    // same discipline as q280's offsets). The naive alternative — a
+    // distinct-count per expanding window — rescans the corpus once per
+    // day and is quadratic at scale.
+    ("q281_cumulative_distinct", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val newUsers = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      val daily = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(countDistinct("user_id").as("dau"))
+      daily.join(newUsers, Seq("day"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        .withColumn("cum_users", sum("new_users")
+          .over(Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("day", "dau", "new_users", "cum_users")
+        .orderBy("day")
+    }, Some("""
+      WITH fs AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+                  FROM events GROUP BY 1),
+      nu AS (SELECT day, COUNT(*) AS new_users FROM fs GROUP BY 1),
+      daily AS (SELECT CAST(ts AS DATE) AS day,
+                  COUNT(DISTINCT user_id) AS dau
+                FROM events GROUP BY 1)
+      SELECT daily.day AS day, CAST(dau AS BIGINT) AS dau,
+        CAST(COALESCE(new_users, 0) AS BIGINT) AS new_users,
+        CAST(SUM(COALESCE(new_users, 0)) OVER (ORDER BY daily.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_users
+      FROM daily LEFT JOIN nu ON daily.day = nu.day
+      ORDER BY daily.day""")),
+
+    // OHLC downsampling — resample the ragged event stream to per-day,
+    // per-type bars (open/high/low/close/volume). Open and close are
+    // made DETERMINISTIC by total-ordering on (ts, event_id) — min_by /
+    // arg_min tie behavior differs across engines, row_number does not.
+    // Both window passes and the final aggregate share the (day, type)
+    // partitioning: ONE exchange, two sorts, then a partial-aggregable
+    // groupBy. High/low/open/close are picked values (no arithmetic, so
+    // doubles are exact); volume goes through DECIMAL.
+    ("q282_ohlc_bars", (s: SparkSession, d: String) => {
+      val e = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+          col("ts"), col("event_id"), col("value"))
+      val asc = Window.partitionBy("day", "event_type")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val desc = Window.partitionBy("day", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      e.withColumn("rn_a", row_number().over(asc))
+        .withColumn("rn_d", row_number().over(desc))
+        .groupBy("day", "event_type")
+        .agg(max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max("value").as("high"), min("value").as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"),
+          Exact.sumD(col("value")).as("volume"),
+          count(lit(1)).as("n"))
+        .orderBy("day", "event_type")
+    }, Some("""
+      WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE), event_type
+            ORDER BY ts, event_id) AS rn_a,
+          ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE), event_type
+            ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events)
+      SELECT day, event_type,
+        MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        MAX(value) AS high, MIN(value) AS low,
+        MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS volume,
+        COUNT(*) AS n
+      FROM e GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Welch's unequal-variance t-test — completes the hypothesis-test
+    // family (chi2 q207, KS q244, Mann-Whitney q240, Spearman q215).
+    // One conditional aggregate over a single scan gives both groups'
+    // exact decimal moments; t and the Welch-Satterthwaite df are a
+    // handful of double ops on those exact sums (q71's string-routed
+    // decimal->double cast, since the engines' native decimal casts
+    // round the last bit differently). No shuffle beyond one 2-group
+    // aggregate — the 100 TB form.
+    ("q283_welch_ttest", (s: SparkSession, d: String) => {
+      def d2(c: Column) = c.cast("string").cast("double")
+      val v = Exact.dec(col("value"), 10)
+      val m = t(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n1"),
+          sum(when(col("event_type") === "click", v)).as("s1"),
+          sum(when(col("event_type") === "click", v * v)).as("ss1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n2"),
+          sum(when(col("event_type") === "purchase", v)).as("s2"),
+          sum(when(col("event_type") === "purchase", v * v)).as("ss2"))
+      m.select(col("n1"), col("n2"),
+          (d2(col("s1")) / col("n1")).as("mean1"),
+          (d2(col("s2")) / col("n2")).as("mean2"),
+          ((d2(col("ss1")) - d2(col("s1")) * d2(col("s1")) / col("n1")) /
+            (col("n1") - 1) / col("n1")).as("se1sq"),
+          ((d2(col("ss2")) - d2(col("s2")) * d2(col("s2")) / col("n2")) /
+            (col("n2") - 1) / col("n2")).as("se2sq"))
+        .select(col("n1"), col("n2"), col("mean1"), col("mean2"),
+          ((col("mean1") - col("mean2")) / sqrt(col("se1sq") + col("se2sq")))
+            .as("t_stat"),
+          (pow(col("se1sq") + col("se2sq"), 2) /
+            (pow(col("se1sq"), 2) / (col("n1") - 1) +
+             pow(col("se2sq"), 2) / (col("n2") - 1))).as("welch_df"))
+    }, Some("""
+      WITH m AS (
+        SELECT
+          CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n1,
+          CAST(CAST(SUM(CASE WHEN event_type = 'click'
+            THEN CAST(value AS DECIMAL(10,2)) END) AS VARCHAR) AS DOUBLE)
+            AS s1,
+          CAST(CAST(SUM(CASE WHEN event_type = 'click'
+            THEN CAST(value AS DECIMAL(10,2)) * CAST(value AS DECIMAL(10,2))
+            END) AS VARCHAR) AS DOUBLE) AS ss1,
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n2,
+          CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+            THEN CAST(value AS DECIMAL(10,2)) END) AS VARCHAR) AS DOUBLE)
+            AS s2,
+          CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+            THEN CAST(value AS DECIMAL(10,2)) * CAST(value AS DECIMAL(10,2))
+            END) AS VARCHAR) AS DOUBLE) AS ss2
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      e AS (SELECT n1, n2, s1 / n1 AS mean1, s2 / n2 AS mean2,
+          (ss1 - s1 * s1 / n1) / (n1 - 1) / n1 AS se1sq,
+          (ss2 - s2 * s2 / n2) / (n2 - 1) / n2 AS se2sq
+        FROM m)
+      SELECT n1, n2, mean1, mean2,
+        (mean1 - mean2) / sqrt(se1sq + se2sq) AS t_stat,
+        pow(se1sq + se2sq, 2) /
+          (pow(se1sq, 2) / (n1 - 1) + pow(se2sq, 2) / (n2 - 1)) AS welch_df
+      FROM e""")),
+
+    // Hash-seeded bootstrap — 32 half-sample replicates of the mean
+    // order price, each replicate's membership decided by
+    // xxhash64(o_orderkey·64 + r) parity (mod a POWER OF TWO, so the
+    // signed pmod equals the unsigned remainder and DuckDB replays the
+    // draw bit-for-bit — no RNG state anywhere). One scan expands 32×
+    // into map-side-combinable per-replicate decimal sums; the output
+    // is the full B-row bootstrap distribution (callers take CI
+    // percentiles from 32 rows — metadata). Deterministic resampling is
+    // what makes a bootstrap auditable at 100 TB: any replicate can be
+    // reproduced independently without storing sample membership.
+    ("q284_bootstrap_means", (s: SparkSession, d: String) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"), Exact.dec(col("o_totalprice"), 12).as("v"))
+        .withColumn("r", explode(sequence(lit(0L), lit(31L))))
+        .filter(pmod(xxhash64(col("o_orderkey") * lit(64L) + col("r")),
+          lit(2)) === 0)
+        .groupBy("r")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        .select(col("r"), col("n"),
+          (col("sv").cast("string").cast("double") / col("n"))
+            .as("mean_price"))
+        .orderBy("r")
+    }, Some(s"""
+      WITH reps AS (SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS v, r,
+          CAST(o_orderkey * 64 + r AS HUGEINT) AS k
+        FROM orders CROSS JOIN (SELECT unnest(range(32)) AS r)),
+      inc AS (SELECT r, v FROM reps
+        WHERE (${graft.llm.XxHashOracle.hashLong("k",
+          "CAST(42 AS HUGEINT)")}) % 2 = 0)
+      SELECT CAST(r AS BIGINT) AS r, COUNT(*) AS n,
+        CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mean_price
+      FROM inc GROUP BY r ORDER BY r""")),
+
+    // RESTORE TABLE — rollback to an earlier snapshot on the governed
+    // copy-on-write catalog (GraftMaintenance.rollback): a DELETE is
+    // undone by committing a NEW manifest with v1's content, so history
+    // survives (VERSION AS OF 2 still shows the deleted state) and the
+    // restore itself is one metadata write — no data file is touched,
+    // which is what makes "undo yesterday's bad job" an O(1) operation
+    // on a 100 TB table. The oracle recomputes both the pre-restore and
+    // the restored relation from the base data.
+    ("q288_sql_rollback", (s: SparkSession, d: String) => {
+      val tbl = rowLevelTable(s, d, "restore")
+      t(s, d, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("n"), Exact.sumD(col("value")).as("sv"))
+        .createOrReplaceTempView("q288_src")
+      s.sql(s"CREATE TABLE $tbl (user_id BIGINT, n BIGINT, sv DOUBLE)")
+      s.sql(s"INSERT INTO $tbl SELECT user_id, n, sv FROM q288_src") // v1
+      s.sql(s"DELETE FROM $tbl WHERE user_id % 5 = 2")               // v2
+      val sf = new java.io.File(d).getName.replace(".", "_")
+      graft.sources.v2.rowlevel.GraftMaintenance.rollback(
+        "/tmp/graft_rl_wh", Seq("db"), s"restore_$sf", toVersion = 1L) // v3
+      s.sql(s"""
+        SELECT 'pre_restore' AS snap, user_id, n, sv
+        FROM $tbl VERSION AS OF 2
+        UNION ALL
+        SELECT 'restored' AS snap, user_id, n, sv FROM $tbl""")
+        .orderBy("snap", "user_id")
+    }, Some("""
+      WITH g AS (SELECT user_id, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+        FROM events GROUP BY 1)
+      SELECT 'pre_restore' AS snap, user_id, n, sv FROM g
+      WHERE user_id % 5 <> 2
+      UNION ALL
+      SELECT 'restored' AS snap, user_id, n, sv FROM g
+      ORDER BY snap, user_id""")),
+
+    // k-anonymity audit — the governance check before releasing a
+    // "de-identified" extract: group by the quasi-identifier tuple
+    // (nation, market segment, account-balance band) and report each
+    // equivalence class's size plus whether it breaks k=5; any class
+    // smaller than k re-identifies its members by those attributes
+    // alone. One hash aggregate over the scan — the audit costs the
+    // same as any groupBy at 100 TB; suppression (dropping the flagged
+    // rows) composes as a semi-join against the failing classes.
+    ("q289_k_anonymity", (s: SparkSession, d: String) => {
+      t(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(Exact.dec(col("c_acctbal"), 12) / 1000).cast("long")
+            .as("bal_band"))
+        .agg(count(lit(1)).as("class_size"))
+        .withColumn("k_violation", col("class_size") < 5)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+    }, Some("""
+      SELECT c_nationkey, c_mktsegment,
+        CAST(FLOOR(CAST(c_acctbal AS DECIMAL(12,2)) / 1000) AS BIGINT)
+          AS bal_band,
+        COUNT(*) AS class_size,
+        COUNT(*) < 5 AS k_violation
+      FROM customer
+      GROUP BY 1, 2, 3
+      ORDER BY c_nationkey, c_mktsegment, bal_band"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session

@@ -289,6 +289,27 @@ object GraftRowTable {
   * touched) metadata operations plus the rewritten bytes — exactly the
   * Iceberg/Delta maintenance contract. */
 object GraftMaintenance {
+  /** RESTORE — roll the table back to `toVersion` by committing a NEW
+    * manifest with the target version's content (roll-forward restore:
+    * history is preserved, time travel to the undone snapshots keeps
+    * working, vacuum still governs retention — the Delta `RESTORE
+    * TABLE` / Iceberg rollback-to-snapshot semantics). A pure metadata
+    * operation: no data file is read, copied, or deleted, so restoring
+    * a 100 TB table costs one manifest write. Returns the new current
+    * version. */
+  def rollback(warehouse: String, namespace: Seq[String], table: String,
+      toVersion: Long): Long = {
+    val dir = (warehouse +: namespace :+ table).mkString("/")
+    val f = new Path(dir).getFileSystem(new Configuration())
+    val vs = GraftRowTable.versions(dir, f)
+    require(vs.contains(toVersion),
+      s"table at $dir has no version $toVersion (have ${vs.mkString(",")})")
+    val next = vs.max + 1
+    GraftRowTable.writeManifest(dir, f, next,
+      GraftRowTable.readManifest(dir, f, toVersion))
+    next
+  }
+
   /** Snapshot log (the DESCRIBE HISTORY audit surface): one row per
     * retained snapshot with its file and row counts. The loop is
     * snapshot-count-sized (driver metadata); each row count is a

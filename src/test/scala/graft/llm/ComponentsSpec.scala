@@ -330,6 +330,36 @@ class ComponentsSpec extends SparkSpec {
     assert(Seq(11L, 12L, 13L).forall(v => got(v) == got(11L)))
   }
 
+  test("localClustering: triangle + pendant, against hand computation") {
+    // Triangle {1,2,3} with a pendant 4 hanging off 1: nodes 2 and 3
+    // have fully-connected neighborhoods (lcc=1), node 1 sees one of
+    // its three possible neighbor pairs closed (lcc=1/3), the pendant
+    // has degree 1 (lcc defined 0).
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+    val got = Components.localClustering(es.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((2L, 1L, 1.0)))
+    assert(got(4L) == ((1L, 0L, 0.0)))
+  }
+
+  test("localClustering: per-node triangles sum to 3x the global count") {
+    val rng = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val n = 6 + rng.nextInt(10)
+      val es = Seq.fill(10 + rng.nextInt(25)) {
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      val perNode = Components.localClustering(es.toDF("src", "dst"))
+        .agg(sum("n_tri")).collect()(0).getLong(0)
+      val global = Components.triangleCount(es.toDF("src", "dst"))
+        .collect()(0).getLong(1)
+      assert(perNode == 3 * global, s"trial=$trial edges=$es")
+    }
+  }
+
   test("labelPropagation: property vs brute on seeded random graphs") {
     val rng = new scala.util.Random(29)
     for (trial <- 1 to 5) {

@@ -66,4 +66,29 @@ class TextOpsRemovalSpec extends SparkSpec {
     assert(parts.forall(c => Set("h", "doc_id", "s").contains(c)),
       s"unexpected shuffle keys $parts")
   }
+
+  test("ngramNovelty: duplicate docs score 0, originals and short docs 10000") {
+    val df = Seq(
+      (1L, "a b c d"),   // first occurrence of both 3-grams
+      (2L, "a b c d"),   // exact dup of doc 1 -> nothing novel
+      (3L, "x y z w"),   // disjoint -> fully novel
+      (4L, "q")          // shorter than n -> whole-doc gram, novel
+    ).toDF("doc_id", "text")
+    val got = TextOps.ngramNovelty(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 2L, 10000L)))
+    assert(got(2L) == ((2L, 0L, 0L)))
+    assert(got(3L) == ((2L, 2L, 10000L)))
+    assert(got(4L) == ((1L, 1L, 10000L)))
+  }
+
+  test("ngramNovelty: partial overlap counts only the unseen grams") {
+    // doc 2 shares the "b c d" 3-gram with doc 1 but adds "c d e":
+    // 1 of its 2 distinct grams is novel -> 5000 bp.
+    val df = Seq((1L, "a b c d"), (2L, "b c d e")).toDF("doc_id", "text")
+    val got = TextOps.ngramNovelty(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(1L) == 10000L && got(2L) == 5000L)
+  }
 }
