@@ -2579,6 +2579,58 @@ object LlmQueries {
         CAST(COUNT(*) FILTER (WHERE first_doc = doc_id) * 10000
           // COUNT(*) AS BIGINT) AS novelty_bp
       FROM hd JOIN fo USING (hu)
-      GROUP BY doc_id ORDER BY doc_id"""))
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Degree assortativity of the near-dup graph — Pearson correlation
+    // of endpoint degrees over all directed edges (positive: hubs link
+    // hubs; negative for star-like dedup clusters). Degree moments are
+    // EXACT integer sums (the q71 discipline: only the closing formula
+    // touches doubles, in the same expression shape on both engines);
+    // shuffles carry (node, degree) longs only.
+    ("q292_degree_assortativity", (s: SparkSession, d: String) => {
+      val und = Similarity.nearDupPairs(t(s, d, "embeddings"), "label",
+          tau = 0.25)
+        .select(col("v1").as("src"), col("v2").as("dst"))
+      val bid = und.union(und.select(col("dst").as("src"),
+        col("src").as("dst")))
+      val deg = bid.groupBy(col("src").as("v")).agg(count(lit(1)).as("dg"))
+      val e = bid
+        .join(deg.select(col("v").as("src"), col("dg").as("dx")), "src")
+        .join(deg.select(col("v").as("dst"), col("dg").as("dy")), "dst")
+      e.agg(count(lit(1)).as("n"),
+          sum("dx").as("sx"), sum("dy").as("sy"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+        .select(col("n"),
+          ((col("n") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double")) /
+            sqrt((col("n") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double")) *
+              (col("n") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))))
+            .as("assortativity"))
+    }, Some("""
+      WITH pairs AS (
+        SELECT a.vec_id AS v1, b.vec_id AS v2
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+          b.embedding::DOUBLE[]) >= 0.25),
+      bid AS (SELECT v1 AS src, v2 AS dst FROM pairs
+              UNION ALL SELECT v2, v1 FROM pairs),
+      deg AS (SELECT src AS v, COUNT(*) AS dg FROM bid GROUP BY 1),
+      e AS (SELECT dx.dg AS dx, dy.dg AS dy FROM bid
+            JOIN deg dx ON bid.src = dx.v JOIN deg dy ON bid.dst = dy.v),
+      m AS (SELECT COUNT(*) AS n,
+          CAST(CAST(SUM(dx) AS BIGINT) AS DOUBLE) AS sx,
+          CAST(CAST(SUM(dy) AS BIGINT) AS DOUBLE) AS sy,
+          CAST(CAST(SUM(dx * dy) AS BIGINT) AS DOUBLE) AS sxy,
+          CAST(CAST(SUM(dx * dx) AS BIGINT) AS DOUBLE) AS sxx,
+          CAST(CAST(SUM(dy * dy) AS BIGINT) AS DOUBLE) AS syy
+        FROM e)
+      SELECT n, (n * sxy - sx * sy)
+        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS assortativity
+      FROM m"""))
   )
 }

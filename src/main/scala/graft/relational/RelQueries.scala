@@ -6094,7 +6094,134 @@ object RelQueries {
         COUNT(*) < 5 AS k_violation
       FROM customer
       GROUP BY 1, 2, 3
-      ORDER BY c_nationkey, c_mktsegment, bal_band"""))
+      ORDER BY c_nationkey, c_mktsegment, bal_band""")),
+
+    // Late-arriving dimension handling — the Kimball "inferred member"
+    // pattern: facts whose dimension key has not arrived yet (here a
+    // simulated 1/16 hash slice of customers is lagging) get a
+    // placeholder dim row keyed by the fact's FK, so the fact lands NOW
+    // and the attributes backfill when the dim feed catches up (an SCD
+    // update, q89/q197's territory). The inferred-member relation is
+    // distinct FKs of the unmatched facts — shuffle-light; everything
+    // downstream is one inner join against the patched dim with full
+    // coverage (proven by the grouped counts reconciling to the fact
+    // total). xxhash64 mod a power of two keeps the lag slice
+    // DuckDB-replayable.
+    ("q290_late_arriving_dim", (s: SparkSession, d: String) => {
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val present = cust
+        .filter(pmod(xxhash64(col("c_custkey")), lit(16)) =!= 0)
+      val o = t(s, d, "orders")
+        .select(col("o_custkey"), Exact.dec(col("o_totalprice"), 12).as("v"))
+      val inferred = o.join(present, col("o_custkey") === col("c_custkey"),
+          "left_anti")
+        .select(col("o_custkey").as("c_custkey")).distinct()
+        .withColumn("c_mktsegment", lit("INFERRED"))
+      val dim = present.unionByName(inferred)
+      o.join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("v")).cast("double").as("revenue"),
+          countDistinct(col("c_custkey")).as("n_cust"))
+        .orderBy("c_mktsegment")
+    }, Some(s"""
+      WITH h AS (SELECT c_custkey, c_mktsegment,
+          (${graft.llm.XxHashOracle.hashLong("CAST(c_custkey AS HUGEINT)",
+            "CAST(42 AS HUGEINT)")}) % 16 AS slice
+        FROM customer),
+      present AS (SELECT c_custkey, c_mktsegment FROM h WHERE slice <> 0),
+      inferred AS (SELECT DISTINCT o_custkey AS c_custkey,
+          'INFERRED' AS c_mktsegment
+        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM present)),
+      dim AS (SELECT * FROM present UNION ALL SELECT * FROM inferred)
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        COUNT(DISTINCT c_custkey) AS n_cust
+      FROM orders JOIN dim ON o_custkey = c_custkey
+      GROUP BY 1 ORDER BY c_mktsegment""")),
+
+    // FIFO queue matching — each user's k-th purchase consumes their
+    // k-th view (both time-ordered with (ts, event_id) tiebreaks), the
+    // queue discipline behind inventory lot matching and first-touch
+    // pairing. Two row_number passes sharing the per-user partitioning
+    // (one exchange), then an equi-join on (user, rank) — never a
+    // greedy per-row scan; purchases whose paired view happens later
+    // (queue empty at purchase time) report unmatched.
+    ("q291_fifo_matching", (s: SparkSession, d: String) => {
+      val e = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      def ranked(kind: String) = e.filter(col("event_type") === kind)
+        .withColumn("rk", row_number().over(Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))))
+      ranked("purchase")
+        .select(col("user_id"), col("rk"),
+          col("event_id").as("p_id"), col("ts").as("p_ts"))
+        .join(ranked("view")
+          .select(col("user_id"), col("rk"),
+            col("event_id").as("v_id"), col("ts").as("v_ts")),
+          Seq("user_id", "rk"), "left")
+        .select(col("user_id"), col("rk").cast("long").as("rk"),
+          col("p_id"),
+          when(col("v_ts") <= col("p_ts"), col("v_id")).as("v_id"),
+          (col("v_ts") <= col("p_ts")).as("matched"))
+        .orderBy("user_id", "rk")
+    }, Some("""
+      WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS rk
+        FROM events WHERE event_type = 'purchase'),
+      v AS (SELECT user_id, event_id AS v_id, ts AS v_ts,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS rk
+        FROM events WHERE event_type = 'view')
+      SELECT p.user_id, CAST(p.rk AS BIGINT) AS rk, p_id,
+        CASE WHEN v_ts <= p_ts THEN v_id END AS v_id,
+        v_ts <= p_ts AS matched
+      FROM p LEFT JOIN v ON p.user_id = v.user_id AND p.rk = v.rk
+      ORDER BY p.user_id, rk""")),
+
+    // First-digit (Benford) audit — the fraud/data-quality screen over
+    // a money column: observed first-significant-digit shares in exact
+    // basis points against the Benford expectation (hardcoded integer
+    // bp constants — no transcendental evaluation at query time, so
+    // both engines compare identical literals). The digit is taken from
+    // the DECIMAL's canonical string, not floor(log10) — exact at power-
+    // of-ten boundaries. One conditional aggregate over the scan.
+    ("q293_benford_digits", (s: SparkSession, d: String) => {
+      val benford = Seq(1 -> 3010, 2 -> 1760, 3 -> 1249, 4 -> 969,
+        5 -> 791, 6 -> 669, 7 -> 579, 8 -> 511, 9 -> 457)
+      val bdf = benford.foldLeft(
+        when(lit(false), lit(0))) { case (acc, (dg, bp)) =>
+          acc.when(col("digit") === dg.toString, bp) }
+      val tot = t(s, d, "orders").filter(Exact.dec(col("o_totalprice"), 12) >= 1)
+        .agg(count(lit(1)).as("__tot"))
+      t(s, d, "orders")
+        .filter(Exact.dec(col("o_totalprice"), 12) >= 1)
+        .select(substring(Exact.dec(col("o_totalprice"), 12).cast("string"),
+          1, 1).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr("n * 10000 div __tot").as("share_bp"),
+          bdf.cast("long").as("benford_bp"))
+        .withColumn("dev_bp", abs(col("share_bp") - col("benford_bp")))
+        .orderBy("digit")
+    }, Some("""
+      WITH base AS (SELECT left(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+            AS VARCHAR), 1) AS digit
+        FROM orders WHERE CAST(o_totalprice AS DECIMAL(12,2)) >= 1),
+      tot AS (SELECT COUNT(*) AS t FROM base),
+      exp AS (SELECT * FROM (VALUES ('1', 3010), ('2', 1760), ('3', 1249),
+          ('4', 969), ('5', 791), ('6', 669), ('7', 579), ('8', 511),
+          ('9', 457)) e(digit, benford_bp))
+      SELECT base.digit AS digit, COUNT(*) AS n,
+        CAST(COUNT(*) * 10000 // t AS BIGINT) AS share_bp,
+        CAST(benford_bp AS BIGINT) AS benford_bp,
+        CAST(abs(COUNT(*) * 10000 // t - benford_bp) AS BIGINT) AS dev_bp
+      FROM base JOIN exp ON base.digit = exp.digit, tot
+      GROUP BY base.digit, benford_bp, t
+      ORDER BY digit"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
