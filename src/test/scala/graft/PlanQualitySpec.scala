@@ -493,4 +493,33 @@ class PlanQualitySpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 1, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q282: both OHLC window passes and the bar agg share one exchange") {
+    val p = plan("q282_ohlc_bars")
+    // (day, event_type) hash exchange appears exactly once — the asc and
+    // desc row_number windows and the final groupBy all reuse it; the
+    // only other exchange is the output sort's range partitioning.
+    assert("Exchange hashpartitioning\\(day".r.findAllIn(p).length == 1, p)
+    assert("Window".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q284: bootstrap replicates aggregate map-side after the expand") {
+    val p = plan("q284_bootstrap_means")
+    // explode(sequence) is a Generate; the per-replicate mean is a
+    // partial+final aggregate over ONE hash exchange keyed by r — the
+    // 32x expansion never shuffles raw rows anywhere else.
+    assert(p.contains("Generate"), p)
+    assert("Exchange hashpartitioning\\(r".r.findAllIn(p).length == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q287: novelty shuffles carry only the gram hash and doc id") {
+    val p = plan("q287_ngram_novelty")
+    val parts = "Exchange hashpartitioning\\(([a-zA-Z_0-9#]+)"
+      .r.findAllMatchIn(p).map(_.group(1).takeWhile(_ != '#')).toSet
+    assert(parts.nonEmpty, p)
+    assert(parts.forall(c => Set("h", "doc_id").contains(c)),
+      s"unexpected shuffle keys $parts in\n$p")
+  }
 }
