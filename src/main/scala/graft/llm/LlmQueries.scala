@@ -2631,6 +2631,46 @@ object LlmQueries {
         FROM e)
       SELECT n, (n * sxy - sx * sy)
         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS assortativity
-      FROM m"""))
+      FROM m""")),
+
+    // LSH banding tuning sweep — the parameter-selection harness: ONE
+    // persisted 16-hash MinHash signature index, three bandings sliced
+    // from it ((16,1) recall-heavy → (4,4) precision-heavy), each
+    // banding's candidate pairs scored against the exact 3-gram Jaccard
+    // truth at τ=0.5 — candidate volume, TP/FP/FN, precision and recall
+    // in exact basis points. This is how a production corpus picks
+    // (b, r) before committing to a 100 TB dedup run: signatures are
+    // computed once (the only text scan), every banding after that is
+    // metadata-sized arithmetic over k longs per doc. The oracle
+    // replays signatures, every banding, every candidate join, and the
+    // exact truth — end to end in DuckDB.
+    ("q294_lsh_tuning_eval", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val truth = NearDup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        .select("d1", "d2").localCheckpoint(true)
+      val sigs = NearDup.minhashSignatures(docs, "doc_id", "text",
+        n = 3, k = 16).localCheckpoint(true)
+      val rows = Seq((16, 1), (8, 2), (4, 4)).map { case (b, r) =>
+        val cand = NearDup.lshCandidatePairs(sigs, b, r)
+          .localCheckpoint(true)
+        val nc = cand.agg(count(lit(1)).as("n_candidates"))
+        val tpc = cand.join(truth, Seq("d1", "d2"), "left_semi")
+          .agg(count(lit(1)).as("tp"))
+        val fnc = truth.join(cand, Seq("d1", "d2"), "left_anti")
+          .agg(count(lit(1)).as("fn"))
+        nc.crossJoin(broadcast(tpc)).crossJoin(broadcast(fnc))
+          .select(lit(b.toLong).as("bands"),
+            lit(r.toLong).as("rows_per_band"),
+            col("n_candidates"), col("tp"),
+            (col("n_candidates") - col("tp")).as("fp"), col("fn"))
+      }
+      rows.reduce(_ unionByName _)
+        .withColumn("precision_bp", when(col("n_candidates") === 0, 0L)
+          .otherwise(expr("tp * 10000 div n_candidates")))
+        .withColumn("recall_bp", when(col("tp") + col("fn") === 0, 0L)
+          .otherwise(expr("tp * 10000 div (tp + fn)")))
+        .orderBy("bands")
+    }, Some(XxHashOracle.lshSweepSql(n = 3, k = 16,
+      configs = Seq((16, 1), (8, 2), (4, 4)), tau = 0.5)))
   )
 }

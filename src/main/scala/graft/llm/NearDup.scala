@@ -234,6 +234,24 @@ object NearDup {
         array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
+  /** Distinct LSH candidate pairs under one (bands, rowsPerBand) banding
+    * of an existing signature frame — the tuning-sweep surface: a corpus
+    * persists ONE k-hash signature index and evaluates several bandings
+    * against it without re-scanning text (each banding is a slice-and-
+    * rehash of the k longs per doc). Pairs are (d1 < d2), pre-
+    * verification — exactly what a banding's candidate volume and
+    * recall are measured on. */
+  def lshCandidatePairs(sigs: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val banded = bandedOf(sigs, bands, rowsPerBand)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .dropDuplicates("d1", "d2")
+  }
+
   /** (doc_id, band, bucket) LSH banding of a signature frame; the bucket
     * is the 64-bit hash of the band's signature slice (an 8-byte join
     * key, not an r-long array). */

@@ -182,9 +182,9 @@ object XxHashOracle {
     * distinct-slice collisions are ~2^-64 (would only ADD candidates). */
   /** Shared CTE prefix through per-band buckets (`banded`), plus the
     * signature-agreement scorer, parameterized by the candidate join. */
-  private def minhashPrefix(n: Int, bands: Int, rowsPerBand: Int): String = {
-    val k = bands * rowsPerBand
-    s"""
+  /** CTE prefix through the k-hash signature index (`sigarr`): grams,
+    * XXH64 gram hashes, the k family rehashes, per-family minima. */
+  private def sigPrefix(n: Int, k: Int): String = s"""
     WITH ${gramCtes(n)},
     ${xxh64Ctes("toks")},
     fam(fi, fs) AS (VALUES ${famValues(k)}),
@@ -193,11 +193,66 @@ object XxHashOracle {
       FROM (SELECT doc_id, fi, ${hashLong("hu", "fs")} AS r FROM hashed, fam)
       GROUP BY doc_id, fi),
     sigarr AS (SELECT doc_id, list(m ORDER BY fi) AS sig FROM perfam
-      GROUP BY doc_id),
+      GROUP BY doc_id)"""
+
+  private def minhashPrefix(n: Int, bands: Int, rowsPerBand: Int): String = {
+    val k = bands * rowsPerBand
+    s"""${sigPrefix(n, k)},
     banded AS (SELECT doc_id, b,
         list_slice(sig, CAST($rowsPerBand*b+1 AS INT),
           CAST($rowsPerBand*b+$rowsPerBand AS INT)) AS bucket, sig
       FROM sigarr, (SELECT unnest(range($bands)) AS b))"""
+  }
+
+  /** LSH tuning-sweep oracle: ONE k-hash signature index (`sigarr`),
+    * several (bands, rowsPerBand) bandings sliced from it, each banding's
+    * distinct candidate pairs scored against the exact n-gram Jaccard
+    * truth at `tau` — replaying NearDup.minhashSignatures +
+    * lshCandidatePairs + jaccardPairs end to end. */
+  def lshSweepSql(n: Int, k: Int, configs: Seq[(Int, Int)],
+      tau: Double): String = {
+    require(configs.forall { case (b, r) => b * r <= k },
+      s"bandings must fit the $k-hash signature")
+    val bandedCtes = configs.zipWithIndex.map { case ((b, r), i) =>
+      s"""banded$i AS (SELECT doc_id, b,
+        list_slice(sig, CAST($r*b+1 AS INT), CAST($r*b+$r AS INT)) AS bucket
+      FROM sigarr, (SELECT unnest(range($b)) AS b)),
+    cand$i AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM banded$i a JOIN banded$i b
+        ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
+    }.mkString(",\n    ")
+    val perConfig = configs.zipWithIndex.map { case ((b, r), i) =>
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+        (SELECT COUNT(*) FROM cand$i) AS n_candidates,
+        (SELECT COUNT(*) FROM cand$i c
+         WHERE EXISTS (SELECT 1 FROM truth t
+           WHERE t.d1 = c.d1 AND t.d2 = c.d2)) AS tp,
+        (SELECT COUNT(*) FROM truth t
+         WHERE NOT EXISTS (SELECT 1 FROM cand$i c
+           WHERE c.d1 = t.d1 AND c.d2 = t.d2)) AS fn"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""${sigPrefix(n, k)},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY 1),
+    inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (SELECT d1, d2
+      FROM inter JOIN sizes sa ON sa.doc_id = d1
+      JOIN sizes sb ON sb.doc_id = d2
+      WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= $tau),
+    $bandedCtes,
+    per AS ($perConfig)
+    SELECT CAST(bands AS BIGINT) AS bands,
+      CAST(rows_per_band AS BIGINT) AS rows_per_band,
+      CAST(n_candidates AS BIGINT) AS n_candidates,
+      CAST(tp AS BIGINT) AS tp,
+      CAST(n_candidates - tp AS BIGINT) AS fp,
+      CAST(fn AS BIGINT) AS fn,
+      CAST(CASE WHEN n_candidates = 0 THEN 0
+        ELSE tp * 10000 // n_candidates END AS BIGINT) AS precision_bp,
+      CAST(CASE WHEN tp + fn = 0 THEN 0
+        ELSE tp * 10000 // (tp + fn) END AS BIGINT) AS recall_bp
+    FROM per ORDER BY bands"""
   }
 
   private def minhashScore(k: Int, tau: Double): String = s"""
