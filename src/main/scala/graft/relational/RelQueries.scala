@@ -6221,7 +6221,126 @@ object RelQueries {
         CAST(abs(COUNT(*) * 10000 // t - benford_bp) AS BIGINT) AS dev_bp
       FROM base JOIN exp ON base.digit = exp.digit, tot
       GROUP BY base.digit, benford_bp, t
-      ORDER BY digit"""))
+      ORDER BY digit""")),
+
+    // Functional-dependency audit (data profiling's FD check, the step
+    // beyond q227's declared constraints): for each candidate X → Y,
+    // the number of X-groups, how many carry more than one Y, and the
+    // exact g3 repair size — the minimum rows to delete for the FD to
+    // hold (Σ per group of rows outside the majority Y). Two nested
+    // keyed aggregations per dependency, both map-side combinable;
+    // nothing is ever collected or sorted globally. Mixed
+    // holds-and-fails candidates keep the audit honest.
+    ("q295_fd_audit", (s: SparkSession, d: String) => {
+      def fd(df: DataFrame, name: String, lhs: Column, rhs: Column) =
+        df.groupBy(lhs.as("l"), rhs.as("r")).agg(count(lit(1)).as("c"))
+          .groupBy("l").agg(sum("c").as("tot"), max("c").as("mx"),
+            count(lit(1)).as("nr"))
+          .agg(count(lit(1)).as("n_groups"),
+            count(when(col("nr") > 1, 1)).as("n_violating"),
+            sum(col("tot") - col("mx")).cast("long").as("g3_rows"))
+          .select(lit(name).as("fd"), col("n_groups"),
+            col("n_violating"), col("g3_rows"))
+      fd(t(s, d, "orders"), "o_custkey->o_orderpriority",
+          col("o_custkey"), col("o_orderpriority"))
+        .unionByName(fd(t(s, d, "part"), "p_partkey->p_brand",
+          col("p_partkey"), col("p_brand")))
+        .unionByName(fd(t(s, d, "part"), "p_brand->p_type",
+          col("p_brand"), col("p_type")))
+        .unionByName(fd(t(s, d, "customer"), "c_nationkey->c_mktsegment",
+          col("c_nationkey"), col("c_mktsegment")))
+        .orderBy("fd")
+    }, Some("""
+      WITH fd1 AS (SELECT o_custkey AS l, o_orderpriority AS r, COUNT(*) AS c
+                   FROM orders GROUP BY 1, 2),
+      fd2 AS (SELECT p_partkey AS l, p_brand AS r, COUNT(*) AS c
+              FROM part GROUP BY 1, 2),
+      fd3 AS (SELECT p_brand AS l, p_type AS r, COUNT(*) AS c
+              FROM part GROUP BY 1, 2),
+      fd4 AS (SELECT c_nationkey AS l, c_mktsegment AS r, COUNT(*) AS c
+              FROM customer GROUP BY 1, 2),
+      g1 AS (SELECT l, SUM(c) AS tot, MAX(c) AS mx, COUNT(*) AS nr
+             FROM fd1 GROUP BY 1),
+      g2 AS (SELECT l, SUM(c) AS tot, MAX(c) AS mx, COUNT(*) AS nr
+             FROM fd2 GROUP BY 1),
+      g3 AS (SELECT l, SUM(c) AS tot, MAX(c) AS mx, COUNT(*) AS nr
+             FROM fd3 GROUP BY 1),
+      g4 AS (SELECT l, SUM(c) AS tot, MAX(c) AS mx, COUNT(*) AS nr
+             FROM fd4 GROUP BY 1),
+      u AS (
+        SELECT 'o_custkey->o_orderpriority' AS fd, COUNT(*) AS n_groups,
+          COUNT(*) FILTER (WHERE nr > 1) AS n_violating,
+          CAST(SUM(tot - mx) AS BIGINT) AS g3_rows FROM g1
+        UNION ALL
+        SELECT 'p_partkey->p_brand', COUNT(*),
+          COUNT(*) FILTER (WHERE nr > 1),
+          CAST(SUM(tot - mx) AS BIGINT) FROM g2
+        UNION ALL
+        SELECT 'p_brand->p_type', COUNT(*),
+          COUNT(*) FILTER (WHERE nr > 1),
+          CAST(SUM(tot - mx) AS BIGINT) FROM g3
+        UNION ALL
+        SELECT 'c_nationkey->c_mktsegment', COUNT(*),
+          COUNT(*) FILTER (WHERE nr > 1),
+          CAST(SUM(tot - mx) AS BIGINT) FROM g4)
+      SELECT fd, n_groups, n_violating, g3_rows FROM u ORDER BY fd""")),
+
+    // SCD2 interval-integrity audit — the validity-chain contract a
+    // slowly-changing dimension must satisfy per key: no overlapping
+    // intervals, no coverage gaps, exactly one open (null-to) row.
+    // Validity intervals are derived per user from the event sequence
+    // (valid_to = next valid_from), then a deterministic 2/16 hash
+    // slice of rows is perturbed ±1 hour to PLANT gap and overlap
+    // violations the audit must find. One per-key window (ordered lag
+    // compare) — partitions bounded by key history length, the shape
+    // that holds on a 100 TB dimension.
+    ("q296_scd2_interval_audit", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val iv = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("valid_from", col("ts"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .withColumn("slice", pmod(xxhash64(col("event_id")), lit(16)))
+        .withColumn("valid_to",
+          when(col("slice") === 0, col("valid_to") - expr("INTERVAL 1 HOUR"))
+          .when(col("slice") === 1, col("valid_to") + expr("INTERVAL 1 HOUR"))
+          .otherwise(col("valid_to")))
+      val wa = Window.partitionBy("user_id")
+        .orderBy(col("valid_from"), col("event_id"))
+      iv.withColumn("prev_to", lag(col("valid_to"), 1).over(wa))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("valid_from") < col("prev_to"), 1)).as("n_overlaps"),
+          count(when(col("valid_from") > col("prev_to"), 1)).as("n_gaps"),
+          count(when(col("valid_to") < col("valid_from"), 1)).as("n_inverted"),
+          count(when(col("valid_to").isNull, 1)).as("n_open"))
+        .withColumn("clean", col("n_overlaps") + col("n_gaps")
+          + col("n_inverted") === 0 && col("n_open") === 1)
+        .orderBy("user_id")
+    }, Some(s"""
+      WITH iv0 AS (SELECT user_id, ts AS valid_from, event_id,
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS valid_to,
+          (${graft.llm.XxHashOracle.hashLong("CAST(event_id AS HUGEINT)",
+            "CAST(42 AS HUGEINT)")}) % 16 AS slice
+        FROM events),
+      iv AS (SELECT user_id, valid_from, event_id,
+          CASE WHEN slice = 0 THEN valid_to - INTERVAL 1 HOUR
+               WHEN slice = 1 THEN valid_to + INTERVAL 1 HOUR
+               ELSE valid_to END AS valid_to
+        FROM iv0),
+      lagged AS (SELECT *, lag(valid_to) OVER (PARTITION BY user_id
+          ORDER BY valid_from, event_id) AS prev_to FROM iv)
+      SELECT user_id, COUNT(*) AS n_rows,
+        COUNT(*) FILTER (WHERE valid_from < prev_to) AS n_overlaps,
+        COUNT(*) FILTER (WHERE valid_from > prev_to) AS n_gaps,
+        COUNT(*) FILTER (WHERE valid_to < valid_from) AS n_inverted,
+        COUNT(*) FILTER (WHERE valid_to IS NULL) AS n_open,
+        COUNT(*) FILTER (WHERE valid_from < prev_to)
+          + COUNT(*) FILTER (WHERE valid_from > prev_to)
+          + COUNT(*) FILTER (WHERE valid_to < valid_from) = 0
+          AND COUNT(*) FILTER (WHERE valid_to IS NULL) = 1 AS clean
+      FROM lagged GROUP BY user_id ORDER BY user_id"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
