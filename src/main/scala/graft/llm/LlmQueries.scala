@@ -2672,5 +2672,70 @@ object LlmQueries {
         .orderBy("bands")
     }, Some(XxHashOracle.lshSweepSql(n = 3, k = 16,
       configs = Seq((16, 1), (8, 2), (4, 4)), tau = 0.5)))
+  ) ++ graphEntries
+
+  /** q298's doubled-node offset: mirror node v' = v + 2^32. */
+  private def BipOff = 4294967296L
+
+  // def, not val: referenced from `entries` above during object init.
+  private def graphEntries: Seq[(String, Q, Option[String])] = Seq(
+    // Per-component bipartiteness — odd-cycle detection reduced to
+    // connected components on the DOUBLED graph (each edge (u,v)
+    // becomes u—v' and v—u'; a component has an odd cycle iff some v
+    // lands in the same doubled-component as its mirror v'). Both CC
+    // runs are the alternating-star Kiveris engine — logarithmic
+    // rounds, edge-sized shuffles — so bipartite certification costs
+    // exactly two CC passes at any scale. The oracle closes both
+    // reachability relations with recursive CTEs.
+    ("q298_bipartite_check", (s: SparkSession, d: String) => {
+      val und = Similarity.nearDupPairs(t(s, d, "embeddings"), "label",
+          tau = 0.25)
+        .select(col("v1").as("src"), col("v2").as("dst"))
+        .localCheckpoint(true)
+      val verts = und.select(col("src").as("id"))
+        .union(und.select(col("dst").as("id"))).distinct()
+      val cc1 = Components.connectedComponentsStars(verts, und)
+      val dVerts = verts.union(verts.select((col("id") + BipOff).as("id")))
+      val dEdges = und.select(col("src"), (col("dst") + BipOff).as("dst"))
+        .union(und.select(col("dst").as("src"),
+          (col("src") + BipOff).as("dst")))
+      val cc2 = Components.connectedComponentsStars(dVerts, dEdges)
+      val odd = cc2.filter(col("id") < BipOff)
+        .join(cc2.filter(col("id") >= BipOff)
+          .select((col("id") - BipOff).as("id"),
+            col("component").as("comp_m")), "id")
+        .select(col("id"), (col("component") === col("comp_m")).as("odd"))
+      cc1.join(odd, Seq("id"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_nodes"),
+          (count(when(col("odd"), 1)) === 0).as("bipartite"))
+        .orderBy("component")
+    }, Some(s"""
+      WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS v1, b.vec_id AS v2
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+          b.embedding::DOUBLE[]) >= 0.25),
+      edges AS (SELECT v1 AS u, v2 AS v FROM pairs
+                UNION SELECT v2, v1 FROM pairs),
+      reach AS (SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+                WHERE e.v <> r.u),
+      comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component
+               FROM reach GROUP BY u),
+      dedge AS (SELECT u, v + $BipOff AS v FROM edges),
+      dbi AS (SELECT u, v FROM dedge UNION SELECT v, u FROM dedge),
+      dreach AS (SELECT u, v FROM dbi
+                 UNION
+                 SELECT r.u, e.v FROM dreach r JOIN dbi e ON r.v = e.u
+                 WHERE e.v <> r.u),
+      oddv AS (SELECT u AS id, BOOL_OR(v = u + $BipOff) AS odd
+               FROM dreach WHERE u < $BipOff GROUP BY u)
+      SELECT component, COUNT(*) AS n_nodes,
+        COUNT(*) FILTER (WHERE odd) = 0 AS bipartite
+      FROM comp JOIN oddv USING (id)
+      GROUP BY component ORDER BY component"""))
   )
 }

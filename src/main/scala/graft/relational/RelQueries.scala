@@ -6340,7 +6340,78 @@ object RelQueries {
           + COUNT(*) FILTER (WHERE valid_from > prev_to)
           + COUNT(*) FILTER (WHERE valid_to < valid_from) = 0
           AND COUNT(*) FILTER (WHERE valid_to IS NULL) = 1 AS clean
-      FROM lagged GROUP BY user_id ORDER BY user_id"""))
+      FROM lagged GROUP BY user_id ORDER BY user_id""")),
+
+    // Survival-analysis risk table (the Kaplan-Meier ingredients):
+    // time-to-first-purchase per user from their first event, users
+    // without a purchase right-censored at the corpus horizon. For each
+    // event time: the at-risk count, events, censorings, and the KM
+    // factor as an exact integer pair (surv_num/surv_den) — the caller
+    // multiplies factors in order; emitting the ingredients keeps every
+    // checked value integer. The at-risk count is N minus an EXCLUSIVE
+    // prefix sum over duration-grain rows, computed with the q280
+    // two-level discipline (exact log2 buckets + broadcast offsets), so
+    // user-grain rows never funnel through one window task.
+    ("q297_survival_risk_sets", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val per = ev.groupBy("user_id").agg(min(col("ts")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+      val mx = ev.agg(max(col("ts")).as("tmax"))
+      val durs = per.crossJoin(broadcast(mx))
+        .select(
+          when(col("tp").isNotNull,
+            unix_micros(col("tp")) - unix_micros(col("t0")))
+            .otherwise(unix_micros(col("tmax")) - unix_micros(col("t0")))
+            .as("dur_us"),
+          col("tp").isNotNull.as("ev"))
+      val gr = durs.groupBy("dur_us")
+        .agg(count(when(col("ev"), 1)).as("d"),
+          count(when(!col("ev"), 1)).as("c"))
+      val bucketed = gr.withColumn("__bkt", length(bin(col("dur_us"))))
+      val offs = bucketed.groupBy("__bkt")
+        .agg(sum(col("d") + col("c")).as("__bsum"))
+        .withColumn("__off", coalesce(
+          sum("__bsum").over(Window.orderBy(col("__bkt").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("__bkt", "__off")
+      val total = durs.agg(count(lit(1)).as("n"))
+      bucketed.join(broadcast(offs), Seq("__bkt"))
+        .withColumn("__prev", col("__off") + coalesce(
+          sum(col("d") + col("c"))
+            .over(Window.partitionBy("__bkt").orderBy("dur_us")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .crossJoin(broadcast(total))
+        .withColumn("n_at_risk", col("n") - col("__prev"))
+        .filter(col("d") > 0)
+        .select(col("dur_us"), col("n_at_risk"),
+          col("d").as("n_events"), col("c").as("n_censored"),
+          (col("n_at_risk") - col("d")).as("surv_num"),
+          col("n_at_risk").as("surv_den"))
+        .orderBy("dur_us")
+    }, Some("""
+      WITH per AS (SELECT user_id, MIN(ts) AS t0,
+          MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+        FROM events GROUP BY 1),
+      mx AS (SELECT MAX(ts) AS tmax FROM events),
+      durs AS (SELECT
+          CASE WHEN tp IS NOT NULL THEN epoch_us(tp) - epoch_us(t0)
+               ELSE epoch_us(tmax) - epoch_us(t0) END AS dur_us,
+          tp IS NOT NULL AS ev
+        FROM per, mx),
+      gr AS (SELECT dur_us, COUNT(*) FILTER (WHERE ev) AS d,
+          COUNT(*) FILTER (WHERE NOT ev) AS c
+        FROM durs GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS n FROM durs),
+      cum AS (SELECT dur_us, d, c,
+          n - COALESCE(CAST(SUM(d + c) OVER (ORDER BY dur_us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+            0) AS n_at_risk
+        FROM gr, tot)
+      SELECT dur_us, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+        CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+        CAST(n_at_risk - d AS BIGINT) AS surv_num,
+        CAST(n_at_risk AS BIGINT) AS surv_den
+      FROM cum WHERE d > 0 ORDER BY dur_us"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
