@@ -2736,6 +2736,138 @@ object LlmQueries {
       SELECT component, COUNT(*) AS n_nodes,
         COUNT(*) FILTER (WHERE odd) = 0 AS bipartite
       FROM comp JOIN oddv USING (id)
-      GROUP BY component ORDER BY component"""))
+      GROUP BY component ORDER BY component""")),
+
+    // Corpus yield funnel — the stage-by-stage attrition report every
+    // curation run publishes before training: language gate → Gopher
+    // repetition gates → exact-dedup keeper → 13-gram benchmark
+    // decontamination (bench slice dropped + contaminated dropped) →
+    // first-occurrence novelty floor. Corpus-dependent stages (dedup,
+    // decontam, novelty) are computed on each stage's SURVIVORS — the
+    // real pipeline semantics, not five independent predicates. Output
+    // is five (n_in, n_out, n_removed) rows assembled from broadcast
+    // one-row counts; each stage frame is checkpointed once so nothing
+    // recomputes upstream gates. The oracle replays all five stages as
+    // nested CTEs over the same definitions the standalone queries
+    // (q32/q91/q34/q190/q287) verify individually.
+    ("q300_corpus_yield_funnel", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents").select("doc_id", "text")
+        .localCheckpoint(true)
+      val s1 = docs.filter(TextOps.langId(col("text")) === "en")
+        .localCheckpoint(true)
+      val s2 = s1.filter(TextOps.distinctTokenRatio(col("text")) >= 0.3 &&
+          TextOps.topTokenFraction(col("text")) <= 0.2 &&
+          TextOps.dupNgramFraction(col("text"), 2) <= 0.5)
+        .localCheckpoint(true)
+      val s3 = s2.withColumn("__k", min(col("doc_id"))
+          .over(Window.partitionBy(TextOps.fingerprint(col("text")))))
+        .filter(col("doc_id") === col("__k")).drop("__k")
+        .localCheckpoint(true)
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val train = s3.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      val clean = Curation.decontaminateOverlap(train, bench,
+          "doc_id", "text", n = 13)
+        .filter(col("n_shared_grams") === 0).select("doc_id")
+      val s4 = train.join(clean, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+      val s5 = s4.join(TextOps.ngramNovelty(s4, "doc_id", "text", n = 3)
+          .filter(col("novelty_bp") >= 2500).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      def cnt(df: DataFrame, nm: String) = df.agg(count(lit(1)).as(nm))
+      val wide = cnt(docs, "c0")
+        .crossJoin(broadcast(cnt(s1, "c1")))
+        .crossJoin(broadcast(cnt(s2, "c2")))
+        .crossJoin(broadcast(cnt(s3, "c3")))
+        .crossJoin(broadcast(cnt(s4, "c4")))
+        .crossJoin(broadcast(cnt(s5, "c5")))
+        .localCheckpoint(true)
+      Seq(("1_langid", "c0", "c1"), ("2_gopher_quality", "c1", "c2"),
+        ("3_exact_dedup", "c2", "c3"), ("4_decontaminate", "c3", "c4"),
+        ("5_novelty", "c4", "c5"))
+        .map { case (nm, i, o) =>
+          wide.select(lit(nm).as("stage"), col(i).as("n_in"),
+            col(o).as("n_out"), (col(i) - col(o)).as("n_removed"))
+        }.reduce(_ unionByName _).orderBy("stage")
+    }, Some("""
+      WITH d0 AS (SELECT doc_id, text FROM documents),
+      sc AS (SELECT doc_id,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> x IN ('the','and','of','is','a'))) AS en,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> x IN ('der','die','und','das','ist'))) AS de,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> x IN ('le','la','et','les','est'))) AS fr,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> x IN ('el','los','las','y','es'))) AS es,
+          regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk
+        FROM d0),
+      s1 AS (SELECT d0.doc_id, d0.text FROM d0 JOIN sc USING (doc_id)
+        WHERE NOT has_cjk AND en >= de AND en >= fr AND en >= es),
+      tq AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS toks FROM s1),
+      gq AS (SELECT doc_id, toks,
+          CASE WHEN len(toks) >= 2
+            THEN list_transform(range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i+1])
+            ELSE [array_to_string(toks, ' ')] END AS grams FROM tq),
+      mq AS (SELECT doc_id,
+          CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dr,
+          CAST(list_max(list_transform(list_distinct(toks),
+              u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+            / len(toks) AS tf,
+          CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+            / len(grams) AS dbf
+        FROM gq),
+      s2 AS (SELECT s1.doc_id, s1.text FROM s1 JOIN mq USING (doc_id)
+        WHERE dr >= 0.3 AND tf <= 0.2 AND dbf <= 0.5),
+      fpt AS (SELECT doc_id, text,
+          md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp FROM s2),
+      s3 AS (SELECT doc_id, text FROM (SELECT doc_id, text,
+          MIN(doc_id) OVER (PARTITION BY fp) AS k FROM fpt)
+        WHERE doc_id = k),
+      t3 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+             FROM s3 WHERE doc_id % 97 <> 0),
+      g3 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 13
+          THEN list_transform(range(1, len(tk) - 11),
+            i -> array_to_string(tk[i:i+12], ' '))
+          ELSE [array_to_string(tk, ' ')] END) AS gram FROM t3),
+      tb AS (SELECT regexp_split_to_array(trim(text), '\s+') AS tk
+             FROM d0 WHERE doc_id % 97 = 0),
+      gb AS (SELECT DISTINCT unnest(CASE WHEN len(tk) >= 13
+          THEN list_transform(range(1, len(tk) - 11),
+            i -> array_to_string(tk[i:i+12], ' '))
+          ELSE [array_to_string(tk, ' ')] END) AS gram FROM tb),
+      contam AS (SELECT DISTINCT g3.doc_id FROM g3 JOIN gb USING (gram)),
+      s4 AS (SELECT doc_id, text FROM s3 WHERE doc_id % 97 <> 0
+             AND doc_id NOT IN (SELECT doc_id FROM contam)),
+      t5 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+             FROM s4),
+      g5 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3
+          THEN list_transform(range(1, len(tk) - 1),
+            i -> array_to_string(tk[i:i+2], ' '))
+          ELSE [array_to_string(tk, ' ')] END) AS gram FROM t5),
+      fo AS (SELECT gram, MIN(doc_id) AS fd FROM g5 GROUP BY 1),
+      nov AS (SELECT g5.doc_id, COUNT(*) AS ng,
+          COUNT(*) FILTER (WHERE fd = g5.doc_id) AS nn
+        FROM g5 JOIN fo USING (gram) GROUP BY 1),
+      s5 AS (SELECT s4.doc_id FROM s4 JOIN nov USING (doc_id)
+             WHERE nn * 10000 // ng >= 2500),
+      c AS (SELECT (SELECT COUNT(*) FROM d0) AS c0,
+          (SELECT COUNT(*) FROM s1) AS c1,
+          (SELECT COUNT(*) FROM s2) AS c2,
+          (SELECT COUNT(*) FROM s3) AS c3,
+          (SELECT COUNT(*) FROM s4) AS c4,
+          (SELECT COUNT(*) FROM s5) AS c5)
+      SELECT stage, CAST(n_in AS BIGINT) AS n_in,
+        CAST(n_out AS BIGINT) AS n_out,
+        CAST(n_in - n_out AS BIGINT) AS n_removed
+      FROM (
+        SELECT '1_langid' AS stage, c0 AS n_in, c1 AS n_out FROM c
+        UNION ALL SELECT '2_gopher_quality', c1, c2 FROM c
+        UNION ALL SELECT '3_exact_dedup', c2, c3 FROM c
+        UNION ALL SELECT '4_decontaminate', c3, c4 FROM c
+        UNION ALL SELECT '5_novelty', c4, c5 FROM c)
+      ORDER BY stage"""))
   )
 }

@@ -43,6 +43,19 @@ object AsOf {
       .drop("__side", "__rts")
   }
 
+  /** Tolerance-bounded as-of: [[lastRightTs]] whose match is discarded
+    * (null) when staler than `tolerance` (e.g. "30 MINUTE") — the pandas
+    * `merge_asof(tolerance=...)` contract, the guard that stops a
+    * point-in-time enrichment from silently joining week-old state.
+    * Same linear union + one-keyed-window shape; the staleness gate is
+    * a codegen'd projection after the window. */
+  def lastRightTsWithin(left: DataFrame, right: DataFrame, key: String,
+      ts: String, tolerance: String,
+      asofCol: String = "asof_ts"): DataFrame =
+    lastRightTs(left, right, key, ts, asofCol)
+      .withColumn(asofCol, when(
+        col(asofCol) >= col(ts) - expr(s"INTERVAL $tolerance"), col(asofCol)))
+
   /** FORWARD as-of: `asofCol` = the smallest right-side `ts` that is >=
     * the left row's `ts` for the same `key` (null if none) — the
     * "next event after" lookup (first fill after an order, first

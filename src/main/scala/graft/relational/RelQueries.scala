@@ -6411,7 +6411,37 @@ object RelQueries {
         CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
         CAST(n_at_risk - d AS BIGINT) AS surv_num,
         CAST(n_at_risk AS BIGINT) AS surv_den
-      FROM cum WHERE d > 0 ORDER BY dur_us"""))
+      FROM cum WHERE d > 0 ORDER BY dur_us""")),
+
+    // As-of join with a staleness tolerance (pandas merge_asof
+    // tolerance= / QuestDB ASOF ... TOLERANCE): each purchase takes the
+    // latest prior view of the same user ONLY if it is at most 30
+    // minutes old — older matches are discarded, unmatched purchases
+    // kept. Same linear union + one keyed window as q18 (never a
+    // pairwise range join); the tolerance is a projection after the
+    // window. The oracle's quadratic LEFT JOIN + max is its sf0.01
+    // privilege.
+    ("q299_asof_tolerance", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts")
+      AsOf.lastRightTsWithin(purchases, views, "user_id", "ts",
+          "30 MINUTE", "last_view_ts")
+        .select(col("event_id"), col("user_id"), col("last_view_ts"),
+          col("last_view_ts").isNotNull.as("attributed"))
+        .orderBy("event_id")
+    }, Some("""
+      SELECT p.event_id, p.user_id,
+        CASE WHEN max(v.ts) >= p.ts - INTERVAL 30 MINUTE
+          THEN max(v.ts) END AS last_view_ts,
+        COALESCE(max(v.ts) >= p.ts - INTERVAL 30 MINUTE, FALSE)
+          AS attributed
+      FROM events p LEFT JOIN events v
+        ON p.user_id = v.user_id AND v.ts <= p.ts AND v.event_type = 'view'
+      WHERE p.event_type = 'purchase'
+      GROUP BY p.event_id, p.user_id, p.ts ORDER BY p.event_id"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
