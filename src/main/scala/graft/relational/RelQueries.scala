@@ -6441,7 +6441,117 @@ object RelQueries {
       FROM events p LEFT JOIN events v
         ON p.user_id = v.user_id AND v.ts <= p.ts AND v.event_type = 'view'
       WHERE p.event_type = 'purchase'
-      GROUP BY p.event_id, p.user_id, p.ts ORDER BY p.event_id"""))
+      GROUP BY p.event_id, p.user_id, p.ts ORDER BY p.event_id""")),
+
+    // Ordered string aggregation (LISTAGG / string_agg) — the report-
+    // layer concatenation every warehouse ships. Determinism is the
+    // whole game: an unordered collect is partition-order-dependent and
+    // can never hash-compare, so the engine sorts the collected array
+    // before joining (one keyed aggregate; the per-group array is
+    // group-sized, never corpus-sized). The oracle is DuckDB's native
+    // string_agg with ORDER BY.
+    ("q301_listagg", (s: SparkSession, d: String) => {
+      t(s, d, "customer")
+        .filter(col("c_custkey") % 100 === 0)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          array_join(array_sort(collect_list(col("c_name"))), ",")
+            .as("names"))
+        .orderBy("c_nationkey")
+    }, Some("""
+      SELECT c_nationkey, COUNT(*) AS n,
+        string_agg(c_name, ',' ORDER BY c_name) AS names
+      FROM customer WHERE c_custkey % 100 = 0
+      GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // SQL pipe syntax (Spark 4 / GoogleSQL `|>`): the same revenue
+    // rollup written as a linear pipeline — FROM |> WHERE |> AGGREGATE
+    // ... GROUP BY |> ORDER BY — planned to the identical physical
+    // query as the nested form the oracle runs. Surface parity, not a
+    // new operator: proves the engine accepts the modern composable
+    // dialect.
+    ("q302_pipe_syntax", (s: SparkSession, d: String) => {
+      s.sql(s"""
+        FROM parquet.`$d/lineitem.parquet`
+        |> WHERE l_shipdate >= DATE '1997-01-01'
+        |> AGGREGATE COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE)
+               AS sum_qty
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus""")
+    }, Some("""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
+
+    // Fault-tolerant ingestion arithmetic — try_cast / try_divide over
+    // a feed with planted poison (a non-numeric string every 7th row, a
+    // zero denominator every 5th): bad rows null out instead of killing
+    // the job under ANSI mode, and the audit counts them. The oracle
+    // states the same semantics with TRY_CAST and an explicit zero
+    // guard (DuckDB's double division would yield inf, not null).
+    ("q303_try_arithmetic", (s: SparkSession, d: String) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, lit("not_a_number"))
+            .otherwise(Exact.dec(col("o_totalprice"), 12).cast("string"))
+            .as("raw"),
+          when(col("o_orderkey") % 5 === 0, lit(0.0))
+            .otherwise(lit(2.0)).as("denom"))
+        .select(col("o_orderkey"),
+          expr("try_cast(raw AS DOUBLE)").as("parsed"),
+          expr("try_divide(try_cast(raw AS DOUBLE), denom)").as("halved"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("parsed").isNull, 1)).as("n_unparseable"),
+          count(when(col("parsed").isNotNull && col("halved").isNull, 1))
+            .as("n_div_zero"),
+          sum(col("halved").cast("decimal(13,3)")).cast("double")
+            .as("sum_halved"))
+    }, Some("""
+      WITH f AS (SELECT o_orderkey,
+          CASE WHEN o_orderkey % 7 = 0 THEN 'not_a_number'
+               ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+          END AS raw,
+          CASE WHEN o_orderkey % 5 = 0 THEN 0.0 ELSE 2.0 END AS denom
+        FROM orders),
+      p AS (SELECT o_orderkey, TRY_CAST(raw AS DOUBLE) AS parsed,
+          CASE WHEN denom = 0 THEN NULL
+               ELSE TRY_CAST(raw AS DOUBLE) / denom END AS halved
+        FROM f)
+      SELECT COUNT(*) AS n_rows,
+        COUNT(*) FILTER (WHERE parsed IS NULL) AS n_unparseable,
+        COUNT(*) FILTER (WHERE parsed IS NOT NULL AND halved IS NULL)
+          AS n_div_zero,
+        CAST(SUM(CAST(halved AS DECIMAL(13,3))) AS DOUBLE) AS sum_halved
+      FROM p""")),
+
+    // GROUPING SETS provenance — grouping() / grouping_id() columns
+    // disambiguate "NULL because rolled up" from "NULL in the data",
+    // the detail q25 omits. Identical bit-vector semantics on both
+    // engines.
+    ("q304_grouping_id", (s: SparkSession, d: String) => {
+      s.sql(s"""
+        SELECT l_returnflag, l_linestatus,
+          CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+          CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+          CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          COUNT(*) AS n
+        FROM parquet.`$d/lineitem.parquet`
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          (l_returnflag), ())
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        COUNT(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        (l_returnflag), ())
+      ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
