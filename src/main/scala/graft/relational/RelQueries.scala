@@ -6551,7 +6551,120 @@ object RelQueries {
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         (l_returnflag), ())
-      ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+      ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // Capped sessionization — telemetry's two-rule session split: a new
+    // session at a >30-minute gap (q24's gaps-and-islands) AND a forced
+    // split every 5 events within a gap-session (the event-cap rule
+    // that bounds session state). Both rules are windows over ONE
+    // per-user partitioning; the cap is integer arithmetic on the
+    // within-session row number — no second shuffle, no iteration.
+    ("q305_capped_sessionize", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val capped = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("new_s", when(lag(col("ts"), 1).over(w).isNull ||
+            col("ts") >= lag(col("ts"), 1).over(w) + expr("INTERVAL 30 MINUTE"),
+          1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_s"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(Window.partitionBy("user_id", "sid")
+          .orderBy(col("ts"), col("event_id"))))
+        .withColumn("sub", expr("(rn - 1) div 5"))
+      capped.groupBy("user_id", "sid", "sub")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+        .orderBy("user_id", "sid", "sub")
+    }, Some("""
+      WITH base AS (SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+               OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+            THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (SELECT user_id, ts, event_id,
+          CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS sid
+        FROM base),
+      sub AS (SELECT user_id, ts, sid,
+          (ROW_NUMBER() OVER (PARTITION BY user_id, sid
+            ORDER BY ts, event_id) - 1) // 5 AS sub
+        FROM sess)
+      SELECT user_id, sid, CAST(sub AS BIGINT) AS sub,
+        COUNT(*) AS n_events,
+        MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM sub GROUP BY 1, 2, 3 ORDER BY user_id, sid, sub""")),
+
+    // Map-typed column surface — map_from_entries / transform_values /
+    // map_filter over a per-user event-type histogram, rendered to a
+    // canonical sorted "k:v" string so the relation hash-compares (map
+    // iteration order is engine-dependent; the canonical rendering is
+    // the portable contract). The oracle computes the same string from
+    // the grouped counts directly.
+    ("q306_map_functions", (s: SparkSession, d: String) => {
+      t(s, d, "events")
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("event_type"), col("c"))))).as("m"))
+        .withColumn("fe", map_entries(
+          map_filter(transform_values(col("m"), (k, v) => v * 2),
+            (k, v) => v >= 10)))
+        .select(col("user_id"),
+          size(col("m")).cast("long").as("n_types"),
+          when(size(col("fe")) > 0, array_join(transform(col("fe"),
+            e => concat(e.getField("key"), lit(":"), e.getField("value"))),
+            ",")).as("doubled_ge10"))
+        .orderBy("user_id")
+    }, Some("""
+      WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
+                 FROM events GROUP BY 1, 2)
+      SELECT user_id, COUNT(*) AS n_types,
+        string_agg(CASE WHEN c * 2 >= 10
+            THEN event_type || ':' || CAST(c * 2 AS VARCHAR) END,
+          ',' ORDER BY event_type) AS doubled_ge10
+      FROM c GROUP BY user_id ORDER BY user_id""")),
+
+    // Repeat-purchase basket evolution — per customer, each order's
+    // part set against the PREVIOUS order's via array set ops
+    // (array_intersect / array_except on sorted collect_sets carried by
+    // a lag window): repeated vs new part counts per consecutive order
+    // pair. One shuffle to order grain, one per-customer window; the
+    // per-order arrays are basket-sized, never corpus-sized.
+    ("q307_repeat_purchase", (s: SparkSession, d: String) => {
+      val baskets = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      baskets.withColumn("prev", lag(col("parts"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("o_custkey"), col("o_orderkey"),
+          size(col("parts")).cast("long").as("n_parts"),
+          size(array_intersect(col("parts"), col("prev"))).cast("long")
+            .as("n_repeated"),
+          size(array_except(col("parts"), col("prev"))).cast("long")
+            .as("n_new"))
+        .orderBy("o_custkey", "o_orderkey")
+    }, Some("""
+      WITH baskets AS (SELECT o_custkey, o_orderkey, o_orderdate,
+          list_sort(list_distinct(list(l_partkey))) AS parts
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2, 3),
+      lagged AS (SELECT o_custkey, o_orderkey, parts,
+          lag(parts) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM baskets)
+      SELECT o_custkey, o_orderkey,
+        CAST(len(parts) AS BIGINT) AS n_parts,
+        CAST(len(list_intersect(parts, prev)) AS BIGINT) AS n_repeated,
+        CAST(len(list_filter(parts, x -> NOT list_contains(prev, x)))
+          AS BIGINT) AS n_new
+      FROM lagged WHERE prev IS NOT NULL
+      ORDER BY o_custkey, o_orderkey"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
