@@ -274,6 +274,46 @@ object Components {
     ranks
   }
 
+  /** Personalized PageRank (integer-scaled, exact): the teleport mass
+    * returns ONLY to the seed set — the "related to these nodes"
+    * ranking behind similar-item and local-community discovery. Same
+    * exact-int64 determinism and one-edge-join-per-round shape as
+    * [[pageRankScaled]]; the only change is where the teleport constant
+    * lands (seed rows), so two runs with different seeds share every
+    * materialized graph-side relation. Seeds not present in the graph
+    * are ignored (semi-join membership). */
+  def personalizedPageRankScaled(edges: DataFrame, seeds: DataFrame,
+      iters: Int, scale: Long = 1000000L, dampNum: Long = 85L,
+      dampDen: Long = 100L): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val v = vertices
+      .join(seeds.select(col("id")).distinct()
+        .withColumn("is_seed", lit(1L)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .localCheckpoint(true)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val tele = (dampDen - dampNum) * scale / dampDen
+    var ranks = v.select(col("id"), (col("is_seed") * scale).as("r"))
+    var i = 0
+    while (i < iters) {
+      val perSrc = ranks.withColumnRenamed("id", "src")
+        .join(outdeg, "src")
+        .select(col("src"), expr("r div deg").as("c"))
+      val contrib = e.join(perSrc, "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("c")).as("s"))
+      val next = v.join(contrib, Seq("id"), "left")
+        .select(col("id"), (col("is_seed") * tele +
+          expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("r"))
+        .localCheckpoint(true)
+      ranks = next
+      i += 1
+    }
+    ranks
+  }
+
   /** Bounded-depth BFS from one source over an undirected edge list:
     * min-hop level per reached vertex, levels 0..`maxDepth` (the
     * neighborhood-expansion primitive behind link-graph audits and

@@ -6664,7 +6664,105 @@ object RelQueries {
         CAST(len(list_filter(parts, x -> NOT list_contains(prev, x)))
           AS BIGINT) AS n_new
       FROM lagged WHERE prev IS NOT NULL
-      ORDER BY o_custkey, o_orderkey"""))
+      ORDER BY o_custkey, o_orderkey""")),
+
+    // Personalized PageRank over the q94 supplier-customer bipartite
+    // graph, teleporting only to the id%50==0 seed suppliers — "rank
+    // everything by proximity to THESE nodes". Exact int64 arithmetic
+    // end to end (the q94 discipline), so three unrolled rounds in
+    // DuckDB reproduce the iterative engine bit-for-bit; seed choice is
+    // a pure id predicate, replayable anywhere.
+    ("q308_personalized_pagerank", (s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = t(s, d, "orders").select("o_orderkey", "o_custkey")
+      val sc = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("o_custkey") * 2 + 1).as("dst"))
+      val edges = sc.union(sc.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = edges.select(col("src").as("id"))
+        .filter(pmod(col("id"), lit(50)) === 0).distinct()
+      graft.llm.Components.personalizedPageRankScaled(edges, seeds, iters = 3)
+        .orderBy("id")
+    }, Some("""
+      WITH sc AS (SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS (SELECT src, dst FROM sc
+            UNION ALL SELECT dst, src FROM sc),
+      v AS (SELECT DISTINCT src AS id FROM e),
+      sv AS (SELECT id, CASE WHEN id % 50 = 0 THEN 1 ELSE 0 END AS is_seed
+             FROM v),
+      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      r0 AS (SELECT id, CAST(is_seed * 1000000 AS BIGINT) AS r FROM sv),
+      r1 AS (SELECT sv.id,
+          CAST(sv.is_seed * 150000 + (85 * COALESCE(c.s, 0)) // 100
+            AS BIGINT) AS r
+        FROM sv LEFT JOIN (
+          SELECT e.dst AS id, SUM(r.r // deg.deg) AS s
+          FROM e JOIN r0 r ON e.src = r.id JOIN deg ON e.src = deg.src
+          GROUP BY 1) c ON sv.id = c.id),
+      r2 AS (SELECT sv.id,
+          CAST(sv.is_seed * 150000 + (85 * COALESCE(c.s, 0)) // 100
+            AS BIGINT) AS r
+        FROM sv LEFT JOIN (
+          SELECT e.dst AS id, SUM(r.r // deg.deg) AS s
+          FROM e JOIN r1 r ON e.src = r.id JOIN deg ON e.src = deg.src
+          GROUP BY 1) c ON sv.id = c.id),
+      r3 AS (SELECT sv.id,
+          CAST(sv.is_seed * 150000 + (85 * COALESCE(c.s, 0)) // 100
+            AS BIGINT) AS r
+        FROM sv LEFT JOIN (
+          SELECT e.dst AS id, SUM(r.r // deg.deg) AS s
+          FROM e JOIN r2 r ON e.src = r.id JOIN deg ON e.src = deg.src
+          GROUP BY 1) c ON sv.id = c.id)
+      SELECT id, r FROM r3 ORDER BY id""")),
+
+    // Strict ordered funnel with per-step deadlines — signup, then a
+    // view within 24h OF THE SIGNUP, then a purchase within 24h OF THAT
+    // VIEW (q142 counts unordered step reach; this is the
+    // time-constrained sequential form). Three keyed min-aggregates
+    // chained by join — each step's qualifying timestamp is the
+    // earliest event after the previous step's, so the whole funnel is
+    // deterministic and join-shaped (no per-user event scan loops).
+    ("q309_strict_funnel", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events").select("user_id", "event_type", "ts")
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t_signup"))
+      val vw = ev.filter(col("event_type") === "view")
+        .join(su, "user_id")
+        .filter(col("ts") > col("t_signup") &&
+          col("ts") <= col("t_signup") + expr("INTERVAL 24 HOUR"))
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(vw, "user_id")
+        .filter(col("ts") > col("t_view") &&
+          col("ts") <= col("t_view") + expr("INTERVAL 24 HOUR"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      su.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(broadcast(vw.agg(count(lit(1)).as("n_view_24h"))))
+        .crossJoin(broadcast(pu.agg(count(lit(1)).as("n_purchase_24h"))))
+        .select(col("n_signup"), col("n_view_24h"), col("n_purchase_24h"),
+          expr("n_view_24h * 10000 div n_signup").as("step1_bp"),
+          expr("n_purchase_24h * 10000 div n_view_24h").as("step2_bp"))
+    }, Some("""
+      WITH su AS (SELECT user_id, MIN(ts) AS t_signup FROM events
+                  WHERE event_type = 'signup' GROUP BY 1),
+      vw AS (SELECT e.user_id, MIN(e.ts) AS t_view
+             FROM events e JOIN su ON e.user_id = su.user_id
+             WHERE e.event_type = 'view' AND e.ts > su.t_signup
+               AND e.ts <= su.t_signup + INTERVAL 24 HOUR
+             GROUP BY 1),
+      pu AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+             FROM events e JOIN vw ON e.user_id = vw.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > vw.t_view
+               AND e.ts <= vw.t_view + INTERVAL 24 HOUR
+             GROUP BY 1)
+      SELECT (SELECT COUNT(*) FROM su) AS n_signup,
+        (SELECT COUNT(*) FROM vw) AS n_view_24h,
+        (SELECT COUNT(*) FROM pu) AS n_purchase_24h,
+        (SELECT COUNT(*) FROM vw) * 10000
+          // (SELECT COUNT(*) FROM su) AS step1_bp,
+        (SELECT COUNT(*) FROM pu) * 10000
+          // (SELECT COUNT(*) FROM vw) AS step2_bp"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
