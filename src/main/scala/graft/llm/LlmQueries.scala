@@ -2868,6 +2868,142 @@ object LlmQueries {
         UNION ALL SELECT '3_exact_dedup', c2, c3 FROM c
         UNION ALL SELECT '4_decontaminate', c3, c4 FROM c
         UNION ALL SELECT '5_novelty', c4, c5 FROM c)
-      ORDER BY stage"""))
+      ORDER BY stage""")),
+
+    // Keep-BEST near-dup resolution — q76's 3-gram Jaccard clusters,
+    // but the representative is the LONGEST document (argmax by
+    // (n_chars, doc_id) via one per-cluster window) instead of q88's
+    // min-id: production dedup keeps the highest-quality copy, not an
+    // arbitrary one. Deterministic tiebreak makes the choice
+    // hash-comparable; singletons keep themselves via the left join.
+    ("q312_dedup_keep_best", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val pairs = NearDup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8)
+      val endpoints = pairs.select(col("d1").as("id"))
+        .union(pairs.select(col("d2").as("id"))).distinct()
+      val cc = Components.connectedComponentsStars(endpoints,
+        pairs.select(col("d1").as("src"), col("d2").as("dst")))
+      val clustered = docs.select(col("doc_id"), col("n_chars"))
+        .join(cc.select(col("id").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+      clustered.withColumn("rn", row_number()
+          .over(Window.partitionBy("cluster_id")
+            .orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keeper"),
+          col("n_chars").as("keeper_chars"))
+        .orderBy("cluster_id")
+    }, Some("""
+      WITH RECURSIVE
+      t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents),
+      g AS (SELECT DISTINCT doc_id,
+              unnest(CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [array_to_string(toks, ' ')] END) AS gram
+            FROM t),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+      inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      pairs AS (SELECT d1, d2 FROM inter
+                JOIN sizes sa ON sa.doc_id = d1
+                JOIN sizes sb ON sb.doc_id = d2
+                WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)
+                  >= 0.8),
+      edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+                UNION SELECT d2, d1 FROM pairs),
+      reach AS (SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+                WHERE e.v <> r.u),
+      comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+               FROM reach GROUP BY u),
+      cl AS (SELECT d.doc_id, d.n_chars,
+               COALESCE(c.component, d.doc_id) AS cluster_id
+             FROM documents d LEFT JOIN comp c USING (doc_id)),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+               ORDER BY n_chars DESC, doc_id) AS rn FROM cl)
+      SELECT cluster_id, doc_id AS keeper, n_chars AS keeper_chars
+      FROM rk WHERE rn = 1 ORDER BY cluster_id""")),
+
+    // Language-ID evaluation — the heuristic classifier (q32) scored
+    // against the table's labeled lang column as a confusion matrix:
+    // per (truth, prediction) counts with the diagonal flagged. The
+    // model-evaluation loop a curation pipeline runs after changing a
+    // classifier, as one oracle-gated aggregate.
+    ("q313_langid_confusion", (s: SparkSession, d: String) => {
+      t(s, d, "documents")
+        .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .withColumn("correct", col("lang") === col("lang_pred"))
+        .orderBy("lang", "lang_pred")
+    }, Some("""
+      WITH sc AS (SELECT doc_id, lang,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> x IN ('the','and','of','is','a'))) AS en,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> x IN ('der','die','und','das','ist'))) AS de,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> x IN ('le','la','et','les','est'))) AS fr,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> x IN ('el','los','las','y','es'))) AS es,
+          regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk
+        FROM documents),
+      pred AS (SELECT lang,
+          CASE WHEN has_cjk THEN 'zh'
+               WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+               WHEN de >= fr AND de >= es THEN 'de'
+               WHEN fr >= es THEN 'fr'
+               ELSE 'es' END AS lang_pred
+        FROM sc)
+      SELECT lang, lang_pred, COUNT(*) AS n,
+        lang = lang_pred AS correct
+      FROM pred GROUP BY 1, 2 ORDER BY lang, lang_pred""")),
+
+    // Train/validation leakage audit — near-duplicate pairs (exact
+    // 3-gram Jaccard >= 0.5) that CROSS the q189 hash holdout split:
+    // every such pair is evaluation contamination (a val doc with a
+    // training near-copy inflates the metric). Composes the verified
+    // pair relation with the verified split gate; at 100 TB this is the
+    // same inverted-index join as q35 plus a map-side split tag.
+    ("q314_split_leakage", (s: SparkSession, d: String) => {
+      def split(c: org.apache.spark.sql.Column) =
+        when(pmod(xxhash64(c), lit(100)) < 5, "val").otherwise("train")
+      NearDup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 0.5)
+        .select(col("d1"), col("d2"), col("jaccard"),
+          split(col("d1")).as("split1"), split(col("d2")).as("split2"))
+        .filter(col("split1") =!= col("split2"))
+        .orderBy("d1", "d2")
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                 FROM documents),
+      g AS (SELECT DISTINCT doc_id,
+              unnest(CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [array_to_string(toks, ' ')] END) AS gram
+            FROM t),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+      inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      pairs AS (SELECT d1, d2,
+          CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = d1
+        JOIN sizes sb ON sb.doc_id = d2
+        WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5),
+      sp AS (SELECT doc_id,
+          CASE WHEN ((${XxHashOracle.signed(XxHashOracle.hashLong(
+            "CAST(doc_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} % 100)
+              + 100) % 100 < 5
+            THEN 'val' ELSE 'train' END AS s FROM documents)
+      SELECT d1, d2, jaccard, s1.s AS split1, s2.s AS split2
+      FROM pairs JOIN sp s1 ON s1.doc_id = d1 JOIN sp s2 ON s2.doc_id = d2
+      WHERE s1.s <> s2.s
+      ORDER BY d1, d2"""))
   )
 }

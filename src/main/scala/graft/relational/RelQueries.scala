@@ -6762,7 +6762,71 @@ object RelQueries {
         (SELECT COUNT(*) FROM vw) * 10000
           // (SELECT COUNT(*) FROM su) AS step1_bp,
         (SELECT COUNT(*) FROM pu) * 10000
-          // (SELECT COUNT(*) FROM vw) AS step2_bp"""))
+          // (SELECT COUNT(*) FROM vw) AS step2_bp""")),
+
+    // Top-k WITH TIES — RANK-based per-group top-3 (q06 is row_number's
+    // exactly-k; reports usually want "top 3 including ties", which can
+    // return more than k rows and must, deterministically, on both
+    // engines). Quantity totals aggregate exactly before ranking.
+    ("q310_topk_with_ties", (s: SparkSession, d: String) => {
+      val byPart = t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_partkey"))
+        .agg(sum((qty * 100).cast("long")).as("qty_e2"))
+      byPart.withColumn("rk", rank().over(Window.partitionBy("p_brand")
+          .orderBy(col("qty_e2").desc)))
+        .filter(col("rk") <= 3)
+        .select(col("p_brand"), col("p_partkey"),
+          col("qty_e2").cast("long").as("qty_e2"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("p_brand", "rk", "p_partkey")
+    }, Some(s"""
+      WITH byPart AS (SELECT p_brand, p_partkey,
+          CAST(SUM(CAST($oQty * 100 AS BIGINT)) AS BIGINT) AS qty_e2
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2),
+      ranked AS (SELECT *, RANK() OVER (PARTITION BY p_brand
+          ORDER BY qty_e2 DESC) AS rk FROM byPart)
+      SELECT p_brand, p_partkey, qty_e2, CAST(rk AS BIGINT) AS rk
+      FROM ranked WHERE rk <= 3
+      ORDER BY p_brand, rk, p_partkey""")),
+
+    // Calendar dimension generation — the conformed date dim every
+    // warehouse derives once and joins everywhere: one row per day
+    // between the fact table's own min/max, with ISO weekday/week,
+    // quarter, weekend and month-end flags. Calendar-grain at any fact
+    // scale (the spine is metadata-sized); every attribute is an exact
+    // integer/date function with identical semantics on both engines
+    // (ISO dow: Monday=1).
+    ("q311_date_dim", (s: SparkSession, d: String) => {
+      val bounds = t(s, d, "orders")
+        .agg(to_date(min(col("o_orderdate"))).as("lo"),
+          to_date(max(col("o_orderdate"))).as("hi"))
+      bounds.select(explode(expr("sequence(lo, hi, interval 1 day)"))
+          .as("day"))
+        .select(col("day"),
+          year(col("day")).cast("long").as("yr"),
+          quarter(col("day")).cast("long").as("qtr"),
+          month(col("day")).cast("long").as("mo"),
+          (weekday(col("day")) + 1).cast("long").as("iso_dow"),
+          weekofyear(col("day")).cast("long").as("iso_week"),
+          (weekday(col("day")) >= 5).as("is_weekend"),
+          (col("day") === last_day(col("day"))).as("is_month_end"))
+        .orderBy("day")
+    }, Some("""
+      WITH b AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+          CAST(MAX(o_orderdate) AS DATE) AS hi FROM orders),
+      spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+          INTERVAL 1 DAY)) AS DATE) AS day FROM b)
+      SELECT day,
+        CAST(EXTRACT(year FROM day) AS BIGINT) AS yr,
+        CAST(EXTRACT(quarter FROM day) AS BIGINT) AS qtr,
+        CAST(EXTRACT(month FROM day) AS BIGINT) AS mo,
+        CAST(isodow(day) AS BIGINT) AS iso_dow,
+        CAST(EXTRACT(week FROM day) AS BIGINT) AS iso_week,
+        isodow(day) >= 6 AS is_weekend,
+        day = last_day(day) AS is_month_end
+      FROM spine ORDER BY day"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
