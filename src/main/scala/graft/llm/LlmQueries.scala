@@ -3004,6 +3004,73 @@ object LlmQueries {
       SELECT d1, d2, jaccard, s1.s AS split1, s2.s AS split2
       FROM pairs JOIN sp s1 ON s1.doc_id = d1 JOIN sp s2 ON s2.doc_id = d2
       WHERE s1.s <> s2.s
-      ORDER BY d1, d2"""))
+      ORDER BY d1, d2""")),
+
+    // INCREMENTAL connected components — a new batch (vec_id%10==0)
+    // arrives against a persisted component index: instead of re-running
+    // CC on the whole graph, edges touching the batch are RELABELED
+    // through the old index (endpoint → its old component, the min-id
+    // invariant makes old labels valid super-nodes) and CC runs on the
+    // QUOTIENT graph — batch-sized, not corpus-sized. Final labels =
+    // old labels mapped through the quotient relabeling. The oracle
+    // recomputes components from scratch on the full pair graph, so the
+    // gate PROVES incremental == full recompute.
+    ("q316_incremental_components", (s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      val old = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      val oldPairs = Similarity.nearDupPairs(old, "label", tau = 0.25)
+        .localCheckpoint(true)
+      val oldEndpoints = oldPairs.select(col("v1").as("id"))
+        .union(oldPairs.select(col("v2").as("id"))).distinct()
+      val oldCC = Components.connectedComponentsStars(oldEndpoints,
+          oldPairs.select(col("v1").as("src"), col("v2").as("dst")))
+        .localCheckpoint(true)
+      val allPairs = Similarity.nearDupPairs(emb, "label", tau = 0.25)
+        .localCheckpoint(true)
+      val fresh = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select(col("vec_id"))
+      val newEdges = allPairs
+        .join(fresh.select(col("vec_id").as("v1")), Seq("v1"), "left_semi")
+        .select("v1", "v2")
+        .union(allPairs.join(fresh.select(col("vec_id").as("v2")),
+          Seq("v2"), "left_semi").select("v1", "v2"))
+        .distinct()
+      val quotient = newEdges
+        .join(oldCC.select(col("id").as("v1"), col("component").as("c1")),
+          Seq("v1"), "left")
+        .join(oldCC.select(col("id").as("v2"), col("component").as("c2")),
+          Seq("v2"), "left")
+        .select(coalesce(col("c1"), col("v1")).as("src"),
+          coalesce(col("c2"), col("v2")).as("dst"))
+      val qVerts = quotient.select(col("src").as("id"))
+        .union(quotient.select(col("dst").as("id"))).distinct()
+      val qCC = Components.connectedComponentsStars(qVerts, quotient)
+      val endpoints = allPairs.select(col("v1").as("vec_id"))
+        .union(allPairs.select(col("v2").as("vec_id"))).distinct()
+      endpoints
+        .join(oldCC.select(col("id").as("vec_id"), col("component")),
+          Seq("vec_id"), "left")
+        .withColumn("base", coalesce(col("component"), col("vec_id")))
+        .join(qCC.select(col("id").as("base"),
+          col("component").as("merged")), Seq("base"), "left")
+        .select(col("vec_id"),
+          coalesce(col("merged"), col("base")).as("component"))
+        .orderBy("vec_id")
+    }, Some("""
+      WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS v1, b.vec_id AS v2
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+          b.embedding::DOUBLE[]) >= 0.25),
+      edges AS (SELECT v1 AS u, v2 AS v FROM pairs
+                UNION SELECT v2, v1 FROM pairs),
+      reach AS (SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+                WHERE e.v <> r.u),
+      comp AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS component
+               FROM reach GROUP BY u)
+      SELECT vec_id, component FROM comp ORDER BY vec_id"""))
   )
 }

@@ -6826,7 +6826,31 @@ object RelQueries {
         CAST(EXTRACT(week FROM day) AS BIGINT) AS iso_week,
         isodow(day) >= 6 AS is_weekend,
         day = last_day(day) AS is_month_end
-      FROM spine ORDER BY day"""))
+      FROM spine ORDER BY day""")),
+
+    // Grouped MODE with a deterministic tiebreak — the most frequent
+    // event type per day, ties resolved alphabetically (an unordered
+    // mode() is engine- and partitioning-dependent; the (count DESC,
+    // value ASC) total order is the portable contract). Two keyed
+    // aggregates sharing the day partitioning plus one argmax window.
+    ("q315_group_mode", (s: SparkSession, d: String) => {
+      val counts = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      counts.withColumn("rn", row_number()
+          .over(Window.partitionBy("day")
+            .orderBy(col("c").desc, col("event_type").asc)))
+        .filter(col("rn") === 1)
+        .select(col("day"), col("event_type").as("modal_type"), col("c"))
+        .orderBy("day")
+    }, Some("""
+      WITH counts AS (SELECT CAST(ts AS DATE) AS day, event_type,
+          COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY day
+          ORDER BY c DESC, event_type) AS rn FROM counts)
+      SELECT day, event_type AS modal_type, c
+      FROM rk WHERE rn = 1 ORDER BY day"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
