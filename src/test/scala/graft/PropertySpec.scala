@@ -97,6 +97,27 @@ object GraftProps extends Properties("graft") {
       native == brute
     }
 
+  property("tolerance as-of = brute max-prior-within-window, any data") =
+    Prop.forAll(asofLeft, asofLeft) { (l, r) =>
+      val left = l.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("id", "k", "tl")
+        .select(col("id"), col("k"),
+          timestamp_micros(col("tl") * 1000000L).as("t"))
+      val right = r.toDF("k", "rt0")
+        .select(col("k"), timestamp_micros(col("rt0") * 1000000L).as("t"))
+      val got = graft.ops.AsOf
+        .lastRightTsWithin(left, right, "k", "t", "5 SECOND", "asof")
+        .select(col("id"), unix_micros(col("asof")).as("a"))
+        .collect().map(x => (x.getLong(0), Option(x.get(1)))).toMap
+      val brute = l.zipWithIndex.map { case ((k, t), i) =>
+        val within = r.filter(p => p._1 == k && p._2 <= t && p._2 >= t - 5)
+          .map(_._2)
+        (i.toLong,
+          if (within.isEmpty) None else Some((within.max * 1000000L): Any))
+      }.toMap
+      got == brute
+    }
+
   property("binned interval join = naive range join, any bucket width") =
     Prop.forAll(
       Gen.listOf(Gen.choose(0L, 50L)).map(_.take(25)),
