@@ -6850,7 +6850,97 @@ object RelQueries {
       rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY day
           ORDER BY c DESC, event_type) AS rn FROM counts)
       SELECT day, event_type AS modal_type, c
-      FROM rk WHERE rn = 1 ORDER BY day"""))
+      FROM rk WHERE rn = 1 ORDER BY day""")),
+
+    // Trigger.AvailableNow incremental batch — the "run the stream as a
+    // periodic job" production mode: the first invocation drains what
+    // exists and STOPS; files landing later are picked up by the next
+    // invocation from the same checkpoint, each file exactly once.
+    // Proven end-to-end: half the feed, run; the other half lands, run
+    // again; the appended sink aggregates to the full-feed totals (any
+    // double- or missed-file would break the hash). At 100 TB this is
+    // how backfills and micro-batch ETL share one exactly-once
+    // codepath.
+    ("q317_available_now_resume", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val sf = new java.io.File(d).getName
+      val root = s"/tmp/graft_q317/$sf"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        (Exact.dec(col("value"), 12) * 100).cast("long").as("cents"),
+        pmod(xxhash64(col("event_id")), lit(2)).as("half"))
+      ev.filter(col("half") === 0).drop("half").coalesce(1)
+        .write.parquet(s"$root/src/h0")
+      def drain(): Unit = {
+        val q = s.readStream
+          .schema("event_id LONG, user_id LONG, cents LONG")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/src/*")
+          .writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ck")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain()                                              // run 1: h0 only
+      ev.filter(col("half") === 1).drop("half").coalesce(1)
+        .write.parquet(s"$root/src/h1")
+      drain()                                              // run 2: h1 only
+      s.read.parquet(s"$root/out")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("cents"))
+        .orderBy("user_id")
+    }, Some("""
+      SELECT user_id, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+          AS BIGINT) AS cents
+      FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // Write-audit-publish (WAP) — the lakehouse promotion gate: a
+    // candidate batch lands in a STAGING table, the q227-style check
+    // suite runs against the staged snapshot, and only a clean audit
+    // promotes rows into the live table (one INSERT = one governed
+    // snapshot; a dirty audit would leave live untouched). Output is
+    // the audit verdicts plus the published row count, so the gate
+    // decision itself is oracle-checked.
+    ("q318_write_audit_publish", (s: SparkSession, d: String) => {
+      val stg = rowLevelTable(s, d, "wap_stage")
+      val live = rowLevelTable(s, d, "wap_live")
+      t(s, d, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("n"), Exact.sumD(col("value")).as("sv"))
+        .createOrReplaceTempView("q318_src")
+      s.sql(s"CREATE TABLE $stg (user_id BIGINT, n BIGINT, sv DOUBLE)")
+      s.sql(s"CREATE TABLE $live (user_id BIGINT, n BIGINT, sv DOUBLE)")
+      s.sql(s"INSERT INTO $stg SELECT user_id, n, sv FROM q318_src")
+      val audit = Checks.verify(s.table(stg), Seq(
+        Checks.uniqueness("uniqueness_user_id", col("user_id")),
+        Checks.rowCheck("completeness_user_id", col("user_id").isNull),
+        Checks.rowCheck("range_n_positive", !(col("n") > 0))))
+        .localCheckpoint(true)
+      val clean = audit.agg(max(when(col("status") === "FAIL", 1L)
+        .otherwise(0L))).head().getLong(0) == 0L
+      if (clean) s.sql(s"INSERT INTO $live SELECT * FROM $stg")
+      audit.select(col("check_name"), col("n_violations"), col("status"))
+        .crossJoin(broadcast(s.table(live)
+          .agg(count(lit(1)).as("n_published"))))
+        .orderBy("check_name")
+    }, Some("""
+      WITH g AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+      a AS (SELECT 'uniqueness_user_id' AS check_name,
+          CAST((SELECT COUNT(*) - COUNT(DISTINCT user_id) FROM g)
+            AS BIGINT) AS n_violations
+        UNION ALL
+        SELECT 'completeness_user_id',
+          CAST((SELECT COUNT(*) FILTER (WHERE user_id IS NULL) FROM g)
+            AS BIGINT)
+        UNION ALL
+        SELECT 'range_n_positive',
+          CAST((SELECT COUNT(*) FILTER (WHERE NOT (n > 0)) FROM g)
+            AS BIGINT))
+      SELECT check_name, n_violations,
+        CASE WHEN n_violations = 0 THEN 'PASS' ELSE 'FAIL' END AS status,
+        (SELECT COUNT(*) FROM g) AS n_published
+      FROM a ORDER BY check_name"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
