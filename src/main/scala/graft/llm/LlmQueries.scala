@@ -3071,6 +3071,54 @@ object LlmQueries {
                 WHERE e.v <> r.u),
       comp AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS component
                FROM reach GROUP BY u)
-      SELECT vec_id, component FROM comp ORDER BY vec_id"""))
+      SELECT vec_id, component FROM comp ORDER BY vec_id""")),
+
+    // Matryoshka truncation evaluation — how much ANN recall survives
+    // keeping only the first 16 of 64 embedding dimensions (the MRL
+    // deployment question: a 4x cheaper index vs its recall cost)?
+    // Truncated brute top-5 is scored against full-dimension brute
+    // top-5 per query; overlap and recall are exact integers. Both
+    // rankings and the overlap replay in DuckDB over sliced lists.
+    ("q321_matryoshka_eval", (s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      val full = Similarity.bruteTopK(emb, col("vec_id") < 10, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val trunc = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val small = Similarity.bruteTopK(trunc, col("vec_id") < 10, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val overlap = full
+        .join(small, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("ov"))
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"))
+        .join(overlap, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("ov"), lit(0L)).as("n_overlap"),
+          expr("coalesce(ov, 0L) * 10000 div 5").as("recall_bp"))
+        .orderBy("query_id")
+    }, Some("""
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                    FROM embeddings),
+      q AS (SELECT vec_id AS query_id, e AS qe FROM base
+            WHERE vec_id < 10),
+      fs AS (SELECT q.query_id, b.vec_id,
+          row_number() OVER (PARTITION BY q.query_id
+            ORDER BY list_cosine_similarity(b.e, q.qe) DESC, b.vec_id)
+            AS rk
+        FROM base b, q WHERE b.vec_id <> q.query_id),
+      f AS (SELECT query_id, vec_id FROM fs WHERE rk <= 5),
+      ts_ AS (SELECT q.query_id, b.vec_id,
+          row_number() OVER (PARTITION BY q.query_id
+            ORDER BY list_cosine_similarity(b.e[1:16], q.qe[1:16]) DESC,
+              b.vec_id) AS rk
+        FROM base b, q WHERE b.vec_id <> q.query_id),
+      tt AS (SELECT query_id, vec_id FROM ts_ WHERE rk <= 5),
+      ov AS (SELECT f.query_id, COUNT(*) AS ov
+             FROM f JOIN tt USING (query_id, vec_id) GROUP BY 1)
+      SELECT q.query_id, CAST(COALESCE(ov, 0) AS BIGINT) AS n_overlap,
+        CAST(COALESCE(ov, 0) * 10000 // 5 AS BIGINT) AS recall_bp
+      FROM q LEFT JOIN ov USING (query_id)
+      ORDER BY query_id"""))
   )
 }

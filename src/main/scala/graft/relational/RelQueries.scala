@@ -6940,7 +6940,105 @@ object RelQueries {
       SELECT check_name, n_violations,
         CASE WHEN n_violations = 0 THEN 'PASS' ELSE 'FAIL' END AS status,
         (SELECT COUNT(*) FROM g) AS n_published
-      FROM a ORDER BY check_name"""))
+      FROM a ORDER BY check_name""")),
+
+    // CUSUM change-point scan — where did the daily revenue level
+    // shift? The classic cumulative-deviation statistic kept EXACT by
+    // scaling: cusum_k = N·prefix_k − k·S is the integer N·(prefix_k −
+    // k·mean), so no float mean ever enters; the peak |cusum| marks the
+    // most likely change point. Day-grain relation (the prefix-sum
+    // window is calendar-sized — documented single-partition, the q281
+    // caveat); peak detection is one broadcast max.
+    ("q319_cusum_changepoint", (s: SparkSession, d: String) => {
+      val daily = t(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum((Exact.dec(col("o_totalprice"), 12) * 100).cast("long"))
+          .cast("long").as("cents"))
+      val cum = daily
+        .withColumn("k", row_number().over(Window.orderBy("day")).cast("long"))
+        .withColumn("pre", sum("cents").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = daily.agg(count(lit(1)).as("nd"),
+        sum("cents").cast("long").as("s"))
+      val scored = cum.crossJoin(broadcast(tot))
+        .withColumn("cusum", col("nd") * col("pre") - col("k") * col("s"))
+      scored.crossJoin(broadcast(
+          scored.agg(max(abs(col("cusum"))).as("mx"))))
+        .select(col("day"), col("cents"), col("cusum"),
+          (abs(col("cusum")) === col("mx")).as("is_peak"))
+        .orderBy("day")
+    }, Some("""
+      WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+          CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+            AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+      cum AS (SELECT day, cents,
+          CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k,
+          CAST(SUM(cents) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS pre
+        FROM daily),
+      tot AS (SELECT COUNT(*) AS nd, CAST(SUM(cents) AS BIGINT) AS s
+              FROM daily),
+      scored AS (SELECT day, cents,
+          CAST(nd * pre - k * s AS BIGINT) AS cusum
+        FROM cum, tot),
+      mx AS (SELECT MAX(abs(cusum)) AS mx FROM scored)
+      SELECT day, cents, cusum, abs(cusum) = mx AS is_peak
+      FROM scored, mx ORDER BY day""")),
+
+    // Lead-lag cross-correlation — do views LEAD purchases? Pearson r
+    // of the two daily series at lags −3..+3, every moment an exact
+    // integer sum (q71 discipline; only the closing formula is double).
+    // Day-grain self-join per lag — calendar-sized relations, the
+    // analysis cost is independent of the event volume feeding it.
+    ("q320_leadlag_xcorr", (s: SparkSession, d: String) => {
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(when(col("event_type") === "view", 1)).as("v"),
+          count(when(col("event_type") === "purchase", 1)).as("p"))
+        .localCheckpoint(true)
+      val lags = daily.sparkSession.range(-3, 4)
+        .select(col("id").cast("int").as("lag"))
+      val pairs = daily.as("a").crossJoin(broadcast(lags))
+        .join(daily.as("b"),
+          col("b.day") === date_add(col("a.day"), col("lag")))
+        .select(col("lag"), col("a.v").as("v"), col("b.p").as("p"))
+      pairs.groupBy("lag")
+        .agg(count(lit(1)).as("n"),
+          sum("v").as("sv"), sum("p").as("sp"),
+          sum(col("v") * col("p")).as("svp"),
+          sum(col("v") * col("v")).as("svv"),
+          sum(col("p") * col("p")).as("spp"))
+        .select(col("lag").cast("long").as("lag"), col("n"),
+          ((col("n") * col("svp").cast("double")
+              - col("sv").cast("double") * col("sp").cast("double")) /
+            sqrt((col("n") * col("svv").cast("double")
+                - col("sv").cast("double") * col("sv").cast("double")) *
+              (col("n") * col("spp").cast("double")
+                - col("sp").cast("double") * col("sp").cast("double"))))
+            .as("xcorr"))
+        .orderBy("lag")
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          COUNT(*) FILTER (WHERE event_type = 'view') AS v,
+          COUNT(*) FILTER (WHERE event_type = 'purchase') AS p
+        FROM events GROUP BY 1),
+      lags AS (SELECT unnest(range(-3, 4)) AS lag),
+      pairs AS (SELECT lag, a.v AS v, b.p AS p
+        FROM daily a CROSS JOIN lags
+        JOIN daily b ON b.day = a.day + CAST(lag AS INT)),
+      m AS (SELECT lag, COUNT(*) AS n,
+          CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) AS sv,
+          CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE) AS sp,
+          CAST(CAST(SUM(v * p) AS BIGINT) AS DOUBLE) AS svp,
+          CAST(CAST(SUM(v * v) AS BIGINT) AS DOUBLE) AS svv,
+          CAST(CAST(SUM(p * p) AS BIGINT) AS DOUBLE) AS spp
+        FROM pairs GROUP BY 1)
+      SELECT CAST(lag AS BIGINT) AS lag, n,
+        (n * svp - sv * sp)
+          / sqrt((n * svv - sv * sv) * (n * spp - sp * sp)) AS xcorr
+      FROM m ORDER BY lag"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
