@@ -7038,7 +7038,80 @@ object RelQueries {
       SELECT CAST(lag AS BIGINT) AS lag, n,
         (n * svp - sv * sp)
           / sqrt((n * svv - sv * sv) * (n * spp - sp * sp)) AS xcorr
-      FROM m ORDER BY lag"""))
+      FROM m ORDER BY lag""")),
+
+    // Day-of-week seasonality index — each ISO weekday's revenue
+    // intensity vs the all-days baseline, as ONE exact integer ratio:
+    // index_bp = (dow_cents · n_days · 10⁴) div (dow_days · total_cents)
+    // — per-day averages never materialize as floats, so the index
+    // hash-compares and cannot drift under re-aggregation. Two tiny
+    // aggregates (dow-grain and one total) over the daily relation.
+    ("q322_dow_seasonality", (s: SparkSession, d: String) => {
+      val daily = t(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum((Exact.dec(col("o_totalprice"), 12) * 100).cast("long"))
+          .cast("long").as("cents"))
+      val byDow = daily
+        .groupBy((weekday(col("day")) + 1).cast("long").as("iso_dow"))
+        .agg(count(lit(1)).as("n_days"),
+          sum("cents").cast("long").as("dow_cents"))
+      val tot = daily.agg(count(lit(1)).as("all_days"),
+        sum("cents").cast("long").as("all_cents"))
+      byDow.crossJoin(broadcast(tot))
+        .select(col("iso_dow"), col("n_days"), col("dow_cents"),
+          expr("dow_cents * all_days * 10000 div (n_days * all_cents)")
+            .as("index_bp"))
+        .orderBy("iso_dow")
+    }, Some("""
+      WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+          CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+            AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+      byDow AS (SELECT isodow(day) AS iso_dow, COUNT(*) AS n_days,
+          CAST(SUM(cents) AS BIGINT) AS dow_cents
+        FROM daily GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS all_days, CAST(SUM(cents) AS BIGINT)
+          AS all_cents FROM daily)
+      SELECT CAST(iso_dow AS BIGINT) AS iso_dow, n_days, dow_cents,
+        CAST(CAST(dow_cents AS HUGEINT) * all_days * 10000
+          // (CAST(n_days AS HUGEINT) * all_cents) AS BIGINT) AS index_bp
+      FROM byDow, tot ORDER BY iso_dow""")),
+
+    // Priority-source bronze merge — two overlapping feeds of the same
+    // entity (feed B overlaps A on even keys and disagrees by +1 cent);
+    // the merge keeps the HIGHER-priority source's row per key (one
+    // keyed window with a priority total order — the multi-vendor
+    // reference-data pattern). The per-source win counts and exact cent
+    // totals prove which rows survived; the oracle states the same
+    // precedence with a CASE on feed membership.
+    ("q323_priority_merge", (s: SparkSession, d: String) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        (Exact.dec(col("o_totalprice"), 12) * 100).cast("long").as("cents"))
+      val a = o.filter(col("o_orderkey") % 3 =!= 1)
+        .select(col("o_orderkey"), col("cents"), lit("A").as("src"))
+      val b = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), (col("cents") + 1).as("cents"),
+          lit("B").as("src"))
+      a.unionByName(b)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderkey").orderBy(col("src").asc)))
+        .filter(col("rn") === 1)
+        .groupBy("src")
+        .agg(count(lit(1)).as("n_won"),
+          sum("cents").cast("long").as("cents"))
+        .orderBy("src")
+    }, Some("""
+      WITH o AS (SELECT o_orderkey,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+            AS cents
+        FROM orders),
+      merged AS (SELECT o_orderkey,
+          CASE WHEN o_orderkey % 3 <> 1 THEN cents ELSE cents + 1 END
+            AS cents,
+          CASE WHEN o_orderkey % 3 <> 1 THEN 'A' ELSE 'B' END AS src
+        FROM o WHERE o_orderkey % 3 <> 1 OR o_orderkey % 2 = 0)
+      SELECT src, COUNT(*) AS n_won, CAST(SUM(cents) AS BIGINT) AS cents
+      FROM merged GROUP BY 1 ORDER BY src"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
