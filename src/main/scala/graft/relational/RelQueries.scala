@@ -6950,10 +6950,14 @@ object RelQueries {
     // window is calendar-sized — documented single-partition, the q281
     // caveat); peak detection is one broadcast max.
     ("q319_cusum_changepoint", (s: SparkSession, d: String) => {
+      // One corpus scan into the day-grain relation; every branch below
+      // (prefix sum, totals, peak) reuses the calendar-sized checkpoint
+      // instead of re-scanning orders.
       val daily = t(s, d, "orders")
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(sum((Exact.dec(col("o_totalprice"), 12) * 100).cast("long"))
           .cast("long").as("cents"))
+        .localCheckpoint(true)
       val cum = daily
         .withColumn("k", row_number().over(Window.orderBy("day")).cast("long"))
         .withColumn("pre", sum("cents").over(Window.orderBy("day")
@@ -7051,6 +7055,7 @@ object RelQueries {
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(sum((Exact.dec(col("o_totalprice"), 12) * 100).cast("long"))
           .cast("long").as("cents"))
+        .localCheckpoint(true)
       val byDow = daily
         .groupBy((weekday(col("day")) + 1).cast("long").as("iso_dow"))
         .agg(count(lit(1)).as("n_days"),

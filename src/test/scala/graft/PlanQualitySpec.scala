@@ -514,6 +514,23 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("q305: gap windows, cap windows, and the bar agg share ONE exchange") {
+    val p = plan("q305_capped_sessionize")
+    // lag, running-sum, per-session row_number, and the final groupBy
+    // are all satisfied by the single user_id hash partitioning.
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q291: rank join adds no exchange beyond the two per-side windows") {
+    val p = plan("q291_fifo_matching")
+    // Both row_number windows partition by user_id and the (user_id, rk)
+    // equi-join reuses that partitioning — two exchanges total, both
+    // keyed on user_id alone.
+    val keys = "Exchange hashpartitioning\\(([a-zA-Z_0-9#]+)"
+      .r.findAllMatchIn(p).map(_.group(1).takeWhile(_ != '#')).toList
+    assert(keys.length == 2 && keys.forall(_ == "user_id"), keys.toString)
+  }
+
   test("q287: novelty shuffles carry only the gram hash and doc id") {
     val p = plan("q287_ngram_novelty")
     val parts = "Exchange hashpartitioning\\(([a-zA-Z_0-9#]+)"
