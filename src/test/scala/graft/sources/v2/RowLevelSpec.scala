@@ -237,6 +237,41 @@ class RowLevelSpec extends SparkSpec {
       .collect().map(r => r._1 -> ((r._2, r._3))).toMap == m)
   }
 
+  test("rollback restores the target snapshot as a NEW version, history intact") {
+    freshTable("rb")                                       // v1, v2
+    spark.sql("DELETE FROM rlt.db.rb WHERE tag = 'high'")  // v3
+    import graft.sources.v2.rowlevel.{GraftMaintenance, GraftRowTable}
+    val files3 = dataFiles("rb").keySet
+    val newV = GraftMaintenance.rollback(wh, Seq("db"), "rb", toVersion = 2)
+    assert(newV == 4)
+    // restored content == v2 content; the deleted state is still
+    // time-travelable; no data file was touched by the restore.
+    assert(spark.table("rlt.db.rb").count() == 20)
+    assert(spark.sql("SELECT * FROM rlt.db.rb VERSION AS OF 3").count() == 10)
+    assert(dataFiles("rb").keySet !=  files3)
+    val fs = new org.apache.hadoop.fs.Path(s"$wh/db/rb")
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    assert(GraftRowTable.versions(s"$wh/db/rb", fs).toList ==
+      List(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("concurrent commit to the same version is rejected, not clobbered") {
+    freshTable("cc")
+    import graft.sources.v2.rowlevel.GraftRowTable
+    val dir = s"$wh/db/cc"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val cur = GraftRowTable.currentVersion(dir, fs)
+    val lines = GraftRowTable.readManifest(dir, fs, cur)
+    GraftRowTable.writeManifest(dir, fs, cur + 1, lines)   // writer A wins
+    val e = intercept[IllegalStateException] {
+      GraftRowTable.writeManifest(dir, fs, cur + 1, Seq()) // writer B loses
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    // A's manifest survived untouched.
+    assert(GraftRowTable.readManifest(dir, fs, cur + 1) == lines.sorted)
+  }
+
   test("unsupported column types are rejected at CREATE") {
     wh: Unit
     val e = intercept[Exception] {
