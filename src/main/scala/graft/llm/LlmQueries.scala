@@ -3119,6 +3119,53 @@ object LlmQueries {
       SELECT q.query_id, CAST(COALESCE(ov, 0) AS BIGINT) AS n_overlap,
         CAST(COALESCE(ov, 0) * 10000 // 5 AS BIGINT) AS recall_bp
       FROM q LEFT JOIN ov USING (query_id)
-      ORDER BY query_id"""))
+      ORDER BY query_id""")),
+
+    // k-NN label evaluation — predict each query vector's label by
+    // majority vote of its 5 nearest neighbors (self excluded) and
+    // score against the stored label: the standard embedding-quality
+    // probe. The vote is made deterministic by the (count DESC, label
+    // ASC) total order; ranking, vote, and verdict all replay in
+    // DuckDB.
+    ("q325_knn_label_eval", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, d, "embeddings")
+      val top = Similarity.bruteTopK(emb, col("vec_id") < 50, k = 5)
+      val votes = top
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nl")), "neighbor_id")
+        .groupBy("query_id", "nl").agg(count(lit(1)).as("v"))
+      votes.withColumn("rn", row_number()
+          .over(Window.partitionBy("query_id")
+            .orderBy(col("v").desc, col("nl").asc)))
+        .filter(col("rn") === 1)
+        .join(emb.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), "query_id")
+        .select(col("query_id"), col("true_label").cast("long")
+            .as("true_label"),
+          col("nl").cast("long").as("pred_label"), col("v").as("votes"),
+          (col("nl") === col("true_label")).as("correct"))
+        .orderBy("query_id")
+    }, Some("""
+      WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+                    FROM embeddings),
+      q AS (SELECT vec_id AS query_id, e AS qe FROM base
+            WHERE vec_id < 50),
+      fs AS (SELECT q.query_id, b.vec_id, b.label,
+          row_number() OVER (PARTITION BY q.query_id
+            ORDER BY list_cosine_similarity(b.e, q.qe) DESC, b.vec_id)
+            AS rk
+        FROM base b, q WHERE b.vec_id <> q.query_id),
+      votes AS (SELECT query_id, label AS nl, COUNT(*) AS v
+                FROM fs WHERE rk <= 5 GROUP BY 1, 2),
+      pred AS (SELECT query_id, nl, v,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY v DESC, nl) AS rn
+        FROM votes)
+      SELECT p.query_id, CAST(b.label AS BIGINT) AS true_label,
+        CAST(p.nl AS BIGINT) AS pred_label, p.v AS votes,
+        p.nl = b.label AS correct
+      FROM pred p JOIN base b ON b.vec_id = p.query_id
+      WHERE p.rn = 1 ORDER BY p.query_id"""))
   )
 }

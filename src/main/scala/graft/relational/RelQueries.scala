@@ -7116,7 +7116,56 @@ object RelQueries {
           CASE WHEN o_orderkey % 3 <> 1 THEN 'A' ELSE 'B' END AS src
         FROM o WHERE o_orderkey % 3 <> 1 OR o_orderkey % 2 = 0)
       SELECT src, COUNT(*) AS n_won, CAST(SUM(cents) AS BIGINT) AS cents
-      FROM merged GROUP BY 1 ORDER BY src"""))
+      FROM merged GROUP BY 1 ORDER BY src""")),
+
+    // Distribution drift report — the feature-monitoring check between
+    // two periods: equi-width value bins, per-period shares in exact
+    // basis points, and the chi-square contribution per bin (expected
+    // count scaled from period 1; the only doubles are the closing
+    // formula, identically shaped on both engines — q207's precedent).
+    // One conditional aggregate over the scan; bins without baseline
+    // mass report null contribution instead of dividing by zero.
+    ("q324_distribution_drift", (s: SparkSession, d: String) => {
+      val tagged = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("value"))
+        .withColumn("half",
+          when(col("day") <= lit("2024-01-15").cast("date"), 1).otherwise(2))
+        .withColumn("bin", greatest(least(floor(col("value") / 10),
+          lit(9.0)), lit(0.0)).cast("long"))
+      val byBin = tagged.groupBy("bin")
+        .agg(count(when(col("half") === 1, 1)).as("n1"),
+          count(when(col("half") === 2, 1)).as("n2"))
+      val tots = byBin.agg(sum("n1").cast("long").as("t1"),
+        sum("n2").cast("long").as("t2"))
+      byBin.crossJoin(broadcast(tots))
+        .select(col("bin"), col("n1"), col("n2"),
+          expr("n1 * 10000 div t1").as("share1_bp"),
+          expr("n2 * 10000 div t2").as("share2_bp"),
+          when(col("n1") > 0,
+            pow(col("n2").cast("double")
+              - col("n1").cast("double") * col("t2") / col("t1"), 2)
+              / (col("n1").cast("double") * col("t2") / col("t1")))
+            .as("chi2_contrib"))
+        .orderBy("bin")
+    }, Some("""
+      WITH tagged AS (SELECT
+          CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15' THEN 1 ELSE 2
+            END AS half,
+          CAST(GREATEST(LEAST(FLOOR(value / 10), 9), 0) AS BIGINT) AS bin
+        FROM events),
+      byBin AS (SELECT bin,
+          COUNT(*) FILTER (WHERE half = 1) AS n1,
+          COUNT(*) FILTER (WHERE half = 2) AS n2
+        FROM tagged GROUP BY 1),
+      tots AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1,
+          CAST(SUM(n2) AS BIGINT) AS t2 FROM byBin)
+      SELECT bin, n1, n2,
+        CAST(n1 * 10000 // t1 AS BIGINT) AS share1_bp,
+        CAST(n2 * 10000 // t2 AS BIGINT) AS share2_bp,
+        CASE WHEN n1 > 0 THEN
+          pow(CAST(n2 AS DOUBLE) - CAST(n1 AS DOUBLE) * t2 / t1, 2)
+            / (CAST(n1 AS DOUBLE) * t2 / t1) END AS chi2_contrib
+      FROM byBin, tots ORDER BY bin"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
