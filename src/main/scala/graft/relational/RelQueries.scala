@@ -7165,7 +7165,102 @@ object RelQueries {
         CASE WHEN n1 > 0 THEN
           pow(CAST(n2 AS DOUBLE) - CAST(n1 AS DOUBLE) * t2 / t1, 2)
             / (CAST(n1 AS DOUBLE) * t2 / t1) END AS chi2_contrib
-      FROM byBin, tots ORDER BY bin"""))
+      FROM byBin, tots ORDER BY bin""")),
+
+    // Grid-blocked DBSCAN — density clustering with full role labeling
+    // (core / border / noise) over per-user activity points, entirely
+    // in exact integer arithmetic (squared distances, integer grid
+    // cells). Candidates come from a 3x3 grid-cell equi-join (cell =
+    // eps, so no within-eps pair can escape the neighborhood — q251's
+    // blocking); core adjacency feeds the alternating-star CC; border
+    // points take the MIN core-neighbor cluster (the deterministic
+    // resolution of DBSCAN's assignment ambiguity). The oracle runs
+    // the quadratic neighbor join and a recursive closure — its sf0.01
+    // privilege; the engine's grid + CC shape is what survives scale.
+    ("q326_dbscan_grid", (s: SparkSession, d: String) => {
+      val eps2 = 225L // eps = 15 in scaled coords
+      val pts = t(s, d, "events")
+        .groupBy("user_id")
+        .agg(sum((Exact.dec(col("value"), 12) * 100).cast("long"))
+          .cast("long").as("sc"), count(lit(1)).as("n"))
+        .select(col("user_id"), expr("sc div 1000").as("x"),
+          (col("n") * 5).as("y"))
+        .localCheckpoint(true)
+      val cells = pts
+        .withColumn("cx", expr("x div 15")).withColumn("cy", expr("y div 15"))
+      val a = cells.select(col("user_id").as("u"), col("x").as("ux"),
+        col("y").as("uy"), col("cx"), col("cy"))
+      val b = cells
+        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("user_id").as("v"), col("x").as("vx"),
+          col("y").as("vy"), (col("cx") + col("dx")).as("cx"),
+          (col("cy") + col("dy")).as("cy"))
+      val nb = a.join(b, Seq("cx", "cy"))
+        .filter(col("u") =!= col("v") &&
+          (col("ux") - col("vx")) * (col("ux") - col("vx")) +
+            (col("uy") - col("vy")) * (col("uy") - col("vy")) <= eps2)
+        .select(col("u"), col("v")).localCheckpoint(true)
+      val core = nb.groupBy("u").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= 3).select(col("u")).localCheckpoint(true)
+      val coreEdges = nb
+        .join(core, Seq("u"), "left_semi")
+        .join(core.select(col("u").as("v")), Seq("v"), "left_semi")
+        .filter(col("u") < col("v"))
+        .select(col("u").as("src"), col("v").as("dst"))
+      val cc = graft.llm.Components.connectedComponentsStars(
+        core.select(col("u").as("id")), coreEdges)
+      val coreLab = core.join(cc.select(col("id").as("u"),
+          col("component")), Seq("u"), "left")
+        .select(col("u"), coalesce(col("component"), col("u")).as("cluster"))
+        .localCheckpoint(true)
+      val borderLab = nb.join(core, Seq("u"), "left_anti")
+        .join(coreLab.select(col("u").as("v"), col("cluster")), Seq("v"))
+        .groupBy("u").agg(min("cluster").as("cluster"))
+      pts.join(coreLab.select(col("u").as("user_id"),
+          col("cluster").as("core_cl")), Seq("user_id"), "left")
+        .join(borderLab.select(col("u").as("user_id"),
+          col("cluster").as("border_cl")), Seq("user_id"), "left")
+        .select(col("user_id"), col("x"), col("y"),
+          when(col("core_cl").isNotNull, "core")
+            .when(col("border_cl").isNotNull, "border")
+            .otherwise("noise").as("role"),
+          coalesce(col("core_cl"), col("border_cl")).as("cluster"))
+        .orderBy("user_id")
+    }, Some("""
+      WITH RECURSIVE p AS (SELECT user_id,
+          CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS sc,
+          COUNT(*) AS n
+        FROM events GROUP BY 1),
+      pts AS (SELECT user_id, sc // 1000 AS x, n * 5 AS y FROM p),
+      nb AS (SELECT a.user_id AS u, b.user_id AS v
+        FROM pts a JOIN pts b ON a.user_id <> b.user_id
+          AND (a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y) <= 225),
+      core AS (SELECT u FROM (SELECT u, COUNT(*) AS dg FROM nb GROUP BY 1)
+               WHERE dg >= 3),
+      ce AS (SELECT u, v FROM nb
+             WHERE u IN (SELECT u FROM core) AND v IN (SELECT u FROM core)),
+      reach AS (SELECT u, v FROM ce
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN ce e ON r.v = e.u
+                WHERE e.v <> r.u),
+      comp AS (SELECT u, LEAST(u, MIN(v)) AS cluster FROM reach GROUP BY u),
+      corelab AS (SELECT core.u, COALESCE(comp.cluster, core.u) AS cluster
+                  FROM core LEFT JOIN comp ON comp.u = core.u),
+      borderlab AS (SELECT nb.u, MIN(cl.cluster) AS cluster
+                    FROM nb JOIN corelab cl ON nb.v = cl.u
+                    WHERE nb.u NOT IN (SELECT u FROM core)
+                    GROUP BY nb.u)
+      SELECT pts.user_id, x, y,
+        CASE WHEN c.u IS NOT NULL THEN 'core'
+             WHEN bl.u IS NOT NULL THEN 'border'
+             ELSE 'noise' END AS role,
+        COALESCE(c.cluster, bl.cluster) AS cluster
+      FROM pts
+      LEFT JOIN corelab c ON c.u = pts.user_id
+      LEFT JOIN borderlab bl ON bl.u = pts.user_id
+      ORDER BY pts.user_id"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
