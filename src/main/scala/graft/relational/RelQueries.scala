@@ -7260,7 +7260,81 @@ object RelQueries {
       FROM pts
       LEFT JOIN corelab c ON c.u = pts.user_id
       LEFT JOIN borderlab bl ON bl.u = pts.user_id
-      ORDER BY pts.user_id"""))
+      ORDER BY pts.user_id""")),
+
+    // OFFSET pagination — the Spark 4 LIMIT/OFFSET surface under a
+    // deterministic total order (page 3 of the price-ranked orders).
+    // Fine on a report tail; the plan is a global sort + skip, which is
+    // why keyset pagination (q12's top-k) is the at-scale idiom — this
+    // entry pins that the SQL surface exists and pages exactly.
+    ("q327_offset_pagination", (s: SparkSession, d: String) => {
+      s.sql(s"""
+        SELECT o_orderkey,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        FROM parquet.`$d/orders.parquet`
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20 OFFSET 40""")
+    }, Some("""
+      SELECT o_orderkey,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 20 OFFSET 40""")),
+
+    // Arbitrary-width tumbling buckets in BATCH — 90-minute windows via
+    // the same `window()` operator the streaming layer uses (q81's
+    // 1-day form), checked against the oracle's epoch arithmetic
+    // (floor(epoch/5400)·5400). Window start/end are emitted as
+    // timestamps; counts and sums exact.
+    ("q328_time_bucket_90m", (s: SparkSession, d: String) => {
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "90 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Exact.sumD(col("value")).as("sv"))
+        .select(col("window.start").as("w_start"),
+          col("window.end").as("w_end"), col("event_type"), col("n"),
+          col("sv"))
+        .orderBy("w_start", "event_type")
+    }, Some("""
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 5400) * 5400
+          AS BIGINT) * 1000000) AS w_start,
+        make_timestamp((CAST(floor(epoch(ts) / 5400) * 5400 AS BIGINT)
+          + 5400) * 1000000) AS w_end,
+        event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+      FROM events
+      GROUP BY 1, 2, 3 ORDER BY w_start, event_type""")),
+
+    // GROUP-aware holdout — the leakage-safe split q314 motivates: the
+    // gate hashes the SOURCE, not the document, so every doc of a
+    // source lands on the same side and near-duplicate structure inside
+    // a source can never straddle the split. The report proves the
+    // invariant in-query: per source, exactly one side is populated.
+    ("q329_grouped_holdout", (s: SparkSession, d: String) => {
+      t(s, d, "documents")
+        .withColumn("split",
+          when(pmod(xxhash64(col("source")), lit(100)) < 20, "val")
+            .otherwise("train"))
+        .groupBy("source")
+        .agg(count(when(col("split") === "train", 1)).as("n_train"),
+          count(when(col("split") === "val", 1)).as("n_val"))
+        .withColumn("pure", col("n_train") === 0 || col("n_val") === 0)
+        .orderBy("source")
+    }, Some(s"""
+      WITH toks AS (SELECT DISTINCT source AS tok FROM documents),
+      ${graft.llm.XxHashOracle.xxh64Ctes("toks")},
+      sp AS (SELECT tok AS source,
+          ((${graft.llm.XxHashOracle.signed("hu")} % 100) + 100) % 100 < 20
+            AS v
+        FROM hashed),
+      g AS (SELECT d.source,
+          COUNT(*) FILTER (WHERE NOT v) AS n_train,
+          COUNT(*) FILTER (WHERE v) AS n_val
+        FROM documents d JOIN sp ON d.source = sp.source
+        GROUP BY d.source)
+      SELECT source, CAST(n_train AS BIGINT) AS n_train,
+        CAST(n_val AS BIGINT) AS n_val,
+        n_train = 0 OR n_val = 0 AS pure
+      FROM g ORDER BY source"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
