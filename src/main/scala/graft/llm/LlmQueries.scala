@@ -3166,6 +3166,46 @@ object LlmQueries {
         CAST(p.nl AS BIGINT) AS pred_label, p.v AS votes,
         p.nl = b.label AS correct
       FROM pred p JOIN base b ON b.vec_id = p.query_id
-      WHERE p.rn = 1 ORDER BY p.query_id"""))
+      WHERE p.rn = 1 ORDER BY p.query_id""")),
+
+    // Dataset-card shard manifest — the publishing artifact a curated
+    // corpus ships with: docs greedily packed into ~1000-token shards
+    // (q78's exclusive-prefix-sum assignment), then per shard: doc and
+    // token counts, byte size, and an ORDER-INVARIANT content checksum
+    // (sum of per-doc xxhash64 in DECIMAL(38,0) — wrap-free under ANSI,
+    // and unlike a bit_xor fold it does not cancel even multiplicities,
+    // the q171 ADVICE lesson). Everything replays in DuckDB, the
+    // checksum via the generated XXH64 over the raw text.
+    ("q330_shard_manifest", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          TextOps.nTokens(col("text")).as("w"))
+      val sharded = Curation.packShards(
+        docs.select(col("doc_id"), col("w")),
+        Seq(col("doc_id")), "w", targetWeight = 1000L)
+      docs.join(sharded.select(col("doc_id"), col("shard_id")), "doc_id")
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("w").cast("long").as("n_tokens"),
+          sum("n_chars").cast("long").as("n_bytes"),
+          sum(xxhash64(col("text")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("checksum"))
+        .orderBy("shard_id")
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, text AS tok, n_chars,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+            AS w
+        FROM documents),
+      ${XxHashOracle.xxh64Ctes("toks")},
+      c AS (SELECT hs.doc_id, tk.n_chars, tk.w,
+          CAST(${XxHashOracle.signed("hu")} AS HUGEINT) AS h,
+          SUM(tk.w) OVER (ORDER BY hs.doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM hashed hs JOIN toks tk ON tk.doc_id = hs.doc_id)
+      SELECT CAST((cum - w) // 1000 AS BIGINT) AS shard_id,
+        COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS n_tokens,
+        CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+        CAST(SUM(h) AS DECIMAL(38,0)) AS checksum
+      FROM c GROUP BY 1 ORDER BY shard_id"""))
   )
 }
