@@ -492,4 +492,47 @@ object Components {
     }
     lab
   }
+
+  /** Cycle detection in a FUNCTIONAL graph (every node has exactly one
+    * successor — retry chains, redirect maps, "next version" pointers)
+    * by pointer doubling: maintain p_k(u) = f^(2^k)(u) and
+    * m_k(u) = min{f^j(u) : 0 <= j < 2^k}, square per round
+    * (p <- p(p), m <- min(m, m(p))). After `rounds` with
+    * 2^rounds >= |V|, every p(u) has entered u's terminal cycle, the
+    * anchor image {p(u)} is EXACTLY the union of all cycle nodes (f
+    * rotates each cycle bijectively), and m at a cycle node is the min
+    * over its whole cycle — the canonical cycle id.
+    *
+    * O(log n) rounds where naive walking is O(n); each round one
+    * self-join on ids (two longs per node), per-round localCheckpoint
+    * keeps lineage flat, nothing per-node reaches the driver.
+    *
+    * @param succ two columns `id`, `p` (u -> f(u), total function)
+    * @param rounds doubling rounds; caller picks ceil(log2 |V|)
+    * @return (id, on_cycle, cycle_id): cycle_id = min node of the
+    *         terminal cycle u's walk falls into
+    */
+  def functionalGraphCycles(succ: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var df = succ.select(col("id"), col("p"), col("id").as("mn"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val next = df.as("a")
+        .join(df.as("b"), col("a.p") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.p").as("p"),
+          least(col("a.mn"), col("b.mn")).as("mn"))
+        .localCheckpoint(true)
+      df.unpersist()
+      df = next
+    }
+    val anchors = df.select(col("p")).distinct()
+    val cycleMin = df.select(col("id").as("p"), col("mn"))
+      .join(anchors, Seq("p"), "left_semi")
+    df.select(col("id"), col("p"))
+      .join(cycleMin, Seq("p"))
+      .join(anchors.select(col("p").as("id"), lit(true).as("__cyc")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("__cyc"), lit(false)).as("on_cycle"),
+        col("mn").as("cycle_id"))
+  }
 }

@@ -3206,6 +3206,90 @@ object LlmQueries {
         COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS n_tokens,
         CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
         CAST(SUM(h) AS DECIMAL(38,0)) AS checksum
-      FROM c GROUP BY 1 ORDER BY shard_id"""))
+      FROM c GROUP BY 1 ORDER BY shard_id""")),
+
+    // Cross-SOURCE overlap matrix — the dataset-card relation that says
+    // which feeds duplicate each other BEFORE mixing: per source pair,
+    // the count of distinct shared word-3-gram shingles and the shingle
+    // Jaccard. Distinct (source, gram) first (corpus-sized, one
+    // shuffle on the gram), then the pair space is per-gram
+    // source-combinations — bounded by source-count² per gram, never
+    // doc×doc. Per-source totals broadcast into the final join; the
+    // Jaccard is one double division of exact counts.
+    ("q333_source_overlap", (s: SparkSession, d: String) => {
+      val g = t(s, d, "documents")
+        .select(col("source"), explode(NearDup.wordNgrams(
+          TextOps.tokens(col("text")), 3)).as("gram"))
+        .distinct()
+      val n = g.groupBy("source").agg(count(lit(1)).as("n"))
+      val pairs = g.join(
+          g.select(col("gram"), col("source").as("src_b")), Seq("gram"))
+        .filter(col("source") < col("src_b"))
+        .groupBy(col("source").as("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(broadcast(n.select(col("source").as("src_a"),
+          col("n").as("n_a"))), Seq("src_a"))
+        .join(broadcast(n.select(col("source").as("src_b"),
+          col("n").as("n_b"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          col("shared"), (col("shared").cast("double") /
+            (col("n_a") + col("n_b") - col("shared"))).as("jaccard"))
+        .orderBy("src_a", "src_b")
+    }, Some("""
+      WITH t AS (SELECT source,
+          regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      g AS (SELECT DISTINCT source,
+          unnest(CASE WHEN len(toks) >= 3
+            THEN list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END) AS gram
+        FROM t),
+      n AS (SELECT source, COUNT(*) AS n FROM g GROUP BY 1),
+      p AS (SELECT a.source AS src_a, b.source AS src_b,
+          COUNT(*) AS shared
+        FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, na.n AS n_a, nb.n AS n_b, shared,
+        CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
+      FROM p JOIN n na ON na.source = src_a
+        JOIN n nb ON nb.source = src_b
+      ORDER BY src_a, src_b""")),
+
+    // Functional-graph cycle detection by POINTER DOUBLING — the
+    // O(log n)-round primitive for single-successor graphs (redirect
+    // chains, retry/next-version pointers): u -> (3u+7) mod N over the
+    // dense customer keys. Spark squares the successor pointer and a
+    // running walk-min per round (Components.functionalGraphCycles);
+    // the oracle walks all N steps in a recursive CTE — a genuinely
+    // different O(n²) algorithm agreeing on on_cycle and cycle_id.
+    ("q337_functional_cycles", (s: SparkSession, d: String) => {
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").cast("long").as("id"))
+      // Node count sizes the doubling depth — a metadata scalar, the
+      // same discipline as the day-list collects.
+      val n = c.count()
+      val rounds = math.max(1,
+        math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt)
+      val succ = c.select(col("id"), ((col("id") * 3 + 7) % n).as("p"))
+      Components.functionalGraphCycles(succ, rounds).orderBy("id")
+    }, Some("""
+      WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM customer),
+      walk AS (
+        SELECT c_custkey AS u,
+          (3 * c_custkey + 7) % (SELECT n FROM nn) AS p, 1 AS k
+        FROM customer
+        UNION ALL
+        SELECT u, (3 * p + 7) % (SELECT n FROM nn), k + 1 FROM walk
+        WHERE k < (SELECT n FROM nn)),
+      anch AS (SELECT u, p AS z FROM walk WHERE k = (SELECT n FROM nn)),
+      cyc AS (SELECT DISTINCT z FROM anch),
+      cmin AS (SELECT w.u AS z, CAST(MIN(w.p) AS BIGINT) AS cycle_id
+        FROM walk w WHERE w.u IN (SELECT z FROM cyc) GROUP BY w.u)
+      SELECT CAST(a.u AS BIGINT) AS id,
+        a.u IN (SELECT z FROM cyc) AS on_cycle, c.cycle_id
+      FROM anch a JOIN cmin c ON c.z = a.z
+      ORDER BY id"""))
   )
 }

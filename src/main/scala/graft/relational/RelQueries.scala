@@ -7334,7 +7334,204 @@ object RelQueries {
       SELECT source, CAST(n_train AS BIGINT) AS n_train,
         CAST(n_val AS BIGINT) AS n_val,
         n_train = 0 OR n_val = 0 AS pure
-      FROM g ORDER BY source"""))
+      FROM g ORDER BY source""")),
+
+    // Interval DIFFERENCE — completes the interval algebra (union q262,
+    // intersect q271): per-customer 14-day coverage windows, merged to
+    // disjoint segments, minus the monthly freeze week (days 1-7 of
+    // every month in the order calendar). Spark runs the linear sweep
+    // (Intervals.mergePerKey + subtractBlocked: one keyed sort, the
+    // blackout set a calendar-sized broadcast); the oracle runs a
+    // genuinely different algorithm — day-grain set explosion, anti-set,
+    // islands re-merge — so the sweep's clipping algebra is what's
+    // checked, not a twin of itself.
+    ("q331_interval_difference", (s: SparkSession, d: String) => {
+      val o = t(s, d, "orders")
+      val iv = o.select(col("o_custkey"),
+          unix_date(to_date(col("o_orderdate"))).cast("long").as("st"))
+        .withColumn("en", col("st") + 14)
+      val segs = Intervals.mergePerKey(iv, "o_custkey", "st", "en")
+      val blk = o.select(unix_date(trunc(to_date(col("o_orderdate")),
+            "month")).cast("long").as("bst")).distinct()
+        .withColumn("ben", col("bst") + 7)
+      Intervals.subtractBlocked(segs, Seq("o_custkey"), "st", "en",
+          blk, "bst", "ben")
+        .orderBy("o_custkey", "st")
+    }, Some("""
+      WITH iv AS (SELECT o_custkey AS k,
+          CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d0
+        FROM orders),
+      cov AS (SELECT DISTINCT k, d0 + g AS day
+        FROM iv, generate_series(0, 13) AS t(g)),
+      mon AS (SELECT DISTINCT CAST(CAST(date_trunc('month', o_orderdate)
+          AS DATE) - DATE '1970-01-01' AS BIGINT) AS m0 FROM orders),
+      bdays AS (SELECT DISTINCT m0 + g AS day
+        FROM mon, generate_series(0, 6) AS t(g)),
+      keep AS (SELECT k, day FROM cov
+        WHERE day NOT IN (SELECT day FROM bdays)),
+      isl AS (SELECT k, day,
+          day - ROW_NUMBER() OVER (PARTITION BY k ORDER BY day) AS grp
+        FROM keep)
+      SELECT k AS o_custkey, CAST(MIN(day) AS BIGINT) AS st,
+        CAST(MAX(day) + 1 AS BIGINT) AS en
+      FROM isl GROUP BY k, grp ORDER BY o_custkey, st""")),
+
+    // Bitemporal as-of — valid time AND transaction time: each order is
+    // a version with valid_from = order date and tx_from = order date
+    // plus a 0-4 day recording lag. "What did we believe on T about the
+    // state at V" picks, per customer, the version with the latest
+    // valid_from <= V among those RECORDED by T (latest tx_from
+    // tie-broken by orderkey) — one struct-max aggregate after the
+    // scenario-grid broadcast; the oracle states the same pick as a
+    // ROW_NUMBER over the identical total order. Two scenarios prove
+    // the corrections actually change answers.
+    ("q332_bitemporal_asof", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val ver = t(s, d, "orders").select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("vf"),
+        date_add(to_date(col("o_orderdate")),
+          (col("o_orderkey") % 5).cast("int")).as("tf"),
+        col("o_orderkey"),
+        (Exact.dec(col("o_totalprice"), 12) * 100).cast("long").as("cents"))
+      val scen = Seq(("as_known_1996", "1996-01-01", "1996-01-01"),
+          ("revised_1998", "1996-01-01", "1998-01-01"))
+        .toDF("scenario", "v0", "t0")
+        .select(col("scenario"), to_date(col("v0")).as("v"),
+          to_date(col("t0")).as("tt"))
+      ver.join(broadcast(scen), col("vf") <= col("v") &&
+          col("tf") <= col("tt"))
+        .groupBy("o_custkey", "scenario")
+        .agg(max(struct(col("vf"), col("tf"), col("o_orderkey"),
+          col("cents"))).as("m"))
+        .select(col("o_custkey"), col("scenario"), col("m.vf").as("vf"),
+          col("m.cents").as("cents"))
+        .orderBy("o_custkey", "scenario")
+    }, Some("""
+      WITH ver AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS vf,
+          CAST(o_orderdate AS DATE)
+            + CAST(o_orderkey % 5 AS INTEGER) AS tf,
+          o_orderkey,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders),
+      scen AS (SELECT * FROM (VALUES
+          ('as_known_1996', DATE '1996-01-01', DATE '1996-01-01'),
+          ('revised_1998', DATE '1996-01-01', DATE '1998-01-01'))
+        AS t(scenario, v, tt)),
+      r AS (SELECT o_custkey, scenario, vf, cents,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey, scenario
+            ORDER BY vf DESC, tf DESC, o_orderkey DESC) AS rn
+        FROM ver JOIN scen ON vf <= v AND tf <= tt)
+      SELECT o_custkey, scenario, vf, cents FROM r WHERE rn = 1
+      ORDER BY o_custkey, scenario""")),
+
+    // Sliding HLL merge — the mergeability that justifies keeping a
+    // sketch STORE (q157) at all: per-day user sketches union-merged
+    // over the trailing 3-day window WITHOUT touching the raw events
+    // again. The merge join is calendar×3 (metadata-sized, broadcast
+    // spine); the exact gate recomputes the trailing distinct from the
+    // deduped (day, user) relation and requires every merged estimate
+    // within 5% — the q147/q157 approx-under-exact discipline.
+    ("q334_hll_sliding_merge", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val du = ev.distinct().localCheckpoint(true)
+      val sk = ev.groupBy("day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val spine = du.select(col("day").as("d")).distinct()
+      val merged = sk.join(broadcast(spine),
+          datediff(col("d"), col("day")).between(0, 2))
+        .groupBy(col("d"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = du.join(broadcast(spine),
+          datediff(col("d"), col("day")).between(0, 2))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("exact"))
+      merged.join(exact, Seq("d"))
+        .select(col("d").as("day"), col("exact"),
+          (abs(col("est") - col("exact")) <= lit(0.05) * col("exact"))
+            .as("approx_ok"))
+        .orderBy("day")
+    }, Some("""
+      WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        FROM events),
+      spine AS (SELECT DISTINCT day FROM du)
+      SELECT s.day, COUNT(DISTINCT u.user_id) AS exact, true AS approx_ok
+      FROM spine s JOIN du u ON u.day BETWEEN s.day - 2 AND s.day
+      GROUP BY s.day ORDER BY s.day""")),
+
+    // KEYSET (seek) pagination — the at-scale form q327's comment
+    // promises: page 2 of the per-status price ranking fetched by
+    // boundary predicate, not OFFSET. In production the boundary tuple
+    // comes back from the client with the next-page request and only
+    // the filter + per-group top-k runs (the filter prunes at the
+    // scan; no global skip-sort). Here the boundary (each status's
+    // 10th row) is computed in-query so the oracle can prove seek
+    // page 2 ≡ OFFSET page 2 row for row.
+    ("q335_keyset_pagination", (s: SparkSession, d: String) => {
+      val o = t(s, d, "orders").select(col("o_orderstatus").as("st"),
+        col("o_orderkey"),
+        (Exact.dec(col("o_totalprice"), 12) * 100).cast("long").as("cents"))
+      val w = Window.partitionBy("st")
+        .orderBy(col("cents").desc, col("o_orderkey"))
+      val bound = o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 10)
+        .select(col("st"), col("cents").as("bc"), col("o_orderkey").as("bk"))
+      o.join(broadcast(bound), Seq("st"))
+        .filter(col("cents") < col("bc") ||
+          (col("cents") === col("bc") && col("o_orderkey") > col("bk")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("st"), col("o_orderkey"), col("cents"),
+          (col("rn") + 10).cast("long").as("page_rank"))
+        .orderBy("st", "page_rank")
+    }, Some("""
+      WITH r AS (SELECT o_orderstatus AS st, o_orderkey,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+            AS cents,
+          ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+            ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+              AS BIGINT) DESC, o_orderkey) AS rn
+        FROM orders)
+      SELECT st, o_orderkey, cents, CAST(rn AS BIGINT) AS page_rank
+      FROM r WHERE rn BETWEEN 11 AND 20
+      ORDER BY st, page_rank""")),
+
+    // Business-day arithmetic — promised ship date = the 5th business
+    // day on or after the order date, computed against a ranked
+    // business-day calendar (weekday() Mon..Fri both sides). The
+    // calendar is date-range-sized and broadcasts; each order does one
+    // next-business-day argmin and one rank-offset lookup — the
+    // date-dim pattern (q311) applied to working-day offsets, no
+    // per-row loops and no weekday closed-form edge cases.
+    ("q336_business_day_offset", (s: SparkSession, d: String) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("odate"))
+      val cal = o.agg(min("odate").as("d0"), max("odate").as("d1"))
+        .select(explode(sequence(col("d0"), date_add(col("d1"), 14)))
+          .as("day"))
+        .filter(weekday(col("day")) < 5)
+        .withColumn("idx",
+          row_number().over(Window.orderBy("day")).cast("long"))
+      val nxt = o.join(broadcast(cal), col("day") >= col("odate"))
+        .groupBy("o_orderkey", "odate").agg(min("idx").as("nidx"))
+      nxt.join(broadcast(cal), col("idx") === col("nidx") + 4)
+        .select(col("o_orderkey"), col("odate"), col("day").as("promised"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      WITH bounds AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+          MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+      cal AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+          CAST(d1 AS TIMESTAMP) + INTERVAL 14 DAY, INTERVAL 1 DAY))
+          AS DATE) AS day FROM bounds),
+      bdays AS (SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS idx
+        FROM cal WHERE isodow(day) <= 5),
+      nxt AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+          MIN(idx) AS nidx
+        FROM orders JOIN bdays ON day >= CAST(o_orderdate AS DATE)
+        GROUP BY 1, 2)
+      SELECT n.o_orderkey, n.odate, b.day AS promised
+      FROM nxt n JOIN bdays b ON b.idx = n.nidx + 4
+      ORDER BY o_orderkey"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session

@@ -272,6 +272,36 @@ object GraftProps extends Properties("graft") {
       got == brute
     }
 
+  property("interval difference sweep = brute point-set difference") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(
+        for { k <- Gen.choose(0L, 3L); s <- Gen.choose(0L, 40L);
+              len <- Gen.choose(1L, 8L) } yield (k, s, s + len))
+        .map(_.take(15)),
+      // disjoint blocked intervals: [10i, 10i+w), w < 10
+      Gen.someOf(0L, 1L, 2L, 3L, 4L).flatMap(is =>
+        Gen.choose(1L, 8L).map(w => is.map(i => (i * 10, i * 10 + w))))
+    ) { (ivs, blks) =>
+      val segs = graft.ops.Intervals.mergePerKey(
+        ivs.toDF("k", "st", "en"), "k", "st", "en")
+      val blocked =
+        if (blks.isEmpty) Seq((-100L, -99L)) else blks.toSeq
+      val got = graft.ops.Intervals.subtractBlocked(segs, Seq("k"),
+          "st", "en", blocked.toDF("bst", "ben"), "bst", "ben")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val bpts = blocked.flatMap { case (s, e) => s until e }.toSet
+      val brute = ivs.groupBy(_._1).flatMap { case (k, xs) =>
+        val pts = xs.flatMap { case (_, s, e) => s until e }
+          .toSet.diff(bpts)
+        pts.filter(p => !pts.contains(p - 1)).map { st =>
+          val en = Iterator.iterate(st)(_ + 1).dropWhile(pts.contains).next()
+          (k, st, en)
+        }
+      }.toSet
+      got == brute
+    }
+
   property("rolling actives sweep = brute trailing-window distinct") =
     Prop.forAll(Gen.nonEmptyListOf(
       for { k <- Gen.choose(0L, 5L); d <- Gen.choose(0L, 30L) }
