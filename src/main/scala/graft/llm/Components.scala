@@ -360,6 +360,45 @@ object Components {
     visited
   }
 
+  /** Multi-source BFS — one frontier keyed by (node, root) explores all
+    * `sources` simultaneously, so k landmark distances cost ONE pass
+    * instead of k (the landmark-embedding primitive: approximate
+    * d(u,v) <= min over landmarks of d(u,L)+d(L,v)). Same per-round
+    * shape as [[bfsLevels]]: frontier-edge join + anti-join against the
+    * lazily-unioned checkpointed levels; rows are (node, root, depth)
+    * triples — k longs per reached node at worst, shuffled on ids.
+    *
+    * @return (node, root, depth): minimal hop count from each root that
+    *         reaches `node` within `maxDepth`
+    */
+  def multiSourceBfs(edges: DataFrame, sources: Seq[Long],
+      maxDepth: Int): DataFrame = {
+    require(sources.nonEmpty, "sources must be non-empty")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und0 = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val und = und0
+      .union(und0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var levels = List(sources.map(r => (r, r, 0))
+      .toDF("node", "root", "depth").localCheckpoint(true))
+    def visited = levels.reduce(_ union _)
+    var frontier = levels.head.select("node", "root")
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier.join(und, frontier("node") === und("src"))
+        .select(col("dst").as("node"), col("root")).distinct()
+        .join(visited, Seq("node", "root"), "left_anti")
+        .withColumn("depth", lit(depth))
+        .localCheckpoint(true)
+      levels ::= next
+      frontier = next.select("node", "root")
+    }
+    visited
+  }
+
   /** k-round Bellman-Ford single-source shortest paths over a directed
     * weighted edge list (exact int64 weights): after round k, `dist` is
     * the minimum path weight over paths of ≤ k edges — the bounded-round

@@ -3290,6 +3290,45 @@ object LlmQueries {
       SELECT CAST(a.u AS BIGINT) AS id,
         a.u IN (SELECT z FROM cyc) AS on_cycle, c.cycle_id
       FROM anch a JOIN cmin c ON c.z = a.z
-      ORDER BY id"""))
+      ORDER BY id""")),
+
+    // Landmark distances — multi-source BFS from 4 landmark parts over
+    // the co-purchase graph in ONE pass (Components.multiSourceBfs:
+    // the frontier is keyed by (node, root), so k landmarks never cost
+    // k traversals). Per node, the 4-slot distance vector (-1 =
+    // unreachable within 3 hops) — the landmark embedding that bounds
+    // any pairwise distance by min over L of d(u,L)+d(L,v). The oracle
+    // recurses per root and pivots with MIN(CASE).
+    ("q340_landmark_distances", (s: SparkSession, d: String) => {
+      val bfs = Components.multiSourceBfs(coPurchaseEdges(s, d),
+        Seq(1L, 2L, 3L, 4L), maxDepth = 3)
+      def dcol(r: Int) = coalesce(min(when(col("root") === r,
+        col("depth"))), lit(-1)).cast("long").as(s"d$r")
+      bfs.groupBy("node")
+        .agg(dcol(1), dcol(2), dcol(3), dcol(4))
+        .orderBy("node")
+    }, Some("""
+      WITH RECURSIVE e AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      walk(root, node, depth) AS (
+        SELECT CAST(r AS BIGINT), CAST(r AS BIGINT), 0
+        FROM (VALUES (1), (2), (3), (4)) AS t(r)
+        UNION
+        SELECT w.root, e.dst, w.depth + 1 FROM walk w
+        JOIN e ON w.node = e.src WHERE w.depth < 3),
+      lvl AS (SELECT root, node, MIN(depth) AS dmin
+        FROM walk GROUP BY 1, 2)
+      SELECT node,
+        CAST(COALESCE(MIN(CASE WHEN root = 1 THEN dmin END), -1)
+          AS BIGINT) AS d1,
+        CAST(COALESCE(MIN(CASE WHEN root = 2 THEN dmin END), -1)
+          AS BIGINT) AS d2,
+        CAST(COALESCE(MIN(CASE WHEN root = 3 THEN dmin END), -1)
+          AS BIGINT) AS d3,
+        CAST(COALESCE(MIN(CASE WHEN root = 4 THEN dmin END), -1)
+          AS BIGINT) AS d4
+      FROM lvl GROUP BY node ORDER BY node"""))
   )
 }

@@ -7531,7 +7531,93 @@ object RelQueries {
         GROUP BY 1, 2)
       SELECT n.o_orderkey, n.odate, b.day AS promised
       FROM nxt n JOIN bdays b ON b.idx = n.nidx + 4
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+
+    // RFM segmentation — recency/frequency/monetary quintiles per
+    // customer, the standard CRM cut. Quintiles are ntile(5) under a
+    // TOTAL order (metric + custkey tie-break, so both engines bucket
+    // identically); 5 = best (most recent / most frequent / highest
+    // spend). The per-customer rollup is one keyed aggregate; the
+    // ntile windows run over the customer DIMENSION (not the fact
+    // table), which is the relation quantile scoring is defined on.
+    ("q338_rfm_segments", (s: SparkSession, d: String) => {
+      val o = t(s, d, "orders").groupBy("o_custkey").agg(
+        max(to_date(col("o_orderdate"))).as("last_d"),
+        count(lit(1)).as("f"),
+        sum((Exact.dec(col("o_totalprice"), 12) * 100).cast("long"))
+          .cast("long").as("m"))
+      val mx = o.agg(max("last_d").as("mxd"))
+      val base = o.crossJoin(broadcast(mx))
+        .withColumn("recency", datediff(col("mxd"), col("last_d"))
+          .cast("long"))
+      base
+        .withColumn("r_score", ntile(5).over(Window.orderBy(
+          col("recency").desc, col("o_custkey"))).cast("long"))
+        .withColumn("f_score", ntile(5).over(Window.orderBy(
+          col("f"), col("o_custkey"))).cast("long"))
+        .withColumn("m_score", ntile(5).over(Window.orderBy(
+          col("m"), col("o_custkey"))).cast("long"))
+        .select(col("o_custkey"), col("recency"), col("f"), col("m"),
+          col("r_score"), col("f_score"), col("m_score"),
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+            .as("rfm"))
+        .orderBy("o_custkey")
+    }, Some("""
+      WITH o AS (SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_d,
+          COUNT(*) AS f,
+          CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+            AS BIGINT)) AS BIGINT) AS m
+        FROM orders GROUP BY 1),
+      mx AS (SELECT MAX(last_d) AS mxd FROM o),
+      base AS (SELECT o_custkey, CAST(mxd - last_d AS BIGINT) AS recency,
+          f, m FROM o, mx),
+      sc AS (SELECT o_custkey, recency, f, m,
+          NTILE(5) OVER (ORDER BY recency DESC, o_custkey) AS r_score,
+          NTILE(5) OVER (ORDER BY f, o_custkey) AS f_score,
+          NTILE(5) OVER (ORDER BY m, o_custkey) AS m_score
+        FROM base)
+      SELECT o_custkey, recency, f, m,
+        CAST(r_score AS BIGINT) AS r_score,
+        CAST(f_score AS BIGINT) AS f_score,
+        CAST(m_score AS BIGINT) AS m_score,
+        CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+      FROM sc ORDER BY o_custkey""")),
+
+    // Sequence-gap detection — the missing ranges of a sparse key
+    // space (here the finished-order keys: this testdata's keys are
+    // dense, so the 'F' slice supplies the sparseness real ingest IDs
+    // have), found WITHOUT a global sort of the corpus: a key k+1
+    // absent from the set opens a gap, k-1 absent closes one; both are
+    // keyed ANTI-JOINS (corpus-sized work shuffles on the key only),
+    // and the rank window that pairs the i-th start with the i-th end
+    // runs over the gap-boundary set — gap-count-sized, metadata at
+    // any scale. The oracle uses the classic LEAD-over-global-order
+    // form, a genuinely different algorithm.
+    ("q339_sequence_gaps", (s: SparkSession, d: String) => {
+      val k = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("k"))
+      val bounds = k.agg(min("k").as("kmin"), max("k").as("kmax"))
+      def boundary(shift: Int) = k.select((col("k") + shift).as("v"))
+        .distinct()
+        .join(k, col("v") === col("k"), "left_anti")
+        .crossJoin(broadcast(bounds))
+      val gs = boundary(1).filter(col("v") <= col("kmax")).select("v")
+      val ge = boundary(-1).filter(col("v") >= col("kmin")).select("v")
+      val ws = Window.orderBy("v")
+      gs.withColumn("rn", row_number().over(ws))
+        .select(col("rn"), col("v").as("gap_start"))
+        .join(ge.withColumn("rn", row_number().over(ws))
+          .select(col("rn"), col("v").as("gap_end")), Seq("rn"))
+        .select(col("gap_start"), col("gap_end"),
+          (col("gap_end") - col("gap_start") + 1).as("missing"))
+        .orderBy("gap_start")
+    }, Some("""
+      WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        WHERE o_orderstatus = 'F'),
+      l AS (SELECT k, LEAD(k) OVER (ORDER BY k) AS nk FROM k)
+      SELECT k + 1 AS gap_start, nk - 1 AS gap_end,
+        nk - k - 1 AS missing
+      FROM l WHERE nk > k + 1 ORDER BY gap_start"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
