@@ -539,4 +539,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(parts.forall(c => Set("h", "doc_id").contains(c)),
       s"unexpected shuffle keys $parts in\n$p")
   }
+
+  test("q331: blackouts broadcast into the sweep — no cartesian, no " +
+      "corpus-side range join") {
+    val p = plan("q331_interval_difference")
+    // the only non-equi join is segments × calendar-sized blackouts
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // sweep windows stay keyed on the customer
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q333: overlap pair space is a gram equi-join; totals broadcast") {
+    val p = plan("q333_source_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q335: seek page filters under a broadcast boundary, " +
+      "keyed window only") {
+    val p = plan("q335_keyset_pagination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q339: gap boundaries come from keyed anti-joins, not a " +
+      "global corpus sort") {
+    val p = plan("q339_sequence_gaps")
+    // two anti-joins do the corpus-sized work
+    assert("LeftAnti".r.findAllIn(p).length >= 2, p)
+    // the single-partition windows rank only the gap-boundary sets:
+    // every SinglePartition exchange must sit above an anti-join output
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -374,4 +374,57 @@ class ComponentsSpec extends SparkSpec {
       }
     }
   }
+
+  test("multiSourceBfs: agrees with per-root bfsLevels, any data") {
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 8) {
+      val es = Seq.fill(3 + rng.nextInt(20))(
+        (rng.nextInt(12).toLong, rng.nextInt(12).toLong))
+        .filter { case (a, b) => a != b }
+      if (es.nonEmpty) {
+        val roots = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted.take(3)
+        val depth = 1 + rng.nextInt(3)
+        val got = Components.multiSourceBfs(es.toDF("src", "dst"),
+            roots, depth)
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+          .toMap
+        val want = roots.flatMap { root =>
+          Components.bfsLevels(es.toDF("src", "dst"), root, depth)
+            .as[(Long, Int)].collect()
+            .map { case (n, dd) => ((n, root), dd) }
+        }.toMap
+        assert(got == want, s"trial=$trial roots=$roots depth=$depth es=$es")
+      }
+    }
+  }
+
+  /** Reference cycle finder: walk each node n steps (lands on the
+    * cycle), collect the anchor set, then walk once around each
+    * anchor's cycle for its min. */
+  private def bruteCycles(succ: Map[Long, Long]): Map[Long, (Boolean, Long)] = {
+    val n = succ.size
+    def walk(u: Long, k: Int): Long =
+      Iterator.iterate(u)(succ).drop(k).next()
+    val anchor = succ.keys.map(u => u -> walk(u, n)).toMap
+    val onCycle = anchor.values.toSet
+    val cycleMin = onCycle.map { z =>
+      z -> Iterator.iterate(z)(succ).take(n + 1).filter(onCycle).min
+    }.toMap
+    succ.keys.map(u => u -> (onCycle(u), cycleMin(anchor(u)))).toMap
+  }
+
+  test("functionalGraphCycles: matches walk reference, random functions") {
+    val rng = new scala.util.Random(23)
+    for (trial <- 1 to 6) {
+      val n = 3 + rng.nextInt(14)
+      val succ = (0L until n).map(u => u -> rng.nextInt(n).toLong).toMap
+      val rounds = math.max(1,
+        math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt)
+      val got = Components.functionalGraphCycles(
+          succ.toSeq.toDF("id", "p"), rounds)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+      assert(got == bruteCycles(succ), s"trial=$trial succ=$succ")
+    }
+  }
 }
