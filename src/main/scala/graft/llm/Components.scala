@@ -399,6 +399,50 @@ object Components {
     visited
   }
 
+  /** Deterministic MUTUAL-BEST matching on a weighted pair graph — the
+    * one-to-one assignment that makes entity-resolution merges safe
+    * (each record merges with at most ONE partner per pass, so no
+    * chain of pairwise merges collapses distinct entities). Each
+    * round: every vertex picks its best neighbor (max weight, min-id
+    * tie-break); an edge is matched iff the pick is MUTUAL; matched
+    * vertices leave the graph. Mutual-best is the parallel greedy
+    * matching (Preis-style): no coordination beyond one keyed window
+    * and one semi-join per round, and a constant expected fraction of
+    * remaining weight matches each round.
+    *
+    * @param edges three columns `u`, `v`, `w` (undirected; one row per
+    *              unordered pair is enough)
+    * @return (u, v, round) matched pairs, u < v
+    */
+  def mutualBestMatching(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = edges.filter(col("u") =!= col("v"))
+      .select(col("u"), col("v"), col("w"))
+      .union(edges.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .groupBy("u", "v").agg(max("w").as("w"))
+      .localCheckpoint(true)
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      val best = e.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("u")
+            .orderBy(col("w").desc, col("v"))))
+        .filter(col("rn") === 1).select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val swapped = best.select(col("v").as("u"), col("u").as("v"))
+      val m = best.join(swapped, Seq("u", "v"), "left_semi")
+        .filter(col("u") < col("v"))
+        .withColumn("round", lit(r.toLong))
+        .localCheckpoint(true)
+      out = if (out == null) m else out.unionByName(m)
+      val mv = m.select(explode(array(col("u"), col("v"))).as("u"))
+        .distinct().localCheckpoint(true)
+      e = e.join(mv, Seq("u"), "left_anti")
+        .join(mv.select(col("u").as("v")), Seq("v"), "left_anti")
+        .localCheckpoint(true)
+    }
+    out
+  }
+
   /** k-round Bellman-Ford single-source shortest paths over a directed
     * weighted edge list (exact int64 weights): after round k, `dist` is
     * the minimum path weight over paths of ≤ k edges — the bounded-round

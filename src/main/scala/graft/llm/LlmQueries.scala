@@ -3329,6 +3329,58 @@ object LlmQueries {
           AS BIGINT) AS d3,
         CAST(COALESCE(MIN(CASE WHEN root = 4 THEN dmin END), -1)
           AS BIGINT) AS d4
-      FROM lvl GROUP BY node ORDER BY node"""))
+      FROM lvl GROUP BY node ORDER BY node""")),
+
+    // Mutual-best (parallel greedy) MATCHING — the one-to-one merge
+    // assignment entity resolution needs so no pairwise-merge chain
+    // collapses distinct entities: each round every part picks its
+    // heaviest co-purchase partner (min-id tie-break), mutual picks
+    // match, matched parts leave. Four rounds over the weighted
+    // co-purchase graph; the oracle unrolls the identical rounds as a
+    // generated CTE chain.
+    ("q344_mutual_best_matching", (s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("w"))
+      Components.mutualBestMatching(e, rounds = 4)
+        .orderBy("u")
+    }, Some(matchingSql(4)))
   )
+
+  /** DuckDB replay of [[Components.mutualBestMatching]] over the
+    * co-purchase graph: the same rounds unrolled as a CTE chain (best
+    * pick via ROW_NUMBER, mutual join, vertex removal). Every chained
+    * CTE is MATERIALIZED — each one is referenced several times by
+    * later rounds, and DuckDB's default inlining re-evaluates the
+    * whole prefix per reference, which is exponential in the round
+    * count. */
+  private def matchingSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""WITH e_base AS MATERIALIZED (
+        SELECT a.l_partkey AS u0, b.l_partkey AS v0, COUNT(*) AS w
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+      e0 AS MATERIALIZED (SELECT u0 AS u, v0 AS v, w FROM e_base
+             UNION ALL SELECT v0, u0, w FROM e_base)""")
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+      b$r AS MATERIALIZED (SELECT u, v FROM (SELECT u, v,
+          ROW_NUMBER() OVER (PARTITION BY u ORDER BY w DESC, v) AS rn
+        FROM e${r - 1}) WHERE rn = 1),
+      m$r AS MATERIALIZED (SELECT x.u, x.v FROM b$r x JOIN b$r y
+        ON x.u = y.v AND x.v = y.u WHERE x.u < x.v),
+      mv$r AS MATERIALIZED (SELECT u FROM m$r UNION SELECT v FROM m$r),
+      e$r AS MATERIALIZED (SELECT * FROM e${r - 1}
+        WHERE u NOT IN (SELECT u FROM mv$r)
+          AND v NOT IN (SELECT u FROM mv$r))""")
+    }
+    sb.append((1 to rounds).map(r =>
+        s"\n      SELECT u, v, CAST($r AS BIGINT) AS round FROM m$r")
+      .mkString("", "\n      UNION ALL", "\n      ORDER BY u"))
+    sb.toString
+  }
 }

@@ -7617,7 +7617,130 @@ object RelQueries {
       l AS (SELECT k, LEAD(k) OVER (ORDER BY k) AS nk FROM k)
       SELECT k + 1 AS gap_start, nk - 1 AS gap_end,
         nk - k - 1 AS missing
-      FROM l WHERE nk > k + 1 ORDER BY gap_start"""))
+      FROM l WHERE nk > k + 1 ORDER BY gap_start""")),
+
+    // PARTITION-SPEC EVOLUTION — the Iceberg-era layout concern q168
+    // (schema evolution) leaves open: history lands day-partitioned,
+    // newer data month-partitioned, and ONE logical table must read
+    // both. Each layout normalizes to the day grain from its own
+    // columns; per-day lineage (countDistinct on the _metadata file
+    // name) proves exactly one file serves each partition unit in both
+    // layouts. The oracle derives layout membership from the same
+    // min-day+15 cutoff on the raw events.
+    ("q341_partition_evolution", (s: SparkSession, d: String) => {
+      val base = s"/tmp/graft_pe/${new java.io.File(d).getName}"
+      val ev = t(s, d, "events")
+      if (!new java.io.File(s"$base/v2/_SUCCESS").exists()) {
+        // 1-row metadata scalar sizes the layout cutoff
+        val minDay = ev.agg(min(to_date(col("ts"))).as("d0"))
+          .collect()(0).getDate(0)
+        val cut = java.sql.Date.valueOf(minDay.toLocalDate.plusDays(15))
+        ev.filter(to_date(col("ts")) < lit(cut))
+          .withColumn("day", to_date(col("ts")))
+          .repartition(col("day"))
+          .write.mode("overwrite").partitionBy("day").parquet(s"$base/v1")
+        ev.filter(to_date(col("ts")) >= lit(cut))
+          .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+          .repartition(col("month"))
+          .write.mode("overwrite").partitionBy("month").parquet(s"$base/v2")
+      }
+      val r1 = s.read.parquet(s"$base/v1")
+        .select(col("day"), col("value"), lit("day").as("layout"),
+          col("_metadata").getField("file_name").as("fn"))
+      val r2 = s.read.parquet(s"$base/v2")
+        .select(to_date(col("ts")).as("day"), col("value"),
+          lit("month").as("layout"),
+          col("_metadata").getField("file_name").as("fn"))
+      r1.unionByName(r2)
+        .groupBy("day", "layout")
+        .agg(count(lit(1)).as("n"),
+          sum(Exact.dec(col("value"), 12)).cast("double").as("sv"),
+          countDistinct(col("fn")).as("n_files"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("layout"), col("n"), col("sv"), col("n_files"))
+        .orderBy("day")
+    }, Some("""
+      WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+      e AS (SELECT CAST(ts AS DATE) AS day, value FROM events)
+      SELECT strftime(day, '%Y-%m-%d') AS day,
+        CASE WHEN day < d0 + 15 THEN 'day' ELSE 'month' END AS layout,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv,
+        CAST(1 AS BIGINT) AS n_files
+      FROM e, b GROUP BY 1, 2 ORDER BY day""")),
+
+    // Highest-averages (D'Hondt) budget allocation — the divisor-method
+    // counterpart of q235's largest-remainder: 500 crawl/compute slots
+    // across languages proportional to available chars, assigned as the
+    // top-500 of the quotient grid avail/1..avail/500. The grid is
+    // |langs|×500 (allocation-sized, never corpus-sized); quotients are
+    // exactly-rounded double divisions of exact longs, totally ordered
+    // with a (lang, divisor) tie-break, so both engines pick identical
+    // seats.
+    ("q342_dhondt_allocation", (s: SparkSession, d: String) => {
+      val seats = 500
+      val a = t(s, d, "documents").groupBy("lang")
+        .agg(sum("n_chars").cast("long").as("avail"))
+      val grid = a.select(col("lang"), col("avail"),
+          explode(sequence(lit(1), lit(seats))).as("i"))
+        .withColumn("quot", col("avail").cast("double") / col("i"))
+      val won = grid.withColumn("rn", row_number().over(
+          Window.orderBy(col("quot").desc, col("lang"), col("i"))))
+        .filter(col("rn") <= seats)
+        .groupBy("lang").agg(count(lit(1)).as("seats"))
+      a.join(won, Seq("lang"), "left")
+        .select(col("lang"), col("avail"),
+          coalesce(col("seats"), lit(0L)).cast("long").as("seats"))
+        .orderBy("lang")
+    }, Some("""
+      WITH a AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS avail
+        FROM documents GROUP BY 1),
+      grid AS (SELECT lang, avail, CAST(i AS BIGINT) AS i,
+          CAST(avail AS DOUBLE) / i AS quot
+        FROM a, (SELECT unnest(range(1, 501)) AS i)),
+      r AS (SELECT lang,
+          ROW_NUMBER() OVER (ORDER BY quot DESC, lang, i) AS rn
+        FROM grid),
+      won AS (SELECT lang, COUNT(*) AS seats FROM r
+        WHERE rn <= 500 GROUP BY 1)
+      SELECT a.lang AS lang, avail,
+        CAST(COALESCE(won.seats, 0) AS BIGINT) AS seats
+      FROM a LEFT JOIN won ON a.lang = won.lang
+      ORDER BY a.lang""")),
+
+    // Theil-Sen robust trend — the median of all pairwise day-slopes of
+    // the daily event count, immune to the outlier days that bend the
+    // OLS fit (q205). The pair space is CALENDAR², built from the
+    // day-grain checkpoint (one corpus scan), never from raw rows; the
+    // median pick is one rank over that pair relation. Slopes are
+    // exactly-rounded double divisions of exact longs — bit-identical
+    // across engines; the lower median is picked by rank, not
+    // interpolation.
+    ("q343_theilsen_trend", (s: SparkSession, d: String) => {
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .select(unix_date(col("day")).cast("long").as("x"), col("y"))
+        .localCheckpoint(true)
+      val p = daily.as("a").join(daily.as("b"), col("a.x") < col("b.x"))
+        .select(((col("b.y") - col("a.y")).cast("double") /
+          (col("b.x") - col("a.x"))).as("slope"))
+      val tot = p.agg(count(lit(1)).as("n_pairs"))
+      p.withColumn("rn", row_number().over(Window.orderBy("slope")))
+        .crossJoin(broadcast(tot))
+        .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+        .select(col("n_pairs"), col("slope").as("median_slope"))
+    }, Some("""
+      WITH daily AS (SELECT
+          CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+          COUNT(*) AS y
+        FROM events GROUP BY 1),
+      p AS (SELECT CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+        FROM daily a JOIN daily b ON a.x < b.x),
+      r AS (SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn FROM p),
+      m AS (SELECT COUNT(*) AS n_pairs FROM p)
+      SELECT n_pairs, slope AS median_slope FROM r, m
+      WHERE rn = (n_pairs + 1) // 2"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session

@@ -413,6 +413,43 @@ class ComponentsSpec extends SparkSpec {
     succ.keys.map(u => u -> (onCycle(u), cycleMin(anchor(u)))).toMap
   }
 
+  /** Reference mutual-best matching: same rounds, sequential. */
+  private def bruteMatching(edges: Seq[(Long, Long, Long)],
+      rounds: Int): Set[(Long, Long, Long)] = {
+    var e = edges.filter(t => t._1 != t._2)
+      .flatMap(t => Seq((t._1, t._2, t._3), (t._2, t._1, t._3)))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((u, v), ts) => (u, v, ts.map(_._3).max) }.toSeq
+    val out = scala.collection.mutable.Set[(Long, Long, Long)]()
+    for (r <- 1 to rounds) {
+      val best = e.groupBy(_._1).map { case (u, es) =>
+        u -> es.maxBy(t => (t._3, -t._2))._2
+      }
+      val m = best.collect { case (u, v)
+        if u < v && best.get(v).contains(u) => (u, v, r.toLong) }
+      out ++= m
+      val mv = m.flatMap(t => Seq(t._1, t._2)).toSet
+      e = e.filter(t => !mv(t._1) && !mv(t._2))
+    }
+    out.toSet
+  }
+
+  test("mutualBestMatching: matches sequential reference, random graphs") {
+    val rng = new scala.util.Random(31)
+    for (trial <- 1 to 6) {
+      val es = Seq.fill(3 + rng.nextInt(20))((rng.nextInt(10).toLong,
+        rng.nextInt(10).toLong, (1 + rng.nextInt(5)).toLong))
+        .filter(t => t._1 != t._2)
+      if (es.nonEmpty) {
+        val got = Components.mutualBestMatching(
+            es.toDF("u", "v", "w"), rounds = 3)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == bruteMatching(es, 3), s"trial=$trial es=$es")
+      }
+    }
+  }
+
   test("functionalGraphCycles: matches walk reference, random functions") {
     val rng = new scala.util.Random(23)
     for (trial <- 1 to 6) {
