@@ -3338,6 +3338,55 @@ object LlmQueries {
     // match, matched parts leave. Four rounds over the weighted
     // co-purchase graph; the oracle unrolls the identical rounds as a
     // generated CTE chain.
+    // Cohen's kappa — chance-corrected agreement between the langid
+    // heuristic (q30/q313's rater A) and the stored labels (rater B):
+    // the eval metric that says whether a cheap classifier beats the
+    // marginals, not just the accuracy. Everything is exact integers
+    // (N, diagonal, Σ rowA·colB over the label-sized marginal join);
+    // kappa itself is the ONE closing double division of those longs.
+    ("q345_cohens_kappa", (s: SparkSession, d: String) => {
+      val r = t(s, d, "documents")
+        .select(TextOps.langId(col("text")).as("a"), col("lang").as("b"))
+      val tot = r.agg(count(lit(1)).as("n"),
+        count(when(col("a") === col("b"), 1)).as("diag"))
+      val na = r.groupBy("a").agg(count(lit(1)).as("na"))
+      val nb = r.groupBy("b").agg(count(lit(1)).as("nb"))
+      val sp = na.join(nb, col("a") === col("b"))
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L))
+          .cast("long").as("sp"))
+      tot.crossJoin(broadcast(sp))
+        .select(col("n"), col("diag"), col("sp"),
+          ((col("diag") * col("n") - col("sp")).cast("double") /
+            (col("n") * col("n") - col("sp"))).as("kappa"))
+    }, Some("""
+      WITH sc AS (SELECT doc_id, lang,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> x IN ('the','and','of','is','a'))) AS en,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> x IN ('der','die','und','das','ist'))) AS de,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> x IN ('le','la','et','les','est'))) AS fr,
+          len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> x IN ('el','los','las','y','es'))) AS es,
+          regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk
+        FROM documents),
+      pred AS (SELECT lang,
+          CASE WHEN has_cjk THEN 'zh'
+               WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+               WHEN de >= fr AND de >= es THEN 'de'
+               WHEN fr >= es THEN 'fr'
+               ELSE 'es' END AS lang_pred
+        FROM sc),
+      tot AS (SELECT COUNT(*) AS n,
+          COUNT(*) FILTER (WHERE lang = lang_pred) AS diag FROM pred),
+      na AS (SELECT lang_pred AS k, COUNT(*) AS na FROM pred GROUP BY 1),
+      nb AS (SELECT lang AS k, COUNT(*) AS nb FROM pred GROUP BY 1),
+      sp AS (SELECT COALESCE(CAST(SUM(na * nb) AS BIGINT), 0) AS sp
+        FROM na JOIN nb USING (k))
+      SELECT n, CAST(diag AS BIGINT) AS diag, sp,
+        CAST(diag * n - sp AS DOUBLE) / (n * n - sp) AS kappa
+      FROM tot, sp""")),
+
     ("q344_mutual_best_matching", (s: SparkSession, d: String) => {
       val li = t(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
