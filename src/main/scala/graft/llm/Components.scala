@@ -538,6 +538,50 @@ object Components {
       .select(col("src").as("node"), col("core_deg"))
   }
 
+  /** k-truss decomposition (Cohen 2008), fixed-round peel: every round
+    * recomputes per-edge triangle SUPPORT (triangles enumerated once in
+    * the canonical a<b<c orientation — the same degree-bounded wedge
+    * discipline as exact triangle counting) and drops edges with
+    * support < k-2. Fixed `rounds` rather than a fixpoint claim so a
+    * bounded-round oracle replays it exactly; on a graph where the peel
+    * converges earlier the extra rounds are no-ops (specs pin
+    * convergence on the test graph).
+    *
+    * 100 TB posture: each round is two edge⋈edge equi-joins keyed on
+    * vertex ids (two longs per row) + one (u, v) support aggregation —
+    * wedge space bounded by per-vertex degree, nothing driver-sized;
+    * lineage flattened with per-round localCheckpoint.
+    *
+    * @param edges (src, dst) in any orientation; canonicalized u<v here
+    * @return surviving (u, v, support) under the final peel
+    */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    val thr = k - 2
+    var e = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var out = e.select(col("u"), col("v"), lit(0L).as("support")).limit(0)
+    for (_ <- 1 to rounds) {
+      val tri = e.select(col("u").as("a"), col("v").as("b"))
+        .join(e.select(col("u").as("b2"), col("v").as("c")),
+          col("b") === col("b2"))
+        .join(e.select(col("u").as("a2"), col("v").as("c2")),
+          col("a2") === col("a") && col("c2") === col("c"))
+        .select("a", "b", "c")
+      val sup = tri.select(col("a").as("u"), col("b").as("v"))
+        .union(tri.select(col("b").as("u"), col("c").as("v")))
+        .union(tri.select(col("a").as("u"), col("c").as("v")))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+      out = sup.filter(col("support") >= thr).localCheckpoint(true)
+      e.unpersist()
+      e = out.select("u", "v")
+    }
+    out
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) for `rounds`
     * fixed iterations: every vertex simultaneously adopts the most
     * frequent label among its neighbors, ties broken on the SMALLEST

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -3396,7 +3397,538 @@ object LlmQueries {
         .agg(count(lit(1)).as("w"))
       Components.mutualBestMatching(e, rounds = 4)
         .orderBy("u")
-    }, Some(matchingSql(4)))
+    }, Some(matchingSql(4))),
+
+    // Resource-allocation link prediction (Zhou et al. 2009) — the
+    // exactly-summable member of the Adamic-Adar family: candidate
+    // part-pairs score Σ 1/deg(order) over shared orders, where
+    // deg(order) = distinct parts in the order. The pair space is
+    // per-order wedges (order size is bounded by basket size, ≤17
+    // here — never corpus-quadratic), and each 1/deg term is scaled
+    // by L = lcm(1..18) = 12252240 so the per-pair sum is an exact
+    // integer: no float accumulation, total (num, u, v) order, and
+    // the score is ONE closing double division. Orders larger than
+    // 18 distinct parts would break the LCM trick and are excluded
+    // identically on both sides (none exist at any test sf).
+    ("q347_linkpred_resource_alloc", (s: SparkSession, d: String) => {
+      val L = 12252240L
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val deg = li.groupBy("ok").agg(count(lit(1)).as("dg"))
+        .filter(col("dg").between(2, 18))
+        .withColumn("term", lit(L) / col("dg"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.ok").as("ok"), col("a.pk").as("u"),
+          col("b.pk").as("v"))
+        .join(deg, "ok")
+      pairs.groupBy("u", "v")
+        .agg(count(lit(1)).as("n_shared"), sum("term").as("num"))
+        .orderBy(col("num").desc, col("u"), col("v"))
+        .limit(100)
+        .select(col("u"), col("v"), col("n_shared"),
+          (col("num").cast("double") / L).as("ra_score"))
+    }, Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem),
+      deg AS (SELECT ok, 12252240 // COUNT(*) AS term FROM li
+        GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 18),
+      p AS (SELECT a.ok, a.pk AS u, b.pk AS v
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      sc AS (SELECT u, v, COUNT(*) AS n_shared,
+          CAST(SUM(term) AS BIGINT) AS num
+        FROM p JOIN deg USING (ok) GROUP BY 1, 2)
+      SELECT u, v, n_shared, CAST(num AS DOUBLE) / 12252240 AS ra_score
+      FROM sc ORDER BY num DESC, u, v LIMIT 100""")),
+
+    // Leakage-safe out-of-fold target encoding — the categorical-
+    // feature encoder that never shows a row its own fold's labels:
+    // enc(segment, fold) = smoothed out-of-fold positive rate
+    // (m-estimate, m=20, global prior). Folds are a deterministic
+    // xxhash64 gate on the order key (replayed bit-for-bit in the
+    // oracle); all rates live as exact integer (pos, n) pairs —
+    // cross-multiplied into ONE closing double division, so no float
+    // mixing of prior and fold sums. Shape at 100 TB: one broadcast
+    // dim join + one (segment, fold) agg; the per-segment totals come
+    // from a window over the AGGREGATED (segments×folds) relation,
+    // never a second corpus pass.
+    ("q348_target_encoding", (s: SparkSession, d: String) => {
+      val m = 20L
+      val lab = t(s, d, "orders").join(
+          broadcast(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("seg"),
+          pmod(xxhash64(col("o_orderkey")), lit(4)).cast("long").as("fold"),
+          when(col("o_totalprice") > 25000.0, 1L).otherwise(0L).as("pos"))
+      val perFold = lab.groupBy("seg", "fold")
+        .agg(count(lit(1)).as("n_f"), sum("pos").as("pos_f"))
+      val wSeg = Window.partitionBy("seg")
+      val tot = lab.agg(count(lit(1)).as("n_tot"),
+        sum("pos").as("pos_tot"))
+      perFold
+        .withColumn("oof_n", sum("n_f").over(wSeg) - col("n_f"))
+        .withColumn("oof_pos", sum("pos_f").over(wSeg) - col("pos_f"))
+        .crossJoin(broadcast(tot))
+        .select(col("seg"), col("fold"), col("n_f"), col("oof_n"),
+          col("oof_pos"),
+          ((col("oof_pos") * col("n_tot") + lit(m) * col("pos_tot"))
+            .cast("double") /
+            ((col("oof_n") + lit(m)) * col("n_tot"))).as("enc"))
+        .orderBy("seg", "fold")
+    }, Some(s"""
+      WITH lab AS (SELECT c.c_mktsegment AS seg,
+          ((${XxHashOracle.signed(XxHashOracle.hashLong(
+            "CAST(o_orderkey AS HUGEINT)", "CAST(42 AS HUGEINT)"))} % 4)
+            + 4) % 4 AS fold,
+          CASE WHEN o_totalprice > 25000.0 THEN 1 ELSE 0 END AS pos
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      pf AS (SELECT seg, CAST(fold AS BIGINT) AS fold,
+          COUNT(*) AS n_f, CAST(SUM(pos) AS BIGINT) AS pos_f
+        FROM lab GROUP BY 1, 2),
+      w AS (SELECT seg, fold, n_f,
+          SUM(n_f) OVER (PARTITION BY seg) - n_f AS oof_n,
+          SUM(pos_f) OVER (PARTITION BY seg) - pos_f AS oof_pos
+        FROM pf),
+      tot AS (SELECT COUNT(*) AS n_tot, CAST(SUM(pos) AS BIGINT) AS pos_tot
+        FROM lab)
+      SELECT seg, fold, n_f, CAST(oof_n AS BIGINT) AS oof_n,
+        CAST(oof_pos AS BIGINT) AS oof_pos,
+        CAST(oof_pos * n_tot + 20 * pos_tot AS DOUBLE)
+          / ((oof_n + 20) * n_tot) AS enc
+      FROM w, tot ORDER BY seg, fold""")),
+
+    // Minimizer-sampled candidate pairs (Roberts et al. 2004, the
+    // genomics sampling scheme modern dedup borrows): each doc keeps
+    // only the WINDOW-MINIMUM 3-gram hash of every 4-gram window — a
+    // deterministic ~1/w sample that guarantees any sufficiently long
+    // shared run contributes a shared minimizer (unlike uniform gram
+    // sampling). Candidate pairs = docs sharing ≥2 minimizers, with
+    // hub minimizers (>50 docs) excluded from pair generation exactly
+    // like the hot-gram rule in the AllPairs join (q35/q68). Shuffles
+    // carry (doc_id, 8-byte hash) only; mins compare SIGNED on both
+    // engines.
+    ("q350_minimizer_pairs", (s: SparkSession, d: String) => {
+      val grams = t(s, d, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+        .select(col("doc_id"), expr("size(tk) - 2").as("ng"),
+          posexplode(expr(
+            "transform(sequence(0, greatest(size(tk) - 3, 0)), " +
+              "p -> concat_ws(' ', slice(tk, p + 1, 3)))")).as(Seq("pos", "g")))
+        .filter(col("ng") >= 1)
+        .select(col("doc_id"), col("pos"), xxhash64(col("g")).as("h"))
+      val mins = grams
+        .withColumn("m", min("h").over(Window.partitionBy("doc_id")
+          .orderBy("pos").rowsBetween(0, 3)))
+        .filter(col("pos") <= col("ng") - 4) // full windows only
+        .select(col("doc_id"), col("m")).distinct()
+      val cold = mins.groupBy("m").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") <= 50)
+      val keep = mins.join(cold, "m")
+      keep.as("a").join(keep.as("b"),
+          col("a.m") === col("b.m") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy("d1", "d2")
+    }, Some(s"""
+      WITH tkn AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+      gp AS (SELECT doc_id, CAST(len(tk) - 2 AS BIGINT) AS ng,
+          unnest(range(0, greatest(len(tk) - 2, 1))) AS pos, tk
+        FROM tkn WHERE len(tk) >= 3),
+      g AS (SELECT doc_id, ng, CAST(pos AS BIGINT) AS pos,
+          array_to_string(tk[CAST(pos + 1 AS INT):CAST(pos + 3 AS INT)], ' ')
+            AS tok FROM gp),
+      gd AS (SELECT DISTINCT tok, 0 AS doc_id FROM g),
+      ${XxHashOracle.xxh64Ctes("gd")},
+      gh AS (SELECT g.doc_id, g.ng, g.pos,
+          ${XxHashOracle.signed("hashed.hu")} AS h
+        FROM g JOIN hashed ON g.tok = hashed.tok),
+      mn AS (SELECT doc_id, ng, pos, MIN(h) OVER (PARTITION BY doc_id
+          ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+        FROM gh),
+      dm AS (SELECT DISTINCT doc_id, m FROM mn WHERE pos <= ng - 4),
+      cold AS (SELECT m FROM dm GROUP BY m HAVING COUNT(*) <= 50),
+      keep AS (SELECT doc_id, m FROM dm JOIN cold USING (m))
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+      FROM keep a JOIN keep b ON a.m = b.m AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      ORDER BY d1, d2""")),
+
+    // Content-defined chunking (the Rabin/FastCDC storage-dedup shape
+    // at token granularity): chunk boundaries fall where the token's
+    // xxhash64 ≡ 0 (mod 16) — a content-local rule, so an insertion
+    // early in a doc shifts ONE chunk instead of re-aligning every
+    // fixed-size block. Chunk identity is the base-257 rolling
+    // fingerprint of the chunk text (replayed polynomially in the
+    // oracle — chunk hashing and boundary hashing use different hash
+    // families, exactly as a production CDC store does). Per-source
+    // relation: chunk instances vs distinct chunks and the token-count
+    // dedup saving. All shuffles are (doc, pos)- or fingerprint-keyed.
+    ("q351_cdc_chunk_dedup", (s: SparkSession, d: String) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      val chunks = toks
+        .withColumn("flag",
+          when(pmod(xxhash64(col("tok")), lit(16)) === 0, 1L).otherwise(0L))
+        .withColumn("chunk_no", sum("flag").over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+        .groupBy("doc_id", "source", "chunk_no")
+        .agg(count(lit(1)).as("n_toks"),
+          array_join(expr("transform(array_sort(collect_list(" +
+            "struct(pos, tok))), x -> x.tok)"), " ").as("chunk"))
+        .select(col("source"), col("n_toks"),
+          graft.functions.RollingHash.rollingHash(col("chunk")).as("fp"))
+      chunks.groupBy("source").agg(
+          count(lit(1)).as("n_chunks"),
+          countDistinct(col("fp")).as("n_distinct"),
+          sum("n_toks").as("toks_total"))
+        .join(chunks.groupBy("source", "fp")
+            .agg(min("n_toks").as("nt"))
+            .groupBy("source").agg(sum("nt").as("toks_distinct")),
+          "source")
+        .select(col("source"), col("n_chunks"), col("n_distinct"),
+          (col("n_chunks") - col("n_distinct")).as("n_dup"),
+          col("toks_total"), col("toks_distinct"),
+          expr("(toks_total - toks_distinct) * 10000 div toks_total")
+            .as("savings_bp"))
+        .orderBy("source")
+    }, Some(s"""
+      WITH tkn AS (SELECT doc_id, source,
+          regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+      tp AS (SELECT doc_id, source, tk,
+          unnest(range(0, len(tk))) AS pos FROM tkn),
+      toks AS (SELECT doc_id, source, CAST(pos AS BIGINT) AS pos,
+          tk[CAST(pos + 1 AS INT)] AS tok FROM tp),
+      td AS (SELECT DISTINCT tok, 0 AS doc_id FROM toks),
+      ${XxHashOracle.xxh64Ctes("td")},
+      tf AS (SELECT t.doc_id, t.source, t.pos, t.tok,
+          CASE WHEN (hashed.hu % 16) = 0 THEN 1 ELSE 0 END AS flag
+        FROM toks t JOIN hashed ON t.tok = hashed.tok),
+      tc AS (SELECT doc_id, source, pos, tok,
+          SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_no
+        FROM tf),
+      ch AS (SELECT doc_id, source, chunk_no, COUNT(*) AS n_toks,
+          string_agg(tok, ' ' ORDER BY pos) AS chunk
+        FROM tc GROUP BY 1, 2, 3),
+      fp AS (SELECT source, n_toks,
+          CAST(list_reduce(
+            list_prepend(CAST(0 AS HUGEINT),
+              list_transform(range(1, length(chunk) + 1),
+                i -> CAST(ascii(substring(chunk, CAST(i AS INT), 1))
+                  AS HUGEINT))),
+            (h, b) -> (h * 257 + b) % 2305843009213693951) AS BIGINT) AS fp
+        FROM ch),
+      agg1 AS (SELECT source, COUNT(*) AS n_chunks,
+          COUNT(DISTINCT fp) AS n_distinct, SUM(n_toks) AS toks_total
+        FROM fp GROUP BY 1),
+      agg2 AS (SELECT source, SUM(nt) AS toks_distinct FROM
+          (SELECT source, fp, MIN(n_toks) AS nt FROM fp GROUP BY 1, 2)
+        GROUP BY 1)
+      SELECT source, n_chunks, n_distinct, n_chunks - n_distinct AS n_dup,
+        CAST(toks_total AS BIGINT) AS toks_total,
+        CAST(toks_distinct AS BIGINT) AS toks_distinct,
+        CAST((toks_total - toks_distinct) * 10000 // toks_total AS BIGINT)
+          AS savings_bp
+      FROM agg1 JOIN agg2 USING (source) ORDER BY source""")),
+
+    // Johnson-Lindenstrauss sign-projection with distance-preservation
+    // eval — the dimensionality-reduction step a 100 TB ANN pipeline
+    // runs before indexing: 64-dim vectors → 16-dim via a HASH-DERIVED
+    // ±1 matrix (no stored projection state, any executor regenerates
+    // any row of it from xxhash64 — the same statelessness as the
+    // hyperplane LSH q43). The eval relation reports, per sampled
+    // pair, original vs scaled projected squared distance and their
+    // ratio; every float reduction is a SEQUENTIAL left fold replayed
+    // in the same order by the oracle (the q123 discipline), so even
+    // doubles hash-compare. Sample is a vec_id hash gate; the pair
+    // space is sample², never corpus².
+    ("q352_jl_projection_eval", (s: SparkSession, d: String) => {
+      val k = 16
+      val dim = 64
+      val samp = t(s, d, "embeddings")
+        .filter(pmod(xxhash64(col("vec_id")), lit(8)) === 0)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .localCheckpoint(true)
+      val signs = s.range(k).select(col("id").cast("long").as("j"),
+        expr(s"transform(sequence(0, ${dim - 1}), i -> " +
+          s"1.0D - 2.0D * pmod(xxhash64(id * $dim + CAST(i AS BIGINT)), 2))")
+          .as("sv"))
+      val proj = samp.crossJoin(broadcast(signs))
+        .select(col("vec_id"), col("j"),
+          aggregate(zip_with(col("e"), col("sv"), (x, y) => x * y),
+            lit(0.0), (a, x) => a + x).as("p"))
+        .groupBy("vec_id")
+        .agg(expr("transform(array_sort(collect_list(struct(j, p))), " +
+          "x -> x.p)").as("pv"))
+      val withP = samp.join(proj, "vec_id")
+      withP.as("a").join(withP.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+          expr("aggregate(zip_with(a.e, b.e, (x, y) -> (x - y) * (x - y)), " +
+            "0.0D, (acc, x) -> acc + x)").as("d2_orig"),
+          expr("aggregate(zip_with(a.pv, b.pv, (x, y) -> (x - y) * (x - y)), " +
+            s"0.0D, (acc, x) -> acc + x) * ${dim.toDouble / k}")
+            .as("d2_proj_scaled"))
+        .withColumn("ratio", col("d2_proj_scaled") / col("d2_orig"))
+        .orderBy("v1", "v2")
+    }, Some(s"""
+      WITH samp AS (SELECT vec_id, embedding::DOUBLE[] AS e
+        FROM embeddings
+        WHERE ((${XxHashOracle.signed(XxHashOracle.hashLong(
+          "CAST(vec_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} % 8) + 8)
+          % 8 = 0),
+      grid AS (SELECT j, i,
+          CAST(j * 64 + i AS HUGEINT) AS v
+        FROM (SELECT unnest(range(0, 16)) AS j),
+          (SELECT unnest(range(0, 64)) AS i)),
+      sg AS (SELECT j, i,
+          1.0 - 2.0 * CAST(${XxHashOracle.hashLong("v",
+            "CAST(42 AS HUGEINT)")} % 2 AS DOUBLE) AS sgn
+        FROM grid),
+      sv AS (SELECT j, list(sgn ORDER BY i) AS sv FROM sg GROUP BY j),
+      proj AS (SELECT vec_id, j, list_dot_product(e, sv) AS p
+        FROM samp, sv),
+      pv AS (SELECT vec_id, list(p ORDER BY j) AS pv FROM proj GROUP BY 1),
+      wp AS (SELECT samp.vec_id, e, pv FROM samp JOIN pv USING (vec_id))
+      SELECT a.vec_id AS v1, b.vec_id AS v2,
+        list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+          i -> (a.e[CAST(i AS INT)] - b.e[CAST(i AS INT)])
+             * (a.e[CAST(i AS INT)] - b.e[CAST(i AS INT)]))),
+          (acc, x) -> acc + x) AS d2_orig,
+        list_reduce(list_prepend(0.0, list_transform(range(1, 17),
+          i -> (a.pv[CAST(i AS INT)] - b.pv[CAST(i AS INT)])
+             * (a.pv[CAST(i AS INT)] - b.pv[CAST(i AS INT)]))),
+          (acc, x) -> acc + x) * 4.0 AS d2_proj_scaled,
+        list_reduce(list_prepend(0.0, list_transform(range(1, 17),
+          i -> (a.pv[CAST(i AS INT)] - b.pv[CAST(i AS INT)])
+             * (a.pv[CAST(i AS INT)] - b.pv[CAST(i AS INT)]))),
+          (acc, x) -> acc + x) * 4.0
+        / list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+          i -> (a.e[CAST(i AS INT)] - b.e[CAST(i AS INT)])
+             * (a.e[CAST(i AS INT)] - b.e[CAST(i AS INT)]))),
+          (acc, x) -> acc + x) AS ratio
+      FROM wp a JOIN wp b ON a.vec_id < b.vec_id
+      ORDER BY v1, v2""")),
+
+    // Retrieval eval — MRR and precision@10 for label-relevance over
+    // the brute cosine ranking (the metric layer q325's majority-vote
+    // accuracy doesn't give): per hash-gated query, relevant hits in
+    // the top 10, rank of the first hit, and the reciprocal rank as
+    // 2520/rank (lcm(1..10) — EXACT integers, so a downstream mean-MRR
+    // is an integer sum + one division, never a float accumulation).
+    // Ranking is cosine-desc with vec_id tie-break, the q38/q66
+    // parity discipline; only ids/ranks/counts are emitted.
+    ("q355_retrieval_eval", (s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").as("e"), col("label"))
+      val q = emb.filter(pmod(xxhash64(col("vec_id")), lit(16)) === 0)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("label").as("qlabel"))
+      emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(cosineSim(col("e"), col("qe")).desc, col("vec_id"))))
+        .filter(col("rank") <= 10)
+        .withColumn("rel", (col("label") === col("qlabel")).cast("long"))
+        .groupBy("query_id")
+        .agg(sum("rel").as("n_rel_10"),
+          coalesce(min(when(col("rel") === 1, col("rank"))), lit(0))
+            .cast("long").as("first_rel_rank"))
+        .withColumn("rr_x2520", when(col("first_rel_rank") > 0,
+          expr("2520 div first_rel_rank")).otherwise(0L))
+        .orderBy("query_id")
+    }, Some(s"""
+      WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, e AS qe, label AS qlabel
+        FROM base
+        WHERE ((${XxHashOracle.signed(XxHashOracle.hashLong(
+          "CAST(vec_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} % 16) + 16)
+          % 16 = 0),
+      r AS (SELECT q.query_id, b.label, q.qlabel,
+          row_number() OVER (PARTITION BY q.query_id
+            ORDER BY list_cosine_similarity(b.e, q.qe) DESC, b.vec_id)
+            AS rank
+        FROM base b JOIN q ON b.vec_id <> q.query_id),
+      t10 AS (SELECT * FROM r WHERE rank <= 10),
+      a AS (SELECT query_id,
+          COUNT(*) FILTER (WHERE label = qlabel) AS n_rel_10,
+          COALESCE(MIN(rank) FILTER (WHERE label = qlabel), 0)
+            AS first_rel_rank
+        FROM t10 GROUP BY 1)
+      SELECT query_id, CAST(n_rel_10 AS BIGINT) AS n_rel_10,
+        CAST(first_rel_rank AS BIGINT) AS first_rel_rank,
+        CAST(CASE WHEN first_rel_rank > 0 THEN 2520 // first_rel_rank
+          ELSE 0 END AS BIGINT) AS rr_x2520
+      FROM a ORDER BY query_id""")),
+
+    // k-truss decomposition (k=3) over the strong co-purchase graph —
+    // the cohesion subgraph k-core (q226) over-approximates: every
+    // surviving edge must sit in ≥1 triangle among surviving edges
+    // (this sparse graph's 4-truss is near-empty — 2 edges at sf0.01).
+    // Components.kTruss peels in fixed rounds (triangles enumerated
+    // once per round in canonical a<b<c orientation); the oracle
+    // unrolls the identical rounds as a MATERIALIZED CTE chain (the
+    // q226/q344 replay discipline).
+    ("q356_ktruss", (s: SparkSession, d: String) => {
+      Components.kTruss(strongCoPurchaseEdges(s, d), k = 3, rounds = 4)
+        .orderBy("u", "v")
+    }, Some(kTrussSql(rounds = 4))),
+
+    // BPE tokenizer fertility — tokens-per-word by language, THE
+    // cross-lingual tokenizer-equity diagnostic (a vocab that suits
+    // one language inflates another's sequence lengths and training
+    // cost). Reuses the q145 encoder; per-language sums are exact
+    // integers with fertility as the one closing division. One
+    // corpus pass + a language-sized agg at 100 TB.
+    ("q357_token_fertility", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val enc = Bpe.encode(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"))
+      docs.select(col("doc_id"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"))
+        .join(enc, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("sum_tokens"),
+          sum("n_words").cast("long").as("sum_words"))
+        .withColumn("fertility",
+          col("sum_tokens").cast("double") / col("sum_words"))
+        .orderBy("lang")
+    }, Some(s"""
+      WITH words AS (
+        SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents),
+      folded AS (
+        SELECT doc_id, ${Bpe.duckFoldedSql("w")} AS f FROM words),
+      tc AS (SELECT doc_id,
+          SUM(len(string_split(trim(f), ' '))) AS n_tokens
+        FROM folded GROUP BY 1),
+      wc AS (SELECT doc_id, lang,
+          len(regexp_split_to_array(trim(text), '\\s+')) AS n_words
+        FROM documents)
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(SUM(n_words) AS BIGINT) AS sum_words,
+        CAST(SUM(n_tokens) AS DOUBLE) / CAST(SUM(n_words) AS BIGINT)
+          AS fertility
+      FROM tc JOIN wc USING (doc_id)
+      GROUP BY 1 ORDER BY lang""")),
+
+    // Butterfly (2×2 biclique) counting on the bipartite order↔part
+    // graph — the bipartite cohesion metric recommendation graphs use
+    // where triangles cannot exist: a butterfly is two orders sharing
+    // two parts. Counted exactly from the part-pair wedge relation as
+    // Σ C(shared_orders, 2) — the pair space is per-order wedges
+    // (basket-size bounded, q347's discipline), and per-part totals
+    // come from exploding each pair to its two endpoints. All integer.
+    ("q360_butterfly_count", (s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("bf", expr("c * (c - 1) div 2"))
+        .filter(col("bf") > 0)
+      pairs.select(col("u").as("part"), col("bf"))
+        .union(pairs.select(col("v").as("part"), col("bf")))
+        .groupBy("part").agg(sum("bf").cast("long").as("butterflies"))
+        .orderBy("part")
+    }, Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem),
+      p AS (SELECT a.pk AS u, b.pk AS v, COUNT(*) AS c
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2),
+      bf AS (SELECT u, v, c * (c - 1) // 2 AS bf FROM p WHERE c >= 2)
+      SELECT part, CAST(SUM(bf) AS BIGINT) AS butterflies FROM
+        (SELECT u AS part, bf FROM bf UNION ALL SELECT v, bf FROM bf)
+      GROUP BY 1 ORDER BY part""")),
+
+    // Newman modularity of the q230 label-propagation partition — the
+    // number that says whether the communities mean anything:
+    // Q = Σ_c [in_c/m − (deg_c/2m)²], computed as EXACT integers with
+    // the common denominator 4m² cleared (Σ 4m·in_c − deg_c²) and ONE
+    // closing double division — community quality joins the exact-
+    // arithmetic gate like every other eval here. Per-community rows
+    // carry (n_nodes, in_edges, deg_sum) plus the global Q; the only
+    // corpus-sized work is the edge⋈label joins, keyed on vertex ids.
+    ("q362_modularity", (s: SparkSession, d: String) => {
+      val edges = strongCoPurchaseEdges(s, d)
+      val lab = Components.labelPropagation(edges, rounds = 4)
+      val e = edges.select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      val el = e
+        .join(lab.select(col("node").as("u"), col("label").as("lu")), "u")
+        .join(lab.select(col("node").as("v"), col("label").as("lv")), "v")
+      val inC = el.filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("label")).agg(count(lit(1)).as("in_edges"))
+      val degC = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+        .join(lab, "node")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_nodes"), sum("dg").cast("long").as("deg_sum"))
+      val m = e.agg(count(lit(1)).as("m"))
+      val per = degC.join(inC, Seq("label"), "left")
+        .withColumn("in_edges", coalesce(col("in_edges"), lit(0L)))
+        .crossJoin(broadcast(m))
+      val q = per.agg(
+          sum(expr("4 * m * in_edges - deg_sum * deg_sum")).as("qn"),
+          max("m").as("mm"))
+        .select((col("qn").cast("double")
+          / (lit(4.0) * col("mm") * col("mm"))).as("modularity"))
+      per.crossJoin(broadcast(q))
+        .select(col("label"), col("n_nodes"), col("in_edges"),
+          col("deg_sum"), col("modularity"))
+        .orderBy("label")
+    }, Some {
+      val steps = (1 to 4).map { i =>
+        s"""l$i AS MATERIALIZED (SELECT src AS node, label FROM (
+          SELECT e.src, l.label, COUNT(*) AS c,
+            row_number() OVER (PARTITION BY e.src
+              ORDER BY COUNT(*) DESC, l.label) AS rn
+          FROM ue e JOIN l${i - 1} l ON e.dst = l.node
+          GROUP BY e.src, l.label) WHERE rn = 1)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH pe AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+      ue AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe)
+        WHERE src <> dst),
+      l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM ue),
+      $steps,
+      e AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u,
+          GREATEST(src, dst) AS v FROM ue),
+      m AS (SELECT COUNT(*) AS m FROM e),
+      el AS (SELECT lu.label AS lu, lv.label AS lv FROM e
+        JOIN l4 lu ON e.u = lu.node JOIN l4 lv ON e.v = lv.node),
+      inc AS (SELECT lu AS label, COUNT(*) AS in_edges FROM el
+        WHERE lu = lv GROUP BY 1),
+      degn AS (SELECT node, COUNT(*) AS dg FROM
+          (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      degc AS (SELECT l.label, COUNT(*) AS n_nodes, SUM(dg) AS deg_sum
+        FROM degn dn JOIN l4 l ON dn.node = l.node GROUP BY 1),
+      per AS (SELECT label, n_nodes, COALESCE(in_edges, 0) AS in_edges,
+          deg_sum FROM degc LEFT JOIN inc USING (label)),
+      qn AS (SELECT SUM(4 * m.m * in_edges - deg_sum * deg_sum) AS qn,
+          MAX(m.m) AS mm FROM per, m)
+      SELECT label, n_nodes, CAST(in_edges AS BIGINT) AS in_edges,
+        CAST(deg_sum AS BIGINT) AS deg_sum,
+        CAST(qn AS DOUBLE) / (4.0 * mm * mm) AS modularity
+      FROM per, qn ORDER BY label"""
+    })
   )
 
   /** DuckDB replay of [[Components.mutualBestMatching]] over the
@@ -3431,5 +3963,34 @@ object LlmQueries {
         s"\n      SELECT u, v, CAST($r AS BIGINT) AS round FROM m$r")
       .mkString("", "\n      UNION ALL", "\n      ORDER BY u"))
     sb.toString
+  }
+
+  /** DuckDB replay of [[Components.kTruss]] (k=3) over the strong
+    * co-purchase graph: the same fixed peel rounds unrolled as a
+    * MATERIALIZED CTE chain — triangles in canonical a<b<c orientation,
+    * per-edge support, support≥1 filter. MATERIALIZED for the same
+    * exponential-inlining reason as the q226 k-core replay. */
+  private def kTrussSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""tri$i AS MATERIALIZED (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+        FROM e${i - 1} ab JOIN e${i - 1} bc ON ab.v = bc.u
+        JOIN e${i - 1} ac ON ac.u = ab.u AND ac.v = bc.v),
+      sup$i AS MATERIALIZED (SELECT u, v, COUNT(*) AS support FROM (
+          SELECT a AS u, b AS v FROM tri$i
+          UNION ALL SELECT b, c FROM tri$i
+          UNION ALL SELECT a, c FROM tri$i)
+        GROUP BY 1, 2),
+      e$i AS MATERIALIZED (SELECT u, v FROM sup$i WHERE support >= 1)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH pe AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+      e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u,
+          GREATEST(src, dst) AS v FROM pe),
+      $steps
+      SELECT u, v, CAST(support AS BIGINT) AS support FROM sup$rounds
+      WHERE support >= 1 ORDER BY u, v"""
   }
 }

@@ -7740,7 +7740,314 @@ object RelQueries {
       r AS (SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn FROM p),
       m AS (SELECT COUNT(*) AS n_pairs FROM p)
       SELECT n_pairs, slope AS median_slope FROM r, m
-      WHERE rn = (n_pairs + 1) // 2"""))
+      WHERE rn = (n_pairs + 1) // 2""")),
+
+    // MATCH_RECOGNIZE-style sequence pattern matching — the event-
+    // pattern operator Spark SQL lacks: per user, the time-ordered
+    // event stream becomes one character string (one char per event
+    // type) and the funnel pattern `v[ce]*p` (view, any clicks/errors,
+    // purchase) is matched with leftmost-greedy non-overlapping regex
+    // semantics — quantifiers and alternation for free, unlike the
+    // fixed-slot funnels (q142/q309). The collect is keyed by user
+    // (per-user history is bounded; this never builds a global
+    // string), sorted by (ts, event_id) for a total order; both
+    // engines' regex engines agree on leftmost-greedy for this
+    // backreference-free pattern.
+    ("q346_event_pattern_match", (s: SparkSession, d: String) => {
+      val chExpr = """CASE event_type WHEN 'view' THEN 'v'
+        WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+        WHEN 'signup' THEN 's' ELSE 'e' END"""
+      val per = t(s, d, "events")
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"), expr(chExpr).as("ch")).as("st"))
+        .groupBy("user_id")
+        .agg(array_join(expr("transform(array_sort(collect_list(st)), x -> x.ch)"), "").as("seq"))
+      per.select(col("user_id"),
+          length(col("seq")).cast("long").as("n_events"),
+          expr("regexp_extract_all(seq, 'v[ce]*p', 0)").as("m"))
+        .select(col("user_id"), col("n_events"),
+          size(col("m")).cast("long").as("n_funnels"),
+          length(array_join(col("m"), "")).cast("long").as("match_chars"))
+        .orderBy("user_id")
+    }, Some("""
+      WITH m AS (SELECT user_id,
+          string_agg(CASE event_type WHEN 'view' THEN 'v'
+            WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+            WHEN 'signup' THEN 's' ELSE 'e' END, ''
+            ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY 1),
+      x AS (SELECT user_id, seq,
+          regexp_extract_all(seq, 'v[ce]*p') AS ms FROM m)
+      SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+        CAST(len(ms) AS BIGINT) AS n_funnels,
+        CAST(length(array_to_string(ms, '')) AS BIGINT) AS match_chars
+      FROM x ORDER BY user_id""")),
+
+    // Parallel LTTB downsampling — largest-triangle-three-buckets over
+    // the daily event-count series, the standard viz/telemetry
+    // decimation. The parallel variant scores each candidate against
+    // the NEIGHBOR BUCKETS' MEANS (classic LTTB chains on the previous
+    // SELECTED point — inherently sequential); first/last buckets keep
+    // their boundary points, as in the original. All arithmetic is
+    // integer: the 2·area score is cross-multiplied by np²·nn to clear
+    // the mean denominators, so the argmax (tie-break: earliest day)
+    // is bit-identical across engines. Everything after the one
+    // day-grain aggregation is calendar-sized.
+    ("q349_lttb_downsample", (s: SparkSession, d: String) => {
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .select(unix_date(col("day")).cast("long").as("x"), col("y"))
+        .withColumn("b", expr("x div 5"))
+      val bs = daily.groupBy("b").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"))
+      val wOrd = Window.orderBy("b")
+      val nb = bs.select(col("b"),
+        lag("n", 1).over(wOrd).as("np"), lag("sx", 1).over(wOrd).as("sxp"),
+        lag("sy", 1).over(wOrd).as("syp"),
+        lead("n", 1).over(wOrd).as("nn"), lead("sx", 1).over(wOrd).as("sxn"),
+        lead("sy", 1).over(wOrd).as("syn"))
+      val lim = bs.agg(min("b").as("bmin"), max("b").as("bmax"))
+      val scored = daily.join(nb, "b").crossJoin(broadcast(lim))
+        .withColumn("score", expr("""abs(
+          (sxp * nn - sxn * np) * (y * np - syp)
+          - (sxp - x * np) * (syn * np - syp * nn))"""))
+        .withColumn("ord1", expr(
+          "CASE WHEN b = bmin THEN x WHEN b = bmax THEN -x ELSE -score END"))
+      scored.withColumn("rn", row_number().over(
+          Window.partitionBy("b").orderBy(col("ord1"), col("x"))))
+        .filter(col("rn") === 1)
+        .select(col("b").as("bucket"),
+          date_format(expr("date_add(DATE '1970-01-01', CAST(x AS INT))"),
+            "yyyy-MM-dd").as("day"), col("y"))
+        .orderBy("bucket")
+    }, Some("""
+      WITH daily AS (SELECT
+          CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+          COUNT(*) AS y
+        FROM events GROUP BY 1),
+      db AS (SELECT x, y, x // 5 AS b FROM daily),
+      bs AS (SELECT b, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy
+        FROM db GROUP BY 1),
+      nb AS (SELECT b,
+          LAG(n) OVER (ORDER BY b) AS np, LAG(sx) OVER (ORDER BY b) AS sxp,
+          LAG(sy) OVER (ORDER BY b) AS syp,
+          LEAD(n) OVER (ORDER BY b) AS nn, LEAD(sx) OVER (ORDER BY b) AS sxn,
+          LEAD(sy) OVER (ORDER BY b) AS syn
+        FROM bs),
+      lim AS (SELECT MIN(b) AS bmin, MAX(b) AS bmax FROM bs),
+      sc AS (SELECT db.b, db.x, db.y,
+          abs((sxp * nn - sxn * np) * (db.y * np - syp)
+            - (sxp - db.x * np) * (syn * np - syp * nn)) AS score,
+          CASE WHEN db.b = bmin THEN db.x WHEN db.b = bmax THEN -db.x
+            ELSE -abs((sxp * nn - sxn * np) * (db.y * np - syp)
+              - (sxp - db.x * np) * (syn * np - syp * nn)) END AS ord1
+        FROM db JOIN nb ON db.b = nb.b, lim),
+      r AS (SELECT b, x, y,
+          ROW_NUMBER() OVER (PARTITION BY b ORDER BY ord1, x) AS rn
+        FROM sc)
+      SELECT b AS bucket,
+        strftime(DATE '1970-01-01' + CAST(x AS INT), '%Y-%m-%d') AS day, y
+      FROM r WHERE rn = 1 ORDER BY bucket""")),
+
+    // l-diversity audit — the release gate k-anonymity (q289) cannot
+    // express: a quasi-identifier group can be large (k-anonymous) yet
+    // expose its members because every row shares one sensitive value.
+    // Per (nation, segment) group: size, l = distinct sensitive
+    // account-balance bands, and the l≥3 verdict. Bands are
+    // FLOOR(acctbal/2000) — one double op, identical in both engines;
+    // everything else is exact integer counting. One keyed agg at
+    // 100 TB; no row-level data leaves the scan.
+    ("q353_l_diversity", (s: SparkSession, d: String) => {
+      t(s, d, "customer")
+        .select(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"),
+          floor(col("c_acctbal") / 2000.0).cast("long").as("band"))
+        .groupBy("nation", "segment")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("band")).as("l"))
+        .withColumn("diverse", col("l") >= 3)
+        .orderBy("nation", "segment")
+    }, Some("""
+      SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        c_mktsegment AS segment, COUNT(*) AS n,
+        CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT))
+          AS BIGINT) AS l,
+        CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT))
+          AS BIGINT) >= 3 AS diverse
+      FROM customer GROUP BY 1, 2 ORDER BY nation, segment""")),
+
+    // Inter-arrival burstiness (Goh & Barabási 2008): per user,
+    // B = (σ−μ)/(σ+μ) over the event gap distribution — the user-
+    // behavior signal that separates bots (B→−1, regular) from bursty
+    // humans (B→+1). Gaps are exact integer micros via one keyed
+    // window; Σg and Σg² accumulate in DECIMAL so the only floats are
+    // the closing casts, divisions and ONE sqrt — and IEEE-754 sqrt is
+    // correctly rounded, so (unlike ln/pow) it is bit-identical across
+    // engines. One corpus window + one keyed agg at 100 TB.
+    ("q354_event_burstiness", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val g = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("tu", unix_micros(col("ts")))
+        .withColumn("prev", lag("tu", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("user_id"), (col("tu") - col("prev")).as("g"))
+      g.groupBy("user_id").agg(
+          count(lit(1)).as("n_gaps"),
+          sum(col("g").cast("decimal(38,0)")).as("sg"),
+          sum((col("g").cast("decimal(19,0)")
+            * col("g").cast("decimal(19,0)")).cast("decimal(38,0)"))
+            .as("sg2"))
+        .filter(col("n_gaps") >= 2)
+        .select(col("user_id"), col("n_gaps"),
+          expr("CAST(sg AS DOUBLE) / n_gaps").as("mean_gap_us"),
+          expr("sqrt(CAST(n_gaps * sg2 - sg * sg AS DOUBLE)) / n_gaps")
+            .as("sd_gap_us"))
+        .withColumn("burstiness",
+          (col("sd_gap_us") - col("mean_gap_us"))
+            / (col("sd_gap_us") + col("mean_gap_us")))
+        .orderBy("user_id")
+    }, Some("""
+      WITH o AS (SELECT user_id, epoch_us(ts) AS tu,
+          LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev
+        FROM events),
+      g AS (SELECT user_id, tu - prev AS g FROM o WHERE prev IS NOT NULL),
+      a AS (SELECT user_id, COUNT(*) AS n_gaps,
+          SUM(CAST(g AS HUGEINT)) AS sg,
+          SUM(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS sg2
+        FROM g GROUP BY 1 HAVING COUNT(*) >= 2),
+      m AS (SELECT user_id, n_gaps,
+          CAST(sg AS DOUBLE) / n_gaps AS mean_gap_us,
+          sqrt(CAST(n_gaps * sg2 - sg * sg AS DOUBLE)) / n_gaps
+            AS sd_gap_us
+        FROM a)
+      SELECT user_id, n_gaps, mean_gap_us, sd_gap_us,
+        (sd_gap_us - mean_gap_us) / (sd_gap_us + mean_gap_us)
+          AS burstiness
+      FROM m ORDER BY user_id""")),
+
+    // Parameterized SQL + the IDENTIFIER() clause — the injection-safe
+    // templating surface (Spark 3.4/3.5): the table name binds through
+    // IDENTIFIER(:tbl) and the filter through :cut as real named
+    // parameters, not string splicing. Semantics identical to the
+    // inlined query, which is exactly what the oracle checks.
+    ("q358_parameterized_sql", (s: SparkSession, d: String) => {
+      val vn = s"li_param_${new java.io.File(d).getName.replace(".", "_")}"
+      t(s, d, "lineitem").createOrReplaceTempView(vn)
+      s.sql(
+        """SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE)
+               AS sum_qty,
+             COUNT(*) AS n
+           FROM IDENTIFIER(:tbl) WHERE l_quantity <= :cap
+           GROUP BY l_returnflag ORDER BY l_returnflag""",
+        Map("tbl" -> vn, "cap" -> 25))
+    }, Some("""
+      SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
+        COUNT(*) AS n
+      FROM lineitem WHERE l_quantity <= 25
+      GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // SQL scripting (Spark 4 BEGIN…END): DECLARE'd variables, a scalar
+    // subquery assignment reading the data, and a WHILE + IF/ELSE
+    // bisection computing the integer square root — the procedural
+    // control flow the SQL-only user previously needed a driver
+    // program for. Bisection (31 fixed iterations, lo² ≤ n < hi²
+    // invariant) rather than counting up: each scripting statement is
+    // a driver round-trip, so the loop count must be DATA-INDEPENDENT
+    // — the naive increment loop was O(√n) statements and 9 s at
+    // sf0.1. The script's final SELECT is the result; the oracle is
+    // the closed form (floor(sqrt(n)) — IEEE sqrt is correctly
+    // rounded in both engines).
+    ("q359_sql_scripting", (s: SparkSession, d: String) => {
+      val vn = s"ord_script_${new java.io.File(d).getName.replace(".", "_")}"
+      t(s, d, "orders").createOrReplaceTempView(vn)
+      s.sql(
+        s"""BEGIN
+              DECLARE n BIGINT DEFAULT 0;
+              DECLARE lo BIGINT DEFAULT 0;
+              DECLARE hi BIGINT DEFAULT 2147483648;
+              DECLARE mid BIGINT DEFAULT 0;
+              SET n = (SELECT COUNT(*) FROM $vn WHERE o_orderstatus = 'F');
+              WHILE hi - lo > 1 DO
+                SET mid = (lo + hi) DIV 2;
+                IF mid * mid <= n THEN
+                  SET lo = mid;
+                ELSE
+                  SET hi = mid;
+                END IF;
+              END WHILE;
+              SELECT n AS n_finished, lo AS isqrt_n;
+            END""")
+    }, Some("""
+      SELECT COUNT(*) AS n_finished,
+        CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS isqrt_n
+      FROM orders WHERE o_orderstatus = 'F'""")),
+
+    // Watermark late-data semantics, END TO END: four hash-split chunks
+    // of the events table arrive as four REAL micro-batches (write →
+    // AvailableNow drain per chunk, checkpointed watermark carries
+    // across runs), each chunk spanning the whole month — so chunks
+    // 1-3 are mostly LATE behind the 2-day watermark and get dropped;
+    // a final already-late marker row forces the flush batch that
+    // emits the last closed windows. The oracle REPLAYS THE WATERMARK
+    // TRAJECTORY in SQL: per-chunk running max event time, lagged
+    // minus the delay = the watermark each batch faced; rows below it
+    // are excluded and only windows closed by the final watermark
+    // appear. This is the dropped-late-rows accounting the q81
+    // complete-mode aggregation cannot show.
+    ("q361_stream_late_drop", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = s"/tmp/graft_q361/${new java.io.File(d).getName}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val ev = t(s, d, "events").select(col("event_id"), col("ts"),
+        pmod(xxhash64(col("event_id")), lit(4)).as("c"))
+      def drain(): Unit = {
+        val q = s.readStream.schema("event_id LONG, ts TIMESTAMP")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/src/*")
+          .withWatermark("ts", "2 days")
+          .groupBy(window(col("ts"), "1 day"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("w0"), col("n"))
+          .writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ck")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      for (i <- 0 to 3) {
+        ev.filter(col("c") === i).select("event_id", "ts").coalesce(1)
+          .write.parquet(s"$root/src/c$i")
+        drain()
+      }
+      ev.orderBy("ts", "event_id").limit(1).select("event_id", "ts")
+        .coalesce(1).write.parquet(s"$root/src/flush")
+      drain()
+      s.read.parquet(s"$root/out")
+        .select(date_format(col("w0"), "yyyy-MM-dd").as("day"), col("n"))
+        .orderBy("day")
+    }, Some(s"""
+      WITH e AS (SELECT event_id, ts,
+          ((${graft.llm.XxHashOracle.signed(graft.llm.XxHashOracle.hashLong(
+            "CAST(event_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} % 4)
+            + 4) % 4 AS c
+        FROM events),
+      cm AS (SELECT c, MAX(ts) AS mx FROM e GROUP BY 1),
+      rm AS (SELECT c, MAX(mx) OVER (ORDER BY c
+          ROWS UNBOUNDED PRECEDING) AS runmax FROM cm),
+      wmb AS (SELECT c, COALESCE(LAG(runmax) OVER (ORDER BY c),
+          TIMESTAMP '1970-01-01') - INTERVAL 2 DAY AS wm FROM rm),
+      surv AS (SELECT e.ts FROM e JOIN wmb USING (c)
+        WHERE e.ts >= wmb.wm),
+      fin AS (SELECT MAX(runmax) - INTERVAL 2 DAY AS wmf FROM rm),
+      agg AS (SELECT date_trunc('day', ts) AS w0, COUNT(*) AS n
+        FROM surv GROUP BY 1)
+      SELECT strftime(w0, '%Y-%m-%d') AS day, n FROM agg, fin
+      WHERE w0 + INTERVAL 1 DAY <= wmf ORDER BY day"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session

@@ -573,4 +573,93 @@ class PlanQualitySpec extends SparkSpec {
     // every SinglePartition exchange must sit above an anti-join output
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q346: one user-keyed shuffle builds the sequences; regex work " +
+      "is a projection") {
+    val p = plan("q346_event_pattern_match")
+    val parts = "Exchange hashpartitioning\\(([a-zA-Z_0-9#]+)"
+      .r.findAllMatchIn(p).map(_.group(1).takeWhile(_ != '#')).toSet
+    assert(parts == Set("user_id"), s"unexpected shuffle keys $parts in\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q347: wedge pair space is an order equi-join with a global " +
+      "top-k, not a full sort") {
+    val p = plan("q347_linkpred_resource_alloc")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q348: dimension broadcast; encoding works on the aggregated " +
+      "(segment, fold) relation only") {
+    val p = plan("q348_target_encoding")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // corpus-sized agg is partial+final
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q350/q351: sampling and chunking shuffle on doc/pos/hash keys " +
+      "only — no global stage") {
+    for (q <- Seq("q350_minimizer_pairs", "q351_cdc_chunk_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
+    }
+  }
+
+  test("q352: signs broadcast; pair space is the checkpointed sample") {
+    val p = plan("q352_jl_projection_eval")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q353: governance audit is one keyed aggregation, no join") {
+    val p = plan("q353_l_diversity")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q354: gaps come from one user-keyed window; no global stage") {
+    val p = plan("q354_event_burstiness")
+    val parts = "Exchange hashpartitioning\\(([a-zA-Z_0-9#]+)"
+      .r.findAllMatchIn(p).map(_.group(1).takeWhile(_ != '#')).toSet
+    assert(parts == Set("user_id"), s"unexpected shuffle keys $parts in\n$p")
+  }
+
+  test("q355: query set broadcast against the corpus scan") {
+    val p = plan("q355_retrieval_eval")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q356/q357: graph peel and fertility stay equi-join only") {
+    for (q <- Seq("q356_ktruss", "q357_token_fertility")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("q358: bound parameter still pushes down to the scan") {
+    val p = plan("q358_parameterized_sql")
+    assert(p.contains("PushedFilters") &&
+      p.contains("LessThanOrEqual(l_quantity"), p)
+  }
+
+  test("q360: butterfly wedges are an order equi-join, partial+final agg") {
+    val p = plan("q360_butterfly_count")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q349: corpus collapses at day grain before any bucket window") {
+    val p = plan("q349_lttb_downsample")
+    // partial+final day aggregation is the only corpus-sized stage;
+    // the bucket windows run over the calendar-sized day relation
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -434,6 +434,54 @@ class ComponentsSpec extends SparkSpec {
     out.toSet
   }
 
+  /** Reference k-truss: fixed-round peel with brute triangle counting. */
+  private def bruteTruss(edges: Seq[(Long, Long)], thr: Int,
+      rounds: Int): Map[(Long, Long), Long] = {
+    var e = edges.map(t => (math.min(t._1, t._2), math.max(t._1, t._2)))
+      .filter(t => t._1 != t._2).distinct.toSet
+    var sup = Map.empty[(Long, Long), Long]
+    for (_ <- 1 to rounds) {
+      val s = collection.mutable.Map[(Long, Long), Long]()
+      val vs = e.flatMap(t => Seq(t._1, t._2)).toSeq.sorted
+      for {
+        a <- vs; b <- vs if a < b && e((a, b))
+        c <- vs if b < c && e((b, c)) && e((a, c))
+      } Seq((a, b), (b, c), (a, c)).foreach(k =>
+        s(k) = s.getOrElse(k, 0L) + 1)
+      sup = s.toMap.filter(_._2 >= thr)
+      e = sup.keySet
+    }
+    sup
+  }
+
+  test("kTruss: matches brute fixed-round peel on random graphs") {
+    val rng = new scala.util.Random(47)
+    for (trial <- 1 to 5) {
+      val es = Seq.fill(8 + rng.nextInt(30))(
+        (rng.nextInt(12).toLong, rng.nextInt(12).toLong))
+        .filter(t => t._1 != t._2)
+      val got = Components.kTruss(es.toDF("src", "dst"), k = 3, rounds = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(got == bruteTruss(es, thr = 1, rounds = 3), s"trial=$trial es=$es")
+    }
+  }
+
+  test("kTruss: q356's schedule reaches its fixpoint on the test graph") {
+    val e = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .agg(countDistinct(col("a.ok")).as("w"))
+      .filter(col("w") >= 2).select("src", "dst")
+    val r4 = Components.kTruss(pairs, k = 3, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val r5 = Components.kTruss(pairs, k = 3, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(r4 == r5, "peel not converged within q356's round budget")
+  }
+
   test("mutualBestMatching: matches sequential reference, random graphs") {
     val rng = new scala.util.Random(31)
     for (trial <- 1 to 6) {
