@@ -3928,7 +3928,56 @@ object LlmQueries {
         CAST(deg_sum AS BIGINT) AS deg_sum,
         CAST(qn AS DOUBLE) / (4.0 * mm * mm) AS modularity
       FROM per, qn ORDER BY label"""
-    })
+    }),
+
+    // BPE decode round-trip — the tokenizer-fidelity release gate: ids
+    // from the q145 encoder are decoded back through the inverse vocab
+    // and compared against the space-stripped original; a doc round-
+    // trips iff it hit no unknown symbols. Both legs are projections
+    // (no shuffle); the oracle rebuilds decode from the same inline
+    // (tok, id) relation, so an id remap or vocab drift breaks the
+    // hash, not just a spec.
+    ("q366_bpe_roundtrip", (s: SparkSession, d: String) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          Bpe.docTokenIds(col("text")).as("ids"))
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_tokens"),
+          size(filter(col("ids"), i => i === -1)).cast("long")
+            .as("n_unknown"),
+          (Bpe.decodeIds(col("ids")) ===
+            regexp_replace(trim(col("text")), "\\s+", "")).as("roundtrip_ok"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH words AS (
+        SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+          generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1)
+            AS wpos
+        FROM documents),
+      folded AS (
+        SELECT doc_id, wpos, ${Bpe.duckFoldedSql("w")} AS f FROM words),
+      toks AS (
+        SELECT doc_id, wpos,
+          unnest(string_split(trim(f), ' ')) AS tok,
+          generate_subscripts(string_split(trim(f), ' '), 1) AS tpos
+        FROM folded),
+      v(tok, id) AS (VALUES ${Bpe.duckVocabValues}),
+      ids AS (
+        SELECT t.doc_id, t.wpos, t.tpos,
+          COALESCE(v.id, -1) AS id,
+          CASE WHEN v.id IS NULL THEN '�' ELSE t.tok END AS sym
+        FROM toks t LEFT JOIN v ON v.tok = t.tok),
+      dec AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+          COUNT(*) FILTER (WHERE id = -1) AS n_unknown,
+          string_agg(sym, '' ORDER BY wpos, tpos) AS decoded
+        FROM ids GROUP BY doc_id)
+      SELECT d.doc_id, n_tokens, n_unknown,
+        decoded = regexp_replace(trim(text), '\\s+', '', 'g')
+          AS roundtrip_ok
+      FROM dec d JOIN documents USING (doc_id)
+      ORDER BY d.doc_id"""))
   )
 
   /** DuckDB replay of [[Components.mutualBestMatching]] over the

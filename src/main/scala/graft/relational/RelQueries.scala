@@ -8047,7 +8047,106 @@ object RelQueries {
       agg AS (SELECT date_trunc('day', ts) AS w0, COUNT(*) AS n
         FROM surv GROUP BY 1)
       SELECT strftime(w0, '%Y-%m-%d') AS day, n FROM agg, fin
-      WHERE w0 + INTERVAL 1 DAY <= wmf ORDER BY day"""))
+      WHERE w0 + INTERVAL 1 DAY <= wmf ORDER BY day""")),
+
+    // SQL table function (Spark 4 CREATE FUNCTION … RETURNS TABLE) —
+    // the reusable parameterized-view surface: top-n order spenders per
+    // status as a SQL-defined UDTF invoked in the FROM clause. The
+    // oracle inlines the identical body, so the check proves function
+    // resolution + correlation, not new semantics.
+    ("q363_sql_table_function", (s: SparkSession, d: String) => {
+      t(s, d, "orders").createOrReplaceTempView("ord_q363")
+      s.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION q363_top_orders(
+            st STRING, n INT)
+        RETURNS TABLE(o_orderkey BIGINT, o_totalprice DOUBLE)
+        RETURN SELECT o_orderkey, o_totalprice FROM (
+          SELECT o_orderkey, o_totalprice, row_number() OVER (
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM ord_q363 WHERE o_orderstatus = st)
+        WHERE rn <= n""")
+      s.sql("""
+        SELECT 'F' AS st, * FROM q363_top_orders('F', 5)
+        UNION ALL
+        SELECT 'O', * FROM q363_top_orders('O', 5)
+        ORDER BY st, o_totalprice DESC, o_orderkey""")
+    }, Some("""
+      WITH f AS (SELECT 'F' AS st, o_orderkey, o_totalprice FROM orders
+        WHERE o_orderstatus = 'F'
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 5),
+      o AS (SELECT 'O' AS st, o_orderkey, o_totalprice FROM orders
+        WHERE o_orderstatus = 'O'
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 5)
+      SELECT * FROM (SELECT * FROM f UNION ALL SELECT * FROM o)
+      ORDER BY st, o_totalprice DESC, o_orderkey""")),
+
+    // Join-strategy hints — REBALANCE on the build side plus
+    // SHUFFLE_HASH forcing a hash join where the planner would default
+    // to sort-merge: the manual override lever for the cases AQE's
+    // statistics miss. Results are hint-invariant (the oracle is the
+    // plain join); the PLAN is the deliverable and is pinned in
+    // PlanQualitySpec (ShuffledHashJoin present, SortMergeJoin absent).
+    ("q364_join_hints", (s: SparkSession, d: String) => {
+      t(s, d, "lineitem").createOrReplaceTempView("li_q364")
+      t(s, d, "orders").createOrReplaceTempView("ord_q364")
+      s.sql("""
+        SELECT /*+ SHUFFLE_HASH(o) */
+          o.o_orderstatus,
+          CAST(SUM(CAST(l.l_quantity AS DECIMAL(10,2))) AS DOUBLE)
+            AS sum_qty,
+          COUNT(*) AS n
+        FROM (SELECT /*+ REBALANCE(l_orderkey) */ l_orderkey, l_quantity
+              FROM li_q364) l
+        JOIN ord_q364 o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""")
+    }, Some("""
+      SELECT o_orderstatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
+        COUNT(*) AS n
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // NEAREST as-of join — the third as-of semantics next to backward
+    // (q18/q65) and forward (q246): for every view, the user's closest
+    // purchase in EITHER direction, ties to the earlier one. Composed
+    // from the two keyed as-of passes (each a bounded merge per key —
+    // the 100 TB shape) with one integer-micros comparison; the oracle
+    // ranks the per-user candidate space directly by (|Δ|, direction),
+    // a genuinely different algorithm.
+    ("q365_asof_nearest", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts")
+      val both = AsOf.firstRightTs(
+          AsOf.lastRightTs(views, purchases, "user_id", "ts", "prev_ts"),
+          purchases, "user_id", "ts", "next_ts")
+      both
+        .withColumn("dp", unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+        .withColumn("dn", unix_micros(col("next_ts")) - unix_micros(col("ts")))
+        .withColumn("nearest_ts",
+          when(col("prev_ts").isNull, col("next_ts"))
+            .when(col("next_ts").isNull, col("prev_ts"))
+            .when(col("dp") <= col("dn"), col("prev_ts"))
+            .otherwise(col("next_ts")))
+        .filter(col("nearest_ts").isNotNull)
+        .select(col("event_id"),
+          date_format(col("nearest_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("nearest_purchase"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH v AS (SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'view'),
+      p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT v.event_id, p.ts AS pts,
+          row_number() OVER (PARTITION BY v.event_id
+            ORDER BY abs(epoch_us(p.ts) - epoch_us(v.ts)),
+              p.ts) AS rn
+        FROM v JOIN p ON v.user_id = p.user_id)
+      SELECT event_id,
+        strftime(pts, '%Y-%m-%d %H:%M:%S.%f') AS nearest_purchase
+      FROM c WHERE rn = 1 ORDER BY event_id"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session

@@ -655,6 +655,12 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("q364: SHUFFLE_HASH hint overrides the sort-merge default") {
+    val p = plan("q364_join_hints")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q349: corpus collapses at day grain before any bucket window") {
     val p = plan("q349_lttb_downsample")
     // partial+final day aggregation is the only corpus-sized stage;

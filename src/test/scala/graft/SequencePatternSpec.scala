@@ -181,6 +181,43 @@ class SequencePatternSpec extends SparkSpec {
     assert(q >= -0.5 && q <= 1.0)
   }
 
+  test("q365: nearest as-of matches a brute per-view argmin") {
+    val ev = Tables(spark, sfDir, "events")
+      .select("event_id", "user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).toInstant.getEpochSecond * 1000000L
+          + r.getTimestamp(2).toInstant.getNano / 1000L,
+        r.getString(3)))
+    val purchases = ev.filter(_._4 == "purchase")
+      .groupBy(_._2).view.mapValues(_.map(_._3).sorted).toMap
+    val expected = ev.filter(_._4 == "view").flatMap { case (id, u, ts, _) =>
+      purchases.get(u).map { ps =>
+        id -> ps.minBy(p => (math.abs(p - ts), p))
+      }
+    }.sortBy(_._1).toSeq
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    val got = rows("q365_asof_nearest").map(r =>
+      r.getLong(0) -> r.getString(1))
+    assert(got == expected.map { case (id, us) =>
+      id -> fmt.format(java.time.Instant.ofEpochSecond(us / 1000000L,
+        us % 1000000L * 1000L))
+    })
+  }
+
+  test("q366: roundtrip_ok is exactly the no-unknown-symbols predicate") {
+    val got = rows("q366_bpe_roundtrip").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (_, nTok, nUnk, ok) =>
+      assert(nUnk >= 0 && nUnk <= nTok)
+      assert(ok == (nUnk == 0),
+        "BPE merges are within-word concatenations: decode must be " +
+          "lossless exactly when every symbol is in-vocab")
+    }
+  }
+
   test("q349: parallel-LTTB picks match a sequential reference") {
     val daily = Tables(spark, sfDir, "events").select("ts").collect()
       .map(r => r.getTimestamp(0).toInstant
