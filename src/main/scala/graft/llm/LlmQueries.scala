@@ -2673,7 +2673,7 @@ object LlmQueries {
         .orderBy("bands")
     }, Some(XxHashOracle.lshSweepSql(n = 3, k = 16,
       configs = Seq((16, 1), (8, 2), (4, 4)), tau = 0.5)))
-  ) ++ graphEntries
+  ) ++ graphEntries ++ fuzzyHitsEntries
 
   /** q298's doubled-node offset: mirror node v' = v + 2^32. */
   private def BipOff = 4294967296L
@@ -4042,4 +4042,81 @@ object LlmQueries {
       SELECT u, v, CAST(support AS BIGINT) AS support FROM sup$rounds
       WHERE support >= 1 ORDER BY u, v"""
   }
+
+  // def, not val: referenced from `entries` during object init.
+  private def fuzzyHitsEntries: Seq[(String, Q, Option[String])] = Seq(
+    // Jaro-Winkler fuzzy pairs — the record-linkage scorer as a native
+    // codegen'd Catalyst expression (functions.JaroWinkler, pinned
+    // bit-identical to DuckDB's builtin), candidate-generated by the
+    // LOSSLESS SymSpell ≤2-deletion neighborhoods (NearDup
+    // .symDeletePairs), so the operator is "JW ≥ θ among edit-distance
+    // ≤2 pairs": blocking stays dictionary-sized at any corpus scale,
+    // and the oracle re-scores the same pair space with DuckDB's own
+    // independent JW implementation — doubles must match bit-for-bit.
+    ("q367_jaro_winkler_pairs", (s: SparkSession, d: String) => {
+      import graft.functions.JaroWinkler.jaroWinkler
+      NearDup.symDeletePairs(t(s, d, "supplier"), "s_name")
+        .withColumn("jw", jaroWinkler(col("name_a"), col("name_b")))
+        .filter(col("jw") >= 0.98)
+        .select("name_a", "name_b", "jw")
+        .orderBy("name_a", "name_b")
+    }, Some("""
+      WITH n AS (SELECT DISTINCT s_name AS name FROM supplier
+                 WHERE s_name IS NOT NULL)
+      SELECT a.name AS name_a, b.name AS name_b,
+        jaro_winkler_similarity(a.name, b.name) AS jw
+      FROM n a JOIN n b ON a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= 2
+        AND jaro_winkler_similarity(a.name, b.name) >= 0.98
+      ORDER BY 1, 2""")),
+
+    // Edit-distance-≤2 fuzzy join via SymSpell 2-deletion neighborhoods
+    // — one edit deeper than q169's distance-1 operator, with the same
+    // lossless-blocking guarantee (shared ≤2-deletion variant is implied
+    // by lev ≤ 2) and exact `levenshtein` verification. The oracle runs
+    // the quadratic form over the distinct-name dictionary; the Spark
+    // side never does — candidates exist only inside shared-variant
+    // buckets.
+    ("q368_edit2_fuzzy_join", (s: SparkSession, d: String) => {
+      NearDup.symDeletePairs(t(s, d, "customer"), "c_name")
+        .filter(col("dist") >= 1)
+        .orderBy("name_a", "name_b")
+    }, Some("""
+      WITH n AS (SELECT DISTINCT c_name AS name FROM customer
+                 WHERE c_name IS NOT NULL)
+      SELECT a.name AS name_a, b.name AS name_b,
+        CAST(levenshtein(a.name, b.name) AS INT) AS dist
+      FROM n a JOIN n b ON a.name < b.name
+      WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2
+      ORDER BY 1, 2""")),
+
+    // HITS hub/authority ranking over the supplier→customer purchase
+    // graph as EXACT integer path counts (Components.hitsExact): no
+    // per-round normalization, so the scores replay bit-exact through
+    // unrolled CTEs while the ranking equals normalized HITS. Two full
+    // rounds; every half-step is one edge-sized equi-join + keyed sum.
+    ("q369_hits_ranking", (s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = t(s, d, "orders").select("o_orderkey", "o_custkey")
+      val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"), col("o_custkey").as("dst"))
+      val (hub, auth) = Components.hitsExact(edges, rounds = 2)
+      hub.select(lit("hub").as("side"), col("id"), col("score"))
+        .unionByName(auth.select(lit("auth").as("side"), col("id"),
+          col("score")))
+        .orderBy("side", "id")
+    }, Some("""
+      WITH sc AS (SELECT DISTINCT l_suppkey AS src, o_custkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      a1 AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS s FROM sc GROUP BY 1),
+      h1 AS (SELECT src, CAST(SUM(a1.s) AS BIGINT) AS s
+             FROM sc JOIN a1 USING (dst) GROUP BY 1),
+      a2 AS (SELECT dst, CAST(SUM(h1.s) AS BIGINT) AS s
+             FROM sc JOIN h1 USING (src) GROUP BY 1),
+      h2 AS (SELECT src, CAST(SUM(a2.s) AS BIGINT) AS s
+             FROM sc JOIN a2 USING (dst) GROUP BY 1)
+      SELECT 'auth' AS side, dst AS id, s AS score FROM a2
+      UNION ALL SELECT 'hub', src, s FROM h2
+      ORDER BY side, id"""))
+  )
 }

@@ -450,4 +450,45 @@ object NearDup {
       .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
       .select("src", "dst")
   }
+
+  /** SymSpell-style edit-distance-≤2 pair join — [[editDistance1Pairs]]
+    * extended one deletion deeper: levenshtein(a,b) ≤ 2 implies a and b
+    * share a key in {full} ∪ {1-deletions} ∪ {2-deletions} (delete the
+    * edited positions on each side), so the ≤2-deletion neighborhoods
+    * are a LOSSLESS blocker and the exact `levenshtein` verify only
+    * discards, never misses. Returns (name_a, name_b, dist), a < b.
+    *
+    * Scale shape: 1 + |s| + C(|s|,2) keys per string (map-side, deduped
+    * per row — zero-padded id spaces collapse hard without it); the
+    * candidate join is quadratic only within a shared-variant bucket.
+    * Hot buckets (a short variant reachable from many strings, e.g. the
+    * all-zeros prefix of sequential ids) bound the work, so for open
+    * name spaces gate the join with an additional block column as in
+    * [[editDistance1Edges]]. */
+  def symDeletePairs(df: DataFrame, strCol: String): DataFrame = {
+    val names = df.select(col(strCol).as("name")).na.drop().distinct()
+    val keyed = names.select(col("name"),
+      explode(deletionKeys2(col("name"))).as("key"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.key") === col("b.key") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .dropDuplicates("name_a", "name_b")
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+  }
+
+  /** {full} ∪ {1-deletion} ∪ {2-deletion} variants, per-row deduplicated
+    * (see [[deletionKeys]]). The 2-deletion set deletes positions i < j;
+    * guarded for |s| < 2 because Spark's `sequence(a, b)` DESCENDS when
+    * b < a instead of returning empty. */
+  private def deletionKeys2(name: Column): Column = {
+    val del2 = flatten(transform(sequence(lit(1), length(name) - 1), i =>
+      transform(sequence(i + 1, length(name)), j =>
+        concat(name.substr(lit(1), i - 1),
+          name.substr(i + 1, j - i - 1),
+          name.substr(j + 1, length(name))))))
+    array_distinct(concat(
+      deletionKeys(name),
+      when(length(name) >= 2, del2).otherwise(array())))
+  }
 }

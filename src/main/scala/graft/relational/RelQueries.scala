@@ -8146,7 +8146,104 @@ object RelQueries {
         FROM v JOIN p ON v.user_id = p.user_id)
       SELECT event_id,
         strftime(pts, '%Y-%m-%d %H:%M:%S.%f') AS nearest_purchase
-      FROM c WHERE rn = 1 ORDER BY event_id"""))
+      FROM c WHERE rn = 1 ORDER BY event_id""")),
+
+    // t-closeness — the third leg of the privacy-audit family
+    // (k-anonymity q289, l-diversity q353): per quasi-identifier class
+    // (nation × segment), the Earth Mover's Distance between the class's
+    // distribution over an ORDERED sensitive attribute (acctbal in ten
+    // fixed-width bins) and the global distribution:
+    // t = Σ_{i<k-1} |cum_i(p − q)| / (k−1). All cumulative sums run as
+    // exact cross-multiplied integers (cnt_b·N − g_b·N_c — no per-class
+    // float probabilities), one double division at the end. The global
+    // histogram rides in on a 10-row broadcast; nothing class-quadratic.
+    ("q370_t_closeness", (s: SparkSession, d: String) => {
+      val cust = t(s, d, "customer").select(
+        col("c_nationkey"), col("c_mktsegment"),
+        expr("(CAST(CAST(c_acctbal AS DECIMAL(10,2)) * 100 AS BIGINT)" +
+          " + 100000) div 110000").as("b"))
+      val g = cust.groupBy("b").agg(count(lit(1)).as("gb"))
+        .withColumn("n_total", sum("gb").over(Window.partitionBy()))
+      val cb = cust.groupBy("c_nationkey", "c_mktsegment", "b")
+        .agg(count(lit(1)).as("cnt"))
+      val spine = cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n_class"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n_class"),
+          explode(sequence(lit(0L), lit(9L))).as("b"))
+      spine
+        .join(cb, Seq("c_nationkey", "c_mktsegment", "b"), "left")
+        .join(broadcast(g), Seq("b"))
+        .withColumn("diff", coalesce(col("cnt"), lit(0L)) * col("n_total")
+          - col("gb") * col("n_class"))
+        .withColumn("cum", sum("diff").over(
+          Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("b")))
+        .filter(col("b") < 9)
+        .groupBy("c_nationkey", "c_mktsegment", "n_class", "n_total")
+        .agg(sum(abs(col("cum"))).as("s"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n_class"),
+          (col("s").cast("double") /
+            (col("n_class") * col("n_total") * 9).cast("double"))
+            .as("t_closeness"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    }, Some("""
+      WITH c AS (SELECT c_nationkey, c_mktsegment,
+          (CAST(CAST(c_acctbal AS DECIMAL(10,2)) * 100 AS BIGINT)
+           + 100000) // 110000 AS b
+        FROM customer),
+      g AS (SELECT b, COUNT(*) AS gb FROM c GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS n_total FROM c),
+      cls AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_class
+              FROM c GROUP BY 1, 2),
+      cb AS (SELECT c_nationkey, c_mktsegment, b, COUNT(*) AS cnt
+             FROM c GROUP BY 1, 2, 3),
+      spine AS (SELECT cls.c_nationkey, cls.c_mktsegment, cls.n_class,
+          gs.b
+        FROM cls CROSS JOIN (SELECT unnest(range(10)) AS b) gs),
+      j AS (SELECT s.c_nationkey, s.c_mktsegment, s.n_class, s.b,
+          tot.n_total,
+          COALESCE(cb.cnt, 0) * tot.n_total - g.gb * s.n_class AS diff
+        FROM spine s JOIN g USING (b) CROSS JOIN tot
+        LEFT JOIN cb ON cb.c_nationkey = s.c_nationkey
+          AND cb.c_mktsegment = s.c_mktsegment AND cb.b = s.b),
+      cum AS (SELECT c_nationkey, c_mktsegment, n_class, n_total, b,
+          SUM(diff) OVER (PARTITION BY c_nationkey, c_mktsegment
+            ORDER BY b) AS d
+        FROM j)
+      SELECT c_nationkey, c_mktsegment, n_class,
+        CAST(CAST(SUM(ABS(d)) AS BIGINT) AS DOUBLE)
+          / CAST(n_class * n_total * 9 AS DOUBLE) AS t_closeness
+      FROM cum WHERE b < 9
+      GROUP BY c_nationkey, c_mktsegment, n_class, n_total
+      ORDER BY c_nationkey, c_mktsegment""")),
+
+    // Exact p50/p90/p99 of l_extendedprice (as cents) WITHOUT a global
+    // sort — ops.Select's two-pass histogram selection: a 2^12-grain
+    // bucket histogram (metadata-sized, the only driver state) locates
+    // each rank's bucket + residual; one filtered scan resolves the
+    // exact value inside the hit buckets. The full-sort alternative
+    // (orderBy.limit / rank windows) range-shuffles the entire column;
+    // this shuffles only hit-bucket value counts. The oracle takes the
+    // opposite algorithm: a global ROW_NUMBER over the sorted column.
+    ("q371_exact_percentile_select", (s: SparkSession, d: String) => {
+      val cents = t(s, d, "lineitem").select(
+        (Exact.dec(col("l_extendedprice"), 10) * 100).cast("long")
+          .as("cents"))
+      val n = cents.count() // one scalar — metadata, not a data path
+      val ks = Seq(("p50", 50L), ("p90", 90L), ("p99", 99L))
+        .map { case (l, p) => (l, (n * p + 99L) / 100L) }
+      graft.ops.Select.kthSmallest(s, cents, "cents", shift = 12, ks)
+        .withColumnRenamed("value", "value_cents")
+    }, Some("""
+      WITH t AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(10,2)) * 100
+          AS BIGINT) AS c FROM lineitem),
+      r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM t),
+      n AS (SELECT COUNT(*) AS cnt FROM t),
+      ks AS (SELECT label, (cnt * p + 99) // 100 AS k
+        FROM (VALUES ('p50', 50), ('p90', 90), ('p99', 99)) q(label, p)
+        CROSS JOIN n)
+      SELECT ks.label, ks.k, r.c AS value_cents
+      FROM ks JOIN r ON r.rn = ks.k
+      ORDER BY ks.k"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
