@@ -696,4 +696,107 @@ object Components {
     }
     (hub, auth)
   }
+
+  /** Strongly connected components of a directed edge list via the
+    * COLORING algorithm (Orzan; the standard distributed SCC — FW-BW
+    * without the pivot recursion):
+    *
+    * repeat until no vertices remain:
+    *   1. COLOR: c(v) = max id over ancestors(v) ∪ {v}, computed by
+    *      max-label propagation ACCELERATED with pointer jumping
+    *      (c(v) ← max(c(v), c over in-edges, c(c(v))) — the jump makes
+    *      chain graphs converge in O(log depth) rounds instead of
+    *      O(depth)).
+    *   2. Every color class has exactly one root r with c(r) = r (r's
+    *      ancestors are a subset of its class members' ancestors), and
+    *      SCC(r) = the vertices that reach r WITHIN the class — a
+    *      backward mark propagation restricted to same-color edges,
+    *      O(SCC diameter) rounds.
+    *   3. Remove the found SCCs and their edges; every round removes at
+    *      least all root SCCs, so the outer loop is bounded by the
+    *      condensation depth.
+    *
+    * Shuffle discipline matches [[connectedComponentsStars]]: every
+    * round moves two-longs-per-edge relations, per-round localCheckpoint
+    * truncates lineage, the driver sees only count/sum convergence
+    * checksums (metadata scalars, never vertex data). Returns
+    * (scc_id = min member id, id, scc_size). */
+  def stronglyConnectedComponents(edges: DataFrame, maxOuter: Int = 25,
+      maxInner: Int = 60): DataFrame = {
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var remaining = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    var assigned: DataFrame = null
+    def sumC(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("c").cast("decimal(38,0)"))).collect()(0)
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var outer = 0
+    while (!remaining.isEmpty && outer < maxOuter) {
+      outer += 1
+      // Phase 1: max-ancestor coloring with relax + pointer-jump.
+      var ptr = remaining.select(col("id"), col("id").as("c"))
+        .localCheckpoint(true)
+      var digest = sumC(ptr)
+      var converged = false
+      var inner = 0
+      while (!converged && inner < maxInner) {
+        inner += 1
+        val fromEdges = e
+          .join(ptr.select(col("id").as("src"), col("c").as("cand")),
+            Seq("src"))
+          .select(col("dst").as("id"), col("cand"))
+        val fromJump = ptr.as("p")
+          .join(ptr.select(col("id").as("c0"), col("c").as("cand")).as("j"),
+            col("p.c") === col("j.c0"))
+          .select(col("p.id").as("id"), col("cand"))
+        val next = ptr.select(col("id"), col("c").as("cand"))
+          .union(fromEdges).union(fromJump)
+          .groupBy("id").agg(max("cand").as("c"))
+          .localCheckpoint(true)
+        val nd = sumC(next) // monotone non-decreasing: equal sum = fixpoint
+        converged = nd.compareTo(digest) == 0
+        digest = nd
+        ptr.unpersist()
+        ptr = next
+      }
+      require(converged, s"SCC coloring did not converge in $maxInner rounds")
+      // Phase 2: backward mark from each root within its color class.
+      var mark = ptr.filter(col("id") === col("c")).localCheckpoint(true)
+      var n = mark.count()
+      converged = false
+      inner = 0
+      while (!converged && inner < maxInner) {
+        inner += 1
+        val grow = e
+          .join(mark.select(col("id").as("dst"), col("c").as("mc")),
+            Seq("dst"))
+          .select(col("src").as("id"), col("mc"))
+          .join(ptr, Seq("id"))
+          .filter(col("c") === col("mc"))
+          .select(col("id"), col("c"))
+        val next = mark.union(grow).distinct().localCheckpoint(true)
+        val nn = next.count() // monotone: stable count = fixpoint
+        converged = nn == n
+        n = nn
+        mark.unpersist()
+        mark = next
+      }
+      require(converged, s"SCC mark phase did not converge in $maxInner rounds")
+      val found = mark
+      assigned = if (assigned == null) found else assigned.union(found)
+      assigned = assigned.localCheckpoint(true)
+      remaining = remaining.join(found.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      e = e.join(found.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(found.select(col("id").as("dst")), Seq("dst"), "left_anti")
+        .select("src", "dst").localCheckpoint(true)
+    }
+    require(remaining.isEmpty, s"SCC did not finish in $maxOuter rounds")
+    assigned.groupBy(col("c"))
+      .agg(min("id").as("scc_id"), count(lit(1)).as("scc_size"))
+      .join(assigned, Seq("c"))
+      .select(col("scc_id"), col("id"), col("scc_size"))
+  }
 }

@@ -2673,7 +2673,7 @@ object LlmQueries {
         .orderBy("bands")
     }, Some(XxHashOracle.lshSweepSql(n = 3, k = 16,
       configs = Seq((16, 1), (8, 2), (4, 4)), tau = 0.5)))
-  ) ++ graphEntries ++ fuzzyHitsEntries
+  ) ++ graphEntries ++ round6dEntries
 
   /** q298's doubled-node offset: mirror node v' = v + 2^32. */
   private def BipOff = 4294967296L
@@ -4044,7 +4044,7 @@ object LlmQueries {
   }
 
   // def, not val: referenced from `entries` during object init.
-  private def fuzzyHitsEntries: Seq[(String, Q, Option[String])] = Seq(
+  private def round6dEntries: Seq[(String, Q, Option[String])] = Seq(
     // Jaro-Winkler fuzzy pairs — the record-linkage scorer as a native
     // codegen'd Catalyst expression (functions.JaroWinkler, pinned
     // bit-identical to DuckDB's builtin), candidate-generated by the
@@ -4117,6 +4117,53 @@ object LlmQueries {
              FROM sc JOIN a2 USING (dst) GROUP BY 1)
       SELECT 'auth' AS side, dst AS id, s AS score FROM a2
       UNION ALL SELECT 'hub', src, s FROM h2
-      ORDER BY side, id"""))
+      ORDER BY side, id""")),
+
+    // Strongly connected components — the directed complement of the
+    // Kiveris CC family (q76/q88/q316), via Orzan's coloring algorithm
+    // with pointer-jump-accelerated max-label propagation (see
+    // Components.stronglyConnectedComponents). Demo graph: each part's
+    // TOP-2 most-frequent successors in order line sequence — bounded
+    // out-degree 2, natural giant-SCC + tail structure. The oracle is a
+    // genuinely different algorithm: full recursive transitive closure,
+    // SCC = mutual-reachability classes.
+    ("q372_scc_coloring", (s: SparkSession, d: String) => {
+      // (l_orderkey, l_linenumber) is NOT unique in this data — the
+      // sequence order must include l_partkey or lead() is
+      // nondeterministic and the edge set changes run to run.
+      val tr = t(s, d, "lineitem")
+        .withColumn("nxt", lead(col("l_partkey"), 1).over(
+          Window.partitionBy("l_orderkey")
+            .orderBy("l_linenumber", "l_partkey")))
+        .filter(col("nxt").isNotNull && col("nxt") =!= col("l_partkey"))
+      val cnt = tr.groupBy(col("l_partkey").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("c"))
+      val top2 = cnt.withColumn("rn", row_number().over(
+          Window.partitionBy("src").orderBy(col("c").desc, col("dst"))))
+        .filter(col("rn") <= 2).select("src", "dst")
+      Components.stronglyConnectedComponents(top2)
+        .orderBy("scc_id", "id")
+    }, Some("""
+      WITH RECURSIVE tr AS (
+        SELECT l_partkey,
+          lead(l_partkey) OVER (PARTITION BY l_orderkey
+            ORDER BY l_linenumber, l_partkey) AS nxt
+        FROM lineitem),
+      cnt AS (SELECT l_partkey AS src, nxt AS dst, COUNT(*) AS c FROM tr
+        WHERE nxt IS NOT NULL AND nxt <> l_partkey GROUP BY 1, 2),
+      rk AS (SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+          ORDER BY c DESC, dst) AS rn FROM cnt),
+      e AS (SELECT src, dst FROM rk WHERE rn <= 2),
+      v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      reach(a, b) AS (SELECT src, dst FROM e
+        UNION SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+      mutual AS (SELECT r1.a AS v, r1.b AS w FROM reach r1
+        JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+      scc AS (SELECT v.id,
+          LEAST(v.id, COALESCE(MIN(m.w), v.id)) AS scc_id
+        FROM v LEFT JOIN mutual m ON m.v = v.id GROUP BY v.id)
+      SELECT scc_id, id,
+        CAST(COUNT(*) OVER (PARTITION BY scc_id) AS BIGINT) AS scc_size
+      FROM scc ORDER BY scc_id, id"""))
   )
 }
