@@ -4164,6 +4164,69 @@ object LlmQueries {
         FROM v LEFT JOIN mutual m ON m.v = v.id GROUP BY v.id)
       SELECT scc_id, id,
         CAST(COUNT(*) OVER (PARTITION BY scc_id) AS BIGINT) AS scc_size
-      FROM scc ORDER BY scc_id, id"""))
+      FROM scc ORDER BY scc_id, id""")),
+
+    // RAKE keyword extraction (Rose et al.) in exact integer basis
+    // points: candidate phrases = maximal stopword-free token runs
+    // (gaps-and-islands on the cumulative stopword count), word score =
+    // deg(w)·10⁴ div freq(w) where deg sums the lengths of phrases
+    // containing w, phrase score = Σ member word scores. Everything is
+    // one tokenize pass + keyed aggregations — no floats, no driver
+    // loops; the top-20 cut is a fully deterministic (score desc,
+    // phrase) order. Distinct from TF-IDF (q80) / BM25 (q149): RAKE is
+    // corpus-statistics-free degree/frequency scoring.
+    ("q373_rake_keywords", (s: SparkSession, d: String) => {
+      val toks = t(s, d, "documents").select(col("doc_id"),
+        posexplode(TextOps.tokensLower(col("text"))).as(Seq("pos", "term")))
+      val flagged = toks.withColumn("stop",
+        col("term").isin("a", "the"))
+      val grouped = flagged.withColumn("grp",
+        sum(col("stop").cast("long")).over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(!col("stop"))
+      val words = grouped.groupBy("doc_id", "grp").agg(
+          count(lit(1)).as("len"))
+        .join(grouped, Seq("doc_id", "grp"))
+        .groupBy("term").agg(count(lit(1)).as("freq"),
+          sum("len").as("deg"))
+        .withColumn("score_bp", expr("deg * 10000 div freq"))
+      val scored = grouped
+        .join(broadcast(words.select("term", "score_bp")), Seq("term"))
+        .groupBy("doc_id", "grp").agg(
+          array_join(transform(array_sort(collect_list(
+            struct(col("pos"), col("term")))), x => x("term")), " ")
+            .as("phrase"),
+          sum("score_bp").as("score"))
+      scored.groupBy("phrase").agg(count(lit(1)).as("n_occurrences"),
+          max("score").as("score"))
+        .orderBy(col("score").desc, col("phrase")).limit(20)
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term,
+          generate_subscripts(
+            regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+        FROM documents),
+      flagged AS (SELECT doc_id, term, pos, term IN ('a', 'the') AS stop
+        FROM toks),
+      grouped AS (SELECT doc_id, term, pos,
+          SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM flagged QUALIFY NOT stop),
+      plen AS (SELECT doc_id, grp, COUNT(*) AS len,
+          string_agg(term, ' ' ORDER BY pos) AS phrase
+        FROM grouped GROUP BY 1, 2),
+      words AS (SELECT g.term, COUNT(*) AS freq,
+          CAST(SUM(p.len) AS BIGINT) AS deg
+        FROM grouped g JOIN plen p USING (doc_id, grp) GROUP BY 1),
+      scored AS (SELECT p.doc_id, p.grp, p.phrase,
+          CAST(SUM(w.deg * 10000 // w.freq) AS BIGINT) AS score
+        FROM grouped g JOIN plen p USING (doc_id, grp)
+        JOIN words w ON w.term = g.term
+        GROUP BY 1, 2, 3)
+      SELECT phrase, COUNT(*) AS n_occurrences,
+        CAST(MAX(score) AS BIGINT) AS score
+      FROM scored GROUP BY phrase
+      ORDER BY score DESC, phrase LIMIT 20"""))
   )
 }

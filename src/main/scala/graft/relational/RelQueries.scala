@@ -8243,7 +8243,156 @@ object RelQueries {
         CROSS JOIN n)
       SELECT ks.label, ks.k, r.c AS value_cents
       FROM ks JOIN r ON r.rn = ks.k
-      ORDER BY ks.k"""))
+      ORDER BY ks.k""")),
+
+    // Kaplan-Meier survival curve — time from a user's first event to
+    // first purchase, right-censored at the corpus horizon — with the
+    // product-limit estimator in SCALED-INTEGER arithmetic: survival
+    // starts at 10⁹ and steps s ← s·(n−d) div n at each event time, so
+    // the whole curve replays exactly in a DuckDB recursive CTE (no
+    // float products, no cross-engine rounding). The heavy part (per-
+    // user durations, per-duration death/risk counts) is distributed;
+    // the fold runs over the DAY-GRAIN curve — a metadata-sized array
+    // in one `aggregate` HOF, the same two-level shape as q170's
+    // bucket offsets. q297's risk sets are the instantaneous view;
+    // this is the cumulative estimator built on them.
+    ("q374_kaplan_meier", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("dy"),
+          col("event_type"))
+      val per = ev.groupBy("user_id").agg(min(col("dy")).as("d0"),
+        min(when(col("event_type") === "purchase", col("dy"))).as("dp"))
+      val gm = ev.agg(max(col("dy")).as("dmax"))
+      val users = per.crossJoin(broadcast(gm))
+        .select(
+          when(col("dp").isNotNull, lit(1L)).otherwise(lit(0L))
+            .as("event"),
+          when(col("dp").isNotNull, datediff(col("dp"), col("d0")))
+            .otherwise(datediff(col("dmax"), col("d0"))).as("dur"))
+      val obs = users.groupBy("dur").agg(sum("event").as("d"),
+        count(lit(1)).as("c"))
+      val rows = obs.withColumn("n", sum("c").over(
+          Window.orderBy(col("dur").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("d") > 0)
+      rows.agg(array_sort(collect_list(
+          struct(col("dur"), col("d"), col("n")))).as("a"))
+        .select(expr("""
+          aggregate(a,
+            named_struct('s', CAST(1000000000 AS BIGINT),
+              'out', CAST(array() AS
+                ARRAY<STRUCT<dur: INT, d: BIGINT, n: BIGINT, surv: BIGINT>>)),
+            (acc, x) -> named_struct(
+              's', (acc.s * (x.n - x.d)) div x.n,
+              'out', array_append(acc.out, named_struct('dur', x.dur,
+                'd', x.d, 'n', x.n,
+                'surv', (acc.s * (x.n - x.d)) div x.n))),
+            acc -> acc.out) AS out"""))
+        .select(explode(col("out")).as("r"))
+        .select(col("r.dur").as("dur_days"), col("r.n").as("n_risk"),
+          col("r.d").as("n_events"), col("r.surv").as("surv_scaled"))
+        .orderBy("dur_days")
+    }, Some("""
+      WITH RECURSIVE ev AS (SELECT user_id, CAST(ts AS DATE) AS dy,
+          event_type FROM events),
+      per AS (SELECT user_id, MIN(dy) AS d0,
+          MIN(CASE WHEN event_type = 'purchase' THEN dy END) AS dp
+        FROM ev GROUP BY 1),
+      gm AS (SELECT MAX(dy) AS dmax FROM ev),
+      u AS (SELECT CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS event,
+          CAST(CASE WHEN dp IS NOT NULL THEN date_diff('day', d0, dp)
+            ELSE date_diff('day', d0, dmax) END AS INT) AS dur
+        FROM per CROSS JOIN gm),
+      obs AS (SELECT dur, CAST(SUM(event) AS BIGINT) AS d,
+          COUNT(*) AS c FROM u GROUP BY 1),
+      wn AS (SELECT dur, d,
+          CAST(SUM(c) OVER (ORDER BY dur DESC) AS BIGINT) AS n FROM obs),
+      rows_ AS (SELECT dur, d, n,
+          ROW_NUMBER() OVER (ORDER BY dur) AS rn FROM wn WHERE d > 0),
+      km(rn, sv) AS (SELECT 0, CAST(1000000000 AS BIGINT)
+        UNION ALL SELECT CAST(r.rn AS INT),
+          CAST((km.sv * (r.n - r.d)) // r.n AS BIGINT)
+        FROM km JOIN rows_ r ON r.rn = km.rn + 1)
+      SELECT r.dur AS dur_days, r.n AS n_risk, r.d AS n_events,
+        km.sv AS surv_scaled
+      FROM rows_ r JOIN km ON km.rn = r.rn ORDER BY dur_days""")),
+
+    // Holt double exponential smoothing (level + linear trend,
+    // α = β = 1/4) over the daily order-count series, in scaled-integer
+    // arithmetic: state is held ×10⁶ and every update divides by 4 via
+    // FLOOR(x/4) — division by a power of two on magnitudes < 2⁵³ is
+    // EXACT in IEEE doubles, so Spark's floor(x/4) and DuckDB's
+    // FLOOR(x/4) agree bit-for-bit including negative trends (where
+    // integer `div` would truncate differently across engines). The
+    // distributed part is the day-grain aggregation; the fold is one
+    // `aggregate` HOF over the metadata-sized series, replayed as a
+    // DuckDB recursive CTE. Output: per day, observed count, smoothed
+    // level, trend, and the one-step-ahead forecast the PREVIOUS state
+    // made for this day (the backtest residual source).
+    ("q375_holt_smoothing", (s: SparkSession, d: String) => {
+      val daily = t(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      daily.agg(array_sort(collect_list(struct(col("day"), col("y"))))
+          .as("a"))
+        .select(expr("""
+          aggregate(a,
+            named_struct('i', CAST(0 AS INT), 'l', CAST(0 AS BIGINT),
+              'b', CAST(0 AS BIGINT),
+              'out', CAST(array() AS ARRAY<STRUCT<day: DATE, y: BIGINT,
+                level_s: BIGINT, trend_s: BIGINT, forecast_s: BIGINT>>)),
+            (acc, x) -> CASE
+              WHEN acc.i = 0 THEN named_struct(
+                'i', 1, 'l', x.y * 1000000, 'b', CAST(0 AS BIGINT),
+                'out', array_append(acc.out, named_struct('day', x.day,
+                  'y', x.y, 'level_s', x.y * 1000000,
+                  'trend_s', CAST(0 AS BIGINT),
+                  'forecast_s', CAST(NULL AS BIGINT))))
+              ELSE named_struct(
+                'i', acc.i + 1,
+                'l', CAST(FLOOR((x.y * 1000000 + 3 * (acc.l + acc.b)) / 4)
+                  AS BIGINT),
+                'b', CAST(FLOOR((CAST(FLOOR((x.y * 1000000
+                    + 3 * (acc.l + acc.b)) / 4) AS BIGINT) - acc.l
+                    + 3 * acc.b) / 4) AS BIGINT),
+                'out', array_append(acc.out, named_struct('day', x.day,
+                  'y', x.y,
+                  'level_s', CAST(FLOOR((x.y * 1000000
+                    + 3 * (acc.l + acc.b)) / 4) AS BIGINT),
+                  'trend_s', CAST(FLOOR((CAST(FLOOR((x.y * 1000000
+                    + 3 * (acc.l + acc.b)) / 4) AS BIGINT) - acc.l
+                    + 3 * acc.b) / 4) AS BIGINT),
+                  'forecast_s', acc.l + acc.b)))
+              END,
+            acc -> acc.out) AS out"""))
+        .select(explode(col("out")).as("r"))
+        .select(date_format(col("r.day"), "yyyy-MM-dd").as("day"),
+          col("r.y").as("y"), col("r.level_s").as("level_s"),
+          col("r.trend_s").as("trend_s"),
+          col("r.forecast_s").as("forecast_s"))
+        .orderBy("day")
+    }, Some("""
+      WITH RECURSIVE daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS y
+        FROM orders GROUP BY 1),
+      seq AS (SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS rn
+        FROM daily),
+      holt(rn, l, b) AS (
+        SELECT 1, (SELECT y * 1000000 FROM seq WHERE rn = 1),
+          CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT CAST(s.rn AS INT),
+          CAST(FLOOR((s.y * 1000000 + 3 * (h.l + h.b)) / 4) AS BIGINT),
+          CAST(FLOOR((CAST(FLOOR((s.y * 1000000 + 3 * (h.l + h.b)) / 4)
+            AS BIGINT) - h.l + 3 * h.b) / 4) AS BIGINT)
+        FROM holt h JOIN seq s ON s.rn = h.rn + 1)
+      SELECT strftime(s.day, '%Y-%m-%d') AS day, s.y AS y,
+        h.l AS level_s, h.b AS trend_s,
+        CASE WHEN s.rn = 1 THEN NULL
+          ELSE hp.l + hp.b END AS forecast_s
+      FROM seq s JOIN holt h ON h.rn = s.rn
+      LEFT JOIN holt hp ON hp.rn = s.rn - 1
+      ORDER BY day"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
