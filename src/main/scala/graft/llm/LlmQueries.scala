@@ -4227,6 +4227,62 @@ object LlmQueries {
       SELECT phrase, COUNT(*) AS n_occurrences,
         CAST(MAX(score) AS BIGINT) AS score
       FROM scored GROUP BY phrase
-      ORDER BY score DESC, phrase LIMIT 20"""))
+      ORDER BY score DESC, phrase LIMIT 20""")),
+
+    // Top principal component of the embedding corpus by exact-integer
+    // power iteration (Similarity.pcaTopComponent): quantized moments →
+    // un-normalized integer covariance from ONE map-side-exploded scan,
+    // three matrix-vector rounds on the d²-row (metadata-sized) matrix
+    // with integer rescaling, canonical sign. The oracle replays every
+    // round in HUGEINT (different pair generation: per-id self-join vs
+    // Spark's map-side triangle explode). Complements q352 (JL) / q321
+    // (Matryoshka): those EVALUATE projections, this LEARNS one.
+    ("q376_pca_power", (s: SparkSession, d: String) => {
+      Similarity.pcaTopComponent(t(s, d, "embeddings"), "embedding")
+    }, Some(pcaSql(rounds = 3)))
   )
+
+  /** DuckDB replay of [[Similarity.pcaTopComponent]] — HUGEINT
+    * arithmetic, floor-div `//` wrapped in a sign CASE to match Spark's
+    * truncating remainder identity, rounds unrolled as CTE chain. */
+  private def pcaSql(rounds: Int): String = {
+    val scale = "(mx // 1000000000 + 1)"
+    val steps = (1 to rounds).map { r =>
+      s"""w$r AS MATERIALIZED (SELECT m.i AS j, SUM(m.c * v.x) AS w
+        FROM mfull m JOIN v${r - 1} v ON m.j = v.j GROUP BY 1),
+      mx$r AS (SELECT MAX(ABS(w)) AS mx FROM w$r),
+      v$r AS MATERIALIZED (SELECT j,
+          CASE WHEN w >= 0 THEN w // $scale
+               ELSE -((-w) // $scale) END AS x
+        FROM w$r CROSS JOIN mx$r)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH qt AS MATERIALIZED (SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS HUGEINT)) AS q
+        FROM embeddings),
+      el AS MATERIALIZED (SELECT vec_id,
+          generate_subscripts(q, 1) - 1 AS i, unnest(q) AS x FROM qt),
+      nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM qt),
+      sv AS MATERIALIZED (SELECT i, SUM(x) AS s FROM el GROUP BY 1),
+      pr AS MATERIALIZED (SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS pS
+        FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2),
+      cu AS MATERIALIZED (SELECT pr.i, pr.j,
+          nn.n * pr.pS - sa.s * sb.s AS c
+        FROM pr CROSS JOIN nn
+        JOIN sv sa ON pr.i = sa.i JOIN sv sb ON pr.j = sb.i),
+      mfull AS MATERIALIZED (SELECT i, j, c FROM cu
+        UNION ALL SELECT j, i, c FROM cu WHERE i <> j),
+      v0 AS (SELECT DISTINCT j, CAST(1000000000 AS HUGEINT) AS x
+        FROM mfull),
+      $steps,
+      m2 AS (SELECT MAX(ABS(x)) AS m2 FROM v$rounds),
+      sg AS (SELECT CASE WHEN (SELECT x FROM v$rounds CROSS JOIN m2
+          WHERE ABS(x) = m2 ORDER BY j LIMIT 1) < 0
+          THEN -1 ELSE 1 END AS sgn)
+      SELECT CAST(j AS INT) AS dim_idx,
+        CAST(x * sgn AS BIGINT) AS loading_scaled
+      FROM v$rounds CROSS JOIN sg ORDER BY dim_idx"""
+  }
 }

@@ -599,4 +599,80 @@ object Similarity {
       .map { case (id, i) => (i + 1L, id) }
       .toDF("rank", "vec_id")
   }
+
+  /** Top principal component of an embedding column by POWER ITERATION in
+    * exact integer arithmetic — deterministic and SQL-replayable where a
+    * float implementation would be partition-order-dependent:
+    *
+    *  - components quantize to FLOOR(x·10⁶) (exact in doubles, identical
+    *    across engines);
+    *  - the UN-NORMALIZED covariance C = n·Σxxᵀ − (Σx)(Σx)ᵀ (same
+    *    eigenvectors; all integer) comes from ONE corpus scan — each row
+    *    map-side explodes its d(d+1)/2 upper-triangle products and
+    *    partial aggregation collapses them before the shuffle, so the
+    *    exchange carries ≤ d² rows per partition, never the corpus;
+    *  - `rounds` multiplications run on the d²-row matrix relation
+    *    (metadata-sized), each followed by an exact integer rescale of
+    *    the iterate to ≤ 10⁹ (truncating division via the remainder
+    *    identity — decimal `div` silently overflows through its BIGINT
+    *    result type) so DECIMAL(38,0) never overflows;
+    *  - the sign is canonicalized (largest-|loading| dimension, lowest
+    *    index on ties, made positive).
+    *
+    * At extreme n (≥ ~10¹²) the C entries approach 10³⁸: drop SCALE a
+    * decade or divide C by n before iterating. Returns
+    * (dim_idx, loading_scaled) with |loading| ≤ 10⁹. */
+  def pcaTopComponent(df: DataFrame, vecCol: String,
+      rounds: Int = 3): DataFrame = {
+    val q = df.select(transform(col(vecCol),
+        x => floor(x.cast("double") * lit(1000000d)).cast("long")).as("q"))
+      .localCheckpoint(true) // scanned twice (sums + products)
+    val nRow = q.agg(count(lit(1)).cast("decimal(38,0)").as("n"))
+    val sums = q.select(posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy("i").agg(sum("x").cast("decimal(38,0)").as("s"))
+    val prods = q.select(explode(expr(
+        """flatten(transform(sequence(0, size(q) - 1),
+             i -> transform(sequence(i, size(q) - 1),
+               j -> named_struct('i', i, 'j', j, 'xy', q[i] * q[j]))))"""))
+        .as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.xy").as("xy"))
+      .groupBy("i", "j").agg(sum("xy").cast("decimal(38,0)").as("pS"))
+    val upper = prods.crossJoin(broadcast(nRow))
+      .join(broadcast(sums.select(col("i"), col("s").as("si"))), Seq("i"))
+      .join(broadcast(sums.select(col("i").as("j"), col("s").as("sj"))),
+        Seq("j"))
+      .select(col("i"), col("j"),
+        (col("n") * col("pS") - col("si") * col("sj")).as("c"))
+    val m = upper.unionByName(upper.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("c")))
+      .localCheckpoint(true) // d² rows, reused every round
+    var v = m.select(col("j")).distinct()
+      .select(col("j"), lit(1000000000L).cast("decimal(38,0)").as("x"))
+    for (_ <- 1 to rounds) {
+      val w = m.join(v, Seq("j"))
+        .groupBy(col("i")).agg(sum(col("c") * col("x")).as("w"))
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      v = w.crossJoin(broadcast(mx))
+        .select(col("i").as("j"), expr(
+          """CAST(CASE WHEN w >= 0
+               THEN (w - w % (CAST((mx - mx % 1000000000) / 1000000000
+                 AS DECIMAL(38,0)) + 1))
+                 / (CAST((mx - mx % 1000000000) / 1000000000
+                 AS DECIMAL(38,0)) + 1)
+               ELSE -(((-w) - (-w) % (CAST((mx - mx % 1000000000)
+                 / 1000000000 AS DECIMAL(38,0)) + 1))
+                 / (CAST((mx - mx % 1000000000) / 1000000000
+                 AS DECIMAL(38,0)) + 1))
+             END AS DECIMAL(38,0)) AS x"""))
+        .localCheckpoint(true)
+    }
+    val m2 = v.agg(max(abs(col("x"))).as("m2"))
+    val sgn = v.crossJoin(broadcast(m2)).filter(abs(col("x")) === col("m2"))
+      .orderBy(col("j")).limit(1)
+      .select(when(col("x") < 0, lit(-1L)).otherwise(lit(1L)).as("sgn"))
+    v.crossJoin(broadcast(sgn))
+      .select(col("j").cast("int").as("dim_idx"),
+        (col("x") * col("sgn")).cast("long").as("loading_scaled"))
+      .orderBy("dim_idx")
+  }
 }
