@@ -8392,7 +8392,130 @@ object RelQueries {
           ELSE hp.l + hp.b END AS forecast_s
       FROM seq s JOIN holt h ON h.rn = s.rn
       LEFT JOIN holt hp ON hp.rn = s.rn - 1
-      ORDER BY day"""))
+      ORDER BY day""")),
+
+    // CHAINED stateful operators in one streaming query (Spark 4's
+    // multiple-stateful-operator support): a daily windowed count feeds
+    // a SECOND windowed aggregation over the window column (weekly
+    // total/max/days per event type), both in append mode under one
+    // shared watermark — the two-level streaming rollup that previously
+    // required two queries with an intermediate sink (q179's shape).
+    // REAL micro-batch execution through the memory sink; the oracle
+    // replays the append-mode close rules: daily windows emit when
+    // d_end ≤ wm, weekly windows when w_end ≤ wm, wm = max(ts) − 1 day.
+    ("q377_chained_stateful", (s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val stream = s.readStream.schema(raw.schema)
+        .option("basePath", d).parquet(s"$d/events.parque[t]")
+        .transform(Tables.normalizeTs)
+      val daily = stream.withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val weekly = daily
+        .groupBy(window(col("w"), "7 days").as("ww"), col("event_type"))
+        .agg(sum("n").as("total"), max("n").as("max_daily"),
+          count(lit(1)).as("n_days"))
+        .select(date_format(col("ww.start"), "yyyy-MM-dd").as("week_start"),
+          col("event_type"), col("total"), col("max_daily"), col("n_days"))
+      val sink =
+        s"q377_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = weekly.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy("week_start", "event_type")
+    }, Some("""
+      WITH wm AS (SELECT MAX(ts) - INTERVAL 1 DAY AS wm FROM events),
+      daily AS (SELECT date_trunc('day', ts) AS d0, event_type,
+          COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      cd AS (SELECT daily.* FROM daily, wm
+        WHERE d0 + INTERVAL 1 DAY <= wm.wm),
+      wk AS (SELECT TIMESTAMP '1970-01-01'
+            + (CAST(FLOOR(epoch(d0) / 604800) AS BIGINT) * 604800)
+              * INTERVAL 1 SECOND AS w0,
+          event_type, CAST(SUM(n) AS BIGINT) AS total,
+          CAST(MAX(n) AS BIGINT) AS max_daily, COUNT(*) AS n_days
+        FROM cd GROUP BY 1, 2)
+      SELECT strftime(w0, '%Y-%m-%d') AS week_start, event_type, total,
+        max_daily, n_days
+      FROM wk, wm WHERE w0 + INTERVAL 7 DAY <= wm.wm
+      ORDER BY week_start, event_type""")),
+
+    // Isotonic regression (the PAVA fit q238's rank calibration does
+    // NOT give) via the MINIMAX identity — fhat(i) = max_{j≤i} min_{k≥i}
+    // avg(y, bins j..k) — in EXACT RATIONAL arithmetic: the corpus scan
+    // is one groupBy into ~50 length bins (P(lang='en') vs doc-length
+    // bin); the fit runs on the bin relation (metadata-sized), where
+    // the O(bins³) (j,i,k) triples are explicit rows and every
+    // min/max-of-fractions picks its row by the scaled-integer key
+    // num·2⁴⁰ div den (injective while den² < 2⁴⁰ — bins hold corpus
+    // counts, so document the bound; ties broken by index). No floats
+    // anywhere; output in basis points. The monotone output contract is
+    // spec-checked.
+    ("q378_isotonic_fit", (s: SparkSession, d: String) => {
+      val bins = t(s, d, "documents")
+        .select(expr("n_chars div 10").as("b"),
+          (col("lang") === "en").cast("long").as("y"))
+        .groupBy("b").agg(count(lit(1)).as("w"), sum("y").as("p"))
+      val pref = bins
+        .withColumn("pnIn", sum("p").over(Window.orderBy("b")))
+        .withColumn("pwIn", sum("w").over(Window.orderBy("b")))
+        .withColumn("pnEx", col("pnIn") - col("p"))
+        .withColumn("pwEx", col("pwIn") - col("w"))
+        .localCheckpoint(true) // bin relation: metadata-sized
+      val pairs = pref.select(col("b").as("j"), col("pnEx"), col("pwEx"))
+        .join(pref.select(col("b").as("k"), col("pnIn"), col("pwIn")),
+          col("j") <= col("k"))
+        .select(col("j"), col("k"),
+          (col("pnIn") - col("pnEx")).as("num"),
+          (col("pwIn") - col("pwEx")).as("den"))
+        .withColumn("skey", expr("num * 1099511627776 div den"))
+      val triples = pairs.join(pref.select(col("b").as("i")),
+        col("j") <= col("i") && col("i") <= col("k"))
+      val minK = triples.withColumn("rn", row_number().over(
+          Window.partitionBy("j", "i").orderBy(col("skey"), col("k"))))
+        .filter(col("rn") === 1)
+        .select(col("j"), col("i"), col("num"), col("den"), col("skey"))
+      val fit = minK.withColumn("rn", row_number().over(
+          Window.partitionBy("i").orderBy(col("skey").desc, col("j"))))
+        .filter(col("rn") === 1)
+        .select(col("i").as("b"), col("num"), col("den"))
+      pref.select("b", "w", "p").join(fit, Seq("b"))
+        .select(col("b").as("bin"), col("w").as("n_docs"),
+          col("p").as("n_en"),
+          expr("num * 10000 div den").as("fit_bp"))
+        .orderBy("bin")
+    }, Some("""
+      WITH bins AS (SELECT n_chars // 10 AS b, COUNT(*) AS w,
+          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+            AS p
+        FROM documents GROUP BY 1),
+      pref AS (SELECT b, w, p,
+          CAST(SUM(p) OVER (ORDER BY b) AS BIGINT) AS pnIn,
+          CAST(SUM(w) OVER (ORDER BY b) AS BIGINT) AS pwIn,
+          CAST(SUM(p) OVER (ORDER BY b) - p AS BIGINT) AS pnEx,
+          CAST(SUM(w) OVER (ORDER BY b) - w AS BIGINT) AS pwEx
+        FROM bins),
+      pairs AS (SELECT j.b AS j, k.b AS k,
+          k.pnIn - j.pnEx AS num, k.pwIn - j.pwEx AS den,
+          (k.pnIn - j.pnEx) * 1099511627776 // (k.pwIn - j.pwEx) AS skey
+        FROM pref j JOIN pref k ON j.b <= k.b),
+      triples AS (SELECT p.*, i.b AS i FROM pairs p
+        JOIN pref i ON p.j <= i.b AND i.b <= p.k),
+      mink AS (SELECT j, i, num, den, skey FROM (
+          SELECT j, i, num, den, skey, ROW_NUMBER() OVER (
+            PARTITION BY j, i ORDER BY skey, k) AS rn FROM triples)
+        WHERE rn = 1),
+      fit AS (SELECT i AS b, num, den FROM (
+          SELECT i, j, num, den, ROW_NUMBER() OVER (
+            PARTITION BY i ORDER BY skey DESC, j) AS rn FROM mink)
+        WHERE rn = 1)
+      SELECT p.b AS bin, p.w AS n_docs, p.p AS n_en,
+        CAST(f.num * 10000 // f.den AS BIGINT) AS fit_bp
+      FROM pref p JOIN fit f ON p.b = f.b
+      ORDER BY bin"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
