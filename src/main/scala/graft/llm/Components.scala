@@ -799,4 +799,38 @@ object Components {
       .join(assigned, Seq("c"))
       .select(col("scc_id"), col("id"), col("scc_size"))
   }
+
+  /** Deterministic DeepWalk-style walk corpus (Perozzi et al. 2014
+    * shape, derandomized): one walk per start vertex; at step t the
+    * walk at node u moves to the out-neighbor v minimizing
+    * xxhash64(u, t, v) (all three longs, Spark's seed-chained xxhash64)
+    * — a hash-argmin in place of a random draw, so the whole corpus is
+    * a pure function of the graph and replays bit-for-bit in any
+    * engine with the same hash. Returns (start, step, node) for steps
+    * 0..`steps`.
+    *
+    * Each round is ONE edges join keyed on the current node plus a
+    * partial-aggregable min(struct(hash, dst)) per walk — never a
+    * window over the candidate relation, and nothing driver-side. At
+    * 100 TB the per-round shuffle is frontier-sized (one row per
+    * walk), the classic BSP walk shape. */
+  def hashWalks(edges: DataFrame, steps: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("esrc"),
+      col("dst").cast("long").as("edst"))
+    var cur = e.select(col("esrc").as("start")).distinct()
+      .withColumn("node", col("start"))
+      .localCheckpoint(true) // frontier: one row per walk
+    var out = cur.withColumn("step", lit(0))
+    for (t <- 1 to steps) {
+      val next = cur.join(e, col("node") === col("esrc"))
+        .select(col("start"),
+          struct(xxhash64(col("node"), lit(t.toLong), col("edst")).as("h"),
+            col("edst").as("dst")).as("hd"))
+        .groupBy("start").agg(min(col("hd")).as("m"))
+        .select(col("start"), col("m.dst").as("node"))
+      cur = next.localCheckpoint(true)
+      out = out.union(cur.withColumn("step", lit(t)))
+    }
+    out
+  }
 }

@@ -771,4 +771,82 @@ object Curation {
       .select("tok", "a", "b", "c", "d", "chi2")
       .orderBy(col("chi2").desc, col("tok")).limit(k)
   }
+
+  /** Multinomial naive Bayes classifier (add-one smoothing),
+    * integerized: the per-class "surprisal" of a document is
+    * Σ_tokens k · ((n_c + V) div (c(tok,c) + 1)) — the floor of the
+    * reciprocal smoothed probability, the [[bigramLmScore]] / q134
+    * no-floating-log discipline — and the prediction is the argmin
+    * class (ties → lexicographically first). Trained and applied on
+    * the same labeled corpus (resubstitution), returning the confusion
+    * relation (label, pred, n_docs).
+    *
+    * Shuffle posture at 100 TB: the model is the (class, token) count
+    * store — vocabulary-sized, not corpus-sized; class totals and the
+    * vocab size are one-row/broadcast relations. Scoring shuffles the
+    * per-doc term vectors once on the (class, token) key (k classes
+    * replicate the doc-term relation, k small); the argmin is a
+    * partial-aggregable min(struct), never a window. */
+  def naiveBayesConfusion(docs: DataFrame, idCol: String,
+      textCol: String, labelCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      col(labelCol).as("cls"),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+    val cwc = toks.groupBy("cls", "tok").agg(count(lit(1)).as("cwc"))
+    val nc = cwc.groupBy("cls").agg(sum(col("cwc")).as("nc"))
+    val vocab = toks.agg(countDistinct(col("tok")).as("v"))
+    val dt = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("k"))
+    val scored = dt
+      .crossJoin(broadcast(nc))
+      .crossJoin(broadcast(vocab))
+      .join(cwc, Seq("cls", "tok"), "left")
+      .groupBy("doc_id", "cls")
+      .agg(sum(expr(
+        "k * ((nc + v) div (coalesce(cwc, CAST(0 AS BIGINT)) + 1))"))
+        .as("surprisal"))
+    val pred = scored.groupBy("doc_id")
+      .agg(min(struct(col("surprisal"), col("cls"))).as("m"))
+      .select(col("doc_id"), col("m.cls").as("pred"))
+    docs.select(col(idCol).as("doc_id"), col(labelCol).as("label"))
+      .join(pred, "doc_id")
+      .groupBy("label", "pred").agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Interpolated Kneser-Ney bigram model statistics (Kneser & Ney 1995;
+    * Chen & Goodman 1999 fixed-discount form, d = 1/2): for each bigram
+    * (w1, w2) the exact integer ingredients — c(w1 w2), c(w1·),
+    * N1+(w1 ·) (distinct continuations of w1, the backoff mass source)
+    * and N1+(· w2) (distinct left contexts of w2, the continuation
+    * probability numerator) — plus the smoothed probability integerized
+    * at `scale` with explicit floor divisions:
+    *
+    *   p_scaled = ((2·c12 − 1)·scale) div (2·c1)
+    *            + (((scale · nContW1) div (2·c1)) · nCtxW2) div nBigrams
+    *
+    * (both terms are the d = 1/2 discount written in halves; the second
+    * is the backoff weight λ(w1) = d·N1+(w1·)/c(w1) times the
+    * continuation probability N1+(·w2)/|bigram types|). No floating
+    * point anywhere, so the relation replays bit-for-bit in any engine.
+    * Everything is bigram-type-keyed: two aggregates over the gram
+    * stream plus two vocabulary-sized side relations — the corpus is
+    * touched once, the model store is vocabulary-sized. */
+  def kneserNeyBigrams(docs: DataFrame, idCol: String, textCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    val grams = docs.select(
+      explode(NearDup.wordNgrams(TextOps.tokens(col(textCol)), 2))
+        .as("gram"))
+      .select(substring_index(col("gram"), " ", 1).as("w1"),
+        substring_index(col("gram"), " ", -1).as("w2"))
+    val c12 = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"),
+      count(lit(1)).as("n_cont"))
+    val ctx = c12.groupBy("w2").agg(count(lit(1)).as("n_ctx"))
+    val nTypes = c12.agg(count(lit(1)).as("n_types"))
+    c12.join(c1, "w1").join(ctx, "w2")
+      .crossJoin(broadcast(nTypes))
+      .withColumn("p_scaled",
+        expr(s"((2*c12 - 1) * ${scale}L) div (2*c1)") +
+          expr(s"(((${scale}L * n_cont) div (2*c1)) * n_ctx) div n_types"))
+      .select("w1", "w2", "c12", "c1", "n_cont", "n_ctx", "p_scaled")
+  }
 }

@@ -4239,7 +4239,112 @@ object LlmQueries {
     // (Matryoshka): those EVALUATE projections, this LEARNS one.
     ("q376_pca_power", (s: SparkSession, d: String) => {
       Similarity.pcaTopComponent(t(s, d, "embeddings"), "embedding")
-    }, Some(pcaSql(rounds = 3)))
+    }, Some(pcaSql(rounds = 3))),
+
+    // Multinomial naive Bayes language classifier (add-one smoothing),
+    // integerized via the q164 reciprocal-probability discipline: the
+    // per-class surprisal Σ k·((n_c+V) div (c(tok,c)+1)) is all-integer,
+    // the prediction is the argmin class, and the output is the
+    // resubstitution confusion matrix — the TRAINED-model complement of
+    // q313's heuristic-vs-label confusion and q132's fixed-weight
+    // linear scorer. The model store is (class, token)-keyed
+    // (vocabulary-sized); scoring shuffles the doc-term relation once.
+    ("q379_naive_bayes", (s: SparkSession, d: String) => {
+      Curation.naiveBayesConfusion(t(s, d, "documents"),
+          "doc_id", "text", "lang")
+        .orderBy("label", "pred")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, lang AS cls,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents),
+      cwc AS (SELECT cls, tok, COUNT(*) AS cwc FROM toks GROUP BY 1, 2),
+      nc AS (SELECT cls, CAST(SUM(cwc) AS BIGINT) AS nc FROM cwc GROUP BY 1),
+      vv AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+      dt AS (SELECT doc_id, tok, COUNT(*) AS k FROM toks GROUP BY 1, 2),
+      sc AS (SELECT dt.doc_id, nc.cls,
+          SUM(dt.k * ((nc.nc + vv.v) // (COALESCE(cwc.cwc, 0) + 1)))
+            AS surprisal
+        FROM dt CROSS JOIN vv CROSS JOIN nc
+        LEFT JOIN cwc ON cwc.cls = nc.cls AND cwc.tok = dt.tok
+        GROUP BY 1, 2),
+      pred AS (SELECT doc_id, cls FROM sc
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+          ORDER BY surprisal, cls) = 1)
+      SELECT d.lang AS label, p.cls AS pred, COUNT(*) AS n_docs
+      FROM documents d JOIN pred p USING (doc_id)
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Deterministic DeepWalk corpus over the strong co-purchase graph:
+    // one walk per vertex, 3 steps, transition = argmin over neighbors
+    // of xxhash64(node, step, neighbor) — a hash-argmin standing in for
+    // the random draw, so the full walk relation is a pure function of
+    // the graph. The oracle replays the seed-chained XXH64 of all three
+    // longs per candidate edge and takes the same (hash, dst) minimum.
+    ("q380_hash_walks", (s: SparkSession, d: String) => {
+      Components.hashWalks(strongCoPurchaseEdges(s, d), steps = 3)
+        .select("start", "step", "node")
+        .orderBy("start", "step")
+    }, Some {
+      val seed42 = "CAST(42 AS HUGEINT)"
+      val steps = (1 to 3).map { t =>
+        s"""c$t AS MATERIALIZED (SELECT w.start, w.node, pe.dst
+          FROM w${t - 1} w JOIN pe ON w.node = pe.src),
+        h${t}a AS (SELECT *, ${XxHashOracle.hashLong(
+          "CAST(node AS HUGEINT)", seed42)} AS ha FROM c$t),
+        h${t}b AS (SELECT *, ${XxHashOracle.hashLong(
+          s"CAST($t AS HUGEINT)", "ha")} AS hb FROM h${t}a),
+        h${t}c AS (SELECT *, ${XxHashOracle.signed(XxHashOracle.hashLong(
+          "CAST(dst AS HUGEINT)", "hb"))} AS h FROM h${t}b),
+        w$t AS MATERIALIZED (SELECT start, dst AS node FROM h${t}c
+          QUALIFY row_number() OVER (PARTITION BY start
+            ORDER BY h, dst) = 1)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH pe AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+      w0 AS MATERIALIZED (SELECT DISTINCT src AS start, src AS node FROM pe),
+      $steps
+      SELECT start, step, node FROM (
+        SELECT start, 0 AS step, node FROM w0
+        UNION ALL SELECT start, 1 AS step, node FROM w1
+        UNION ALL SELECT start, 2 AS step, node FROM w2
+        UNION ALL SELECT start, 3 AS step, node FROM w3)
+      ORDER BY start, step"""
+    }),
+
+    // Interpolated Kneser-Ney bigram model (d = 1/2), integerized: the
+    // REAL smoothing structure on top of q119's raw n-gram stats and
+    // q164's unsmoothed reciprocal scores — continuation counts
+    // N1+(w1·) / N1+(·w2) are what distinguish KN from plain
+    // add-discount smoothing. Every ingredient is an exact count and
+    // the smoothed probability is fixed-point with explicit floor
+    // divisions, so the whole model store replays bit-for-bit. The
+    // corpus is touched once (gram explode); everything downstream is
+    // bigram-type-keyed (vocabulary-sized, not corpus-sized).
+    ("q382_kneser_ney", (s: SparkSession, d: String) => {
+      Curation.kneserNeyBigrams(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("w1", "w2")
+    }, Some("""
+      WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      wp AS (SELECT toks, unnest(range(1, len(toks))) AS i
+        FROM t WHERE len(toks) >= 2),
+      pr AS (SELECT toks[CAST(i AS INT)] AS w1,
+          toks[CAST(i + 1 AS INT)] AS w2 FROM wp
+        UNION ALL SELECT toks[1], toks[1] FROM t WHERE len(toks) = 1),
+      c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM pr GROUP BY 1, 2),
+      c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+          COUNT(*) AS n_cont FROM c12 GROUP BY 1),
+      cx AS (SELECT w2, COUNT(*) AS n_ctx FROM c12 GROUP BY 1),
+      nt AS (SELECT COUNT(*) AS n_types FROM c12)
+      SELECT w1, w2, c12, c1, n_cont, n_ctx,
+        CAST(((2 * c12 - 1) * 1000000) // (2 * c1)
+          + (((1000000 * n_cont) // (2 * c1)) * n_ctx) // n_types
+          AS BIGINT) AS p_scaled
+      FROM c12 JOIN c1 USING (w1) JOIN cx USING (w2) CROSS JOIN nt
+      ORDER BY w1, w2"""))
   )
 
   /** DuckDB replay of [[Similarity.pcaTopComponent]] — HUGEINT

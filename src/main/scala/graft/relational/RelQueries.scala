@@ -8516,6 +8516,66 @@ object RelQueries {
         CAST(f.num * 10000 // f.den AS BIGINT) AS fit_bp
       FROM pref p JOIN fit f ON p.b = f.b
       ORDER BY bin"""))
+  ) ++ Seq[(String, Q, Option[String])](
+
+    // Kruskal-Wallis H — the k-sample rank test (nonparametric one-way
+    // ANOVA), completing the stats family beside the two-sample MWU
+    // (q240) and Welch t (q283): do order totals differ in location
+    // across the five order priorities? The q240/q215 doubled-rank
+    // discipline keeps every rank integer under ties (r2 = 2·midrank
+    // from the value-count pre-aggregate); H is integerized with
+    // explicit floor divisions — 12·R_g² = 3·R2_g², so
+    // term_g = R2_g² div n_g in decimal-widened arithmetic (R2_g²
+    // overflows int64 past ~60k rows), then
+    // H_scaled = (3·10⁶·Σterm) div (n(n+1)) − 3·10⁶(n+1).
+    // The corpus crosses one value-count aggregate; the rank window
+    // runs on the value-cardinality-sized relation (q240 discipline).
+    ("q381_kruskal_wallis", (s: SparkSession, d: String) => {
+      val v = t(s, d, "orders").select(
+        col("o_orderpriority").as("grp"),
+        (Exact.dec(col("o_totalprice"), 12) * 100).cast("long").as("v"))
+      val cvg = v.groupBy("v", "grp").agg(count(lit(1)).as("c"))
+      val cv = cvg.groupBy("v").agg(sum(col("c")).as("cnt"))
+      val r2 = cv.withColumn("r2",
+        lit(2L) * coalesce(sum(col("cnt")).over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) +
+          col("cnt") + 1)
+      val byGrp = cvg.join(r2, "v").groupBy("grp")
+        .agg(sum(col("c")).as("n_g"), sum(col("c") * col("r2")).as("r2_sum"))
+        .withColumn("term", expr(
+          "(CAST(r2_sum AS DECIMAL(38,0)) * r2_sum) div n_g"))
+      val tot = byGrp.agg(sum(col("n_g")).as("n"), sum(col("term")).as("ts"))
+        .select(col("n"), expr(
+          "(CAST(3000000 AS DECIMAL(38,0)) * ts) div (n * (n + 1))" +
+            " - 3000000 * (n + 1)").as("h_scaled"))
+      byGrp.select("grp", "n_g", "r2_sum")
+        .crossJoin(broadcast(tot))
+        .orderBy("grp")
+    }, Some("""
+      WITH v AS (SELECT o_orderpriority AS grp,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        FROM orders),
+      cvg AS (SELECT v, grp, COUNT(*) AS c FROM v GROUP BY 1, 2),
+      cv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cnt FROM cvg GROUP BY 1),
+      r AS (SELECT v, cnt,
+          2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + cnt + 1 AS r2
+        FROM cv),
+      g AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n_g,
+          CAST(SUM(c * r2) AS BIGINT) AS r2_sum
+        FROM cvg JOIN r USING (v) GROUP BY 1),
+      gt AS (SELECT grp, n_g, r2_sum,
+          CAST((CAST(r2_sum AS HUGEINT) * r2_sum) // n_g AS BIGINT)
+            AS term
+        FROM g),
+      tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+          CAST((CAST(3000000 AS HUGEINT) * SUM(term))
+              // (SUM(n_g) * (SUM(n_g) + 1))
+            - 3000000 * (SUM(n_g) + 1) AS BIGINT) AS h_scaled
+        FROM gt)
+      SELECT grp, n_g, r2_sum, n, h_scaled
+      FROM gt CROSS JOIN tot ORDER BY grp"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session
