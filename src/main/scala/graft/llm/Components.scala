@@ -833,4 +833,64 @@ object Components {
     }
     out
   }
+
+  /** Bounded-depth Brandes betweenness from a deterministic pivot set
+    * (Brandes 2001; the pivot-sampled "k-betweenness" estimator of
+    * Brandes & Pich 2007 with hop cutoff `depth`): forward BFS per
+    * pivot accumulating exact integer shortest-path counts σ, then the
+    * backward dependency sweep δ(v) = Σ_w σv/σw·(1+δ(w)) over the
+    * shortest-path DAG, integerized at `scale` with one explicit
+    * floor division per DAG edge (decimal-widened product — σ·scale
+    * overflows int64 on dense graphs). Returns (node, bc_scaled) for
+    * nodes with positive truncated dependency.
+    *
+    * All pivots advance together: state is (pivot, node)-keyed, each
+    * round is one frontier-sized edges join — σ and δ both
+    * partial-aggregable sums, never windows; the visited set joins
+    * only against the frontier (BFS discipline of [[bfsLevels]]). */
+  def betweennessPivots(edges: DataFrame, nPivots: Int, depth: Int,
+      scale: Long = 1000000000L): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("esrc"),
+      col("dst").cast("long").as("edst"))
+    val pivots = e.select(col("esrc").as("pivot")).distinct()
+      .orderBy("pivot").limit(nPivots)
+    var front = pivots.select(col("pivot"), col("pivot").as("node"))
+      .withColumn("sig", lit(1L)).localCheckpoint(true)
+    var visited = front.select("pivot", "node").localCheckpoint(true)
+    var levels = Vector(front)
+    for (_ <- 1 to depth) {
+      val next = front.join(e, col("node") === col("esrc"))
+        .groupBy(col("pivot"), col("edst").as("nnode"))
+        .agg(sum(col("sig")).as("sig"))
+        .join(visited.withColumnRenamed("node", "nnode"),
+          Seq("pivot", "nnode"), "left_anti")
+        .withColumnRenamed("nnode", "node")
+        .localCheckpoint(true)
+      visited = visited.union(next.select("pivot", "node"))
+        .localCheckpoint(true)
+      levels :+= next
+      front = next
+    }
+    var deltaNext: DataFrame = null // (pivot, node, delta) one level down
+    var acc: DataFrame = null
+    for (k <- (depth - 1) to 1 by -1) {
+      val w0 = levels(k + 1)
+      val wd = (if (deltaNext == null) w0.withColumn("delta", lit(0L))
+        else w0.join(deltaNext, Seq("pivot", "node"), "left")
+          .na.fill(0L, Seq("delta")))
+        .select(col("pivot").as("wpivot"), col("node").as("wnode"),
+          col("sig").as("wsig"), col("delta"))
+      val d = levels(k).join(e, col("node") === col("esrc"))
+        .join(wd, col("pivot") === col("wpivot") &&
+          col("edst") === col("wnode"))
+        .groupBy("pivot", "node")
+        .agg(sum(expr(
+          s"(CAST(sig AS DECIMAL(38,0)) * (${scale}L + delta)) div wsig"))
+          .as("delta"))
+        .localCheckpoint(true)
+      acc = if (acc == null) d else acc.union(d)
+      deltaNext = d
+    }
+    acc.groupBy("node").agg(sum(col("delta")).as("bc_scaled"))
+  }
 }

@@ -4345,6 +4345,66 @@ object LlmQueries {
           AS BIGINT) AS p_scaled
       FROM c12 JOIN c1 USING (w1) JOIN cx USING (w2) CROSS JOIN nt
       ORDER BY w1, w2"""))
+  ) ++ Seq[(String, Q, Option[String])](
+
+    // Pivot-sampled bounded-depth Brandes betweenness (k-betweenness,
+    // Brandes & Pich 2007) over the strong co-purchase graph — the
+    // centrality member of the graph family beside PageRank (q94),
+    // HITS (q369) and closeness-ish landmark distances (q340): exact
+    // integer shortest-path counts σ forward, the dependency sweep δ
+    // backward over the shortest-path DAG, integerized at 10⁹ with one
+    // floor division per DAG edge. Two deterministic pivots (smallest
+    // vertex ids), depth 3. The oracle replays both sweeps level by
+    // level in HUGEINT.
+    ("q386_betweenness", (s: SparkSession, d: String) => {
+      Components.betweennessPivots(strongCoPurchaseEdges(s, d),
+          nPivots = 2, depth = 3)
+        .orderBy("node")
+    }, Some("""
+      WITH pe AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+      pv AS (SELECT src AS pvt FROM (
+        SELECT DISTINCT src FROM pe ORDER BY src LIMIT 2)),
+      l0 AS MATERIALIZED (SELECT pvt, pvt AS node,
+        CAST(1 AS HUGEINT) AS sig FROM pv),
+      l1 AS MATERIALIZED (SELECT l.pvt, pe.dst AS node, SUM(l.sig) AS sig
+        FROM l0 l JOIN pe ON l.node = pe.src
+        WHERE NOT EXISTS (SELECT 1 FROM l0 v
+          WHERE v.pvt = l.pvt AND v.node = pe.dst)
+        GROUP BY 1, 2),
+      l2 AS MATERIALIZED (SELECT l.pvt, pe.dst AS node, SUM(l.sig) AS sig
+        FROM l1 l JOIN pe ON l.node = pe.src
+        WHERE NOT EXISTS (SELECT 1 FROM l0 v
+            WHERE v.pvt = l.pvt AND v.node = pe.dst)
+          AND NOT EXISTS (SELECT 1 FROM l1 v
+            WHERE v.pvt = l.pvt AND v.node = pe.dst)
+        GROUP BY 1, 2),
+      l3 AS MATERIALIZED (SELECT l.pvt, pe.dst AS node, SUM(l.sig) AS sig
+        FROM l2 l JOIN pe ON l.node = pe.src
+        WHERE NOT EXISTS (SELECT 1 FROM l0 v
+            WHERE v.pvt = l.pvt AND v.node = pe.dst)
+          AND NOT EXISTS (SELECT 1 FROM l1 v
+            WHERE v.pvt = l.pvt AND v.node = pe.dst)
+          AND NOT EXISTS (SELECT 1 FROM l2 v
+            WHERE v.pvt = l.pvt AND v.node = pe.dst)
+        GROUP BY 1, 2),
+      d2 AS MATERIALIZED (SELECT v.pvt, v.node,
+          SUM((v.sig * (1000000000 + 0)) // w.sig) AS delta
+        FROM l2 v JOIN pe ON v.node = pe.src
+        JOIN l3 w ON w.pvt = v.pvt AND w.node = pe.dst
+        GROUP BY 1, 2),
+      d1 AS MATERIALIZED (SELECT v.pvt, v.node,
+          SUM((v.sig * (1000000000 + COALESCE(dd.delta, 0))) // w.sig)
+            AS delta
+        FROM l1 v JOIN pe ON v.node = pe.src
+        JOIN l2 w ON w.pvt = v.pvt AND w.node = pe.dst
+        LEFT JOIN d2 dd ON dd.pvt = w.pvt AND dd.node = w.node
+        GROUP BY 1, 2)
+      SELECT node, CAST(SUM(delta) AS BIGINT) AS bc_scaled
+      FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+      GROUP BY 1 ORDER BY node"""))
   )
 
   /** DuckDB replay of [[Similarity.pcaTopComponent]] — HUGEINT

@@ -8737,6 +8737,82 @@ object RelQueries {
         CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2)) * 100) AS BIGINT)
           AS price_cents
       FROM p GROUP BY lower(brand) ORDER BY brand_rep"""))
+  ) ++ Seq[(String, Q, Option[String])](
+
+    // Pairwise Pearson correlation matrix over the four lineitem
+    // measures in ONE corpus pass — the multi-column completion of
+    // q205's single regression: every Σx, Σx², Σxy accumulates as an
+    // exact decimal-widened integer on scaled cents (Σx² overflows
+    // int64 at sf ≥ ~0.05), the 6 pairs unfold from the one-row
+    // aggregate (metadata-sized explode, no second scan, no per-pair
+    // jobs like Dataset.stat.corr would issue), and the only floats
+    // are the closing IEEE-identical divide/sqrt on identical exact
+    // integers.
+    ("q387_corr_matrix", (s: SparkSession, d: String) => {
+      val cents = Seq("l_quantity" -> "q", "l_extendedprice" -> "e",
+        "l_discount" -> "d", "l_tax" -> "t")
+      val base = Tables(s, d, "lineitem").select(cents.map { case (c, a) =>
+        (Exact.dec(col(c), 12) * 100).cast("long").as(a) }: _*)
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        cents.map(_._2).flatMap { a => Seq(
+          sum(col(a)).as(s"s_$a"),
+          sum(expr(s"CAST($a AS DECIMAL(38,0)) * $a")).as(s"ss_$a")) } ++
+        cents.map(_._2).combinations(2).map { case Seq(a, b) =>
+          sum(expr(s"CAST($a AS DECIMAL(38,0)) * $b")).as(s"sp_${a}$b") }.toSeq
+      val one = base.agg(aggs.head, aggs.tail: _*)
+      val rows = cents.map(_._2).combinations(2).map { case Seq(a, b) =>
+        struct(lit(s"${a}~$b").as("pair"), col("n"),
+          col(s"s_$a").as("sx"), col(s"s_$b").as("sy"),
+          col(s"ss_$a").as("sxx"), col(s"ss_$b").as("syy"),
+          col(s"sp_${a}$b").as("sxy"))
+      }.toSeq
+      one.select(explode(array(rows: _*)).as("p")).select("p.*")
+        .withColumn("num", expr(
+          "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+        .withColumn("dx", expr(
+          "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+        .withColumn("dy", expr(
+          "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+        .select(col("pair"), col("n"),
+          (col("num").cast("double") /
+            sqrt(col("dx").cast("double") * col("dy").cast("double")))
+            .as("corr"))
+        .orderBy("pair")
+    }, Some("""
+      WITH b AS (SELECT
+          CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS q,
+          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS e,
+          CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS d,
+          CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT) AS t
+        FROM lineitem),
+      a AS (SELECT COUNT(*) AS n,
+          SUM(q) AS s_q, SUM(e) AS s_e, SUM(d) AS s_d, SUM(t) AS s_t,
+          SUM(CAST(q AS HUGEINT) * q) AS ss_q,
+          SUM(CAST(e AS HUGEINT) * e) AS ss_e,
+          SUM(CAST(d AS HUGEINT) * d) AS ss_d,
+          SUM(CAST(t AS HUGEINT) * t) AS ss_t,
+          SUM(CAST(q AS HUGEINT) * e) AS sp_qe,
+          SUM(CAST(q AS HUGEINT) * d) AS sp_qd,
+          SUM(CAST(q AS HUGEINT) * t) AS sp_qt,
+          SUM(CAST(e AS HUGEINT) * d) AS sp_ed,
+          SUM(CAST(e AS HUGEINT) * t) AS sp_et,
+          SUM(CAST(d AS HUGEINT) * t) AS sp_dt
+        FROM b),
+      m AS (
+        SELECT 'q~e' AS pair, n, s_q AS sx, s_e AS sy, ss_q AS sxx,
+          ss_e AS syy, sp_qe AS sxy FROM a
+        UNION ALL SELECT 'q~d', n, s_q, s_d, ss_q, ss_d, sp_qd FROM a
+        UNION ALL SELECT 'q~t', n, s_q, s_t, ss_q, ss_t, sp_qt FROM a
+        UNION ALL SELECT 'e~d', n, s_e, s_d, ss_e, ss_d, sp_ed FROM a
+        UNION ALL SELECT 'e~t', n, s_e, s_t, ss_e, ss_t, sp_et FROM a
+        UNION ALL SELECT 'd~t', n, s_d, s_t, ss_d, ss_t, sp_dt FROM a)
+      SELECT pair, n,
+        CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+          / sqrt(CAST(CAST(n AS HUGEINT) * sxx
+              - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+            * CAST(CAST(n AS HUGEINT) * syy
+              - CAST(sy AS HUGEINT) * sy AS DOUBLE)) AS corr
+      FROM m ORDER BY pair"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session

@@ -89,6 +89,32 @@ class StumpRatingSpec extends SparkSpec {
     assert(got == s.map { case (k, v) => k -> v.toLong })
   }
 
+  test("corr matrix: BigInt brute force on lineitem agrees") {
+    val rows = Tables(spark, sfDir, "lineitem")
+      .select(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(c => (col(c).cast("decimal(12,2)") * 100).cast("long")): _*)
+      .collect().map(r => Array(r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    val n = BigInt(rows.length)
+    def corr(i: Int, j: Int): Double = {
+      val sx = rows.map(r => BigInt(r(i))).sum
+      val sy = rows.map(r => BigInt(r(j))).sum
+      val sxx = rows.map(r => BigInt(r(i)) * r(i)).sum
+      val syy = rows.map(r => BigInt(r(j)) * r(j)).sum
+      val sxy = rows.map(r => BigInt(r(i)) * r(j)).sum
+      (n * sxy - sx * sy).toDouble /
+        math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+    }
+    val want = Map("q~e" -> corr(0, 1), "q~d" -> corr(0, 2),
+      "q~t" -> corr(0, 3), "e~d" -> corr(1, 2), "e~t" -> corr(1, 3),
+      "d~t" -> corr(2, 3))
+    val got = q("q387_corr_matrix").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("corr")).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) =>
+      assert(v == want(k), s"pair $k"); assert(math.abs(v) <= 1.0) }
+  }
+
   test("collation grouping: case variants merge, totals conserved") {
     val out = q("q385_collation_group").collect()
     val parts = Tables(spark, sfDir, "part")
