@@ -668,4 +668,49 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q379: NB argmin is a partial aggregate, class totals broadcast") {
+    val p = plan("q379_naive_bayes")
+    // the per-doc argmin must be min(struct) (map-side combinable),
+    // never a row_number window over the scored relation
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p)
+  }
+
+  test("q380: each walk round is one equi-join + partial-agg argmin") {
+    val p = plan("q380_hash_walks")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q383: stump candidates come from one corpus aggregate") {
+    val p = plan("q383_gini_stump")
+    // value-count pre-aggregate is partial+final; the single rank
+    // window runs AFTER it, on the value-cardinality relation; the
+    // global best-5 is a TakeOrderedAndProject, not a full sort
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q384: corpus aggregates once; MM rounds join the checkpointed " +
+      "win matrix") {
+    val p = plan("q384_bradley_terry")
+    // final assembly plan reads only checkpointed metadata-sized state
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q386: betweenness sweeps are equi-joins over checkpointed levels") {
+    val p = plan("q386_betweenness")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q387: correlation matrix is ONE scan, one aggregate, no joins") {
+    val p = plan("q387_corr_matrix")
+    assert("FileScan".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
 }
