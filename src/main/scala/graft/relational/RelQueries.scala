@@ -8813,6 +8813,72 @@ object RelQueries {
             * CAST(CAST(n AS HUGEINT) * syy
               - CAST(sy AS HUGEINT) * sy AS DOUBLE)) AS corr
       FROM m ORDER BY pair"""))
+  ) ++ Seq[(String, Q, Option[String])](
+
+    // Kendall's tau-b rank correlation (grid-binned, exact): quantity
+    // vs extended price collapse to a ≤ 11×51 cell grid in ONE corpus
+    // aggregate; concordant/discordant/tied pair counts then come from
+    // a dominance join on the metadata-sized grid — never a pairwise
+    // corpus join (naive Kendall is O(n²)). All counts exact BIGINT
+    // (pair products stay < 2⁶³ through sf 1); the only float is the
+    // closing tau-b = (C−D)/√((n0−n1)(n0−n2)) on identical ints.
+    // Complements Spearman (q215): same monotone-association family,
+    // concordance semantics instead of rank covariance.
+    ("q388_kendall_tau", (s: SparkSession, d: String) => {
+      val cells = Tables(s, d, "lineitem").select(
+          expr("CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+            " div 500").as("xb"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100" +
+            " AS BIGINT) div 200000").as("yb"))
+        .groupBy("xb", "yb").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // grid: metadata-sized
+      val a = cells.select(col("xb").as("ax"), col("yb").as("ay"),
+        col("c").as("ac"))
+      val b = cells.select(col("xb").as("bx"), col("yb").as("by"),
+        col("c").as("bc"))
+      val conc = a.join(b, col("bx") < col("ax") && col("by") < col("ay"))
+        .agg(coalesce(sum(col("ac") * col("bc")), lit(0L)).as("c_pairs"))
+      val disc = a.join(b, col("bx") < col("ax") && col("by") > col("ay"))
+        .agg(coalesce(sum(col("ac") * col("bc")), lit(0L)).as("d_pairs"))
+      val tx = cells.groupBy("xb").agg(sum(col("c")).as("t"))
+        .agg(sum(expr("t * (t - 1) div 2")).as("tie_x"))
+      val ty = cells.groupBy("yb").agg(sum(col("c")).as("t"))
+        .agg(sum(expr("t * (t - 1) div 2")).as("tie_y"))
+      val tc = cells.agg(sum(col("c")).as("n"),
+        sum(expr("c * (c - 1) div 2")).as("tie_xy"))
+      conc.crossJoin(disc).crossJoin(broadcast(tx))
+        .crossJoin(broadcast(ty)).crossJoin(broadcast(tc))
+        .withColumn("n0", expr("n * (n - 1) div 2"))
+        .select(col("n"), col("c_pairs"), col("d_pairs"),
+          col("tie_x"), col("tie_y"), col("n0"),
+          ((col("c_pairs") - col("d_pairs")).cast("double") /
+            sqrt((col("n0") - col("tie_x")).cast("double") *
+              (col("n0") - col("tie_y")).cast("double"))).as("tau_b"))
+    }, Some("""
+      WITH cells AS (SELECT
+          CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+            // 500 AS xb,
+          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+            // 200000 AS yb,
+          COUNT(*) AS c
+        FROM lineitem GROUP BY 1, 2),
+      conc AS (SELECT COALESCE(CAST(SUM(a.c * b.c) AS BIGINT), 0)
+          AS c_pairs
+        FROM cells a JOIN cells b ON b.xb < a.xb AND b.yb < a.yb),
+      disc AS (SELECT COALESCE(CAST(SUM(a.c * b.c) AS BIGINT), 0)
+          AS d_pairs
+        FROM cells a JOIN cells b ON b.xb < a.xb AND b.yb > a.yb),
+      tx AS (SELECT CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS tie_x
+        FROM (SELECT SUM(c) AS t FROM cells GROUP BY xb)),
+      ty AS (SELECT CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS tie_y
+        FROM (SELECT SUM(c) AS t FROM cells GROUP BY yb)),
+      tc AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells)
+      SELECT n, c_pairs, d_pairs, tie_x, tie_y,
+        n * (n - 1) // 2 AS n0,
+        CAST(c_pairs - d_pairs AS DOUBLE)
+          / sqrt(CAST(n * (n - 1) // 2 - tie_x AS DOUBLE)
+            * CAST(n * (n - 1) // 2 - tie_y AS DOUBLE)) AS tau_b
+      FROM conc, disc, tx, ty, tc"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session

@@ -115,6 +115,32 @@ class StumpRatingSpec extends SparkSpec {
       assert(v == want(k), s"pair $k"); assert(math.abs(v) <= 1.0) }
   }
 
+  test("kendall tau: O(n²) pair brute force agrees with the grid form") {
+    val pts = Tables(spark, sfDir, "lineitem").select(
+        expr("CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+          " div 500").as("x"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100" +
+          " AS BIGINT) div 200000").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var (c, dd, tx, ty) = (0L, 0L, 0L, 0L)
+    for (i <- pts.indices; j <- (i + 1) until pts.length) {
+      val ((x1, y1), (x2, y2)) = (pts(i), pts(j))
+      if (x1 == x2 && y1 == y2) { tx += 1; ty += 1 }
+      else if (x1 == x2) tx += 1
+      else if (y1 == y2) ty += 1
+      else if ((x1 < x2) == (y1 < y2)) c += 1
+      else dd += 1
+    }
+    val row = q("q388_kendall_tau").collect()(0)
+    assert(row.getAs[Long]("c_pairs") == c)
+    assert(row.getAs[Long]("d_pairs") == dd)
+    assert(row.getAs[Long]("tie_x") == tx)
+    assert(row.getAs[Long]("tie_y") == ty)
+    val n0 = row.getAs[Long]("n0")
+    assert(row.getAs[Double]("tau_b") ==
+      (c - dd).toDouble / math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble))
+  }
+
   test("collation grouping: case variants merge, totals conserved") {
     val out = q("q385_collation_group").collect()
     val parts = Tables(spark, sfDir, "part")
