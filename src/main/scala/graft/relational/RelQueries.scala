@@ -8879,6 +8879,167 @@ object RelQueries {
           / sqrt(CAST(n * (n - 1) // 2 - tie_x AS DOUBLE)
             * CAST(n * (n - 1) // 2 - tie_y AS DOUBLE)) AS tau_b
       FROM conc, disc, tx, ty, tc"""))
+  ) ++ Seq[(String, Q, Option[String])](
+
+    // Classical additive time-series decomposition (trend + seasonal +
+    // residual) of daily revenue, all-integer: centered 7-row moving
+    // average for trend (cents div 7 — positive, so truncation =
+    // floor), per-day-of-week mean of the detrended series for the
+    // seasonal index (detrended is SIGNED — Spark's `div` truncates
+    // toward zero while DuckDB's `//` floors, so the oracle wraps the
+    // division in the sign CASE, the q376 discipline), residual by
+    // subtraction. One corpus aggregate to day grain; every window
+    // runs on the calendar-sized relation. DOW = epoch-days mod 7,
+    // identical integer arithmetic in both engines (dayofweek()
+    // numbering differs between them).
+    ("q389_seasonal_decompose", (s: SparkSession, d: String) => {
+      val daily = Tables(s, d, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg((sum(Exact.dec(col("o_totalprice"), 12)) * 100).cast("long")
+          .as("cents"))
+      val w = Window.orderBy("day").rowsBetween(-3, 3)
+      val tr = daily
+        .withColumn("w_sum", sum(col("cents")).over(w))
+        .withColumn("w_n", count(lit(1)).over(w))
+        .filter(col("w_n") === 7)
+        .withColumn("trend_c", expr("w_sum div 7"))
+        .withColumn("detr_c", col("cents") - col("trend_c"))
+        .withColumn("dow",
+          pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(7)))
+        .localCheckpoint(true) // day-grain relation
+      val seas = tr.groupBy("dow")
+        .agg(sum(col("detr_c")).as("sd"), count(lit(1)).as("cd"))
+        .select(col("dow"), expr("sd div cd").as("seas_c"))
+      tr.join(broadcast(seas), "dow")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("cents"), col("trend_c"), col("detr_c"), col("seas_c"),
+          (col("detr_c") - col("seas_c")).as("resid_c"))
+        .orderBy("day")
+    }, Some("""
+      WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+            AS cents
+        FROM orders GROUP BY 1),
+      tr AS (SELECT day, cents,
+          CAST(SUM(cents) OVER (ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS w_sum,
+          COUNT(*) OVER (ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w_n
+        FROM daily),
+      dt AS (SELECT day, cents, w_sum // 7 AS trend_c,
+          cents - w_sum // 7 AS detr_c,
+          (day - DATE '1970-01-01') % 7 AS dow
+        FROM tr WHERE w_n = 7),
+      seas AS (SELECT dow,
+          CASE WHEN SUM(detr_c) >= 0
+            THEN CAST(SUM(detr_c) AS BIGINT) // COUNT(*)
+            ELSE -(CAST(-SUM(detr_c) AS BIGINT) // COUNT(*)) END AS seas_c
+        FROM dt GROUP BY 1)
+      SELECT strftime(dt.day, '%Y-%m-%d') AS day, cents, trend_c, detr_c,
+        seas_c, detr_c - seas_c AS resid_c
+      FROM dt JOIN seas USING (dow) ORDER BY day""")),
+
+    // Exact greedy depth-2 decision tree (the q383 stump recursed once
+    // — the induction loop of every gradient-boosting library, in
+    // relational form): root split by integerized Gini, then the best
+    // split per child over the SAME pre-aggregated candidate relation
+    // with the side indicator folded into the grouping key — the
+    // second level costs one more window over the value-cardinality
+    // relation, NOT a second corpus scan per node. Argmin per side is
+    // min(struct), partial-aggregable.
+    ("q390_tree_depth2", (s: SparkSession, d: String) => {
+      val ev = Tables(s, d, "events").select(col("value").as("v"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+      val cand = ev.groupBy("v").agg(count(lit(1)).as("cnt"),
+        sum(col("y")).as("pos")).localCheckpoint(true)
+      def gini(nl: String, al: String, nr: String, ar: String) =
+        expr(s"""(CAST($nl AS DECIMAL(38,0)) * $nl
+            - CAST($al AS DECIMAL(38,0)) * $al
+            - CAST($nl - $al AS DECIMAL(38,0)) * ($nl - $al)) * 1000000
+            div $nl""") +
+          expr(s"""(CAST($nr AS DECIMAL(38,0)) * $nr
+            - CAST($ar AS DECIMAL(38,0)) * $ar
+            - CAST($nr - $ar AS DECIMAL(38,0)) * ($nr - $ar)) * 1000000
+            div $nr""")
+      def bestOver(df: DataFrame, grp: Seq[String]): DataFrame = {
+        val w = Window.partitionBy(grp.map(col): _*).orderBy("v")
+        val tots = df.groupBy(grp.map(col): _*)
+          .agg(sum(col("cnt")).as("n"), sum(col("pos")).as("p"))
+        val pre = df
+          .withColumn("nl", sum(col("cnt")).over(w))
+          .withColumn("al", sum(col("pos")).over(w))
+          .join(tots, grp)
+          .filter(col("nl") < col("n"))
+          .withColumn("g", gini("nl", "al", "(n - nl)", "(p - al)"))
+        pre.groupBy(grp.map(col): _*)
+          .agg(min(struct(col("g"), col("v"), col("nl"), col("al"),
+            col("n"), col("p"))).as("m"))
+          .select(grp.map(col) :+ col("m.v").as("threshold") :+
+            col("m.g").as("gini_scaled") :+ col("m.nl").as("n_left") :+
+            (col("m.n") - col("m.nl")).as("n_right"): _*)
+      }
+      val root = bestOver(cand.withColumn("node", lit("root")),
+        Seq("node")).localCheckpoint(true)
+      val t0 = root.select(col("threshold").as("t0"))
+      val sided = cand.crossJoin(broadcast(t0))
+        .withColumn("node", when(col("v") <= col("t0"), "L").otherwise("R"))
+      val children = bestOver(sided, Seq("node"))
+      root.unionByName(children)
+        .select("node", "threshold", "gini_scaled", "n_left", "n_right")
+        .orderBy("node")
+    }, Some("""
+      WITH ev AS (SELECT value AS v,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events),
+      cand AS (SELECT v, COUNT(*) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+        FROM ev GROUP BY 1),
+      lab AS (SELECT 'root' AS node, v, cnt, pos FROM cand),
+      pre0 AS (SELECT node, v,
+          CAST(SUM(cnt) OVER (PARTITION BY node ORDER BY v) AS BIGINT)
+            AS nl,
+          CAST(SUM(pos) OVER (PARTITION BY node ORDER BY v) AS BIGINT)
+            AS al,
+          CAST(SUM(cnt) OVER (PARTITION BY node) AS BIGINT) AS n,
+          CAST(SUM(pos) OVER (PARTITION BY node) AS BIGINT) AS p
+        FROM lab),
+      g0 AS (SELECT node, v, nl, al, n, p,
+          (CAST(nl AS HUGEINT) * nl - CAST(al AS HUGEINT) * al
+            - CAST(nl - al AS HUGEINT) * (nl - al)) * 1000000 // nl
+          + (CAST(n - nl AS HUGEINT) * (n - nl)
+            - CAST(p - al AS HUGEINT) * (p - al)
+            - CAST(n - nl - p + al AS HUGEINT) * (n - nl - p + al))
+            * 1000000 // (n - nl) AS g
+        FROM pre0 WHERE nl < n),
+      root AS (SELECT node, v AS threshold, CAST(g AS BIGINT)
+            AS gini_scaled, nl AS n_left, n - nl AS n_right
+        FROM g0 QUALIFY row_number() OVER (ORDER BY g, v) = 1),
+      sided AS (SELECT CASE WHEN c.v <= r.threshold THEN 'L' ELSE 'R' END
+            AS node, c.v, c.cnt, c.pos
+        FROM cand c CROSS JOIN root r),
+      pre1 AS (SELECT node, v,
+          CAST(SUM(cnt) OVER (PARTITION BY node ORDER BY v) AS BIGINT)
+            AS nl,
+          CAST(SUM(pos) OVER (PARTITION BY node ORDER BY v) AS BIGINT)
+            AS al,
+          CAST(SUM(cnt) OVER (PARTITION BY node) AS BIGINT) AS n,
+          CAST(SUM(pos) OVER (PARTITION BY node) AS BIGINT) AS p
+        FROM sided),
+      g1 AS (SELECT node, v, nl, al, n, p,
+          (CAST(nl AS HUGEINT) * nl - CAST(al AS HUGEINT) * al
+            - CAST(nl - al AS HUGEINT) * (nl - al)) * 1000000 // nl
+          + (CAST(n - nl AS HUGEINT) * (n - nl)
+            - CAST(p - al AS HUGEINT) * (p - al)
+            - CAST(n - nl - p + al AS HUGEINT) * (n - nl - p + al))
+            * 1000000 // (n - nl) AS g
+        FROM pre1 WHERE nl < n),
+      kids AS (SELECT node, v AS threshold, CAST(g AS BIGINT)
+            AS gini_scaled, nl AS n_left, n - nl AS n_right
+        FROM g1 QUALIFY row_number() OVER (PARTITION BY node
+          ORDER BY g, v) = 1)
+      SELECT node, threshold, gini_scaled, n_left, n_right FROM root
+      UNION ALL SELECT node, threshold, gini_scaled, n_left, n_right
+      FROM kids
+      ORDER BY node"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session

@@ -115,6 +115,22 @@ class StumpRatingSpec extends SparkSpec {
       assert(v == want(k), s"pair $k"); assert(math.abs(v) <= 1.0) }
   }
 
+  test("depth-2 tree: root equals the stump; children beat or match it") {
+    val tree = q("q390_tree_depth2").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val stump = q("q383_gini_stump").collect()(0)
+    assert(tree("root").getAs[Double]("threshold") ==
+      stump.getAs[Double]("v"))
+    assert(tree("root").getAs[Long]("gini_scaled") ==
+      stump.getAs[Long]("gini_scaled"))
+    // each child's weighted impurity cannot exceed its side's share of
+    // the parent split impurity plus integerization slack
+    assert(Set("L", "R").subsetOf(tree.keySet))
+    val childSum = tree("L").getAs[Long]("gini_scaled") +
+      tree("R").getAs[Long]("gini_scaled")
+    assert(childSum <= tree("root").getAs[Long]("gini_scaled") + 4)
+  }
+
   test("kendall tau: O(n²) pair brute force agrees with the grid form") {
     val pts = Tables(spark, sfDir, "lineitem").select(
         expr("CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)" +
