@@ -4405,6 +4405,52 @@ object LlmQueries {
       SELECT node, CAST(SUM(delta) AS BIGINT) AS bc_scaled
       FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
       GROUP BY 1 ORDER BY node"""))
+  ) ++ Seq[(String, Q, Option[String])](
+
+    // Suffix ranks by prefix doubling (Manber-Myers), 2 rounds =
+    // 4-token contexts, surfaced as the repeated-context relation
+    // (rank groups with >= 2 occurrences) — the suffix-array index
+    // structure underneath exact substring dedup, complementing the
+    // hash-window approximation (q163/q192) with the real
+    // lexicographic order. Dense re-ranking per round uses the
+    // two-level scheme (per-r1 distinct counts + keyed row_number),
+    // never a corpus-wide single-partition window; the oracle replays
+    // the doubling rounds with plain dense_rank windows.
+    ("q393_suffix_ranks", (s: SparkSession, d: String) => {
+      TextOps.suffixRanks(t(s, d, "documents"), "doc_id", "text",
+          rounds = 2)
+        .groupBy("r").agg(count(lit(1)).as("n_occ"),
+          min(col("p")).as("first_p"), max(col("p")).as("last_p"))
+        .filter(col("n_occ") >= 2)
+        .select(col("r").as("ctx"), col("n_occ"), col("first_p"),
+          col("last_p"))
+        .orderBy("ctx")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      tk AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS j,
+          unnest(toks) AS tok FROM t),
+      ln AS (SELECT doc_id, COUNT(*) AS n FROM tk GROUP BY 1),
+      off AS (SELECT doc_id, COALESCE(SUM(n) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM ln),
+      ps AS MATERIALIZED (SELECT CAST(o.off + tk.j AS BIGINT) AS p, tok
+        FROM tk JOIN off o USING (doc_id)),
+      r0 AS MATERIALIZED (SELECT p,
+          CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS r FROM ps),
+      p1 AS (SELECT a.p, a.r AS r1, COALESCE(b.r, 0) AS r2
+        FROM r0 a LEFT JOIN r0 b ON b.p = a.p + 1),
+      r1t AS MATERIALIZED (SELECT p,
+          CAST(dense_rank() OVER (ORDER BY r1, r2) AS BIGINT) AS r
+        FROM p1),
+      p2 AS (SELECT a.p, a.r AS r1, COALESCE(b.r, 0) AS r2
+        FROM r1t a LEFT JOIN r1t b ON b.p = a.p + 2),
+      r2t AS (SELECT p,
+          CAST(dense_rank() OVER (ORDER BY r1, r2) AS BIGINT) AS r
+        FROM p2)
+      SELECT r AS ctx, COUNT(*) AS n_occ, MIN(p) AS first_p,
+        MAX(p) AS last_p
+      FROM r2t GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY ctx"""))
   )
 
   /** DuckDB replay of [[Similarity.pcaTopComponent]] — HUGEINT

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: tokenization,
@@ -240,5 +241,58 @@ object TextOps {
       .agg(count(lit(1)).as("n_grams"),
         count(when(col("__first") === col("doc_id"), 1)).as("n_novel"))
       .withColumn("novelty_bp", expr("n_novel * 10000 div n_grams"))
+  }
+
+  /** Suffix ranks of the corpus token stream by prefix doubling
+    * (Manber-Myers 1990), bounded to `rounds` doublings — each
+    * position's rank orders the 2^rounds-token context starting there,
+    * the index structure under suffix-array substring dedup (the
+    * lattice q163/q192's hash windows approximate). Round k: pair each
+    * position's rank with the rank 2^(k-1) ahead (end-of-stream = 0,
+    * sorting first), then DENSE-rank the pairs — here via the
+    * two-level scheme (per-r1 distinct-r2 counts prefix-summed, keyed
+    * row_number within r1), never a corpus-wide single-partition
+    * window. Returns (p, r): global position → context rank.
+    *
+    * Shuffle ledger per round: one positional self-join (keyed on p)
+    * and one (r1, r2) aggregate — both corpus-keyed. The offsets
+    * window runs on the r1-cardinality relation, which GROWS toward
+    * corpus size in late rounds (the inherent log-round global-sort
+    * cost of SA construction) — bound `rounds` accordingly; dedup
+    * detection needs only context length ≥ the dedup window. */
+  def suffixRanks(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("j", "tok")))
+    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val offs = lens.withColumn("off",
+      coalesce(sum(col("n")).over(Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val pos = toks.join(offs, "doc_id")
+      .select((col("off") + col("j")).as("p"), col("tok"))
+    val vocab = pos.select("tok").distinct()
+      .withColumn("r", dense_rank().over(Window.orderBy("tok")).cast("long"))
+    var cur = pos.join(vocab, "tok").select("p", "r").localCheckpoint(true)
+    for (k <- 1 to rounds) {
+      val gap = 1L << (k - 1)
+      val ahead = cur.select((col("p") - gap).as("p"), col("r").as("r2"))
+      val pairs = cur.withColumnRenamed("r", "r1")
+        .join(ahead, Seq("p"), "left")
+        .na.fill(0L, Seq("r2"))
+      val keys = pairs.groupBy("r1", "r2").agg(count(lit(1)).as("__c"))
+      val offsets = keys.groupBy("r1")
+        .agg(countDistinct(col("r2")).as("__n"))
+        .withColumn("__off", coalesce(sum(col("__n"))
+          .over(Window.orderBy("r1")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("r1", "__off")
+      val ranked = keys.join(offsets, "r1")
+        .withColumn("r", (col("__off") + row_number().over(
+          Window.partitionBy("r1").orderBy("r2"))).cast("long"))
+        .select("r1", "r2", "r")
+      cur = pairs.join(ranked, Seq("r1", "r2"))
+        .select("p", "r").localCheckpoint(true)
+    }
+    cur
   }
 }

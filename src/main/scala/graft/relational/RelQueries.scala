@@ -9040,6 +9040,148 @@ object RelQueries {
       UNION ALL SELECT node, threshold, gini_scaled, n_left, n_right
       FROM kids
       ORDER BY node"""))
+  ) ++ Seq[(String, Q, Option[String])](
+
+    // Plan-fingerprint result cache (ops.PlanCache): the warehouse
+    // query-result-cache feature — the per-priority revenue rollup is
+    // served through a content-addressed materialization keyed by the
+    // canonicalized optimized plan + an input-snapshot salt (file
+    // size/mtime; a plan hash alone cannot see data changes). The
+    // oracle checks the CACHED bytes against the direct computation,
+    // so a stale or corrupted cache entry fails the gate; PlanCacheSpec
+    // pins hit/miss behavior (same plan modulo exprIds/aliases → one
+    // materialization).
+    ("q391_result_cache", (s: SparkSession, d: String) => {
+      val agg = Tables(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          (sum(Exact.dec(col("o_totalprice"), 12)) * 100).cast("long")
+            .as("cents"))
+      val sf = new java.io.File(d).getName
+      graft.ops.PlanCache.cached(agg, s"/tmp/graft_plan_cache/$sf",
+          graft.ops.PlanCache.inputSalt(s"$d/orders.parquet"))
+        .orderBy("o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+          AS cents
+      FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // Exact classifier AUC via the rank-sum identity AUC = U⁺/(n⁺·n⁻)
+    // — the evaluation-side completion of the scorer family (q132
+    // linear score, q379 NB): doubled midranks from the score
+    // value-count aggregate keep ties exact (q240 discipline),
+    // u2⁺ = Σ r2 − n⁺(n⁺+1) is the doubled U statistic, and the one
+    // float is the closing division u2⁺/(2·n⁺·n⁻). The corpus crosses
+    // one (score)-keyed aggregate; the rank window runs on the
+    // score-cardinality relation.
+    ("q392_classifier_auc", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val scored = graft.llm.Curation.hashedLinearScore(
+          docs, "doc_id", "text", dim = 1024)
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").as("pos")), "doc_id")
+      val cnts = scored.groupBy("score").agg(count(lit(1)).as("cnt"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("cnt_pos"))
+      val r2 = cnts.withColumn("r2",
+        lit(2L) * coalesce(sum(col("cnt")).over(Window.orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) +
+          col("cnt") + 1)
+      r2.agg(sum(col("cnt_pos")).as("n_pos"),
+          sum(col("cnt") - col("cnt_pos")).as("n_neg"),
+          sum(col("cnt_pos") * col("r2")).as("rr_pos"))
+        .select(col("n_pos"), col("n_neg"),
+          (col("rr_pos") - col("n_pos") * (col("n_pos") + 1)).as("u2_pos"))
+        .withColumn("auc", col("u2_pos").cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents),
+      ${graft.llm.XxHashOracle.xxh64Ctes("toks")},
+      w AS (SELECT doc_id,
+          CAST((hu & CAST(1023 AS HUGEINT)) % 21 - 10 AS BIGINT) AS wt
+        FROM hashed),
+      sc AS (SELECT w.doc_id, CAST(SUM(wt) AS BIGINT) AS score,
+          (d.lang = 'en') AS pos
+        FROM w JOIN documents d ON w.doc_id = d.doc_id
+        GROUP BY 1, 3),
+      c AS (SELECT score, COUNT(*) AS cnt,
+          SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cnt_pos
+        FROM sc GROUP BY 1),
+      r AS (SELECT score, cnt, cnt_pos,
+          2 * COALESCE(SUM(cnt) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + cnt + 1 AS r2
+        FROM c),
+      m AS (SELECT CAST(SUM(cnt_pos) AS BIGINT) AS n_pos,
+          CAST(SUM(cnt - cnt_pos) AS BIGINT) AS n_neg,
+          CAST(SUM(cnt_pos * r2) AS BIGINT) AS rr_pos
+        FROM r)
+      SELECT n_pos, n_neg,
+        CAST(rr_pos - n_pos * (n_pos + 1) AS BIGINT) AS u2_pos,
+        CAST(rr_pos - n_pos * (n_pos + 1) AS DOUBLE)
+          / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+      FROM m"""))
+  ) ++ Seq[(String, Q, Option[String])](
+
+    // Streaming point-in-time enrichment: the event stream joins an
+    // SCD2-versioned static dimension AS OF event time (equi-key plus
+    // the validity-interval range predicate — stream-static joins
+    // accept arbitrary static-side conditions), the streaming
+    // composition of q152 (stream-static equi enrich) and q259 (batch
+    // PIT lookup). Rates are deterministic functions of the type so
+    // the oracle can inline the dimension; amounts are exact cents ×
+    // integer rate. Real micro-batch execution through the memory
+    // sink.
+    ("q394_stream_pit_enrich", (s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val stream = s.readStream.schema(raw.schema)
+        .option("basePath", d).parquet(s"$d/events.parque[t]")
+        .transform(Tables.normalizeTs)
+      val cut = "2024-01-15 00:00:00"
+      val dim = Tables(s, d, "events").select("event_type").distinct()
+        .select(col("event_type").as("ty"), explode(array(
+          struct(lit("1900-01-01 00:00:00").cast("timestamp").as("vf"),
+            lit(cut).cast("timestamp").as("vt"),
+            length(col("event_type")).cast("long").as("rate")),
+          struct(lit(cut).cast("timestamp").as("vf"),
+            lit("9999-01-01 00:00:00").cast("timestamp").as("vt"),
+            (length(col("event_type")) * 2).cast("long").as("rate"))))
+          .as("v"))
+        .select(col("ty"), col("v.vf"), col("v.vt"), col("v.rate"))
+        .localCheckpoint(true)
+      val joined = stream.join(broadcast(dim),
+          col("event_type") === col("ty") &&
+            col("ts") >= col("vf") && col("ts") < col("vt"))
+        .groupBy("event_type", "rate")
+        .agg(count(lit(1)).as("n"),
+          sum((Exact.dec(col("value"), 16) * 100).cast("long")
+            * col("rate")).as("amount_cents"))
+      val sink = s"q394_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = joined.writeStream.format("memory")
+        .queryName(sink).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).select("event_type", "rate", "n", "amount_cents")
+        .orderBy("event_type", "rate")
+    }, Some("""
+      WITH types AS (SELECT DISTINCT event_type FROM events),
+      dim AS (
+        SELECT event_type AS ty, TIMESTAMP '1900-01-01 00:00:00' AS vf,
+          TIMESTAMP '2024-01-15 00:00:00' AS vt,
+          CAST(LENGTH(event_type) AS BIGINT) AS rate FROM types
+        UNION ALL
+        SELECT event_type, TIMESTAMP '2024-01-15 00:00:00',
+          TIMESTAMP '9999-01-01 00:00:00',
+          CAST(LENGTH(event_type) * 2 AS BIGINT) FROM types)
+      SELECT e.event_type, d.rate, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(e.value AS DECIMAL(16,2)) * 100 AS BIGINT)
+          * d.rate) AS BIGINT) AS amount_cents
+      FROM events e JOIN dim d ON e.event_type = d.ty
+        AND e.ts >= d.vf AND e.ts < d.vt
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session

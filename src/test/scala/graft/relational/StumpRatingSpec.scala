@@ -157,6 +157,24 @@ class StumpRatingSpec extends SparkSpec {
       (c - dd).toDouble / math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble))
   }
 
+  test("stream PIT enrich: both dimension versions serve, split at " +
+      "the cutover") {
+    val out = q("q394_stream_pit_enrich").collect()
+    val byType = out.groupBy(_.getString(0))
+    byType.foreach { case (ty, rows) =>
+      // both SCD2 versions matched (events straddle the cutover) and
+      // the second version's rate is exactly double the first's
+      assert(rows.length == 2, s"$ty: ${rows.length} versions")
+      val rates = rows.map(_.getAs[Long]("rate")).sorted
+      assert(rates(1) == 2 * rates(0))
+      assert(rates(0) == ty.length.toLong)
+    }
+    // every event lands in exactly one validity interval
+    val n = out.map(_.getAs[Long]("n")).sum
+    val events = graft.Tables(spark, sfDir, "events").count()
+    assert(n == events)
+  }
+
   test("collation grouping: case variants merge, totals conserved") {
     val out = q("q385_collation_group").collect()
     val parts = Tables(spark, sfDir, "part")
