@@ -42,12 +42,10 @@ object Components {
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIters: Int = 50): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    val e = mat(edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = vertices.select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = mat(vertices.select(col("id"), col("id").as("label")))
     // Min-propagation only ever lowers labels, so the label sum strictly
     // decreases until the fixpoint — an exact, overflow-safe (decimal)
     // convergence test that costs one tiny aggregate per round.
@@ -67,8 +65,7 @@ object Components {
         .join(stepped.select(col("id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
         .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
-      val next = compressed.localCheckpoint(true)
-      labels.unpersist()
+      val next = mat(compressed)
       labels = next
       val sum1 = checksum(labels)
       converged = sum1.compareTo(sum0) == 0
@@ -129,14 +126,13 @@ object Components {
         sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head
       (r.getLong(0), r.getDecimal(1))
     }
-    var e = canon(edges).localCheckpoint(true)
+    var e = mat(canon(edges))
     var sum0 = checksum(e)
     var rounds = 0
     var converged = e.isEmpty
     while (!converged && rounds < maxIters) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = mat(smallStar(largeStar(e)))
       val sum1 = checksum(next)
-      e.unpersist()
       e = next
       converged = sum1 == sum0
       sum0 = sum1
@@ -642,13 +638,13 @@ object Components {
   def functionalGraphCycles(succ: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     var df = succ.select(col("id"), col("p"), col("id").as("mn"))
-      .localCheckpoint(true)
+      .transform(mat)
     for (_ <- 1 to rounds) {
       val next = df.as("a")
         .join(df.as("b"), col("a.p") === col("b.id"))
         .select(col("a.id").as("id"), col("b.p").as("p"),
           least(col("a.mn"), col("b.mn")).as("mn"))
-        .localCheckpoint(true)
+        .transform(mat)
       df.unpersist()
       df = next
     }
@@ -697,24 +693,72 @@ object Components {
     (hub, auth)
   }
 
+  /** Max-label propagation to fixpoint with pointer jumping:
+    * c(v) ← max(c(v), c over in-edges of `e`, c(c(v))) from c(v) = v —
+    * the coloring kernel of [[stronglyConnectedComponents]], converging
+    * in O(log diameter) rounds on any graph (the jump doubles the
+    * effective propagation distance per round). Convergence detected by
+    * the monotone Σc checksum (a metadata scalar). */
+  private def colorToFixpoint(nodes: DataFrame, e: DataFrame,
+      maxInner: Int): DataFrame = {
+    def sumC(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("c").cast("decimal(38,0)"))).collect()(0)
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var ptr = mat(nodes.select(col("id"), col("id").as("c")))
+    var digest = sumC(ptr)
+    var converged = false
+    var inner = 0
+    while (!converged && inner < maxInner) {
+      inner += 1
+      val fromEdges = e
+        .join(ptr.select(col("id").as("src"), col("c").as("cand")),
+          Seq("src"))
+        .select(col("dst").as("id"), col("cand"))
+      val fromJump = ptr.as("p")
+        .join(ptr.select(col("id").as("c0"), col("c").as("cand")).as("j"),
+          col("p.c") === col("j.c0"))
+        .select(col("p.id").as("id"), col("cand"))
+      val next = mat(ptr.select(col("id"), col("c").as("cand"))
+        .union(fromEdges).union(fromJump)
+        .groupBy("id").agg(max("cand").as("c")))
+      val nd = sumC(next) // monotone non-decreasing: equal sum = fixpoint
+      converged = nd.compareTo(digest) == 0
+      digest = nd
+      ptr = next
+    }
+    require(converged, s"SCC coloring did not converge in $maxInner rounds")
+    ptr
+  }
+
   /** Strongly connected components of a directed edge list via the
     * COLORING algorithm (Orzan; the standard distributed SCC — FW-BW
-    * without the pivot recursion):
+    * without the pivot recursion), with two scale guards the naive
+    * form lacks:
     *
     * repeat until no vertices remain:
-    *   1. COLOR: c(v) = max id over ancestors(v) ∪ {v}, computed by
-    *      max-label propagation ACCELERATED with pointer jumping
-    *      (c(v) ← max(c(v), c over in-edges, c(c(v))) — the jump makes
-    *      chain graphs converge in O(log depth) rounds instead of
-    *      O(depth)).
-    *   2. Every color class has exactly one root r with c(r) = r (r's
-    *      ancestors are a subset of its class members' ancestors), and
-    *      SCC(r) = the vertices that reach r WITHIN the class — a
-    *      backward mark propagation restricted to same-color edges,
-    *      O(SCC diameter) rounds.
-    *   3. Remove the found SCCs and their edges; every round removes at
+    *   0. TRIM (iterated): a vertex missing either in-edges or
+    *      out-edges in the current graph is a singleton SCC — peel
+    *      those to fixpoint first. Real graphs are mostly acyclic
+    *      fringe (the q372 top-2 successor graph at sf0.1 is 17k
+    *      singleton SCCs out of 20k vertices); without trimming, every
+    *      fringe layer costs a FULL coloring round.
+    *   1. COLOR: c(v) = max id over ancestors(v) ∪ {v}, by
+    *      pointer-jumped max-label propagation ([[colorToFixpoint]]),
+    *      O(log diameter) rounds.
+    *   2. Every color class has exactly one root r with c(r) = r, all
+    *      paths between class members stay inside the class, and
+    *      SCC(r) = the members that reach r — found by running the
+    *      SAME pointer-jumped coloring on the class-restricted
+    *      REVERSED edges: rev(v) = max class member reachable FROM v,
+    *      so v ∈ SCC(c(v)) iff rev(v) = c(v). (The earlier plain
+    *      backward BFS here was O(SCC diameter) rounds — hundreds on
+    *      a ring-shaped giant SCC, the q372 sf0.1 hang; the jump makes
+    *      it logarithmic like phase 1.)
+    *   3. Remove the found SCCs and their edges; each round removes at
     *      least all root SCCs, so the outer loop is bounded by the
-    *      condensation depth.
+    *      cycle-peeling depth of the condensation (trim collapses the
+    *      acyclic depth).
     *
     * Shuffle discipline matches [[connectedComponentsStars]]: every
     * round moves two-longs-per-edge relations, per-round localCheckpoint
@@ -722,76 +766,80 @@ object Components {
     * checksums (metadata scalars, never vertex data). Returns
     * (scc_id = min member id, id, scc_size). */
   def stronglyConnectedComponents(edges: DataFrame, maxOuter: Int = 25,
-      maxInner: Int = 60): DataFrame = {
-    var e = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
-    var remaining = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+      maxInner: Int = 60): DataFrame = sccBody(edges, maxOuter, maxInner)
+
+  /** Eager materialization with stats truncation — REQUIRED (not an
+    * optimization) for the pointer-jump loops here: see
+    * [[org.apache.spark.sql.GraftSqlBridge.materializeTruncated]] for
+    * the sizeInBytes-squaring pathology a plain localCheckpoint hits. */
+  private def mat(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftSqlBridge.materializeTruncated(df)
+
+  private def sccBody(edges: DataFrame, maxOuter: Int,
+      maxInner: Int): DataFrame = {
+    var e = mat(edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    var remaining = mat(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
     var assigned: DataFrame = null
-    def sumC(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(sum(col("c").cast("decimal(38,0)"))).collect()(0)
-      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    def addAssigned(found: DataFrame): Unit = {
+      assigned = mat(if (assigned == null) found
+        else assigned.union(found))
     }
     var outer = 0
     while (!remaining.isEmpty && outer < maxOuter) {
       outer += 1
-      // Phase 1: max-ancestor coloring with relax + pointer-jump.
-      var ptr = remaining.select(col("id"), col("id").as("c"))
-        .localCheckpoint(true)
-      var digest = sumC(ptr)
-      var converged = false
-      var inner = 0
-      while (!converged && inner < maxInner) {
-        inner += 1
-        val fromEdges = e
-          .join(ptr.select(col("id").as("src"), col("c").as("cand")),
+      // Phase 0: iterated trim — acyclic fringe = singleton SCCs.
+      var trimmed = true
+      var trimRounds = 0
+      while (trimmed && trimRounds < maxInner && !remaining.isEmpty) {
+        trimRounds += 1
+        val both = mat(e.select(col("src").as("id")).distinct()
+          .join(e.select(col("dst").as("id")).distinct(), Seq("id")))
+        // `both` = vertices with in AND out edges
+        val single = remaining.join(both, Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("c"))
+        if (single.isEmpty) trimmed = false
+        else {
+          addAssigned(single)
+          remaining = both
+          e = mat(e.join(both.select(col("id").as("src")), Seq("src"))
+            .join(both.select(col("id").as("dst")), Seq("dst"))
+            .select("src", "dst"))
+        }
+        if (sys.env.contains("GRAFT_SCC_DEBUG"))
+          System.err.println(s"[scc-trim] round $trimRounds" +
+            s" t=${System.nanoTime() / 1000000000L % 100000}")
+      }
+      if (!remaining.isEmpty) {
+        // Phase 1: forward max-ancestor coloring.
+        val fwd = colorToFixpoint(remaining, e, maxInner)
+        // Phase 2: reverse coloring on class-restricted reversed edges.
+        val ec = e
+          .join(fwd.select(col("id").as("src"), col("c").as("cs")),
             Seq("src"))
-          .select(col("dst").as("id"), col("cand"))
-        val fromJump = ptr.as("p")
-          .join(ptr.select(col("id").as("c0"), col("c").as("cand")).as("j"),
-            col("p.c") === col("j.c0"))
-          .select(col("p.id").as("id"), col("cand"))
-        val next = ptr.select(col("id"), col("c").as("cand"))
-          .union(fromEdges).union(fromJump)
-          .groupBy("id").agg(max("cand").as("c"))
-          .localCheckpoint(true)
-        val nd = sumC(next) // monotone non-decreasing: equal sum = fixpoint
-        converged = nd.compareTo(digest) == 0
-        digest = nd
-        ptr.unpersist()
-        ptr = next
-      }
-      require(converged, s"SCC coloring did not converge in $maxInner rounds")
-      // Phase 2: backward mark from each root within its color class.
-      var mark = ptr.filter(col("id") === col("c")).localCheckpoint(true)
-      var n = mark.count()
-      converged = false
-      inner = 0
-      while (!converged && inner < maxInner) {
-        inner += 1
-        val grow = e
-          .join(mark.select(col("id").as("dst"), col("c").as("mc")),
+          .join(fwd.select(col("id").as("dst"), col("c").as("cd")),
             Seq("dst"))
-          .select(col("src").as("id"), col("mc"))
-          .join(ptr, Seq("id"))
-          .filter(col("c") === col("mc"))
+          .filter(col("cs") === col("cd"))
+          .select(col("dst").as("src"), col("src").as("dst"))
+          .transform(mat)
+        val rev = colorToFixpoint(remaining, ec, maxInner)
+        val found = fwd
+          .join(rev.select(col("id"), col("c").as("rc")), Seq("id"))
+          .filter(col("c") === col("rc"))
           .select(col("id"), col("c"))
-        val next = mark.union(grow).distinct().localCheckpoint(true)
-        val nn = next.count() // monotone: stable count = fixpoint
-        converged = nn == n
-        n = nn
-        mark.unpersist()
-        mark = next
+          .transform(mat)
+        addAssigned(found)
+        remaining = mat(remaining.join(found.select("id"),
+          Seq("id"), "left_anti"))
+        e = mat(e.join(found.select(col("id").as("src")), Seq("src"),
+            "left_anti")
+          .join(found.select(col("id").as("dst")), Seq("dst"), "left_anti")
+          .select("src", "dst"))
+        if (sys.env.contains("GRAFT_SCC_DEBUG"))
+          System.err.println(s"[scc] outer $outer found=${found.count()}" +
+            s" left=${remaining.count()}")
       }
-      require(converged, s"SCC mark phase did not converge in $maxInner rounds")
-      val found = mark
-      assigned = if (assigned == null) found else assigned.union(found)
-      assigned = assigned.localCheckpoint(true)
-      remaining = remaining.join(found.select("id"), Seq("id"), "left_anti")
-        .localCheckpoint(true)
-      e = e.join(found.select(col("id").as("src")), Seq("src"), "left_anti")
-        .join(found.select(col("id").as("dst")), Seq("dst"), "left_anti")
-        .select("src", "dst").localCheckpoint(true)
     }
     require(remaining.isEmpty, s"SCC did not finish in $maxOuter rounds")
     assigned.groupBy(col("c"))

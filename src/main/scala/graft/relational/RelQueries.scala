@@ -9182,6 +9182,110 @@ object RelQueries {
       FROM events e JOIN dim d ON e.event_type = d.ty
         AND e.ts >= d.vf AND e.ts < d.vt
       GROUP BY 1, 2 ORDER BY 1, 2"""))
+  ) ++ Seq[(String, Q, Option[String])](
+
+    // pass@k estimator (Chen et al. 2021, HumanEval eval metric) —
+    // the unbiased 1 − C(n−c,k)/C(n,k) with k = 3 over per-user
+    // trial/success counts, in EXACT integer arithmetic: C(m,3) =
+    // m(m−1)(m−2) div 6 is exact, the basis-point result is one floor
+    // division. One corpus-keyed aggregate; the output is the compact
+    // (n, c)-combination relation (bounded by distinct count pairs,
+    // not user count). Users with fewer than k trials are excluded
+    // (the estimator's domain), counted via the n_users column sum.
+    ("q395_pass_at_k", (s: SparkSession, d: String) => {
+      Tables(s, d, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("c"))
+        .filter(col("n") >= 3)
+        .groupBy(col("n").as("n_trials"), col("c").as("n_success"))
+        .agg(count(lit(1)).as("n_users"))
+        .withColumn("pass3_bp", expr(
+          """10000 - (((n_trials - n_success) * (n_trials - n_success - 1)
+             * (n_trials - n_success - 2) div 6) * 10000)
+             div ((n_trials * (n_trials - 1) * (n_trials - 2)) div 6)"""))
+        .orderBy("n_trials", "n_success")
+    }, Some("""
+      WITH u AS (SELECT user_id, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      g AS (SELECT n AS n_trials, c AS n_success, COUNT(*) AS n_users
+        FROM u WHERE n >= 3 GROUP BY 1, 2)
+      SELECT n_trials, n_success, n_users,
+        10000 - (((n_trials - n_success) * (n_trials - n_success - 1)
+          * (n_trials - n_success - 2) // 6) * 10000)
+          // ((n_trials * (n_trials - 1) * (n_trials - 2)) // 6)
+          AS pass3_bp
+      FROM g ORDER BY n_trials, n_success""")),
+
+    // Exact Shapley-value channel attribution (the coalition model of
+    // Zhao et al. 2018): users' observed channel SETS induce the
+    // coalition value v(S) = conversions reachable with channels ⊆ S,
+    // and each channel's Shapley share is computed EXACTLY with
+    // k!-scaled integer weights |S|!(k−1−|S|)! — no factorial
+    // fractions, no floats. The corpus work is one (user)-keyed
+    // aggregate to bitmasks; v and the Shapley sums live on the
+    // 2^k-row lattice (metadata — k = 4 non-purchase channels).
+    // Efficiency law Σφ = k!(v(full) − v(∅)) is spec-pinned.
+    ("q396_shapley_attribution", (s: SparkSession, d: String) => {
+      val ev = Tables(s, d, "events")
+      val chDim = ev.select("event_type")
+        .filter(col("event_type") =!= "purchase").distinct()
+        .withColumn("idx", (row_number().over(
+          Window.orderBy("event_type")) - 1).cast("long"))
+        .localCheckpoint(true) // k rows
+      val k = chDim.count().toInt
+      require(k == 4, s"shapley lattice hardcodes k=4 channels, got $k")
+      val userMask = ev.join(broadcast(chDim), "event_type")
+        .select(col("user_id"), col("idx")).distinct()
+        .groupBy("user_id")
+        .agg(sum(expr("shiftleft(1L, CAST(idx AS INT))")).as("mask"))
+      val w = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("pur"))
+        .join(userMask, Seq("user_id"), "left")
+        .na.fill(0L, Seq("mask"))
+        .groupBy("mask").agg(sum(col("pur")).as("w"))
+        .localCheckpoint(true) // <= 2^k rows
+      val lattice = s.range(1L << k).select(col("id").as("S"))
+      val v = lattice.join(w, expr("(mask & ~S) = 0"), "left")
+        .groupBy("S").agg(coalesce(sum(col("w")), lit(0L)).as("v"))
+        .localCheckpoint(true)
+      val v2 = v.select(col("S").as("S2"), col("v").as("vplus"))
+      chDim.join(lattice, expr("((S >> idx) & 1) = 0"))
+        .join(v, "S")
+        .join(v2, expr("S2 = S + shiftleft(1L, CAST(idx AS INT))"))
+        .groupBy("event_type")
+        .agg(sum(expr(
+          """element_at(array(1L,1L,2L,6L), CAST(bit_count(S) AS INT) + 1)
+             * element_at(array(1L,1L,2L,6L), 4 - CAST(bit_count(S) AS INT))
+             * (vplus - v)""")).as("phi24"))
+        .orderBy("event_type")
+    }, Some("""
+      WITH ch AS (SELECT event_type,
+          CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT)
+            AS idx
+        FROM (SELECT DISTINCT event_type FROM events
+              WHERE event_type <> 'purchase')),
+      um AS (SELECT e.user_id,
+          CAST(SUM(DISTINCT (CAST(1 AS BIGINT) << ch.idx)) AS BIGINT)
+            AS mask
+        FROM events e JOIN ch ON e.event_type = ch.event_type GROUP BY 1),
+      wm AS (SELECT COALESCE(um.mask, 0) AS mask,
+          CAST(COUNT(*) AS BIGINT) AS w
+        FROM events e LEFT JOIN um USING (user_id)
+        WHERE e.event_type = 'purchase' GROUP BY 1),
+      lat AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS S),
+      v AS (SELECT S, CAST(COALESCE(SUM(w.w), 0) AS BIGINT) AS v
+        FROM lat LEFT JOIN wm w ON (w.mask & ~S) = 0 GROUP BY 1)
+      SELECT ch.event_type, CAST(SUM(
+          ([1,1,2,6])[bit_count(l.S) + 1] * ([1,1,2,6])[4 - bit_count(l.S)]
+          * (v2.v - v1.v)) AS BIGINT) AS phi24
+      FROM ch JOIN lat l ON ((l.S >> ch.idx) & 1) = 0
+      JOIN v v1 ON v1.S = l.S
+      JOIN v v2 ON v2.S = l.S + (CAST(1 AS BIGINT) << ch.idx)
+      GROUP BY 1 ORDER BY event_type"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session

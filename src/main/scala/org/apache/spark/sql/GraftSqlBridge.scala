@@ -9,4 +9,25 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Eager materialization that TRUNCATES both RDD lineage and plan
+    * statistics — the iterative-algorithm alternative to
+    * `Dataset.localCheckpoint`. The Dataset version rewrites the origin
+    * plan's Statistics into the new LogicalRDD; under an iterated
+    * SELF-join (e.g. pointer jumping) the estimated sizeInBytes SQUARES
+    * every round, so by round ~15 the stats BigInt has megabits and
+    * every downstream stats visit burns CPU in BigInteger multiplies
+    * (observed: per-round wall time tripling at a few hundred rows,
+    * 100% of samples in SizeInBytesOnlyStatsPlanVisitor →
+    * BigInteger.multiplyToomCook3). Rebuilding from the raw RDD gives
+    * the LogicalRDD default statistics instead, which also means the
+    * result is never auto-broadcast — correct for BSP loop state. */
+  def materializeTruncated(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = ds.sparkSession
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count()
+    spark.internalCreateDataFrame(rdd, ds.schema, isStreaming = false)
+  }
 }
