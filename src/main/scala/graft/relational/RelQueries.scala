@@ -9253,9 +9253,9 @@ object RelQueries {
         .groupBy("S").agg(coalesce(sum(col("w")), lit(0L)).as("v"))
         .localCheckpoint(true)
       val v2 = v.select(col("S").as("S2"), col("v").as("vplus"))
-      chDim.join(lattice, expr("((S >> idx) & 1) = 0"))
-        .join(v, "S")
-        .join(v2, expr("S2 = S + shiftleft(1L, CAST(idx AS INT))"))
+      chDim.join(broadcast(lattice), expr("((S >> idx) & 1) = 0"))
+        .join(broadcast(v), "S")
+        .join(broadcast(v2), expr("S2 = S + shiftleft(1L, CAST(idx AS INT))"))
         .groupBy("event_type")
         .agg(sum(expr(
           """element_at(array(1L,1L,2L,6L), CAST(bit_count(S) AS INT) + 1)

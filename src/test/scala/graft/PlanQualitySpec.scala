@@ -713,4 +713,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
+
+  test("q388: kendall collapses to the grid before any dominance join") {
+    val p = plan("q388_kendall_tau")
+    // corpus-sized work is one partial+final aggregate; the dominance
+    // joins run on the checkpointed metadata grid
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q390: depth-2 tree reuses ONE candidate aggregate for both levels") {
+    val p = plan("q390_tree_depth2")
+    // candidate relation is checkpointed once — the final plan must not
+    // rescan events per node
+    assert(!p.contains("FileScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q392: AUC rank window runs after the score value-count aggregate") {
+    val p = plan("q392_classifier_auc")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q395: pass@k is aggregates only — no joins, no windows") {
+    val p = plan("q395_pass_at_k")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q396: shapley corpus work is keyed aggregation; lattice joins " +
+      "are metadata") {
+    val p = plan("q396_shapley_attribution")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

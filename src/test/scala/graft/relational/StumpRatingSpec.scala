@@ -175,6 +175,52 @@ class StumpRatingSpec extends SparkSpec {
     assert(n == events)
   }
 
+  test("pass@k: exact combinatorial identity and bounds") {
+    val rows = q("q395_pass_at_k").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, c, bp) = (r.getAs[Long]("n_trials"), r.getAs[Long]("n_success"),
+        r.getAs[Long]("pass3_bp"))
+      assert(bp >= 0 && bp <= 10000, s"n=$n c=$c bp=$bp")
+      def c3(m: Long) = BigInt(m) * (m - 1) * (m - 2) / 6
+      val want = 10000 - (c3(n - c) * 10000 / c3(n)).toLong
+      assert(bp == want, s"n=$n c=$c")
+      if (c == 0) assert(bp == 0)
+      if (c >= n - 2) assert(bp == 10000) // all 3-subsets hit a success
+    }
+  }
+
+  test("shapley: efficiency law and exact BigInt lattice replay") {
+    val out = q("q396_shapley_attribution").collect()
+      .map(r => r.getString(0) -> BigInt(r.getAs[Long]("phi24"))).toMap
+    val ev = Tables(spark, sfDir, "events")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val channels = ev.map(_._2).filter(_ != "purchase").distinct.sorted
+    val k = channels.length
+    val idx = channels.zipWithIndex.toMap
+    val purchases = ev.filter(_._2 == "purchase").groupBy(_._1)
+      .map { case (u, g) => u -> g.length.toLong }
+    val masks = ev.filter(_._2 != "purchase").groupBy(_._1).map {
+      case (u, g) => u -> g.map(x => 1L << idx(x._2)).distinct.sum
+    }
+    val w = purchases.groupBy { case (u, _) => masks.getOrElse(u, 0L) }
+      .map { case (m, g) => m -> g.values.sum }
+    def v(s: Long): BigInt =
+      BigInt(w.filter { case (m, _) => (m & ~s) == 0 }.values.sum)
+    val fact = Array[BigInt](1, 1, 2, 6)
+    val phi = channels.map { ch =>
+      val i = idx(ch)
+      ch -> (0L until (1L << k)).filter(s => ((s >> i) & 1) == 0).map { s =>
+        val bc = java.lang.Long.bitCount(s)
+        fact(bc) * fact(k - 1 - bc) * (v(s + (1L << i)) - v(s))
+      }.sum
+    }.toMap
+    assert(out == phi)
+    // efficiency: sum of k!-scaled shares = k!·(v(full) − v(∅))
+    assert(out.values.sum == BigInt(24) * (v((1L << k) - 1) - v(0L)))
+  }
+
   test("collation grouping: case variants merge, totals conserved") {
     val out = q("q385_collation_group").collect()
     val parts = Tables(spark, sfDir, "part")
