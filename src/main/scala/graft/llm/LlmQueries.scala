@@ -4451,6 +4451,45 @@ object LlmQueries {
       SELECT r AS ctx, COUNT(*) AS n_occ, MIN(p) AS first_p,
         MAX(p) AS last_p
       FROM r2t GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY ctx"""))
+  ) ++ Seq[(String, Q, Option[String])](
+
+    // Perceptual-hash (aHash-family) image near-dup over the binary
+    // payload column — the multimodal member of the near-dup family
+    // (q35-q37 text, q40/q51 embeddings): 63 sampled payload bytes
+    // stand in for the 8x8 grayscale grid of the stubbed decoder, one
+    // hash bit per "pixel" above the integer mean, SimHash-style band
+    // blocking (3x21 bits) + exact popcount hamming verify. The oracle
+    // replays sampling positions, floor mean, bit assembly and banding
+    // on the same bytes (ASCII payloads make ord(substr()) ==
+    // byte-at-offset on both engines).
+    ("q397_ahash_neardup", (s: SparkSession, d: String) => {
+      Multimodal.aHashNearDup(
+          Multimodal.withBinaryPayload(t(s, d, "documents")),
+          maxHamming = 8)
+        .orderBy("d1", "d2")
+    }, Some("""
+      WITH px AS (SELECT doc_id, text,
+          octet_length(encode(text)) AS nb FROM documents),
+      pe AS (SELECT doc_id, ii.i AS i,
+          ord(substr(text, CAST((ii.i * nb) // 64 AS INT) + 1, 1)) AS v
+        FROM px CROSS JOIN (SELECT unnest(range(0, 63)) AS i) ii),
+      mn AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) // 63 AS mean
+        FROM pe GROUP BY 1),
+      hb AS (SELECT pe.doc_id,
+          CAST(SUM(CASE WHEN v > mean
+            THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)
+            AS BIGINT) AS h
+        FROM pe JOIN mn USING (doc_id) GROUP BY 1),
+      bd AS (SELECT doc_id, h, unnest(range(0, 3)) AS b FROM hb),
+      bv AS (SELECT doc_id, h, b,
+          (h >> CAST(21 * b AS INT)) & 2097151 AS bval FROM bd),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, a.h AS h1,
+          c.doc_id AS d2, c.h AS h2
+        FROM bv a JOIN bv c
+          ON a.b = c.b AND a.bval = c.bval AND a.doc_id < c.doc_id)
+      SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(h1, h2)) <= 8
+      ORDER BY d1, d2"""))
   )
 
   /** DuckDB replay of [[Similarity.pcaTopComponent]] — HUGEINT

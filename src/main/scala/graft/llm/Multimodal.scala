@@ -113,4 +113,52 @@ object Multimodal {
         md5(col("media").substr((col("win_idx") * stride + 1).cast("int"),
           lit(winLen))).as("win_md5"))
   }
+
+  /** Perceptual-hash near-duplicate detection over binary payloads —
+    * the image-dedup shape (aHash/pHash family) on the stubbed decode:
+    * 63 evenly-spaced sample bytes stand in for the 8x8 grayscale
+    * grid (a real decoder replaces the sampling, nothing else), each
+    * "pixel" contributes one hash bit (above the integer mean), and
+    * candidate pairs come from SimHash-style band blocking (3 bands x
+    * 21 bits — a pair survives iff some band matches exactly, the q37
+    * discipline) with an exact popcount(xor) hamming verify. All
+    * integer arithmetic — floor-div sampling positions, floor mean —
+    * so the hash replays bit-for-bit. Payload bytes are sampled via
+    * codegen'd substring, never a UDF; the banded join shuffles only
+    * (band, value, id, hash) — ids and longs, no payloads.
+    *
+    * Guarantees: exact-duplicate payloads always pair (hamming 0 ⇒
+    * all bands equal); near-dups within `maxHamming` are found iff
+    * one band is untouched (recall < 1, the standard banding
+    * trade-off — spec-pinned candidates ⊆ brute-force pairs). */
+  def aHashNearDup(media: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val px = media.select(col("doc_id"), col("media"),
+        octet_length(col("media")).as("nb"))
+      .select(col("doc_id"), col("media"), col("nb"),
+        explode(sequence(lit(0), lit(62))).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr("""ascii(CAST(substring(media,
+          CAST((i * nb) div 64 AS INT) + 1, 1) AS STRING))""").as("v"))
+    val mean = px.groupBy("doc_id")
+      .agg(expr("sum(v) div 63").as("mean"))
+    val h = px.join(mean, "doc_id")
+      .groupBy("doc_id")
+      .agg(sum(expr(
+        "CASE WHEN v > mean THEN shiftleft(CAST(1 AS BIGINT), i)" +
+          " ELSE 0L END")).as("h"))
+      .localCheckpoint(true) // id + 63-bit hash per payload
+    val bands = h.select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(2))).as("b"))
+      .select(col("doc_id"), col("h"), col("b"),
+        expr("(h >> CAST(21 * b AS INT)) & 2097151").as("bval"))
+    val a = bands.select(col("doc_id").as("d1"), col("h").as("h1"),
+      col("b"), col("bval"))
+    val c = bands.select(col("doc_id").as("d2"), col("h").as("h2"),
+      col("b"), col("bval"))
+    a.join(c, Seq("b", "bval")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        expr("CAST(bit_count(h1 ^ h2) AS BIGINT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

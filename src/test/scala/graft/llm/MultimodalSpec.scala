@@ -61,4 +61,59 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2)._4 == md5hex("a" * 32))
     assert(got.last._4 == md5hex("b" * 10))
   }
+
+  test("aHash: identical payloads always pair at hamming 0; candidates " +
+      "are a subset of brute-force pairs") {
+    import spark.implicits._
+    def scalaHash(text: String): Long = {
+      val nb = text.length
+      val px = (0 until 63).map(i => text.charAt(i * nb / 64).toInt)
+      val mean = px.sum / 63
+      px.zipWithIndex.map { case (v, i) =>
+        if (v > mean) 1L << i else 0L }.sum
+    }
+    val base = "the quick brown fox jumps over the lazy dog " * 4
+    val docs = Seq(
+      (1L, base), (2L, base), // exact dup
+      (3L, base.replace("quick", "quack")), // near dup
+      (4L, "zz " + base.reverse), (5L, "completely different words here " * 6))
+      .toDF("doc_id", "text")
+    val media = Multimodal.withBinaryPayload(docs)
+    val pairs = Multimodal.aHashNearDup(media, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(pairs.get((1L, 2L)).contains(0L))
+    // every candidate's hamming agrees with the scala replay
+    val texts = Map(1L -> base, 2L -> base,
+      3L -> base.replace("quick", "quack"),
+      4L -> ("zz " + base.reverse),
+      5L -> ("completely different words here " * 6))
+    pairs.foreach { case ((a, b), hd) =>
+      val want = java.lang.Long.bitCount(scalaHash(texts(a)) ^ scalaHash(texts(b)))
+      assert(hd == want && hd <= 8, s"pair ($a,$b)")
+    }
+  }
+
+  test("aHash: corpus candidates replay exactly in scala") {
+    val docs = graft.Tables(spark, sfDir, "documents").limit(80)
+    val media = Multimodal.withBinaryPayload(docs)
+    val got = Multimodal.aHashNearDup(media, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def h(t: String): Long = {
+      val nb = t.length
+      val px = (0 until 63).map(i => t.charAt(i * nb / 64).toInt)
+      val mean = px.sum / 63
+      px.zipWithIndex.map { case (v, i) => if (v > mean) 1L << i else 0L }.sum
+    }
+    val hs = texts.map { case (k, v) => k -> h(v) }
+    def bands(x: Long) = (0 until 3).map(b => (b, (x >> (21 * b)) & 2097151L))
+    val want = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      if bands(hs(a)).intersect(bands(hs(b))).nonEmpty
+      hd = java.lang.Long.bitCount(hs(a) ^ hs(b)) if hd <= 8
+    } yield (a, b) -> hd.toLong).toMap
+    assert(got == want)
+  }
 }
