@@ -7512,9 +7512,16 @@ object RelQueries {
         .filter(weekday(col("day")) < 5)
         .withColumn("idx",
           row_number().over(Window.orderBy("day")).cast("long"))
-      val nxt = o.join(broadcast(cal), col("day") >= col("odate"))
-        .groupBy("o_orderkey", "odate").agg(min("idx").as("nidx"))
-      nxt.join(broadcast(cal), col("idx") === col("nidx") + 4)
+      // The next-business-day argmin depends only on the DATE — run the
+      // range join on the distinct-date relation (calendar² pairs,
+      // metadata) and give the corpus an equality broadcast join; the
+      // orders×calendar nested loop this replaces evaluated 255M pairs
+      // at sf0.1 (6.4 s → sub-second, identical output).
+      val nxt = o.select("odate").distinct()
+        .join(broadcast(cal), col("day") >= col("odate"))
+        .groupBy("odate").agg(min("idx").as("nidx"))
+      o.join(broadcast(nxt), Seq("odate"))
+        .join(broadcast(cal), col("idx") === col("nidx") + 4)
         .select(col("o_orderkey"), col("odate"), col("day").as("promised"))
         .orderBy("o_orderkey")
     }, Some("""
