@@ -66,12 +66,14 @@ object Components {
           Seq("label"), "left")
         .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
       val next = mat(compressed)
+      unmat(labels)
       labels = next
       val sum1 = checksum(labels)
       converged = sum1.compareTo(sum0) == 0
       sum0 = sum1
       iter += 1
     }
+    unmat(e) // the returned plan reads only `labels`
     labels.select(col("id"), col("label").as("component"))
   }
 
@@ -133,6 +135,7 @@ object Components {
     while (!converged && rounds < maxIters) {
       val next = mat(smallStar(largeStar(e)))
       val sum1 = checksum(next)
+      unmat(e)
       e = next
       converged = sum1 == sum0
       sum0 = sum1
@@ -645,7 +648,7 @@ object Components {
         .select(col("a.id").as("id"), col("b.p").as("p"),
           least(col("a.mn"), col("b.mn")).as("mn"))
         .transform(mat)
-      df.unpersist()
+      unmat(df) // Dataset.unpersist cannot reach mat's RDD — see unmat
       df = next
     }
     val anchors = df.select(col("p")).distinct()
@@ -725,6 +728,7 @@ object Components {
       val nd = sumC(next) // monotone non-decreasing: equal sum = fixpoint
       converged = nd.compareTo(digest) == 0
       digest = nd
+      unmat(ptr)
       ptr = next
     }
     require(converged, s"SCC coloring did not converge in $maxInner rounds")
@@ -775,6 +779,15 @@ object Components {
   private def mat(df: DataFrame): DataFrame =
     org.apache.spark.sql.GraftSqlBridge.materializeTruncated(df)
 
+  /** Release a [[mat]]-round's BlockManager blocks once every consumer
+    * (including the NEXT round's `mat`, whose count() forces its own
+    * blocks) has run — without this every round of a BSP loop stays
+    * pinned for the session lifetime, and `Dataset.unpersist` cannot
+    * reach these RDDs (they are not in the Dataset cache manager). */
+  private def unmat(df: DataFrame): Unit =
+    if (df != null)
+      org.apache.spark.sql.GraftSqlBridge.unpersistMaterialized(df)
+
   private def sccBody(edges: DataFrame, maxOuter: Int,
       maxInner: Int): DataFrame = {
     var e = mat(edges.select(col("src"), col("dst"))
@@ -783,8 +796,10 @@ object Components {
       .union(e.select(col("dst").as("id"))).distinct())
     var assigned: DataFrame = null
     def addAssigned(found: DataFrame): Unit = {
-      assigned = mat(if (assigned == null) found
+      val next = mat(if (assigned == null) found
         else assigned.union(found))
+      unmat(assigned)
+      assigned = next
     }
     var outer = 0
     while (!remaining.isEmpty && outer < maxOuter) {
@@ -799,13 +814,16 @@ object Components {
         // `both` = vertices with in AND out edges
         val single = remaining.join(both, Seq("id"), "left_anti")
           .select(col("id"), col("id").as("c"))
-        if (single.isEmpty) trimmed = false
+        if (single.isEmpty) { trimmed = false; unmat(both) }
         else {
-          addAssigned(single)
+          addAssigned(single) // forces `single` → old remaining done
+          unmat(remaining)
           remaining = both
-          e = mat(e.join(both.select(col("id").as("src")), Seq("src"))
+          val ne = mat(e.join(both.select(col("id").as("src")), Seq("src"))
             .join(both.select(col("id").as("dst")), Seq("dst"))
             .select("src", "dst"))
+          unmat(e)
+          e = ne
         }
         if (sys.env.contains("GRAFT_SCC_DEBUG"))
           System.err.println(s"[scc-trim] round $trimRounds" +
@@ -830,18 +848,24 @@ object Components {
           .select(col("id"), col("c"))
           .transform(mat)
         addAssigned(found)
-        remaining = mat(remaining.join(found.select("id"),
+        val nr = mat(remaining.join(found.select("id"),
           Seq("id"), "left_anti"))
-        e = mat(e.join(found.select(col("id").as("src")), Seq("src"),
+        unmat(remaining)
+        remaining = nr
+        val ne = mat(e.join(found.select(col("id").as("src")), Seq("src"),
             "left_anti")
           .join(found.select(col("id").as("dst")), Seq("dst"), "left_anti")
           .select("src", "dst"))
+        unmat(e)
+        e = ne
         if (sys.env.contains("GRAFT_SCC_DEBUG"))
           System.err.println(s"[scc] outer $outer found=${found.count()}" +
             s" left=${remaining.count()}")
+        unmat(fwd); unmat(ec); unmat(rev); unmat(found)
       }
     }
     require(remaining.isEmpty, s"SCC did not finish in $maxOuter rounds")
+    unmat(e); unmat(remaining) // the returned plan reads only `assigned`
     assigned.groupBy(col("c"))
       .agg(min("id").as("scc_id"), count(lit(1)).as("scc_size"))
       .join(assigned, Seq("c"))
@@ -898,6 +922,9 @@ object Components {
     * only against the frontier (BFS discipline of [[bfsLevels]]). */
   def betweennessPivots(edges: DataFrame, nPivots: Int, depth: Int,
       scale: Long = 1000000000L): DataFrame = {
+    // depth < 2 leaves the backward sweep empty (loop depth-1 .. 1
+    // never runs) and `acc` null — fail fast instead of NPE.
+    require(depth >= 2, s"depth must be >= 2, got $depth")
     val e = edges.select(col("src").cast("long").as("esrc"),
       col("dst").cast("long").as("edst"))
     val pivots = e.select(col("esrc").as("pivot")).distinct()

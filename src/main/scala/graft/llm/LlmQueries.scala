@@ -3176,7 +3176,12 @@ object LlmQueries {
     // (sum of per-doc xxhash64 in DECIMAL(38,0) — wrap-free under ANSI,
     // and unlike a bit_xor fold it does not cancel even multiplicities,
     // the q171 ADVICE lesson). Everything replays in DuckDB, the
-    // checksum via the generated XXH64 over the raw text.
+    // checksum via the generated XXH64 over the raw text. The checksum
+    // is EMITTED AS VARCHAR: its value legitimately exceeds int64/
+    // float53 range (66-bit sums at sf0.1), and a decimal that wide is
+    // not canonicalized identically across parquet and DuckDB readers —
+    // the round-6 q330 hash-gate artifact. A decimal(38,0) → string
+    // render is exact and identical on both engines.
     ("q330_shard_manifest", (s: SparkSession, d: String) => {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("text"), col("n_chars"),
@@ -3190,7 +3195,7 @@ object LlmQueries {
           sum("w").cast("long").as("n_tokens"),
           sum("n_chars").cast("long").as("n_bytes"),
           sum(xxhash64(col("text")).cast("decimal(38,0)"))
-            .cast("decimal(38,0)").as("checksum"))
+            .cast("decimal(38,0)").cast("string").as("checksum"))
         .orderBy("shard_id")
     }, Some(s"""
       WITH toks AS (SELECT doc_id, text AS tok, n_chars,
@@ -3206,7 +3211,7 @@ object LlmQueries {
       SELECT CAST((cum - w) // 1000 AS BIGINT) AS shard_id,
         COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS n_tokens,
         CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
-        CAST(SUM(h) AS DECIMAL(38,0)) AS checksum
+        CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
       FROM c GROUP BY 1 ORDER BY shard_id""")),
 
     // Cross-SOURCE overlap matrix — the dataset-card relation that says
@@ -4494,7 +4499,26 @@ object LlmQueries {
           ON a.b = c.b AND a.bval = c.bval AND a.doc_id < c.doc_id)
       SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
       FROM cand WHERE bit_count(xor(h1, h2)) <= 8
-      ORDER BY d1, d2"""))
+      ORDER BY d1, d2""")),
+
+    // THE COMPOSED 100 TB SEMANTIC-DEDUP FLAGSHIP
+    // (Similarity.semanticDedupPq): coarse IVF cells block the pair
+    // space; PQ codes (q195's machinery) compress each vector to m
+    // bytes so the candidate stage shuffles (vec_id, codes, recon-norm²)
+    // only — never float arrays; symmetric-distance (SDC) lookup-table
+    // scoring gates candidates at tauApprox; the exact-cosine rerank
+    // confirms at tau; alternating-star CC resolves clusters and a
+    // keep-BEST window picks the highest-norm member. q195 + q40/q51 +
+    // q88 + q312 as the ONE pipeline a corpus run ships. The oracle
+    // replays codebook training, the SDC add chain, closure and keeper
+    // window from the same parameters.
+    ("q398_semantic_dedup_pq", (s: SparkSession, d: String) => {
+      Similarity.semanticDedupPq(t(s, d, "embeddings"), "label",
+          m = 8, subDim = 8, kCodes = 4, iters = 1,
+          tauApprox = 0.15, tau = 0.25)
+        .orderBy("cluster_id")
+    }, Some(Similarity.semanticDedupPqDuckSql("label", m = 8, subDim = 8,
+      kCodes = 4, iters = 1, tauApprox = 0.15, tau = 0.25)))
   )
 
   /** DuckDB replay of [[Similarity.pcaTopComponent]] — HUGEINT

@@ -372,25 +372,8 @@ object Similarity {
       .select(col("cell"), col("centroid").cast("array<float>").as("centroid"))
     val assigned = assignCells(base, cells)
     val cb = pqCodebooks(emb, m, subDim, kCodes, iters)
-    // one broadcast row, ordered by (sub, code) → position sub·k+code+1;
-    // an empty training cell would break that indexing, so fail loudly
-    val cbArr = cb.agg(array_sort(collect_list(
-        struct(col("sub"), col("code"), col("centroid")))).as("__cb"))
-      .select(when(size(col("__cb")) === m * kCodes, col("__cb"))
-        .otherwise(raise_error(lit(
-          "PQ codebook lost a cell — lower kCodes or raise iters")))
-        .as("__cb"))
-    // m nearest-code argmaxes in ONE projection — nothing shuffles
-    val coded = assigned.crossJoin(broadcast(cbArr))
-      .select(col("vec_id"), col("cell"),
-        array((0 until m).map { s =>
-          val sl = slice(col("embedding"), s * subDim + 1, subDim)
-          (-array_max(transform(
-            slice(col("__cb"), s * kCodes + 1, kCodes),
-            c => struct(cosineSim(sl, c.getField("centroid")).as("csim"),
-              (-c.getField("code")).as("negcode"))))
-            .getField("negcode")).cast("int")
-        }: _*).as("codes"))
+    val cbArr = codebookArray(cb, m, kCodes)
+    val coded = pqAssignCodes(assigned, cbArr, m, subDim, kCodes)
     val q = assigned.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val wProbe = Window.partitionBy(col("query_id"))
@@ -429,6 +412,33 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
   }
 
+  /** Codebook rows collapsed to ONE broadcast-ready array row ordered
+    * by (sub, code) → position sub·k+code+1; an empty training cell
+    * would break that indexing, so fail loudly. */
+  private def codebookArray(cb: DataFrame, m: Int, kCodes: Int): DataFrame =
+    cb.agg(array_sort(collect_list(
+        struct(col("sub"), col("code"), col("centroid")))).as("__cb"))
+      .select(when(size(col("__cb")) === m * kCodes, col("__cb"))
+        .otherwise(raise_error(lit(
+          "PQ codebook lost a cell — lower kCodes or raise iters")))
+        .as("__cb"))
+
+  /** m nearest-code argmaxes in ONE exchange-free projection over the
+    * corpus scan (the assignCells discipline) →
+    * (vec_id, cell, codes: array<int>). */
+  private def pqAssignCodes(assigned: DataFrame, cbArr: DataFrame, m: Int,
+      subDim: Int, kCodes: Int): DataFrame =
+    assigned.crossJoin(broadcast(cbArr))
+      .select(col("vec_id"), col("cell"),
+        array((0 until m).map { s =>
+          val sl = slice(col("embedding"), s * subDim + 1, subDim)
+          (-array_max(transform(
+            slice(col("__cb"), s * kCodes + 1, kCodes),
+            c => struct(cosineSim(sl, c.getField("centroid")).as("csim"),
+              (-c.getField("code")).as("negcode"))))
+            .getField("negcode")).cast("int")
+        }: _*).as("codes"))
+
   /** Generated DuckDB replay of the ENTIRE [[ivfPqTopK]] pipeline —
     * coarse label-mean cells, per-subspace Lloyd's rounds (unrolled, with
     * the same per-round FLOAT rounding), dense re-indexing, code
@@ -436,9 +446,15 @@ object Similarity {
     * chain, candidate cut, and exact rerank. Generated from the same
     * parameters as the Spark side so the two cannot drift (the
     * Bpe.duckTrainSql discipline). */
-  def ivfPqDuckSql(cellSource: String, queryPredSql: String, m: Int,
-      subDim: Int, kCodes: Int, iters: Int, nprobe: Int, candK: Int,
-      k: Int): String = {
+  /** Shared DuckDB CTE text for the PQ machinery — per-subspace Lloyd's
+    * training (unrolled, same per-round FLOAT rounding as
+    * [[pqCodebooks]]), dense re-indexing, and per-vector code
+    * assignment. Expects a CTE `base(vec_id, e)` upstream; emits
+    * sub_s/cents_s_r/cb_s/code_s per subspace plus
+    * `cball(sub, code, c)`. Generated from the same parameters as the
+    * Spark side so the two cannot drift. */
+  private def pqDuckCodebookCtes(m: Int, subDim: Int, kCodes: Int,
+      iters: Int): String = {
     def sl(s: Int, v: String) = s"$v[${s * subDim + 1}:${(s + 1) * subDim}]"
     val subCtes = (0 until m).map { s =>
       val rounds = (1 to iters).map { r =>
@@ -468,6 +484,12 @@ object Similarity {
     val cball = (0 until m)
       .map(s => s"SELECT $s AS sub, code, c FROM cb_$s")
       .mkString(" UNION ALL ")
+    s"$subCtes,\n    cball AS ($cball)"
+  }
+
+  def ivfPqDuckSql(cellSource: String, queryPredSql: String, m: Int,
+      subDim: Int, kCodes: Int, iters: Int, nprobe: Int, candK: Int,
+      k: Int): String = {
     val codeJoins = (0 until m).map { s =>
       s"""JOIN code_$s k$s ON k$s.vec_id = a.vec_id
          JOIN lut l$s ON l$s.query_id = p.query_id AND l$s.sub = $s
@@ -493,8 +515,7 @@ object Similarity {
       SELECT q.query_id, c.cell, row_number() OVER (PARTITION BY q.query_id
         ORDER BY list_cosine_similarity(q.qe, c.c) DESC, c.cell) AS rn
       FROM q, cent c) WHERE rn <= $nprobe),
-    $subCtes,
-    cball AS ($cball),
+    ${pqDuckCodebookCtes(m, subDim, kCodes, iters)},
     lut AS (SELECT q.query_id, cb.sub, cb.code,
         list_inner_product(q.qe[cb.sub * $subDim + 1 : (cb.sub + 1) * $subDim],
           cb.c) AS d
@@ -512,6 +533,196 @@ object Similarity {
       JOIN q ON q.query_id = c.query_id)
     SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
     FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  /** SEMANTIC DEDUP AT CORPUS SCALE — the composed flagship: the way a
+    * 100 TB embedding-dedup run actually ships, as ONE pipeline.
+    *
+    *   1. Coarse IVF cells ([[centroids]] + exchange-free
+    *      [[assignCells]]) block the pair space per cell — never
+    *      corpus².
+    *   2. PQ codes ([[pqCodebooks]] + exchange-free [[pqAssignCodes]])
+    *      compress each vector to `m` small ints; the ONLY corpus-sized
+    *      relation that shuffles into the pair join carries
+    *      (vec_id, cell, m codes, recon-norm²) — float arrays never
+    *      cross an exchange in the candidate stage.
+    *   3. Candidate pairs are scored by SYMMETRIC DISTANCE COMPUTATION:
+    *      a broadcast m·k² table of centroid-pair dot products
+    *      (plus the m·k centroid-norm² table folded into a per-vector
+    *      reconstructed norm² at code-assignment time), so the
+    *      approximate cosine is m array lookups + adds per pair.
+    *      Pairs with approx >= `tauApprox` (the loose recall gate)
+    *      survive.
+    *   4. The candK-free EXACT rerank re-attaches embeddings for the
+    *      surviving candidates only and confirms cosine >= `tau`.
+    *   5. Confirmed pairs → alternating-star connected components
+    *      ([[Components.connectedComponentsStars]]) → keep-BEST keeper
+    *      per cluster (argmax by reconstructable exact norm², vec_id
+    *      tiebreak — production keeps the highest-information copy,
+    *      not an arbitrary one; singletons keep themselves).
+    *
+    * Returns (cluster_id, keeper_id, n_members) per cluster —
+    * ids/counts only, no floats, so the relation replays bit-exact from
+    * [[semanticDedupPqDuckSql]] (codebook training, SDC chain order,
+    * recursive closure and keeper window all regenerated from the same
+    * parameters).
+    */
+  def semanticDedupPq(emb: DataFrame, cellSource: String, m: Int,
+      subDim: Int, kCodes: Int, iters: Int, tauApprox: Double,
+      tau: Double): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val cells = centroids(emb, cellSource)
+      .select(col("cell"), col("centroid").cast("array<float>").as("centroid"))
+    val assigned = assignCells(base, cells)
+    val cb = pqCodebooks(emb, m, subDim, kCodes, iters)
+    val cbArr = codebookArray(cb, m, kCodes)
+    val coded = pqAssignCodes(assigned, cbArr, m, subDim, kCodes)
+    // SDC lookup: centroid-pair dots ordered by (sub, ca, cb) →
+    // position sub·k² + ca·k + cb + 1 — m·k² doubles, one broadcast row
+    val sdcArr = cb.as("a")
+      .join(cb.as("b"), col("a.sub") === col("b.sub"))
+      .select(col("a.sub").as("sub"), col("a.code").as("ca"),
+        col("b.code").as("cb0"),
+        dotD(col("a.centroid"), col("b.centroid")).as("dd"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("ca"),
+        col("cb0"), col("dd")))).as("__sdc"))
+      .select(transform(col("__sdc"), x => x.getField("dd")).as("sdc"))
+    // centroid norm² by (sub, code) → position sub·k + code + 1
+    val nrmArr = cb
+      .select(col("sub"), col("code"),
+        dotD(col("centroid"), col("centroid")).as("n2"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code"),
+        col("n2")))).as("__nrm"))
+      .select(transform(col("__nrm"), x => x.getField("n2")).as("nrm"))
+    // fold the per-vector reconstructed norm² in at code-assignment
+    // time: the pair join then never needs the norm table per side
+    val codedN = coded.crossJoin(broadcast(nrmArr))
+      .select(col("vec_id"), col("cell"), col("codes"),
+        (0 until m).foldLeft(lit(0.0)) { (acc, s) =>
+          acc + element_at(col("nrm"),
+            lit(s * kCodes) + element_at(col("codes"), s + 1) + 1)
+        }.as("rn2"))
+    val approxDot = (0 until m).foldLeft(lit(0.0)) { (acc, s) =>
+      acc + element_at(col("sdc"),
+        lit(s * kCodes * kCodes) +
+          element_at(col("a_codes"), s + 1) * kCodes +
+          element_at(col("b_codes"), s + 1) + 1)
+    }
+    val cand = codedN.select(col("vec_id").as("v1"), col("cell"),
+        col("codes").as("a_codes"), col("rn2").as("a_rn2"))
+      .join(codedN.select(col("vec_id").as("v2"), col("cell"),
+        col("codes").as("b_codes"), col("rn2").as("b_rn2")), Seq("cell"))
+      .filter(col("v1") < col("v2"))
+      .crossJoin(broadcast(sdcArr))
+      .filter(approxDot / (sqrt(col("a_rn2")) * sqrt(col("b_rn2")))
+        >= tauApprox)
+      .select(col("v1"), col("v2"))
+    val confirmed = cand
+      .join(base.select(col("vec_id").as("v1"),
+        col("embedding").as("e1")), Seq("v1"))
+      .join(base.select(col("vec_id").as("v2"),
+        col("embedding").as("e2")), Seq("v2"))
+      .filter(cosineSim(col("e1"), col("e2")) >= tau)
+      .select(col("v1"), col("v2"))
+    val endpoints = confirmed.select(col("v1").as("id"))
+      .union(confirmed.select(col("v2").as("id"))).distinct()
+    val cc = Components.connectedComponentsStars(endpoints,
+      confirmed.select(col("v1").as("src"), col("v2").as("dst")))
+    val clustered = base
+      .select(col("vec_id"), dotD(col("embedding"), col("embedding")).as("n2"))
+      .join(cc.select(col("id").as("vec_id"), col("component")),
+        Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col("vec_id")))
+    val sizes = clustered.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+    clustered
+      .withColumn("rn", row_number().over(Window.partitionBy("cluster_id")
+        .orderBy(col("n2").desc, col("vec_id").asc)))
+      .filter(col("rn") === 1)
+      .join(sizes, Seq("cluster_id"))
+      .select(col("cluster_id"), col("vec_id").as("keeper_id"),
+        col("n_members"))
+  }
+
+  /** Generated DuckDB replay of the ENTIRE [[semanticDedupPq]] pipeline:
+    * shared codebook training CTEs, the SDC add chain in the same
+    * left-associative fold order, per-vector reconstructed norm², the
+    * approximate gate, exact-cosine confirm, recursive closure, and the
+    * keep-best window — all from the same parameters as the Spark side
+    * so the two cannot drift. */
+  def semanticDedupPqDuckSql(cellSource: String, m: Int, subDim: Int,
+      kCodes: Int, iters: Int, tauApprox: Double, tau: Double): String = {
+    val codeJoinsA = (1 until m).map { s =>
+      s"JOIN code_$s ka$s ON ka$s.vec_id = ka0.vec_id"
+    }.mkString("\n        ")
+    val nrmJoins = (0 until m).map { s =>
+      s"JOIN nrm n$s ON n$s.sub = $s AND n$s.code = ka$s.code"
+    }.mkString("\n        ")
+    val rn2Chain = (0 until m).foldLeft("0.0") { (acc, s) =>
+      s"($acc + n$s.n2)"
+    }
+    val sdcJoins = (0 until m).map { s =>
+      s"""JOIN code_$s pa$s ON pa$s.vec_id = a.vec_id
+        JOIN code_$s pb$s ON pb$s.vec_id = b.vec_id
+        JOIN sdc s$s ON s$s.sub = $s AND s$s.ca = pa$s.code
+          AND s$s.cb = pb$s.code"""
+    }.mkString("\n        ")
+    val dotChain = (0 until m).foldLeft("0.0") { (acc, s) =>
+      s"($acc + s$s.dd)"
+    }
+    s"""
+    WITH RECURSIVE
+    base AS (SELECT vec_id, $cellSource AS lbl, embedding::DOUBLE[] AS e
+             FROM embeddings),
+    cent AS (
+      SELECT lbl AS cell, CAST(CAST(list(mm ORDER BY pos) AS FLOAT[]) AS DOUBLE[]) AS c
+      FROM (SELECT lbl, pos, avg(x) AS mm
+        FROM (SELECT lbl, unnest(e) AS x, generate_subscripts(e, 1) AS pos FROM base)
+        GROUP BY lbl, pos) GROUP BY lbl),
+    assigned AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT b.vec_id, b.e, c.cell,
+          row_number() OVER (PARTITION BY b.vec_id
+            ORDER BY list_cosine_similarity(b.e, c.c) DESC, c.cell) AS rn
+        FROM base b, cent c) WHERE rn = 1),
+    ${pqDuckCodebookCtes(m, subDim, kCodes, iters)},
+    sdc AS (SELECT a.sub, a.code AS ca, b.code AS cb,
+        list_inner_product(a.c, b.c) AS dd
+      FROM cball a JOIN cball b ON a.sub = b.sub),
+    nrm AS (SELECT sub, code, list_inner_product(c, c) AS n2 FROM cball),
+    vn AS (SELECT ka0.vec_id, $rn2Chain AS rn2
+      FROM code_0 ka0
+        $codeJoinsA
+        $nrmJoins),
+    cand AS (SELECT a.vec_id AS v1, b.vec_id AS v2
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN vn va ON va.vec_id = a.vec_id
+        JOIN vn vb ON vb.vec_id = b.vec_id
+        $sdcJoins
+      WHERE $dotChain / (sqrt(va.rn2) * sqrt(vb.rn2)) >= $tauApprox),
+    conf AS (SELECT c.v1, c.v2
+      FROM cand c JOIN base e1 ON e1.vec_id = c.v1
+      JOIN base e2 ON e2.vec_id = c.v2
+      WHERE list_cosine_similarity(e1.e, e2.e) >= $tau),
+    edges AS (SELECT v1 AS u, v2 AS v FROM conf
+              UNION SELECT v2, v1 FROM conf),
+    reach AS (SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+              WHERE e.v <> r.u),
+    comp AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS component
+             FROM reach GROUP BY u),
+    cl AS (SELECT bb.vec_id, list_inner_product(bb.e, bb.e) AS n2,
+        COALESCE(c.component, bb.vec_id) AS cluster_id
+      FROM base bb LEFT JOIN comp c USING (vec_id)),
+    sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM cl GROUP BY 1),
+    rk AS (SELECT cluster_id, vec_id,
+        ROW_NUMBER() OVER (PARTITION BY cluster_id
+          ORDER BY n2 DESC, vec_id) AS rn FROM cl)
+    SELECT r.cluster_id, r.vec_id AS keeper_id, s.n_members
+    FROM rk r JOIN sz s USING (cluster_id)
+    WHERE r.rn = 1 ORDER BY cluster_id"""
   }
 
   /** Per-dimension min-max int8 (0..255) scalar quantization — the 4×

@@ -54,12 +54,13 @@ object Layout {
     * Hilbert curve never makes the long diagonal jumps Morton order
     * takes between quadrant boundaries, so per-file min/max boxes come
     * out tighter — the curve production table formats reach for when
-    * Z-order clustering isn't tight enough. One bit level per chained
-    * projection (simultaneous x/y/d rewrite via `withColumns`, so
-    * Catalyst keeps the expression tree LINEAR in `bits` — a single
-    * nested expression would re-expand the rotation 6-fold per level),
-    * all integer CASE/AND/XOR arithmetic: map-only, codegen'd,
-    * replayable bit-for-bit from [[hilbertSqlCtes]].
+    * Z-order clustering isn't tight enough. One native codegen'd
+    * expression ([[graft.functions.HilbertIndex]]) running the whole
+    * per-level walk as a tight generated loop — the earlier
+    * one-projection-per-bit-level formulation fused into a single
+    * oversized whole-stage-codegen method and fell back to interpreted
+    * evaluation (5.6 s for a map-only pass at sf0.1; now sub-second).
+    * Replayable bit-for-bit from [[hilbertSqlCtes]].
     *
     * @param bits curve order; coords must lie in [0, 2^bits)
     * @return input plus `out` — the Hilbert d in [0, 4^bits) */
@@ -67,26 +68,8 @@ object Layout {
       yCol: String, bits: Int, out: String = "h"):
       org.apache.spark.sql.DataFrame = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    val init = df.withColumns(Map(
-      "__hx" -> col(xCol).cast("long"), "__hy" -> col(yCol).cast("long"),
-      "__hd" -> lit(0L)))
-    val walked = (bits - 1 to 0 by -1).foldLeft(init) { (cur, i) =>
-      val s = 1L << i
-      val rx = when(col("__hx").bitwiseAND(lit(s)) > 0, lit(1L))
-        .otherwise(lit(0L))
-      val ry = when(col("__hy").bitwiseAND(lit(s)) > 0, lit(1L))
-        .otherwise(lit(0L))
-      cur.withColumns(Map(
-        "__hd" -> (col("__hd") + lit(s * s) *
-          (lit(3L) * rx).bitwiseXOR(ry)),
-        // rotation: ry=1 keeps the frame; ry=0 swaps axes, and rx=1
-        // additionally reflects both coordinates
-        "__hx" -> when(ry === 1, col("__hx"))
-          .when(rx === 1, lit(s - 1) - col("__hy")).otherwise(col("__hy")),
-        "__hy" -> when(ry === 1, col("__hy"))
-          .when(rx === 1, lit(s - 1) - col("__hx")).otherwise(col("__hx"))))
-    }
-    walked.withColumn(out, col("__hd")).drop("__hx", "__hy", "__hd")
+    df.withColumn(out, graft.functions.HilbertIndex.hilbert(
+      col(xCol).cast("long"), col(yCol).cast("long"), bits))
   }
 
   /** The same walk as chained DuckDB CTEs (one per bit level, mirroring

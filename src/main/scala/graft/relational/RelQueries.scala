@@ -8667,7 +8667,13 @@ object RelQueries {
           .join(st.select(col("i"), col("s").as("si")), "i")
           .join(st.select(col("i").as("j"), col("s").as("sj")), "j")
           .groupBy("i")
-          .agg(sum(expr("(nij * 1000000000000L) div (si + sj)")).as("den"))
+          .agg(sum(expr(
+            // decimal-widened: bare long nij * 1e12 silently wraps in
+            // non-ANSI Spark once nij > ~9.2M (plausible at sf >= 1)
+            // while the oracle's BIGINT product errors — q383/q387
+            // discipline.
+            "(CAST(nij AS DECIMAL(38,0)) * 1000000000000) div (si + sj)"))
+            .as("den"))
         val raw = wi.join(d0, "i")
           .select(col("i"), expr(
             "(CAST(win AS DECIMAL(38,0)) * 1000000000000000000) div den")
@@ -8684,7 +8690,7 @@ object RelQueries {
     }, Some {
       val rounds = (1 to 3).map { r =>
         s"""d$r AS (SELECT n.i,
-            SUM((n.nij * 1000000000000) // (a.s + b.s)) AS den
+            SUM((CAST(n.nij AS HUGEINT) * 1000000000000) // (a.s + b.s)) AS den
           FROM nij n JOIN s${r - 1} a ON n.i = a.i
           JOIN s${r - 1} b ON n.j = b.i GROUP BY 1),
         r$r AS (SELECT w.i,

@@ -30,4 +30,21 @@ object GraftSqlBridge {
     rdd.count()
     spark.internalCreateDataFrame(rdd, ds.schema, isStreaming = false)
   }
+
+  /** Release the BlockManager blocks pinned by [[materializeTruncated]]
+    * for `df` (no-op on any other DataFrame — `Dataset.unpersist` does
+    * NOT reach these blocks, because the RDD persisted inside
+    * `materializeTruncated` is never registered with the Dataset cache
+    * manager). MUST only be called once every consumer of `df` —
+    * including the NEXT round's `materializeTruncated`, whose `count()`
+    * forces its own blocks — has executed: the localCheckpoint
+    * truncated lineage, so a dropped block cannot be recomputed.
+    * Without this, a many-round BSP loop (SCC: up to 25×~60 rounds)
+    * pins every round's full edge relation for the session lifetime. */
+  def unpersistMaterialized(df: DataFrame): Unit =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

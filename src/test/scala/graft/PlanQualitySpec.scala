@@ -748,4 +748,17 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q396_shapley_attribution")
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q242: Hilbert walk is ONE native codegen'd expression, not a " +
+      "chain of per-bit-level projections") {
+    val p = plan("q242_hilbert_layout")
+    // the 12-chained-withColumns formulation fused into an oversized
+    // whole-stage-codegen method and fell back to interpreted eval
+    // (5.6 s map-only at sf0.1); the native expression keeps the
+    // generated method a tight loop
+    assert(p.contains("hilbertindex"), p.take(3000))
+    // main branch + width subtree: a handful of Projects, not 12+
+    assert("\\bProject\\b".r.findAllIn(p).length <= 5,
+      "per-bit-level projection chain regressed: " + p.take(3000))
+  }
 }
