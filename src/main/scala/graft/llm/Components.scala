@@ -42,18 +42,20 @@ object Components {
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIters: Int = 50): DataFrame = {
-    val e = mat(edges.select(col("src"), col("dst"))
+    val eR = matSummed(edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct())
-    var labels = mat(vertices.select(col("id"), col("id").as("label")))
+      .distinct(), -1)
+    val e = eR._1
     // Min-propagation only ever lowers labels, so the label sum strictly
-    // decreases until the fixpoint — an exact, overflow-safe (decimal)
-    // convergence test that costs one tiny aggregate per round.
-    def checksum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
-    var sum0 = checksum(labels)
+    // decreases until the fixpoint — an exact convergence test computed
+    // INSIDE each round's materializing job (matSummed), not as a
+    // separate aggregate action per round.
+    var r0 = matSummed(vertices.select(col("id"), col("id").as("label")), 1)
+    var labels = r0._1
+    var sum0 = r0._3
     var iter = 0
     var converged = false
+    withLoopShuffle(edges.sparkSession, math.max(eR._2, r0._2)) {
     while (!converged && iter < maxIters) {
       val nbrMin = e.join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nbr"))
@@ -65,13 +67,13 @@ object Components {
         .join(stepped.select(col("id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
         .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
-      val next = mat(compressed)
+      val rn = matSummed(compressed, 1)
       unmat(labels)
-      labels = next
-      val sum1 = checksum(labels)
-      converged = sum1.compareTo(sum0) == 0
-      sum0 = sum1
+      labels = rn._1
+      converged = rn._3.compareTo(sum0) == 0
+      sum0 = rn._3
       iter += 1
+    }
     }
     unmat(e) // the returned plan reads only `labels`
     labels.select(col("id"), col("label").as("component"))
@@ -121,25 +123,32 @@ object Components {
         .select(col("dst").as("src"), col("m").as("dst"))
         .union(mins.select(col("src"), col("m").as("dst"))))
     }
-    // Edge-set checksum: (count, sum of per-edge hashes) — exact equality
-    // of consecutive rounds detects the fixpoint with one tiny aggregate.
-    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = df.agg(count(lit(1)),
-        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head
-      (r.getLong(0), r.getDecimal(1))
-    }
-    var e = mat(canon(edges))
-    var sum0 = checksum(e)
+    // Edge-set checksum: (count, exact sum of per-edge hashes), computed
+    // INSIDE each round's materializing job (the hash rides as a column
+    // through matSummed) — exact equality of consecutive rounds detects
+    // the fixpoint without a separate aggregate action per round.
+    def withH(df: DataFrame): DataFrame =
+      df.withColumn("__h", xxhash64(col("src"), col("dst")))
+    var eR = matSummed(withH(canon(edges)), 2)
+    var e = eR._1
+    var cnt0 = eR._2
+    var sum0 = eR._3
     var rounds = 0
-    var converged = e.isEmpty
+    var converged = cnt0 == 0L
+    withLoopShuffle(edges.sparkSession, cnt0) {
     while (!converged && rounds < maxIters) {
-      val next = mat(smallStar(largeStar(e)))
-      val sum1 = checksum(next)
+      val nR = matSummed(
+        withH(smallStar(largeStar(e.select("src", "dst")))), 2)
       unmat(e)
-      e = next
-      converged = sum1 == sum0
-      sum0 = sum1
+      e = nR._1
+      converged = nR._2 == cnt0 && nR._3.compareTo(sum0) == 0
+      cnt0 = nR._2
+      sum0 = nR._3
       rounds += 1
+      if (sys.env.contains("GRAFT_SCC_DEBUG"))
+        System.err.println(s"[stars] round $rounds edges=$cnt0 sum=$sum0" +
+          s" t=${System.nanoTime() / 1000000L % 100000000}")
+    }
     }
     val labels = vertices
       .join(e.select(col("src").as("id"), col("dst").as("root")), Seq("id"), "left")
@@ -704,12 +713,12 @@ object Components {
     * the monotone Σc checksum (a metadata scalar). */
   private def colorToFixpoint(nodes: DataFrame, e: DataFrame,
       maxInner: Int): DataFrame = {
-    def sumC(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(sum(col("c").cast("decimal(38,0)"))).collect()(0)
-      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
-    }
-    var ptr = mat(nodes.select(col("id"), col("id").as("c")))
-    var digest = sumC(ptr)
+    // the Σc convergence checksum rides INSIDE each round's
+    // materializing job (matSummed) — a separate aggregate job per
+    // round doubled the per-round fixed cost of this many-round loop
+    var r0 = matSummed(nodes.select(col("id"), col("id").as("c")), 1)
+    var ptr = r0._1
+    var digest = r0._3
     var converged = false
     var inner = 0
     while (!converged && inner < maxInner) {
@@ -722,14 +731,17 @@ object Components {
         .join(ptr.select(col("id").as("c0"), col("c").as("cand")).as("j"),
           col("p.c") === col("j.c0"))
         .select(col("p.id").as("id"), col("cand"))
-      val next = mat(ptr.select(col("id"), col("c").as("cand"))
+      val rn = matSummed(ptr.select(col("id"), col("c").as("cand"))
         .union(fromEdges).union(fromJump)
-        .groupBy("id").agg(max("cand").as("c")))
-      val nd = sumC(next) // monotone non-decreasing: equal sum = fixpoint
+        .groupBy("id").agg(max("cand").as("c")), 1)
+      val nd = rn._3 // monotone non-decreasing: equal sum = fixpoint
       converged = nd.compareTo(digest) == 0
       digest = nd
       unmat(ptr)
-      ptr = next
+      ptr = rn._1
+      if (sys.env.contains("GRAFT_SCC_DEBUG"))
+        System.err.println(s"[scc-color] round $inner" +
+          s" t=${System.nanoTime() / 1000000L % 100000000}")
     }
     require(converged, s"SCC coloring did not converge in $maxInner rounds")
     ptr
@@ -788,48 +800,87 @@ object Components {
     if (df != null)
       org.apache.spark.sql.GraftSqlBridge.unpersistMaterialized(df)
 
+  /** [[mat]] plus (row count, exact Σ of the LONG column at `sumCol`;
+    * -1 = count only) computed in the materializing job itself — the
+    * per-round convergence checksum without a second action. */
+  private def matSummed(df: DataFrame, sumCol: Int):
+      (DataFrame, Long, java.math.BigDecimal) =
+    org.apache.spark.sql.GraftSqlBridge.materializeTruncatedSummed(df, sumCol)
+
+  /** Run a BSP loop with `spark.sql.shuffle.partitions` sized to the
+    * loop's actual state (`rows`, known for free from [[matSummed]]):
+    * ~50k rows per partition, capped at the session default. At 100 TB
+    * the state is corpus-scale and this IS the session default; at
+    * small scale it removes the dominant cost of a many-round loop —
+    * scheduling a full default-width task wave per tiny stage (the q372
+    * SCC pays ~70 round jobs for a few-thousand-row state). The session
+    * value is restored before the (lazy) result executes, so downstream
+    * consumers keep the corpus-sized setting. */
+  private def withLoopShuffle[T](spark: org.apache.spark.sql.SparkSession,
+      rows: Long)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    val p = math.max(1L, math.min(old.toLong, rows / 50000L + 1)).toString
+    spark.conf.set(key, p)
+    try f finally spark.conf.set(key, old)
+  }
+
   private def sccBody(edges: DataFrame, maxOuter: Int,
       maxInner: Int): DataFrame = {
-    var e = mat(edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct())
-    var remaining = mat(e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct())
-    var assigned: DataFrame = null
-    def addAssigned(found: DataFrame): Unit = {
-      val next = mat(if (assigned == null) found
-        else assigned.union(found))
-      unmat(assigned)
-      assigned = next
-    }
+    // Per-round job ledger: every mat carries its row count in the SAME
+    // job (matSummed with sumCol = -1), so the loop never pays a
+    // separate isEmpty/count action; assigned SCCs accumulate in a
+    // driver-side buffer of already-materialized frames (metadata-sized
+    // handles) and union lazily at the end — the earlier running
+    // re-materialized union cost one extra job per round.
+    var eR = matSummed(edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct(), -1)
+    var e = eR._1
+    var nE = eR._2
+    var remR = matSummed(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct(), -1)
+    var remaining = remR._1
+    var nRemaining = remR._2
+    val assignedParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var outer = 0
-    while (!remaining.isEmpty && outer < maxOuter) {
+    withLoopShuffle(edges.sparkSession, nE) {
+    while (nRemaining > 0 && outer < maxOuter) {
       outer += 1
       // Phase 0: iterated trim — acyclic fringe = singleton SCCs.
-      var trimmed = true
+      // Each round is ONE materializing job (edges restricted by two
+      // semi-joins, fixpoint when the edge count stops shrinking); the
+      // singleton harvest and remaining-set update happen ONCE after
+      // the fixpoint, not per round — the earlier per-round
+      // both/single/e-rewrite ledger paid 3 driver jobs per layer.
+      var trimming = nRemaining > 0
       var trimRounds = 0
-      while (trimmed && trimRounds < maxInner && !remaining.isEmpty) {
+      while (trimming && trimRounds < maxInner) {
         trimRounds += 1
-        val both = mat(e.select(col("src").as("id")).distinct()
-          .join(e.select(col("dst").as("id")).distinct(), Seq("id")))
-        // `both` = vertices with in AND out edges
-        val single = remaining.join(both, Seq("id"), "left_anti")
-          .select(col("id"), col("id").as("c"))
-        if (single.isEmpty) { trimmed = false; unmat(both) }
-        else {
-          addAssigned(single) // forces `single` → old remaining done
-          unmat(remaining)
-          remaining = both
-          val ne = mat(e.join(both.select(col("id").as("src")), Seq("src"))
-            .join(both.select(col("id").as("dst")), Seq("dst"))
-            .select("src", "dst"))
-          unmat(e)
-          e = ne
-        }
+        val (ne, n2, _) = matSummed(
+          e.join(e.select(col("dst").as("src")).distinct(),
+              Seq("src"), "left_semi")
+            .join(e.select(col("src").as("dst")).distinct(),
+              Seq("dst"), "left_semi"), -1)
+        if (n2 == nE) { trimming = false; unmat(ne) }
+        else { unmat(e); e = ne; nE = n2 }
         if (sys.env.contains("GRAFT_SCC_DEBUG"))
-          System.err.println(s"[scc-trim] round $trimRounds" +
-            s" t=${System.nanoTime() / 1000000000L % 100000}")
+          System.err.println(s"[scc-trim] round $trimRounds edges=$nE" +
+            s" t=${System.nanoTime() / 1000000L % 100000000}")
       }
-      if (!remaining.isEmpty) {
+      // core = endpoints of the trimmed edge set ⊆ remaining; everything
+      // outside it is a singleton SCC
+      val (core, nCore, _) = matSummed(e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct(), -1)
+      if (nCore < nRemaining) {
+        val (single, _, _) = matSummed(
+          remaining.join(core, Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("c")), -1)
+        assignedParts += single // forced `single` → old remaining done
+        unmat(remaining)
+        remaining = core
+        nRemaining = nCore
+      } else unmat(core)
+      if (nRemaining > 0) {
         // Phase 1: forward max-ancestor coloring.
         val fwd = colorToFixpoint(remaining, e, maxInner)
         // Phase 2: reverse coloring on class-restricted reversed edges.
@@ -842,30 +893,39 @@ object Components {
           .select(col("dst").as("src"), col("src").as("dst"))
           .transform(mat)
         val rev = colorToFixpoint(remaining, ec, maxInner)
-        val found = fwd
+        val (found, nFound, _) = matSummed(fwd
           .join(rev.select(col("id"), col("c").as("rc")), Seq("id"))
           .filter(col("c") === col("rc"))
-          .select(col("id"), col("c"))
-          .transform(mat)
-        addAssigned(found)
-        val nr = mat(remaining.join(found.select("id"),
-          Seq("id"), "left_anti"))
+          .select(col("id"), col("c")), -1)
+        assignedParts += found // buffered: do NOT unmat
+        val (nr, nRem, _) = matSummed(remaining.join(found.select("id"),
+          Seq("id"), "left_anti"), -1)
         unmat(remaining)
         remaining = nr
-        val ne = mat(e.join(found.select(col("id").as("src")), Seq("src"),
-            "left_anti")
-          .join(found.select(col("id").as("dst")), Seq("dst"), "left_anti")
-          .select("src", "dst"))
+        nRemaining = nRem
+        val (ne, nE2, _) = matSummed(
+          e.join(found.select(col("id").as("src")), Seq("src"), "left_anti")
+            .join(found.select(col("id").as("dst")), Seq("dst"), "left_anti")
+            .select("src", "dst"), -1)
         unmat(e)
         e = ne
+        nE = nE2
         if (sys.env.contains("GRAFT_SCC_DEBUG"))
-          System.err.println(s"[scc] outer $outer found=${found.count()}" +
-            s" left=${remaining.count()}")
-        unmat(fwd); unmat(ec); unmat(rev); unmat(found)
+          System.err.println(s"[scc] outer $outer found=$nFound" +
+            s" left=$nRemaining")
+        unmat(fwd); unmat(ec); unmat(rev)
       }
     }
-    require(remaining.isEmpty, s"SCC did not finish in $maxOuter rounds")
+    }
+    require(nRemaining == 0, s"SCC did not finish in $maxOuter rounds")
     unmat(e); unmat(remaining) // the returned plan reads only `assigned`
+    if (assignedParts.isEmpty)
+      return edges.sparkSession.range(0)
+        .select(col("id").as("c"), col("id"))
+        .groupBy(col("c"))
+        .agg(min("id").as("scc_id"), count(lit(1)).as("scc_size"))
+        .select(col("scc_id"), col("scc_id").as("id"), col("scc_size"))
+    val assigned = assignedParts.reduce(_ union _)
     assigned.groupBy(col("c"))
       .agg(min("id").as("scc_id"), count(lit(1)).as("scc_size"))
       .join(assigned, Seq("c"))

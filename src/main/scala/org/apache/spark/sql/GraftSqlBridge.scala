@@ -31,6 +31,48 @@ object GraftSqlBridge {
     spark.internalCreateDataFrame(rdd, ds.schema, isStreaming = false)
   }
 
+  /** [[materializeTruncated]] plus (row count, exact Σ of one LONG
+    * column) computed IN the materializing job: the BSP loops here use
+    * (count, sum) as their convergence checksum, and paying a separate
+    * aggregate job per round doubles the per-round fixed cost (the q372
+    * SCC runs ~70 rounds). `sumCol` is an ordinal into the schema; pass
+    * -1 to skip the sum (count-only). The sum is exact — per-partition
+    * long chunks spill into a BigInteger well before overflow. */
+  def materializeTruncatedSummed(df: DataFrame, sumCol: Int):
+      (DataFrame, Long, java.math.BigDecimal) = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = ds.sparkSession
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val parts = rdd.mapPartitions { it =>
+      var n = 0L
+      var chunk = 0L
+      var big = java.math.BigInteger.ZERO
+      while (it.hasNext) {
+        val row = it.next()
+        n += 1
+        if (sumCol >= 0 && !row.isNullAt(sumCol)) {
+          val v = row.getLong(sumCol)
+          val nc = chunk + v
+          // two's-complement overflow test: same-sign operands, result
+          // sign flipped. Values span the FULL long range (xxhash
+          // checksums), so a threshold check is not enough — the add
+          // itself can wrap mod 2^64 and silently corrupt the checksum
+          // (observed: convergence never detected, loops ran to
+          // maxIters). On overflow, bank the chunk and restart from v.
+          if (((chunk ^ nc) & (v ^ nc)) < 0) {
+            big = big.add(java.math.BigInteger.valueOf(chunk)); chunk = v
+          } else chunk = nc
+        }
+      }
+      Iterator.single((n, big.add(java.math.BigInteger.valueOf(chunk))))
+    }.collect()
+    val n = parts.map(_._1).sum
+    val s = parts.foldLeft(java.math.BigInteger.ZERO)((a, p) => a.add(p._2))
+    (spark.internalCreateDataFrame(rdd, ds.schema, isStreaming = false),
+      n, new java.math.BigDecimal(s))
+  }
+
   /** Release the BlockManager blocks pinned by [[materializeTruncated]]
     * for `df` (no-op on any other DataFrame — `Dataset.unpersist` does
     * NOT reach these blocks, because the RDD persisted inside
