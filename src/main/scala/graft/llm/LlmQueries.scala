@@ -4518,7 +4518,47 @@ object LlmQueries {
           tauApprox = 0.15, tau = 0.25)
         .orderBy("cluster_id")
     }, Some(Similarity.semanticDedupPqDuckSql("label", m = 8, subDim = 8,
-      kCodes = 4, iters = 1, tauApprox = 0.15, tau = 0.25)))
+      kCodes = 4, iters = 1, tauApprox = 0.15, tau = 0.25))),
+
+    // REAL image decode through the multimodal contract: deterministic
+    // 16×16 RGB PNGs (pixel content a pure integer function of
+    // (doc_id, x, y)) are ENCODED with the JDK PNG writer, then the
+    // aHash pipeline DECODES them with javax.imageio and computes the
+    // exact 8×8 block-averaged luma hash. PNG is lossless, so the
+    // DuckDB oracle replays the hash analytically from the pixel
+    // formula — a wrong or lossy decode path fails the gate. This
+    // replaces the round-6 "sample payload bytes" stub posture for the
+    // image leg; non-image payloads still take the documented stub.
+    ("q399_image_ahash_real", (s: SparkSession, d: String) => {
+      Multimodal.aHashRealPng(s,
+          Multimodal.withPngPayload(t(s, d, "documents")))
+        .toDF().orderBy("doc_id")
+    }, Some {
+      def ch(mul: Long, xm: Long, ym: Long) =
+        s"""(((doc_id*$mul + x0*$xm + y0*$ym) % 256
+           + (doc_id*$mul + (x0+1)*$xm + y0*$ym) % 256
+           + (doc_id*$mul + x0*$xm + (y0+1)*$ym) % 256
+           + (doc_id*$mul + (x0+1)*$xm + (y0+1)*$ym) % 256) // 4)"""
+      s"""
+      WITH ii AS (SELECT unnest(range(0, 63)) AS i),
+      px AS (SELECT d.doc_id, ii.i,
+          (ii.i % 8) * 2 AS x0, (ii.i // 8) * 2 AS y0
+        FROM documents d CROSS JOIN ii),
+      lum AS (SELECT doc_id, i,
+          (299 * ${ch(31, 7, 13)}
+           + 587 * ${ch(17, 11, 3)}
+           + 114 * ${ch(23, 5, 19)}) // 1000 AS luma
+        FROM px),
+      mn AS (SELECT doc_id, CAST(SUM(luma) // 63 AS BIGINT) AS mean
+             FROM lum GROUP BY 1)
+      SELECT l.doc_id, CAST(16 AS BIGINT) AS width,
+        CAST(16 AS BIGINT) AS height,
+        CAST(SUM(CASE WHEN l.luma > m.mean
+          THEN (CAST(1 AS BIGINT) << CAST(l.i AS INT)) ELSE 0 END)
+          AS BIGINT) AS ahash
+      FROM lum l JOIN mn m USING (doc_id)
+      GROUP BY 1 ORDER BY doc_id"""
+    })
   )
 
   /** DuckDB replay of [[Similarity.pcaTopComponent]] — HUGEINT

@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque binary columns with typed
   * metadata, decoded/feature-extracted in partition-batched passes.
   *
-  * The decode step is STUBBED (no image/audio libs in this container): it
-  * derives deterministic pseudo-metadata from the payload bytes. The
-  * Spark-side plumbing is real — binary columns, typed Dataset batch
-  * shape, mapPartitions-per-batch decode (the Scala analogue of
-  * mapInPandas: one decoder init per partition, streamed row batches).
+  * The decode step is REAL for JDK-supported raster formats
+  * (PNG/BMP/GIF/JPEG via `javax.imageio`, headless-safe) and falls back
+  * to a deterministic byte-derived STUB for payloads no reader accepts
+  * (the testdata's UTF-8 text stand-ins). The Spark-side plumbing is
+  * real either way — binary columns, typed Dataset batch shape,
+  * mapPartitions-per-batch decode (the Scala analogue of mapInPandas:
+  * one decoder init per partition, streamed row batches).
   *
   * At 100 TB: binary payloads ride in their own column so Parquet column
   * pruning skips them unless the decode stage is in the plan; partitions
@@ -26,9 +28,25 @@ object Multimodal {
   def withBinaryPayload(docs: DataFrame): DataFrame =
     docs.withColumn("media", col("text").cast("binary"))
 
-  /** STUB decode — deterministic pseudo-dimensions from byte length. A real
-    * build replaces the body with an image decoder; signature and batch
-    * shape stay identical. */
+  /** REAL image decode via `javax.imageio` — returns None when no
+    * registered reader accepts the bytes (not an image). PNG/BMP/GIF
+    * round-trip losslessly, which is what lets [[aHashRealPng]] be
+    * oracle-gated: the decoded raster equals the encoded content
+    * bit-for-bit. */
+  private[llm] def decodeImage(r: MediaRow): Option[DecodedRow] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.media))
+      if (img == null) None
+      else Some(DecodedRow(r.doc_id, r.media.length.toLong,
+        img.getWidth.toLong, img.getHeight.toLong,
+        img.getColorModel.getNumComponents.toLong,
+        java.security.MessageDigest.getInstance("MD5").digest(r.media)
+          .map("%02x".format(_)).mkString))
+    } catch { case _: java.io.IOException => None }
+
+  /** STUB decode — deterministic pseudo-dimensions from byte length, for
+    * payloads that are not decodable images (testdata text bytes). */
   private def decodeStub(r: MediaRow): DecodedRow = {
     val nb = r.media.length.toLong
     DecodedRow(r.doc_id, nb, 64L + nb % 512L, 64L + (nb / 7L) % 512L, 3L,
@@ -37,13 +55,15 @@ object Multimodal {
         .map("%02x".format(_)).mkString)
   }
 
-  /** Partition-batched decode: one decoder per partition, rows streamed. */
+  /** Partition-batched decode: one decoder per partition, rows streamed.
+    * Tries the REAL `javax.imageio` decode first; payloads no reader
+    * accepts get the deterministic stub metadata. */
   def decode(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
     import spark.implicits._
     media.select(col("doc_id"), col("media")).as[MediaRow]
       .mapPartitions { it =>
         // decoder/model init would happen once per partition here
-        it.map(decodeStub)
+        it.map(r => decodeImage(r).getOrElse(decodeStub(r)))
       }
   }
 
@@ -112,6 +132,103 @@ object Multimodal {
         (col("win_idx") * stride).as("off"),
         md5(col("media").substr((col("win_idx") * stride + 1).cast("int"),
           lit(winLen))).as("win_md5"))
+  }
+
+  /** Deterministic 16×16 RGB PNG payload per doc id — real image bytes
+    * (encoded by the JDK's PNG writer) whose pixel content is a pure
+    * integer function of (doc_id, x, y). Because PNG is LOSSLESS, a
+    * real decode recovers exactly these values, which is what lets the
+    * DuckDB oracle replay [[aHashRealPng]] analytically without an
+    * image decoder of its own: if the ImageIO decode path were wrong,
+    * the oracle comparison would fail. */
+  def pngPayload(docId: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val r = ((docId * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((docId * 17 + x * 11 + y * 3) % 256).toInt
+        val b = ((docId * 23 + x * 5 + y * 19) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** (doc_id, media=PNG bytes) for each input doc id — the image-corpus
+    * stand-in with REAL encoded payloads. */
+  def withPngPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => MediaRow(id, pngPayload(id))))
+      .toDF()
+  }
+
+  case class AHashRow(doc_id: Long, width: Long, height: Long, ahash: Long)
+
+  /** REAL-decode average-hash: `javax.imageio` decode → exact 8×8
+    * block-averaged luma grid → 63-bit above-floor-mean hash (the same
+    * bit/mean conventions as [[aHashNearDup]]'s stub). All integer
+    * arithmetic in a fixed order — per-channel block mean is a floor
+    * division of the block sum, luma is the floor of the ITU-R 601
+    * integer combination — so for lossless payloads the hash replays
+    * bit-for-bit from the encoded content. Fails loudly on a
+    * non-decodable payload rather than silently stubbing: this is the
+    * REAL path. */
+  def aHashRealPng(spark: SparkSession, media: DataFrame): Dataset[AHashRow] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[MediaRow]
+      .mapPartitions { it =>
+        it.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.media))
+          require(img != null,
+            s"payload for doc ${r.doc_id} is not a decodable image")
+          val w = img.getWidth
+          val hgt = img.getHeight
+          require(w % 8 == 0 && hgt % 8 == 0,
+            s"dims ${w}x$hgt not divisible into an 8x8 grid")
+          val bw = w / 8
+          val bh = hgt / 8
+          val n = (bw * bh).toLong
+          val luma = new Array[Long](64)
+          var i = 0
+          while (i < 64) {
+            val gx = i % 8
+            val gy = i / 8
+            var rs = 0L; var gs = 0L; var bs = 0L
+            var yy = gy * bh
+            while (yy < (gy + 1) * bh) {
+              var xx = gx * bw
+              while (xx < (gx + 1) * bw) {
+                val p = img.getRGB(xx, yy)
+                rs += (p >> 16) & 0xFF
+                gs += (p >> 8) & 0xFF
+                bs += p & 0xFF
+                xx += 1
+              }
+              yy += 1
+            }
+            luma(i) = (299L * (rs / n) + 587L * (gs / n) + 114L * (bs / n)) / 1000L
+            i += 1
+          }
+          val mean = luma.take(63).sum / 63L
+          var h = 0L
+          i = 0
+          while (i < 63) {
+            if (luma(i) > mean) h |= 1L << i
+            i += 1
+          }
+          AHashRow(r.doc_id, w.toLong, hgt.toLong, h)
+        }
+      }
   }
 
   /** Perceptual-hash near-duplicate detection over binary payloads —

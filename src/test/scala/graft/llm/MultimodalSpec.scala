@@ -116,4 +116,39 @@ class MultimodalSpec extends SparkSpec {
     } yield (a, b) -> hd.toLong).toMap
     assert(got == want)
   }
+
+  test("real PNG decode: lossless round-trip, dims/channels, and the " +
+      "8x8 block-average aHash matches a direct pixel-formula replay") {
+    // decodeImage on a generated PNG must recover real dimensions
+    val png = Multimodal.pngPayload(7L)
+    val dec = Multimodal.decodeImage(Multimodal.MediaRow(7L, png))
+    assert(dec.isDefined)
+    assert(dec.get.width == 16L && dec.get.height == 16L &&
+      dec.get.channels == 3L)
+    // text bytes are not an image: real path declines, stub handles it
+    assert(Multimodal.decodeImage(
+      Multimodal.MediaRow(1L, "not an image".getBytes)).isEmpty)
+    // aHashRealPng == direct integer replay of the pixel formula
+    val ids = Seq(0L, 1L, 7L, 42L, 99L)
+    import spark.implicits._
+    val media = Multimodal.withPngPayload(ids.toDF("doc_id"))
+    val got = Multimodal.aHashRealPng(spark, media).collect()
+      .map(r => r.doc_id -> r.ahash).toMap
+    def ref(id: Long): Long = {
+      def cch(mul: Long, xm: Long, ym: Long, x0: Int, y0: Int): Long =
+        ((id * mul + x0 * xm + y0 * ym) % 256 +
+          (id * mul + (x0 + 1) * xm + y0 * ym) % 256 +
+          (id * mul + x0 * xm + (y0 + 1) * ym) % 256 +
+          (id * mul + (x0 + 1) * xm + (y0 + 1) * ym) % 256) / 4
+      val luma = (0 until 63).map { i =>
+        val x0 = (i % 8) * 2; val y0 = (i / 8) * 2
+        (299L * cch(31, 7, 13, x0, y0) + 587L * cch(17, 11, 3, x0, y0) +
+          114L * cch(23, 5, 19, x0, y0)) / 1000L
+      }
+      val mean = luma.sum / 63L
+      luma.zipWithIndex.map { case (v, i) =>
+        if (v > mean) 1L << i else 0L }.sum
+    }
+    assert(got == ids.map(id => id -> ref(id)).toMap)
+  }
 }
