@@ -4558,7 +4558,76 @@ object LlmQueries {
           AS BIGINT) AS ahash
       FROM lum l JOIN mn m USING (doc_id)
       GROUP BY 1 ORDER BY doc_id"""
-    })
+    }),
+
+    // Streaming STATE TTL through the gate — the operational knob a
+    // long-running 100 TB stream uses so cold keys don't hold state
+    // forever: a transformWithState per-user counter whose ValueState
+    // carries TTLConfig(1s). Two single-batch drains of ONE checkpoint
+    // (state continuity is the point), separated by a sleep longer
+    // than the TTL: the first batch counts one deterministic half of
+    // the events; by the second every first-batch key has EXPIRED, so
+    // second-batch counts restart from zero — the emitted BAG is
+    // exactly the union of per-half GROUP BY counts, which is what the
+    // oracle computes. Without the TTL, batch 2 would emit cumulative
+    // counts and hash-mismatch. RocksDB store (the only provider
+    // transformWithState supports), restored after.
+    ("q400_tws_state_ttl", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prior = s.conf.getOption(providerKey)
+      s.conf.set(providerKey, "org.apache.spark.sql.execution." +
+        "streaming.state.RocksDBStateStoreProvider")
+      try {
+        val root = s"/tmp/graft_q400/${new java.io.File(d).getName}"
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(root))
+        val ev = t(s, d, "events").select(col("user_id"),
+          pmod(xxhash64(col("event_id")), lit(2)).as("half"))
+        def drain(): Unit =
+          graft.streaming.Streams.withSizedState(s, s"$d/events.parquet") {
+            val stream = s.readStream.schema("user_id LONG")
+              .parquet(s"$root/src/*")
+            val out = graft.streaming.Streams.userCountsTtlTws(
+              s, stream, ttlMs = 1000L)
+            // Trigger.Once, NOT AvailableNow: a processing-time-TTL
+            // stateful operator keeps scheduling timer batches, so
+            // AvailableNow never reaches "caught up" — Once runs
+            // exactly the one data batch this phase needs and stops.
+            // One sink path across both drains: the file sink's
+            // metadata log must stay contiguous across restarts.
+            val q = out.writeStream.format("parquet")
+              .option("path", s"$root/out")
+              .option("checkpointLocation", s"$root/ck")
+              .trigger(Trigger.Once()).start()
+            q.awaitTermination()
+          }
+        ev.filter(col("half") === 0).select("user_id").coalesce(1)
+          .write.parquet(s"$root/src/h0")
+        drain()
+        Thread.sleep(2500) // > the 1s TTL: phase-1 state must expire
+        ev.filter(col("half") === 1).select("user_id").coalesce(1)
+          .write.parquet(s"$root/src/h1")
+        drain()
+        s.read.parquet(s"$root/out")
+          .select("user_id", "n_in_window")
+          .orderBy("user_id", "n_in_window")
+      } finally {
+        prior match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None    => s.conf.unset(providerKey)
+        }
+      }
+    }, Some(s"""
+      WITH h AS (SELECT user_id,
+          (((${XxHashOracle.signed(XxHashOracle.hashLong(
+            "CAST(event_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} % 2)
+            + 2) % 2) AS half
+        FROM events)
+      SELECT user_id, COUNT(*) AS n_in_window
+      FROM h GROUP BY user_id, half ORDER BY user_id, n_in_window"""))
   )
 
   /** DuckDB replay of [[Similarity.pcaTopComponent]] — HUGEINT

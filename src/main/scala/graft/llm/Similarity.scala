@@ -571,6 +571,46 @@ object Similarity {
       subDim: Int, kCodes: Int, iters: Int, tauApprox: Double,
       tau: Double): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"))
+    val cand = sdcCandidates(emb, cellSource, m, subDim, kCodes, iters,
+      tauApprox)
+    val confirmed = cand
+      .join(base.select(col("vec_id").as("v1"),
+        col("embedding").as("e1")), Seq("v1"))
+      .join(base.select(col("vec_id").as("v2"),
+        col("embedding").as("e2")), Seq("v2"))
+      .filter(cosineSim(col("e1"), col("e2")) >= tau)
+      .select(col("v1"), col("v2"))
+    val endpoints = confirmed.select(col("v1").as("id"))
+      .union(confirmed.select(col("v2").as("id"))).distinct()
+    val cc = Components.connectedComponentsStars(endpoints,
+      confirmed.select(col("v1").as("src"), col("v2").as("dst")))
+    val clustered = base
+      .select(col("vec_id"), dotD(col("embedding"), col("embedding")).as("n2"))
+      .join(cc.select(col("id").as("vec_id"), col("component")),
+        Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col("vec_id")))
+    val sizes = clustered.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+    clustered
+      .withColumn("rn", row_number().over(Window.partitionBy("cluster_id")
+        .orderBy(col("n2").desc, col("vec_id").asc)))
+      .filter(col("rn") === 1)
+      .join(sizes, Seq("cluster_id"))
+      .select(col("cluster_id"), col("vec_id").as("keeper_id"),
+        col("n_members"))
+  }
+
+  /** The candidate stage of [[semanticDedupPq]], exposed for plan-shape
+    * pinning: everything through the tauApprox SDC gate. The ONLY
+    * corpus-sized relation that crosses an exchange here carries
+    * (vec_id, cell, m int codes, recon-norm²) — embeddings reach the
+    * pair space only as broadcast codebook/lookup metadata
+    * (PlanQualitySpec pins that no shuffle output includes the
+    * embedding column). */
+  private[llm] def sdcCandidates(emb: DataFrame, cellSource: String,
+      m: Int, subDim: Int, kCodes: Int, iters: Int,
+      tauApprox: Double): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
     val cells = centroids(emb, cellSource)
       .select(col("cell"), col("centroid").cast("array<float>").as("centroid"))
     val assigned = assignCells(base, cells)
@@ -608,7 +648,7 @@ object Similarity {
           element_at(col("a_codes"), s + 1) * kCodes +
           element_at(col("b_codes"), s + 1) + 1)
     }
-    val cand = codedN.select(col("vec_id").as("v1"), col("cell"),
+    codedN.select(col("vec_id").as("v1"), col("cell"),
         col("codes").as("a_codes"), col("rn2").as("a_rn2"))
       .join(codedN.select(col("vec_id").as("v2"), col("cell"),
         col("codes").as("b_codes"), col("rn2").as("b_rn2")), Seq("cell"))
@@ -617,31 +657,6 @@ object Similarity {
       .filter(approxDot / (sqrt(col("a_rn2")) * sqrt(col("b_rn2")))
         >= tauApprox)
       .select(col("v1"), col("v2"))
-    val confirmed = cand
-      .join(base.select(col("vec_id").as("v1"),
-        col("embedding").as("e1")), Seq("v1"))
-      .join(base.select(col("vec_id").as("v2"),
-        col("embedding").as("e2")), Seq("v2"))
-      .filter(cosineSim(col("e1"), col("e2")) >= tau)
-      .select(col("v1"), col("v2"))
-    val endpoints = confirmed.select(col("v1").as("id"))
-      .union(confirmed.select(col("v2").as("id"))).distinct()
-    val cc = Components.connectedComponentsStars(endpoints,
-      confirmed.select(col("v1").as("src"), col("v2").as("dst")))
-    val clustered = base
-      .select(col("vec_id"), dotD(col("embedding"), col("embedding")).as("n2"))
-      .join(cc.select(col("id").as("vec_id"), col("component")),
-        Seq("vec_id"), "left")
-      .withColumn("cluster_id", coalesce(col("component"), col("vec_id")))
-    val sizes = clustered.groupBy("cluster_id")
-      .agg(count(lit(1)).as("n_members"))
-    clustered
-      .withColumn("rn", row_number().over(Window.partitionBy("cluster_id")
-        .orderBy(col("n2").desc, col("vec_id").asc)))
-      .filter(col("rn") === 1)
-      .join(sizes, Seq("cluster_id"))
-      .select(col("cluster_id"), col("vec_id").as("keeper_id"),
-        col("n_members"))
   }
 
   /** Generated DuckDB replay of the ENTIRE [[semanticDedupPq]] pipeline:

@@ -648,6 +648,46 @@ object Streams {
       .toDF("user_id", "last_k")
   }
 
+  /** `transformWithState` with DECLARATIVE STATE TTL — the operational
+    * knob a long-running 100 TB stream needs so cold keys don't
+    * accumulate state forever: the per-user running count's ValueState
+    * carries `TTLConfig(ttl)` (processing-time), and a key not updated
+    * for `ttl` reads back as absent — its count restarts — with the
+    * expired bytes reclaimed by the store, no manual timer bookkeeping.
+    * Requires TimeMode.ProcessingTime and the RocksDB store provider
+    * (the only provider transformWithState supports). */
+  class TtlCountsProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Long, (Long, Long)] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig(
+          java.time.Duration.ofMillis(ttlMs)))
+    override def handleInputRows(user: Long, rows: Iterator[Long],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long)] = {
+      var n = if (st.exists()) st.get() else 0L // expired ⇒ absent
+      rows.foreach(_ => n += 1)
+      st.update(n)
+      Iterator.single((user, n))
+    }
+  }
+
+  def userCountsTtlTws(spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame, ttlMs: Long): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .transformWithState(new TtlCountsProcessor(ttlMs),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF("user_id", "n_in_window")
+  }
+
   def userTotalsWithTimersTws(spark: org.apache.spark.sql.SparkSession,
       events: DataFrame, gapMs: Long): DataFrame = {
     import spark.implicits._

@@ -233,4 +233,31 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rank").select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(mmr == topk)
   }
+
+  test("semantic-dedup (q398) candidate stage: no shuffle carries the " +
+      "embedding column — pairs are scored on codes + broadcast luts") {
+    // disable auto-broadcast so the plan takes the shape it would at
+    // 100 TB (tiny test relations otherwise broadcast everything and
+    // the pin is vacuous)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val cand = Similarity.sdcCandidates(emb, "label", m = 8, subDim = 8,
+        kCodes = 4, iters = 1, tauApprox = 0.15)
+      val plan = cand.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.initialPlan // AQE wrapper hides the exchanges from collect()
+        case p => p
+      }
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(shuffles.nonEmpty) // the pair join itself must shuffle codes
+      shuffles.foreach { e =>
+        assert(!e.output.exists(_.name == "embedding"),
+          "corpus embeddings crossed a shuffle in the candidate stage:\n" + e)
+      }
+    } finally spark.conf.set(key, old)
+  }
 }
