@@ -424,29 +424,43 @@ object Components {
     */
   def mutualBestMatching(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    var e = edges.filter(col("u") =!= col("v"))
+    val spark = edges.sparkSession
+    val und = edges.filter(col("u") =!= col("v"))
       .select(col("u"), col("v"), col("w"))
       .union(edges.select(col("v").as("u"), col("u").as("v"), col("w")))
       .groupBy("u", "v").agg(max("w").as("w"))
-      .localCheckpoint(true)
+    // TWO materializing jobs per round, each forced exactly once: the
+    // matched pairs m_r (whose job runs the round's heavy keyed window
+    // + mutuality semi-join, fused — `best` is never materialized
+    // separately) and the surviving edge state e_{r+1} (anti-joins
+    // against the already-small m_r; skipped on the last round). The
+    // final union reads the materialized m_r blocks directly, so
+    // nothing heavy recomputes at result time. Loop shuffles are sized
+    // to the actual edge count; round states stay pinned until the
+    // result materializes (rounds is small, two longs per edge) —
+    // lineage is truncated, so none may be unpersisted while a
+    // downstream frame still reads it.
+    val (e0, n0, _) = matSummed(und, -1)
+    var e = e0
     var out: DataFrame = null
-    for (r <- 1 to rounds) {
-      val best = e.withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("u")
-            .orderBy(col("w").desc, col("v"))))
-        .filter(col("rn") === 1).select(col("u"), col("v"))
-        .localCheckpoint(true)
-      val swapped = best.select(col("v").as("u"), col("u").as("v"))
-      val m = best.join(swapped, Seq("u", "v"), "left_semi")
-        .filter(col("u") < col("v"))
-        .withColumn("round", lit(r.toLong))
-        .localCheckpoint(true)
-      out = if (out == null) m else out.unionByName(m)
-      val mv = m.select(explode(array(col("u"), col("v"))).as("u"))
-        .distinct().localCheckpoint(true)
-      e = e.join(mv, Seq("u"), "left_anti")
-        .join(mv.select(col("u").as("v")), Seq("v"), "left_anti")
-        .localCheckpoint(true)
+    withLoopShuffle(spark, n0) {
+      for (r <- 1 to rounds) {
+        val best = e.withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("u")
+              .orderBy(col("w").desc, col("v"))))
+          .filter(col("rn") === 1).select(col("u"), col("v"))
+        val swapped = best.select(col("v").as("u"), col("u").as("v"))
+        val m = mat(best.join(swapped, Seq("u", "v"), "left_semi")
+          .filter(col("u") < col("v"))
+          .withColumn("round", lit(r.toLong)))
+        out = if (out == null) m else out.unionByName(m)
+        if (r < rounds) {
+          val mv = m.select(explode(array(col("u"), col("v"))).as("u"))
+            .distinct()
+          e = mat(e.join(mv, Seq("u"), "left_anti")
+            .join(mv.select(col("u").as("v")), Seq("v"), "left_anti"))
+        }
+      }
     }
     out
   }

@@ -4563,7 +4563,7 @@ object LlmQueries {
     // Streaming STATE TTL through the gate — the operational knob a
     // long-running 100 TB stream uses so cold keys don't hold state
     // forever: a transformWithState per-user counter whose ValueState
-    // carries TTLConfig(1s). Two single-batch drains of ONE checkpoint
+    // carries TTLConfig(500ms). Two single-batch drains of ONE checkpoint
     // (state continuity is the point), separated by a sleep longer
     // than the TTL: the first batch counts one deterministic half of
     // the events; by the second every first-batch key has EXPIRED, so
@@ -4591,7 +4591,7 @@ object LlmQueries {
             val stream = s.readStream.schema("user_id LONG")
               .parquet(s"$root/src/*")
             val out = graft.streaming.Streams.userCountsTtlTws(
-              s, stream, ttlMs = 1000L)
+              s, stream, ttlMs = 500L)
             // Trigger.Once, NOT AvailableNow: a processing-time-TTL
             // stateful operator keeps scheduling timer batches, so
             // AvailableNow never reaches "caught up" — Once runs
@@ -4607,7 +4607,9 @@ object LlmQueries {
         ev.filter(col("half") === 0).select("user_id").coalesce(1)
           .write.parquet(s"$root/src/h0")
         drain()
-        Thread.sleep(2500) // > the 1s TTL: phase-1 state must expire
+        // 3x the 500ms TTL (plus the second query's own startup on top):
+        // phase-1 state must have expired before batch 2 processes
+        Thread.sleep(1500)
         ev.filter(col("half") === 1).select("user_id").coalesce(1)
           .write.parquet(s"$root/src/h1")
         drain()

@@ -336,13 +336,49 @@ object Similarity {
   def pqCodebooks(emb: DataFrame, m: Int, subDim: Int, k: Int,
       iters: Int): DataFrame = {
     require(m >= 1 && subDim >= 1 && k >= 2)
-    val all = (0 until m).map { s =>
-      val sub = emb.select(col("vec_id"),
-        slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
-      kmeansCells(sub, k, iters).withColumn("sub", lit(s))
-    }.reduce(_ unionByName _)
+    // All m subspaces train JOINTLY on one exploded (sub, vec_id,
+    // subvec) relation: one argmax projection + one (sub, cell, pos)
+    // re-average per Lloyd's round — 2 eager jobs per iteration TOTAL
+    // instead of 2 per subspace (the per-sub [[kmeansCells]] loop cost
+    // m separate tiny driver jobs each round; their fixed overhead
+    // dominated q195/q398). Semantics are unchanged: the same
+    // k-lowest-vec_id init per sub, the same cosine argmax with a
+    // (csim, -cell) tie-break WITHIN each sub (the leading sub-match
+    // bool dominates the ordering struct), the same float-cast
+    // centroid averaging — so the DuckDB codebook replay still holds.
+    val subStructs = (0 until m).map { s =>
+      struct(lit(s).as("sub"),
+        slice(col("embedding"), s * subDim + 1, subDim).as("sv")) }
+    def explodeSubs(df: DataFrame) =
+      df.select(col("vec_id"), explode(array(subStructs: _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("vec_id"), col("e.sv").as("sv"))
+    val subs = explodeSubs(emb)
+    var cents = explodeSubs(emb.orderBy("vec_id").limit(k))
+      .select(col("sub"), col("vec_id").as("cell"),
+        col("sv").cast("array<float>").as("centroid"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val carr = cents.agg(array_sort(collect_list(
+        struct(col("sub"), col("cell"), col("centroid")))).as("__c"))
+      val assigned = subs.crossJoin(broadcast(carr))
+        .withColumn("__best", array_max(transform(col("__c"), c =>
+          struct((c.getField("sub") === col("sub")).as("ok"),
+            cosineSim(col("sv"), c.getField("centroid")).as("csim"),
+            (-c.getField("cell")).as("negcell")))))
+        .select(col("sub"), col("sv"),
+          (-col("__best").getField("negcell")).as("cell"))
+      cents = assigned.select(col("sub"), col("cell"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "cell", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("sub", "cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("sub"), col("cell"),
+          transform(col("pm"), p => p.getField("m"))
+            .cast("array<float>").as("centroid"))
+        .localCheckpoint(true)
+    }
     val w = Window.partitionBy("sub").orderBy("cell")
-    all.withColumn("code", row_number().over(w) - 1)
+    cents.withColumn("code", row_number().over(w) - 1)
       .select(col("sub"), col("code"), col("centroid"))
   }
 
@@ -636,12 +672,19 @@ object Similarity {
       .select(transform(col("__nrm"), x => x.getField("n2")).as("nrm"))
     // fold the per-vector reconstructed norm² in at code-assignment
     // time: the pair join then never needs the norm table per side
-    val codedN = coded.crossJoin(broadcast(nrmArr))
-      .select(col("vec_id"), col("cell"), col("codes"),
-        (0 until m).foldLeft(lit(0.0)) { (acc, s) =>
-          acc + element_at(col("nrm"),
-            lit(s * kCodes) + element_at(col("codes"), s + 1) + 1)
-        }.as("rn2"))
+    // Materialized ONCE (stats-truncated): both sides of the pair
+    // self-join read the same (vec_id, cell, codes, rn2) blocks —
+    // without this the entire training+assignment lineage (centroid
+    // aggregation, k-means codebooks, code argmax) executes twice,
+    // once per join side. This is also the relation a 100 TB run
+    // persists as its PQ index.
+    val codedN = org.apache.spark.sql.GraftSqlBridge.materializeTruncated(
+      coded.crossJoin(broadcast(nrmArr))
+        .select(col("vec_id"), col("cell"), col("codes"),
+          (0 until m).foldLeft(lit(0.0)) { (acc, s) =>
+            acc + element_at(col("nrm"),
+              lit(s * kCodes) + element_at(col("codes"), s + 1) + 1)
+          }.as("rn2")))
     val approxDot = (0 until m).foldLeft(lit(0.0)) { (acc, s) =>
       acc + element_at(col("sdc"),
         lit(s * kCodes * kCodes) +

@@ -9316,7 +9316,95 @@ object RelQueries {
       FROM ch JOIN lat l ON ((l.S >> ch.idx) & 1) = 0
       JOIN v v1 ON v1.S = l.S
       JOIN v v2 ON v2.S = l.S + (CAST(1 AS BIGINT) << ch.idx)
-      GROUP BY 1 ORDER BY event_type"""))
+      GROUP BY 1 ORDER BY event_type""")),
+
+    // Closed-form RIDGE regression via normal equations — the
+    // multivariate completion of q205's single-feature regr_* family,
+    // and the canonical "train a linear model on 100 TB in ONE corpus
+    // pass" shape: predict l_extendedprice (cents) from l_quantity
+    // (cents) and the part's p_retailprice (cents). All nine
+    // sufficient statistics (n, Σx, Σxᵢxⱼ, Σxᵢy) accumulate as exact
+    // DECIMAL(38,0) on integer cents in a single partial-aggregable
+    // pass over the fact table (the dim join is a broadcast); the 3×3
+    // system (G + λ·diag(0,1,1)) β = c — the intercept is NOT
+    // penalized, λ = 10¹² on the cents² scale — is then solved by
+    // Cramer's rule on the ONE-ROW aggregate, with the only floats
+    // being the closing determinant arithmetic: both engines convert
+    // the same exact integers and evaluate textually identical
+    // expressions, so the emitted doubles are IEEE-bit-identical
+    // (q387's discipline). Wide stats never leave the plan — only n,
+    // λ and the three coefficients are emitted (the q330 lesson:
+    // >2⁶³ values don't survive driver hashing).
+    ("q401_ridge_normal_eq", (s: SparkSession, d: String) => {
+      val li = Tables(s, d, "lineitem").select(
+        col("l_partkey"),
+        (Exact.dec(col("l_quantity"), 12) * 100).cast("long").as("x1"),
+        (Exact.dec(col("l_extendedprice"), 12) * 100).cast("long").as("y"))
+      val pt = Tables(s, d, "part").select(col("p_partkey"),
+        (Exact.dec(col("p_retailprice"), 12) * 100).cast("long").as("x2"))
+      val one = li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x1").cast("decimal(38,0)")).as("s1"),
+          sum(col("x2").cast("decimal(38,0)")).as("s2"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum(expr("CAST(x1 AS DECIMAL(38,0)) * x1")).as("s11"),
+          sum(expr("CAST(x1 AS DECIMAL(38,0)) * x2")).as("s12"),
+          sum(expr("CAST(x2 AS DECIMAL(38,0)) * x2")).as("s22"),
+          sum(expr("CAST(x1 AS DECIMAL(38,0)) * y")).as("s1y"),
+          sum(expr("CAST(x2 AS DECIMAL(38,0)) * y")).as("s2y"))
+      one.selectExpr("n",
+          "CAST(n AS DOUBLE) AS a11", "CAST(s1 AS DOUBLE) AS a12",
+          "CAST(s2 AS DOUBLE) AS a13",
+          "CAST(s11 + 1000000000000 AS DOUBLE) AS a22",
+          "CAST(s12 AS DOUBLE) AS a23",
+          "CAST(s22 + 1000000000000 AS DOUBLE) AS a33",
+          "CAST(sy AS DOUBLE) AS b1", "CAST(s1y AS DOUBLE) AS b2",
+          "CAST(s2y AS DOUBLE) AS b3")
+        .withColumn("det", expr(
+          "a11 * (a22*a33 - a23*a23) - a12 * (a12*a33 - a23*a13)" +
+          " + a13 * (a12*a23 - a22*a13)"))
+        .selectExpr("n", "CAST(1000000000000 AS BIGINT) AS lambda",
+          "(b1 * (a22*a33 - a23*a23) - a12 * (b2*a33 - a23*b3)" +
+            " + a13 * (b2*a23 - a22*b3)) / det AS beta0",
+          "(a11 * (b2*a33 - a23*b3) - b1 * (a12*a33 - a23*a13)" +
+            " + a13 * (a12*b3 - b2*a13)) / det AS beta1",
+          "(a11 * (a22*b3 - b2*a23) - a12 * (a12*b3 - b2*a13)" +
+            " + b1 * (a12*a23 - a22*a13)) / det AS beta2")
+    }, Some("""
+      WITH b AS (SELECT
+          CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x1,
+          CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x2,
+          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+          SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+          SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+          SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+          SUM(CAST(x1 AS HUGEINT) * y) AS s1y,
+          SUM(CAST(x2 AS HUGEINT) * y) AS s2y
+        FROM b),
+      m AS (SELECT n,
+          CAST(n AS DOUBLE) AS a11, CAST(s1 AS DOUBLE) AS a12,
+          CAST(s2 AS DOUBLE) AS a13,
+          CAST(s11 + 1000000000000 AS DOUBLE) AS a22,
+          CAST(s12 AS DOUBLE) AS a23,
+          CAST(s22 + 1000000000000 AS DOUBLE) AS a33,
+          CAST(sy AS DOUBLE) AS b1, CAST(s1y AS DOUBLE) AS b2,
+          CAST(s2y AS DOUBLE) AS b3
+        FROM a),
+      dt AS (SELECT m.*,
+          a11 * (a22*a33 - a23*a23) - a12 * (a12*a33 - a23*a13)
+            + a13 * (a12*a23 - a22*a13) AS det
+        FROM m)
+      SELECT n, CAST(1000000000000 AS BIGINT) AS lambda,
+        (b1 * (a22*a33 - a23*a23) - a12 * (b2*a33 - a23*b3)
+          + a13 * (b2*a23 - a22*b3)) / det AS beta0,
+        (a11 * (b2*a33 - a23*b3) - b1 * (a12*a33 - a23*a13)
+          + a13 * (a12*b3 - b2*a13)) / det AS beta1,
+        (a11 * (a22*b3 - b2*a23) - a12 * (a12*b3 - b2*a13)
+          + b1 * (a12*a23 - a22*a13)) / det AS beta2
+      FROM dt"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session

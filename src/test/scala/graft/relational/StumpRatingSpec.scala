@@ -232,4 +232,56 @@ class StumpRatingSpec extends SparkSpec {
     assert(out.filter(_.getAs[Long]("n_case_variants") == 2)
       .forall(r => r.getString(0).head.isUpper))
   }
+
+  test("ridge (q401): BigInt normal equations + Cramer replay agrees " +
+      "bit-for-bit, and betas solve the regularized system") {
+    val rows = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(Seq("l_quantity", "p_retailprice", "l_extendedprice")
+        .map(c => (col(c).cast("decimal(12,2)") * 100).cast("long")): _*)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lam = BigInt(1000000000000L)
+    val n = BigInt(rows.length)
+    val s1 = rows.map(r => BigInt(r._1)).sum
+    val s2 = rows.map(r => BigInt(r._2)).sum
+    val sy = rows.map(r => BigInt(r._3)).sum
+    val s11 = rows.map(r => BigInt(r._1) * r._1).sum
+    val s12 = rows.map(r => BigInt(r._1) * r._2).sum
+    val s22 = rows.map(r => BigInt(r._2) * r._2).sum
+    val s1y = rows.map(r => BigInt(r._1) * r._3).sum
+    val s2y = rows.map(r => BigInt(r._2) * r._3).sum
+    val (a11, a12, a13) = (n.toDouble, s1.toDouble, s2.toDouble)
+    val (a22, a23, a33) =
+      ((s11 + lam).toDouble, s12.toDouble, (s22 + lam).toDouble)
+    val (b1, b2, b3) = (sy.toDouble, s1y.toDouble, s2y.toDouble)
+    val det = a11 * (a22 * a33 - a23 * a23) -
+      a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13)
+    val beta0 = (b1 * (a22 * a33 - a23 * a23) -
+      a12 * (b2 * a33 - a23 * b3) + a13 * (b2 * a23 - a22 * b3)) / det
+    val beta1 = (a11 * (b2 * a33 - a23 * b3) -
+      b1 * (a12 * a33 - a23 * a13) + a13 * (a12 * b3 - b2 * a13)) / det
+    val beta2 = (a11 * (a22 * b3 - b2 * a23) -
+      a12 * (a12 * b3 - b2 * a13) + b1 * (a12 * a23 - a22 * a13)) / det
+    val got = q("q401_ridge_normal_eq").collect()(0)
+    assert(got.getAs[Long]("n") == rows.length.toLong)
+    assert(got.getAs[Double]("beta0") == beta0)
+    assert(got.getAs[Double]("beta1") == beta1)
+    assert(got.getAs[Double]("beta2") == beta2)
+    // independent law (does NOT share the Cramer formulas): the betas
+    // must satisfy the three normal equations to relative precision —
+    // residual of A·beta - b small vs the b magnitudes
+    val resid = Seq(
+      a11 * beta0 + a12 * beta1 + a13 * beta2 - b1,
+      a12 * beta0 + a22 * beta1 + a23 * beta2 - b2,
+      a13 * beta0 + a23 * beta1 + a33 * beta2 - b3)
+    resid.zip(Seq(b1, b2, b3)).foreach { case (r, b) =>
+      assert(math.abs(r) <= 1e-9 * math.abs(b), s"residual $r vs $b") }
+    // and the fit is sane: extendedprice = quantity x unit price, so
+    // the retail-price coefficient must be strongly positive (quantity's
+    // sign is NOT constrained — the unmodeled x1*x2 interaction loads on
+    // it once x2 is present)
+    assert(got.getAs[Double]("beta2") > 0)
+    assert(det != 0.0 && !det.isInfinite)
+  }
 }
