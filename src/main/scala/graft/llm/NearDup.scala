@@ -473,13 +473,29 @@ object NearDup {
     * the query demonstrates the lossless blocking, not a 4M-row result
     * set. The operator is unsliced and lossless. */
   def symDeletePairs(df: DataFrame, strCol: String): DataFrame = {
-    val names = df.select(col(strCol).as("name")).na.drop().distinct()
-    val keyed = names.select(col("name"),
-      explode(deletionKeys2(col("name"))).as("key"))
-    keyed.as("a").join(keyed.as("b"),
-        col("a.key") === col("b.key") && col("a.name") < col("b.name"))
-      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
-      .dropDuplicates("name_a", "name_b")
+    // The dictionary gets a dense 8-byte id (monotonically_increasing_id
+    // is nondeterministic across recomputes, so the frame is
+    // materialized once), and the quadratic candidate stage generates
+    // and dedups two-LONG id pairs — the full-string pairs the old form
+    // shuffled were ~5x the bytes at the hot-bucket candidate volumes
+    // sequential-id name spaces produce. Strings re-attach (dictionary-
+    // sized broadcast joins) only for the exact verify, reoriented so
+    // name_a < name_b as before.
+    val names = org.apache.spark.sql.GraftSqlBridge.materializeTruncated(
+      df.select(col(strCol).as("name")).na.drop().distinct()
+        .withColumn("nid", monotonically_increasing_id()))
+    val keyed = names.select(col("nid"), col("name"),
+        explode(deletionKeys2(col("name"))).as("key"))
+      .select(col("nid"), col("key"))
+    val candIds = keyed.as("a").join(keyed.as("b"),
+        col("a.key") === col("b.key") && col("a.nid") < col("b.nid"))
+      .select(col("a.nid").as("na"), col("b.nid").as("nb"))
+      .dropDuplicates("na", "nb")
+    candIds
+      .join(names.select(col("nid").as("na"), col("name").as("x")), "na")
+      .join(names.select(col("nid").as("nb"), col("name").as("y")), "nb")
+      .select(least(col("x"), col("y")).as("name_a"),
+        greatest(col("x"), col("y")).as("name_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= 2)
   }
