@@ -445,10 +445,13 @@ object Components {
     var out: DataFrame = null
     withLoopShuffle(spark, n0) {
       for (r <- 1 to rounds) {
-        val best = e.withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy("u")
-              .orderBy(col("w").desc, col("v"))))
-          .filter(col("rn") === 1).select(col("u"), col("v"))
+        // best neighbor per vertex as a partial-aggregable argmax —
+        // max(struct(w, -v)) = (max weight, then min id), identical to
+        // the former `row_number over (w desc, v asc) = 1` window but
+        // with map-side combine and NO per-partition sort
+        val best = e.groupBy("u")
+          .agg(max(struct(col("w"), (-col("v")).as("nv"))).as("b"))
+          .select(col("u"), (-col("b.nv")).as("v"))
         val swapped = best.select(col("v").as("u"), col("u").as("v"))
         val m = mat(best.join(swapped, Seq("u", "v"), "left_semi")
           .filter(col("u") < col("v"))

@@ -3394,11 +3394,19 @@ object LlmQueries {
       FROM tot, sp""")),
 
     ("q344_mutual_best_matching", (s: SparkSession, d: String) => {
+      // Per-order baskets explode their own line pairs (order size is
+      // basket-bounded), replacing the lineitem self-join: one
+      // groupBy(order) shuffle instead of shuffling both join sides —
+      // the q347 wedge discipline. Pair multiset (and so the weights)
+      // is identical to the a.pk < b.pk join form the oracle replays.
       val li = t(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val e = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      val e = li.groupBy("ok").agg(collect_list(col("pk")).as("pks"))
+        .select(explode(expr(
+          "flatten(transform(pks, x -> transform(" +
+            "filter(pks, y -> y > x), y -> struct(x AS u, y AS v))))"))
+          .as("p"))
+        .groupBy(col("p.u").as("u"), col("p.v").as("v"))
         .agg(count(lit(1)).as("w"))
       Components.mutualBestMatching(e, rounds = 4)
         .orderBy("u")

@@ -8009,11 +8009,11 @@ object RelQueries {
         CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS isqrt_n
       FROM orders WHERE o_orderstatus = 'F'""")),
 
-    // Watermark late-data semantics, END TO END: four hash-split chunks
-    // of the events table arrive as four REAL micro-batches (write →
+    // Watermark late-data semantics, END TO END: three hash-split chunks
+    // of the events table arrive as three REAL micro-batches (write →
     // AvailableNow drain per chunk, checkpointed watermark carries
     // across runs), each chunk spanning the whole month — so chunks
-    // 1-3 are mostly LATE behind the 2-day watermark and get dropped;
+    // 2-3 are mostly LATE behind the 2-day watermark and get dropped;
     // a final already-late marker row forces the flush batch that
     // emits the last closed windows. The oracle REPLAYS THE WATERMARK
     // TRAJECTORY in SQL: per-chunk running max event time, lagged
@@ -8026,7 +8026,7 @@ object RelQueries {
       val root = s"/tmp/graft_q361/${new java.io.File(d).getName}"
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       val ev = t(s, d, "events").select(col("event_id"), col("ts"),
-        pmod(xxhash64(col("event_id")), lit(4)).as("c"))
+        pmod(xxhash64(col("event_id")), lit(3)).as("c"))
       def drain(): Unit =
         graft.streaming.Streams.withSizedState(s, s"$d/events.parquet") {
           val q = s.readStream.schema("event_id LONG, ts TIMESTAMP")
@@ -8042,7 +8042,7 @@ object RelQueries {
             .trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
         }
-      for (i <- 0 to 3) {
+      for (i <- 0 to 2) {
         ev.filter(col("c") === i).select("event_id", "ts").coalesce(1)
           .write.parquet(s"$root/src/c$i")
         drain()
@@ -8056,8 +8056,8 @@ object RelQueries {
     }, Some(s"""
       WITH e AS (SELECT event_id, ts,
           ((${graft.llm.XxHashOracle.signed(graft.llm.XxHashOracle.hashLong(
-            "CAST(event_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} % 4)
-            + 4) % 4 AS c
+            "CAST(event_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} % 3)
+            + 3) % 3 AS c
         FROM events),
       cm AS (SELECT c, MAX(ts) AS mx FROM e GROUP BY 1),
       rm AS (SELECT c, MAX(mx) OVER (ORDER BY c
@@ -9404,7 +9404,141 @@ object RelQueries {
           + a13 * (a12*b3 - b2*a13)) / det AS beta1,
         (a11 * (a22*b3 - b2*a23) - a12 * (a12*b3 - b2*a13)
           + b1 * (a12*a23 - a22*a13)) / det AS beta2
-      FROM dt"""))
+      FROM dt""")),
+
+    // Out-of-fold ridge CROSS-VALIDATION from the SAME single corpus
+    // pass — the Gram-subtraction trick every distributed CV should
+    // use: accumulate q401's sufficient statistics (plus Σy²) PER
+    // FOLD (4 leakage-safe folds hashed on the ORDER key, so an
+    // order's lines never straddle train/holdout), then each
+    // leave-fold-out model's normal equations are just
+    // (totals − fold) — exact DECIMAL subtraction on the 4-row
+    // metadata aggregate, never a second scan. Each fold's holdout
+    // RMSE closes in doubles from its own held-out stats (the SSE
+    // quadratic-form expansion), textually identical in both engines
+    // → IEEE-bit-identical. Training k+1 models costs ONE pass at
+    // any scale; the naive per-fold refit costs k+1 passes.
+    ("q402_ridge_oof_cv", (s: SparkSession, d: String) => {
+      val li = Tables(s, d, "lineitem").select(
+        col("l_partkey"),
+        pmod(xxhash64(col("l_orderkey")), lit(4)).cast("long").as("fold"),
+        (Exact.dec(col("l_quantity"), 12) * 100).cast("long").as("x1"),
+        (Exact.dec(col("l_extendedprice"), 12) * 100).cast("long").as("y"))
+      val pt = Tables(s, d, "part").select(col("p_partkey"),
+        (Exact.dec(col("p_retailprice"), 12) * 100).cast("long").as("x2"))
+      val perFold = li
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x1").cast("decimal(38,0)")).as("s1"),
+          sum(col("x2").cast("decimal(38,0)")).as("s2"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum(expr("CAST(x1 AS DECIMAL(38,0)) * x1")).as("s11"),
+          sum(expr("CAST(x1 AS DECIMAL(38,0)) * x2")).as("s12"),
+          sum(expr("CAST(x2 AS DECIMAL(38,0)) * x2")).as("s22"),
+          sum(expr("CAST(x1 AS DECIMAL(38,0)) * y")).as("s1y"),
+          sum(expr("CAST(x2 AS DECIMAL(38,0)) * y")).as("s2y"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      val tot = perFold.agg(sum("n").as("tn"), sum("s1").as("t1"),
+        sum("s2").as("t2"), sum("sy").as("ty"), sum("s11").as("t11"),
+        sum("s12").as("t12"), sum("s22").as("t22"), sum("s1y").as("t1y"),
+        sum("s2y").as("t2y"))
+      perFold.crossJoin(broadcast(tot))
+        .selectExpr("fold", "n",
+          "CAST(tn - n AS DOUBLE) AS a11",
+          "CAST(t1 - s1 AS DOUBLE) AS a12",
+          "CAST(t2 - s2 AS DOUBLE) AS a13",
+          "CAST((t11 - s11) + 1000000000000 AS DOUBLE) AS a22",
+          "CAST(t12 - s12 AS DOUBLE) AS a23",
+          "CAST((t22 - s22) + 1000000000000 AS DOUBLE) AS a33",
+          "CAST(ty - sy AS DOUBLE) AS b1",
+          "CAST(t1y - s1y AS DOUBLE) AS b2",
+          "CAST(t2y - s2y AS DOUBLE) AS b3",
+          "CAST(n AS DOUBLE) AS hn", "CAST(s1 AS DOUBLE) AS hs1",
+          "CAST(s2 AS DOUBLE) AS hs2", "CAST(sy AS DOUBLE) AS hsy",
+          "CAST(s11 AS DOUBLE) AS hs11", "CAST(s12 AS DOUBLE) AS hs12",
+          "CAST(s22 AS DOUBLE) AS hs22", "CAST(s1y AS DOUBLE) AS hs1y",
+          "CAST(s2y AS DOUBLE) AS hs2y", "CAST(syy AS DOUBLE) AS hsyy")
+        .withColumn("det", expr(
+          "a11 * (a22*a33 - a23*a23) - a12 * (a12*a33 - a23*a13)" +
+          " + a13 * (a12*a23 - a22*a13)"))
+        .withColumn("beta0", expr(
+          "(b1 * (a22*a33 - a23*a23) - a12 * (b2*a33 - a23*b3)" +
+          " + a13 * (b2*a23 - a22*b3)) / det"))
+        .withColumn("beta1", expr(
+          "(a11 * (b2*a33 - a23*b3) - b1 * (a12*a33 - a23*a13)" +
+          " + a13 * (a12*b3 - b2*a13)) / det"))
+        .withColumn("beta2", expr(
+          "(a11 * (a22*b3 - b2*a23) - a12 * (a12*b3 - b2*a13)" +
+          " + b1 * (a12*a23 - a22*a13)) / det"))
+        .withColumn("sse", expr(
+          "hsyy - 2*beta0*hsy - 2*beta1*hs1y - 2*beta2*hs2y" +
+          " + beta0*beta0*hn + beta1*beta1*hs11 + beta2*beta2*hs22" +
+          " + 2*beta0*beta1*hs1 + 2*beta0*beta2*hs2" +
+          " + 2*beta1*beta2*hs12"))
+        .selectExpr("fold", "n AS n_holdout", "beta0", "beta1", "beta2",
+          "sqrt(sse / hn) AS rmse")
+        .orderBy("fold")
+    }, Some(s"""
+      WITH b AS (SELECT
+          CAST(((${graft.llm.XxHashOracle.signed(
+            graft.llm.XxHashOracle.hashLong(
+              "CAST(l_orderkey AS HUGEINT)", "CAST(42 AS HUGEINT)"))} % 4)
+            + 4) % 4 AS BIGINT) AS fold,
+          CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x1,
+          CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x2,
+          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      a AS (SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+          SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+          SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+          SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+          SUM(CAST(x1 AS HUGEINT) * y) AS s1y,
+          SUM(CAST(x2 AS HUGEINT) * y) AS s2y,
+          SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM b GROUP BY 1),
+      t AS (SELECT SUM(n) AS tn, SUM(s1) AS t1, SUM(s2) AS t2,
+          SUM(sy) AS ty, SUM(s11) AS t11, SUM(s12) AS t12,
+          SUM(s22) AS t22, SUM(s1y) AS t1y, SUM(s2y) AS t2y
+        FROM a),
+      m AS (SELECT fold, n,
+          CAST(tn - n AS DOUBLE) AS a11,
+          CAST(t1 - s1 AS DOUBLE) AS a12,
+          CAST(t2 - s2 AS DOUBLE) AS a13,
+          CAST((t11 - s11) + 1000000000000 AS DOUBLE) AS a22,
+          CAST(t12 - s12 AS DOUBLE) AS a23,
+          CAST((t22 - s22) + 1000000000000 AS DOUBLE) AS a33,
+          CAST(ty - sy AS DOUBLE) AS b1,
+          CAST(t1y - s1y AS DOUBLE) AS b2,
+          CAST(t2y - s2y AS DOUBLE) AS b3,
+          CAST(n AS DOUBLE) AS hn, CAST(s1 AS DOUBLE) AS hs1,
+          CAST(s2 AS DOUBLE) AS hs2, CAST(sy AS DOUBLE) AS hsy,
+          CAST(s11 AS DOUBLE) AS hs11, CAST(s12 AS DOUBLE) AS hs12,
+          CAST(s22 AS DOUBLE) AS hs22, CAST(s1y AS DOUBLE) AS hs1y,
+          CAST(s2y AS DOUBLE) AS hs2y, CAST(syy AS DOUBLE) AS hsyy
+        FROM a, t),
+      dt AS (SELECT m.*,
+          a11 * (a22*a33 - a23*a23) - a12 * (a12*a33 - a23*a13)
+            + a13 * (a12*a23 - a22*a13) AS det
+        FROM m),
+      bt AS (SELECT dt.*,
+          (b1 * (a22*a33 - a23*a23) - a12 * (b2*a33 - a23*b3)
+            + a13 * (b2*a23 - a22*b3)) / det AS beta0,
+          (a11 * (b2*a33 - a23*b3) - b1 * (a12*a33 - a23*a13)
+            + a13 * (a12*b3 - b2*a13)) / det AS beta1,
+          (a11 * (a22*b3 - b2*a23) - a12 * (a12*b3 - b2*a13)
+            + b1 * (a12*a23 - a22*a13)) / det AS beta2
+        FROM dt),
+      sq AS (SELECT bt.*,
+          hsyy - 2*beta0*hsy - 2*beta1*hs1y - 2*beta2*hs2y
+            + beta0*beta0*hn + beta1*beta1*hs11 + beta2*beta2*hs22
+            + 2*beta0*beta1*hs1 + 2*beta0*beta2*hs2
+            + 2*beta1*beta2*hs12 AS sse
+        FROM bt)
+      SELECT fold, n AS n_holdout, beta0, beta1, beta2,
+        sqrt(sse / hn) AS rmse
+      FROM sq ORDER BY fold"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session

@@ -284,4 +284,71 @@ class StumpRatingSpec extends SparkSpec {
     assert(got.getAs[Double]("beta2") > 0)
     assert(det != 0.0 && !det.isInfinite)
   }
+
+  test("ridge OOF CV (q402): BigInt Gram-subtraction replay agrees " +
+      "bit-for-bit on betas and rmse for every fold") {
+    val rows = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(pmod(xxhash64(col("l_orderkey")), lit(4)).cast("long") +:
+        Seq("l_quantity", "p_retailprice", "l_extendedprice")
+          .map(c => (col(c).cast("decimal(12,2)") * 100).cast("long")): _*)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lam = BigInt(1000000000000L)
+    case class St(n: BigInt, s1: BigInt, s2: BigInt, sy: BigInt,
+      s11: BigInt, s12: BigInt, s22: BigInt, s1y: BigInt, s2y: BigInt,
+      syy: BigInt) {
+      def -(o: St) = St(n - o.n, s1 - o.s1, s2 - o.s2, sy - o.sy,
+        s11 - o.s11, s12 - o.s12, s22 - o.s22, s1y - o.s1y, s2y - o.s2y,
+        syy - o.syy)
+    }
+    def stats(rs: Seq[(Long, Long, Long, Long)]) = St(
+      BigInt(rs.length),
+      rs.map(r => BigInt(r._2)).sum, rs.map(r => BigInt(r._3)).sum,
+      rs.map(r => BigInt(r._4)).sum,
+      rs.map(r => BigInt(r._2) * r._2).sum,
+      rs.map(r => BigInt(r._2) * r._3).sum,
+      rs.map(r => BigInt(r._3) * r._3).sum,
+      rs.map(r => BigInt(r._2) * r._4).sum,
+      rs.map(r => BigInt(r._3) * r._4).sum,
+      rs.map(r => BigInt(r._4) * r._4).sum)
+    val byFold = rows.groupBy(_._1).view.mapValues(r => stats(r.toSeq)).toMap
+    val full = stats(rows.toSeq)
+    val got = q("q402_ridge_oof_cv").collect()
+      .map(r => r.getAs[Long]("fold") -> r).toMap
+    assert(got.keySet == byFold.keySet)
+    byFold.foreach { case (f, h) =>
+      val tr = full - h
+      val (a11, a12, a13) = (tr.n.toDouble, tr.s1.toDouble, tr.s2.toDouble)
+      val (a22, a23, a33) = ((tr.s11 + lam).toDouble, tr.s12.toDouble,
+        (tr.s22 + lam).toDouble)
+      val (b1, b2, b3) = (tr.sy.toDouble, tr.s1y.toDouble, tr.s2y.toDouble)
+      val det = a11 * (a22 * a33 - a23 * a23) -
+        a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13)
+      val beta0 = (b1 * (a22 * a33 - a23 * a23) -
+        a12 * (b2 * a33 - a23 * b3) + a13 * (b2 * a23 - a22 * b3)) / det
+      val beta1 = (a11 * (b2 * a33 - a23 * b3) -
+        b1 * (a12 * a33 - a23 * a13) + a13 * (a12 * b3 - b2 * a13)) / det
+      val beta2 = (a11 * (a22 * b3 - b2 * a23) -
+        a12 * (a12 * b3 - b2 * a13) + b1 * (a12 * a23 - a22 * a13)) / det
+      val (hn, hs1, hs2, hsy) = (h.n.toDouble, h.s1.toDouble,
+        h.s2.toDouble, h.sy.toDouble)
+      val (hs11, hs12, hs22) =
+        (h.s11.toDouble, h.s12.toDouble, h.s22.toDouble)
+      val (hs1y, hs2y, hsyy) =
+        (h.s1y.toDouble, h.s2y.toDouble, h.syy.toDouble)
+      val sse = hsyy - 2 * beta0 * hsy - 2 * beta1 * hs1y -
+        2 * beta2 * hs2y + beta0 * beta0 * hn + beta1 * beta1 * hs11 +
+        beta2 * beta2 * hs22 + 2 * beta0 * beta1 * hs1 +
+        2 * beta0 * beta2 * hs2 + 2 * beta1 * beta2 * hs12
+      val r = got(f)
+      assert(r.getAs[Long]("n_holdout") == h.n.toLong)
+      assert(r.getAs[Double]("beta0") == beta0, s"fold $f beta0")
+      assert(r.getAs[Double]("beta1") == beta1, s"fold $f beta1")
+      assert(r.getAs[Double]("beta2") == beta2, s"fold $f beta2")
+      assert(r.getAs[Double]("rmse") == math.sqrt(sse / hn), s"fold $f rmse")
+      assert(r.getAs[Double]("rmse") > 0)
+    }
+  }
 }
