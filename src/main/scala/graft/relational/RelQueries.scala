@@ -9538,7 +9538,66 @@ object RelQueries {
         FROM bt)
       SELECT fold, n AS n_holdout, beta0, beta1, beta2,
         sqrt(sse / hn) AS rmse
-      FROM sq ORDER BY fold"""))
+      FROM sq ORDER BY fold""")),
+
+    // STREAMING STATE REPARTITIONING on scale-out — the operational
+    // move a long-running 100 TB stream makes when its fixed state
+    // partition count (set at the checkpoint's FIRST batch) no longer
+    // matches the cluster, done entirely through PUBLIC APIs, no
+    // checkpoint surgery: (1) half the events drain into a per-user
+    // streaming aggregation checkpointed at 2 state partitions;
+    // (2) the stopped checkpoint's state is DECODED with the
+    // statestore reader; (3) those rows re-enter a NEW query as
+    // `flatMapGroupsWithState` initialState running at 4 state
+    // partitions, which drains the second half into a fresh
+    // checkpoint. The emitted relation is the NEW store's decoded
+    // state: it must equal the flat GROUP BY over all events (no key
+    // lost or double-counted in migration), and the query itself
+    // requires the rebalanced store really is 4-wide before emitting.
+    ("q403_state_repartition", (s: SparkSession, d: String) => {
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val root = s"/tmp/graft_q403/${new java.io.File(d).getName}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val ev = t(s, d, "events").select(col("user_id"),
+        pmod(xxhash64(col("event_id")), lit(2)).as("half"))
+      ev.filter(col("half") === 0).select("user_id").coalesce(1)
+        .write.parquet(s"$root/h0")
+      ev.filter(col("half") === 1).select("user_id").coalesce(1)
+        .write.parquet(s"$root/h1")
+      val key = "spark.sql.shuffle.partitions"
+      val prior = s.conf.get(key)
+      def drain(parts: Int, ck: String)(out: DataFrame): Unit = {
+        s.conf.set(key, parts.toString)
+        try {
+          val sink = s"q403_mem_${java.util.UUID.randomUUID()
+            .toString.replace("-", "")}"
+          val q = out.writeStream.format("memory").queryName(sink)
+            .outputMode("update").option("checkpointLocation", ck).start()
+          try q.processAllAvailable() finally q.stop()
+        } finally s.conf.set(key, prior)
+      }
+      drain(2, s"$root/ck1")(
+        s.readStream.schema("user_id LONG").parquet(s"$root/h0")
+          .groupBy("user_id").count())
+      val migrated = s.read.format("statestore").load(s"$root/ck1")
+        .select(col("key.user_id").as("user_id"),
+          col("value.count").as("n"))
+      drain(4, s"$root/ck2")(
+        graft.streaming.Streams.userCountsFmgsInitial(s,
+          s.readStream.schema("user_id LONG").parquet(s"$root/h1"),
+          migrated))
+      val st2 = s.read.format("statestore").load(s"$root/ck2")
+      val nParts = new java.io.File(s"$root/ck2/state/0")
+        .listFiles().count(f => f.isDirectory && f.getName.forall(_.isDigit))
+      require(nParts == 4,
+        s"state did not rebalance to 4 partitions: $nParts")
+      st2.select(col("key.value").as("user_id"),
+          col("value.groupState.value").as("n"))
+        .orderBy("user_id")
+    }, Some("""
+      SELECT user_id, COUNT(*) AS n FROM events
+      GROUP BY 1 ORDER BY user_id"""))
   )
 
   /** Runs `df` eagerly (localCheckpoint) under temporarily-set session

@@ -688,6 +688,32 @@ object Streams {
       .toDF("user_id", "n_in_window")
   }
 
+  /** Per-user running count via `flatMapGroupsWithState` seeded with
+    * INITIAL STATE — the public-API state-MIGRATION path: a stopped
+    * checkpoint's decoded state rows re-enter a NEW query (typically at
+    * a different `spark.sql.shuffle.partitions`, which fixes the new
+    * checkpoint's state partition count on its first batch) as
+    * `initialState`, which is how a long-running stream rebalances
+    * state on scale-out without private checkpoint surgery. `initial`
+    * must have columns (user_id, n). */
+  def userCountsFmgsInitial(spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame, initial: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    val init = initial
+      .select(col("user_id").cast("long"), col("n").cast("long"))
+      .as[(Long, Long)].groupByKey(_._1).mapValues(_._2)
+    events.select(col("user_id")).as[Long].groupByKey(identity)
+      .flatMapGroupsWithState[Long, (Long, Long)](OutputMode.Update,
+        GroupStateTimeout.NoTimeout, init) {
+        (user: Long, rows: Iterator[Long], st: GroupState[Long]) =>
+          val n = st.getOption.getOrElse(0L) + rows.size
+          st.update(n)
+          Iterator.single((user, n))
+      }.toDF("user_id", "n")
+  }
+
   def userTotalsWithTimersTws(spark: org.apache.spark.sql.SparkSession,
       events: DataFrame, gapMs: Long): DataFrame = {
     import spark.implicits._

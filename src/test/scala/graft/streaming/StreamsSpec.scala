@@ -487,4 +487,34 @@ class StreamsSpec extends SparkSpec {
       .select("n_events").as[Long].collect().sorted
     assert(out.toSeq == Seq(1L, 2L))
   }
+
+  test("state migration via FMGS initialState: counts add for live keys, " +
+      "initial-only keys survive, store rebalances to the new width") {
+    val srcDir = tmp("src"); val ckDir = tmp("ck")
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    // old-checkpoint decoded state: user 1 has 5, user 7 has 9 (user 7
+    // never appears in the new input — migration alone must carry it)
+    val initial = Seq((1L, 5L), (7L, 9L)).toDF("user_id", "n")
+    Seq(1L, 1L, 2L).toDF("user_id").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    try {
+      spark.conf.set(key, "4")
+      val q = Streams.userCountsFmgsInitial(spark,
+          spark.readStream.schema("user_id LONG").parquet(srcDir), initial)
+        .writeStream.format("memory").queryName("mig_spec")
+        .outputMode("update").option("checkpointLocation", ckDir).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set(key, prior)
+    // the store's physical width is the partition DIRECTORY count
+    // (present even for empty partitions; only 3 keys live here)
+    val width = new java.io.File(s"$ckDir/state/0")
+      .listFiles().count(f => f.isDirectory && f.getName.forall(_.isDigit))
+    assert(width == 4, s"state width $width")
+    val st = spark.read.format("statestore").load(ckDir)
+    val state = st.select(col("key.value").as("u"),
+        col("value.groupState.value").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(state == Map(1L -> 7L, 2L -> 1L, 7L -> 9L))
+  }
 }
