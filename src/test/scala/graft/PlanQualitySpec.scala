@@ -761,4 +761,30 @@ class PlanQualitySpec extends SparkSpec {
     assert("\\bProject\\b".r.findAllIn(p).length <= 5,
       "per-bit-level projection chain regressed: " + p.take(3000))
   }
+
+  test("q401: ridge normal equations are ONE lineitem pass with a " +
+      "broadcast part side") {
+    val p = plan("q401_ridge_normal_eq")
+    val scanLines = p.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("lineitem")).toSeq
+    assert(scanLines.size == 1, p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q402: OOF CV trains k+1 models from ONE lineitem pass " +
+      "(Gram subtraction, per-fold exchange reused for the totals)") {
+    // perFold feeds both the 4-row fold relation and its totals; the
+    // totals' aggregate must reuse the fold exchange, not rescan the
+    // fact table — the whole point of the Gram-subtraction CV. AQE
+    // applies exchange reuse at runtime, so pin the FINAL plan.
+    val df = SparkEntry.queries("q402_ridge_oof_cv")(spark, sfDir)
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+    assert(fp.contains("isFinalPlan=true"), fp.take(500))
+    assert(fp.contains("ReusedExchange") || fp.contains("ReusedQueryStage"),
+      "per-fold refit rescans lineitem instead of reusing the fold " +
+        "exchange: " + fp.take(3000))
+    assert(!fp.contains("SortMergeJoin"), fp.take(3000))
+  }
 }
