@@ -4637,7 +4637,60 @@ object LlmQueries {
             + 2) % 2) AS half
         FROM events)
       SELECT user_id, COUNT(*) AS n_in_window
-      FROM h GROUP BY user_id, half ORDER BY user_id, n_in_window"""))
+      FROM h GROUP BY user_id, half ORDER BY user_id, n_in_window""")),
+
+    // SQ8 scalar-quantized ANN — the FAISS-ScalarQuantizer compression
+    // path beside IVF (q39), LSH (q43) and IVF-PQ (q195): symmetric
+    // SIGNED int8 codes (per-dim scale 127/max|x|, no offset — angles
+    // survive the diagonal rescale; q97's min/max-affine codes would
+    // bury every cosine under the shared shift vector), candidates by
+    // the norm-corrected INTEGER dot idot/√(ñ²x·ñ²q) (exact int64
+    // inputs through one textually-identical double close — the
+    // candidate set is bit-identical across engines, no float-margin
+    // caveat), exact-cosine rerank on the candK survivors. Candidate
+    // stage funnels through the bounded-heap TopKCosine aggregator:
+    // O(candK) state per partition crosses the exchange, never the
+    // corpus-sized scored relation.
+    ("q404_sq8_knn", (s: SparkSession, d: String) => {
+      Similarity.sq8TopK(t(s, d, "embeddings"), col("vec_id") < 8,
+          k = 5, candK = 20)
+        .orderBy("query_id", "rank")
+    }, Some("""
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      g AS (SELECT vec_id, unnest(range(1, len(e) + 1)) AS i1,
+              unnest(e) AS v FROM base),
+      b AS (SELECT i1, greatest(abs(min(v)), abs(max(v))) AS a
+            FROM g GROUP BY 1),
+      qz AS (SELECT vec_id, g.i1,
+          CAST(CASE WHEN a = 0 THEN 0.0
+               ELSE greatest(-127.0, least(127.0,
+                 floor(v * 127.0 / a + 0.5))) END
+            AS BIGINT) AS q
+        FROM g JOIN b USING (i1)),
+      nrm AS (SELECT vec_id, SUM(q * q) AS n2 FROM qz GROUP BY 1),
+      qq AS (SELECT vec_id AS query_id, i1, q AS qv FROM qz WHERE vec_id < 8),
+      idot AS (SELECT qq.query_id, z.vec_id, SUM(z.q * qq.qv) AS idot
+        FROM qz z JOIN qq ON z.i1 = qq.i1 AND z.vec_id <> qq.query_id
+        GROUP BY 1, 2),
+      sc AS (SELECT i.query_id, i.vec_id,
+          CASE WHEN nx.n2 * nq.n2 = 0 THEN -2.0
+               ELSE CAST(i.idot AS DOUBLE)
+                 / (sqrt(CAST(nx.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE)))
+          END AS s
+        FROM idot i JOIN nrm nx ON nx.vec_id = i.vec_id
+        JOIN nrm nq ON nq.vec_id = i.query_id),
+      cand AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+              ORDER BY s DESC, vec_id) AS crn
+          FROM sc) WHERE crn <= 20),
+      qe AS (SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < 8),
+      r AS (SELECT c.query_id, c.vec_id,
+          row_number() OVER (PARTITION BY c.query_id
+            ORDER BY list_cosine_similarity(b2.e, qe.qe) DESC, c.vec_id) AS rank
+        FROM cand c JOIN base b2 ON b2.vec_id = c.vec_id
+        JOIN qe ON qe.query_id = c.query_id)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
   )
 
   /** DuckDB replay of [[Similarity.pcaTopComponent]] — HUGEINT

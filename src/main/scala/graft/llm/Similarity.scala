@@ -820,6 +820,95 @@ object Similarity {
         }).as("qvec"))
   }
 
+  /** Symmetric signed-int8 quantization — the SQ8 variant that serves
+    * COSINE search: per-dimension scale a_i = max|x_i| maps each value
+    * to round(x·127/a) ∈ [-127, 127] with NO offset, so codes are a
+    * positive diagonal rescaling of the original vectors and angles
+    * survive quantization (the min/max-affine [[quantizeInt8]] adds a
+    * per-dim shift — right for range compression, fatal for angular
+    * ranking: the shared offset vector dominates every cosine).
+    * Same shuffle shape as quantizeInt8: the corpus crosses no exchange,
+    * only dims·nPartitions (min, max) rows do, and the dims-row bound
+    * table broadcasts back into a map-only transform.
+    *
+    * @return (idCol, qvec array<int> in [-127, 127])
+    */
+  def quantizeInt8Signed(emb: DataFrame, idCol: String,
+      embCol: String): DataFrame = {
+    val e = emb.select(col(idCol), col(embCol).cast("array<double>").as("__e"))
+    val dims = e.select(posexplode(col("__e")).as(Seq("i", "v")))
+      .groupBy("i").agg(greatest(abs(min("v")), abs(max("v"))).as("a"))
+    val bounds = dims.agg(
+      transform(array_sort(collect_list(struct(col("i"), col("a")))),
+        s => s("a")).as("__as"))
+    e.crossJoin(broadcast(bounds))
+      .select(col(idCol),
+        transform(col("__e"), (x, i) => {
+          val a = element_at(col("__as"), i + 1)
+          when(a === 0.0, lit(0L)).otherwise(
+            greatest(lit(-127L), least(lit(127L),
+              floor(x * lit(127.0) / a + lit(0.5)))))
+            .cast("int")
+        }).as("qvec"))
+  }
+
+  /** SQ8 scalar-quantized ANN — the FAISS-ScalarQuantizer compression
+    * path beside IVF-PQ (q195): symmetric signed int8 codes
+    * ([[quantizeInt8Signed]]), candidate generation by the
+    * norm-corrected INTEGER dot idot/√(ñ²x·ñ²q) — the quantized-domain
+    * cosine — exact-cosine rerank on the candK survivors only.
+    *
+    * Why integer arithmetic: idot and the code norms ñ² are exact
+    * int64 (≤ dims·127² per pair), and the closing score divides exact
+    * integers through one textually-identical double expression, so
+    * the candidate SET is bit-identical in any engine — the oracle
+    * replays it with no float-margin caveat; the only margin-dependent
+    * stage is the final rerank, which shares q38's stability argument.
+    * 100 TB posture: codes are 64 bytes/vec (16× under float32), the
+    * query side broadcasts, the corpus-sized scoring pass funnels
+    * through the bounded-heap [[TopKCosine]] aggregator (O(candK)
+    * state per partition crosses the exchange, never the scored
+    * candidates), and the rerank touches candK·nq full vectors.
+    */
+  def sq8TopK(emb: DataFrame, queryPred: Column, k: Int,
+      candK: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val codes = quantizeInt8Signed(base, "vec_id", "embedding")
+      .withColumn("n2",
+        aggregate(transform(col("qvec"), v => v.cast("long") * v.cast("long")),
+          lit(0L), (acc, v) => acc + v))
+    val q = codes.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("qvec").as("q_qvec"),
+        col("n2").as("q_n2"))
+    val scored = codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        when(col("n2") * col("q_n2") === 0, lit(-2.0)).otherwise(
+          aggregate(zip_with(col("qvec"), col("q_qvec"),
+              (x, y) => x.cast("long") * y.cast("long")),
+            lit(0L), (acc, v) => acc + v).cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("q_n2").cast("double"))))
+          .as("sim"))
+      .as[(Long, Long, Double)]
+    val cand = scored.groupByKey(_._1)
+      .mapValues { case (_, id, s) => Scored(id, s) }
+      .agg(new TopKCosine(candK).toColumn.name("cand"))
+      .toDF("query_id", "cand")
+      .select(col("query_id"), explode(col("cand")).as("c"))
+      .select(col("query_id"), col("c").getField("neighbor_id").as("vec_id"))
+    val qe = base.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    base.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qe), Seq("query_id"))
+      .withColumn("sim", cosineSim(col("embedding"), col("q_emb")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein '98) —
     * the RAG diversification pass: greedily select k results balancing
     * query relevance against redundancy with what's already selected,

@@ -260,4 +260,50 @@ class SimilaritySpec extends SparkSpec {
       }
     } finally spark.conf.set(key, old)
   }
+
+  test("SQ8 ANN (q404): candK=corpus reproduces brute force exactly; " +
+      "candK=20 has useful recall") {
+    val brute = Similarity.bruteTopK(emb, col("vec_id") < 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // With every vector a candidate, the integer-dot prefilter cannot
+    // drop a true neighbor — rerank must equal brute force bit-exactly.
+    val n = emb.count().toInt
+    val full = Similarity.sq8TopK(emb, col("vec_id") < 8, k = 5, candK = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == brute)
+    val sq = Similarity.sq8TopK(emb, col("vec_id") < 8, k = 5, candK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sq.size == brute.size)
+    val recall = (brute intersect sq).size.toDouble / brute.size
+    assert(recall >= 0.6, s"SQ8 recall too low: $recall")
+  }
+
+  test("SQ8 ANN: signed codes and integer dot are exact (spot-check " +
+      "one pair against a driver-side replay)") {
+    val rows = emb.filter(col("vec_id").isin(3L, 97L))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val scales = emb.select(posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy("i").agg(greatest(abs(min(col("v").cast("double"))),
+        abs(max(col("v").cast("double")))).as("a"))
+      .orderBy("i").collect().map(_.getDouble(1))
+    def quant(v: Seq[Double]): Seq[Long] = v.zip(scales).map { case (x, a) =>
+      if (a == 0.0) 0L
+      else math.max(-127.0,
+        math.min(127.0, math.floor(x * 127.0 / a + 0.5))).toLong
+    }
+    val qa = quant(rows(3L))
+    val qb = quant(rows(97L))
+    assert(qa.forall(q => q >= -127 && q <= 127))
+    val expected = qa.zip(qb).map { case (a, b) => a * b }.sum
+    import spark.implicits._
+    val codes = Similarity.quantizeInt8Signed(
+      emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+    val got = codes.filter(col("vec_id").isin(3L, 97L))
+      .agg(collect_list(struct(col("vec_id"), col("qvec"))).as("cs"))
+      .select(expr("aggregate(zip_with(cs[0].qvec, cs[1].qvec, " +
+        "(x, y) -> CAST(x AS BIGINT) * y), 0L, (a, v) -> a + v)"))
+      .as[Long].head()
+    assert(got == expected)
+  }
 }
