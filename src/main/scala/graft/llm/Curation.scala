@@ -71,6 +71,75 @@ object Curation {
       .drop("__pid", "__cum_local", "__offset", "__start")
   }
 
+  /** Centered systematic PPS sampling (probability proportional to size,
+    * Madow '49): lay the corpus out on a weight line in the deterministic
+    * (xxhash64(id), id) shuffle order, drop k centered gridpoints at
+    * (2j+1)·W/(2k) for j = 0..k-1, and give every document one pick per
+    * gridpoint that lands inside its weight interval — the classic
+    * survey-sampling design for "sample k training documents proportional
+    * to token count" with ZERO floating point: pick counts come from
+    * exact integer interval/gridpoint counting (cross-multiplied by 2k so
+    * the rational gridpoints never materialize), so any engine replays
+    * them bit-for-bit. Σ n_picks = k exactly (the gridpoints tile [0, W)).
+    *
+    * 100 TB posture: the only global structure is the exclusive prefix
+    * sum over weights, computed two-level exactly like [[packShards]]
+    * (per-range-partition local window + an nPart-row broadcast offset
+    * table) — no corpus-wide single-task window; the total weight W is a
+    * one-row broadcast aggregate. Everything else is a map-side integer
+    * formula. Products reach 2k·W, so they are carried in DECIMAL(38,0)
+    * (at 100 TB, W ~ 1e14 tokens and k ~ 1e6 overflow int64; the q384
+    * discipline).
+    *
+    * @return (idCol, w, n_picks) for documents with ≥ 1 pick
+    */
+  def ppsSystematicSample(docs: DataFrame, idCol: String, weightCol: String,
+      k: Int, nPart: Int = 32): DataFrame = {
+    val orderCols = Seq(xxhash64(col(idCol)), col(idCol))
+    val parts = docs.select(col(idCol), col(weightCol).cast("long").as("w"))
+      .repartitionByRange(nPart, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy("__pid").orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parts.withColumn("__cum_local", sum(col("w")).over(wLocal))
+    val wOff = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy("__pid")
+      .agg(sum(col("w")).as("__psum"))
+      .withColumn("__offset", coalesce(sum("__psum").over(wOff), lit(0L)))
+      .select("__pid", "__offset")
+    val total = parts.agg(sum("w").cast("decimal(38,0)").as("__tw"))
+    val dec = "decimal(38,0)"
+    val start = (col("__cum_local") + col("__offset") - col("w")).cast(dec)
+    // Gridpoint j sits at (2j+1)·W/(2k); doc owns [start, start+w). Cross-
+    // multiplying by 2k: count odd m = 2j+1 with A ≤ m·W < B where
+    // A = 2k·start, B = 2k·(start+w). lo = ceil(A/W), hi = ceil(B/W)-1,
+    // picks = floor((hi+1)/2) - floor(lo/2) (count of odd ints in [lo,hi];
+    // B ≥ A guarantees hi ≥ lo-1, so the difference is never negative).
+    val twoK = lit(2L * k).cast(dec)
+    local.join(broadcast(offsets), "__pid")
+      .join(broadcast(total))
+      .withColumn("__a", twoK * start)
+      .withColumn("__b", twoK * (start + col("w").cast(dec)))
+      .withColumn("__lo",
+        (col("__a") + col("__tw") - lit(1)).cast(dec).div_(col("__tw")))
+      .withColumn("__hi", (col("__b") - lit(1)).cast(dec).div_(col("__tw")))
+      .withColumn("n_picks",
+        ((col("__hi") + lit(1)).cast(dec).div_(lit(2).cast(dec)) -
+          col("__lo").div_(lit(2).cast(dec))).cast("long"))
+      .filter(col("n_picks") >= 1)
+      .select(col(idCol), col("w"), col("n_picks"))
+  }
+
+  /** Exact floor division on non-negative DECIMAL(38,0) operands —
+    * Spark's integral `div` via the Column DSL so the PPS formula reads
+    * like the math (`a div b` truncates toward zero; all operands here
+    * are ≥ 0, so truncation IS floor). */
+  implicit private class DecDiv(private val n: Column) {
+    def div_(d: Column): Column =
+      call_function("div", n, d).cast("decimal(38,0)")
+  }
+
   private val UrlRe = "https?://[^\\s]+"
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val NumRe = "[0-9]{6,}"

@@ -4690,7 +4690,125 @@ object LlmQueries {
         FROM cand c JOIN base b2 ON b2.vec_id = c.vec_id
         JOIN qe ON qe.query_id = c.query_id)
       SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
-      FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // Centered systematic PPS sampling (Madow '49) — "draw k training
+    // documents proportional to size" with zero floating point: the
+    // corpus lies on a weight line in (xxhash64(id), id) shuffle order,
+    // k centered gridpoints land at (2j+1)·W/(2k), and pick counts come
+    // from exact integer gridpoint-in-interval counting (products
+    // cross-multiplied by 2k carried in DECIMAL(38,0)). Σ n_picks = k
+    // exactly. The only global structure is the q83 two-level prefix
+    // sum; the oracle replays the hash order bit-for-bit and re-derives
+    // every pick count from a single-threaded cumsum.
+    ("q405_pps_systematic", (s: SparkSession, d: String) => {
+      Curation.ppsSystematicSample(
+          t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", k = 200)
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+          ${XxHashOracle.signed(XxHashOracle.hashLong(
+            "CAST(doc_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} AS hv
+        FROM documents),
+      c AS (SELECT doc_id, w,
+          SUM(w) OVER (ORDER BY hv, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM w),
+      tot AS (SELECT CAST(SUM(w) AS HUGEINT) AS tw FROM w),
+      p AS (SELECT doc_id, w,
+          CAST(400 AS HUGEINT) * CAST(cum - w AS HUGEINT) AS a,
+          CAST(400 AS HUGEINT) * CAST(cum AS HUGEINT) AS b, tw
+        FROM c, tot),
+      n AS (SELECT doc_id, w,
+          ((b - 1) // tw + 1) // 2 - ((a + tw - 1) // tw) // 2 AS n_picks
+        FROM p)
+      SELECT doc_id, w, CAST(n_picks AS BIGINT) AS n_picks
+      FROM n WHERE n_picks >= 1 ORDER BY doc_id""")),
+
+    // Collision-entropy repetition gate — exp(-H₂) per document as an
+    // EXACT parts-per-million integer (Σc²·1e6 div N² over char
+    // bigrams), the Rényi-2 stand-in for the Shannon-entropy quality
+    // gates whose ln() would differ across engines in the last ulp.
+    // Pure map-side run-length aggregation over each doc's sorted gram
+    // array — no shuffle at all; the oracle recomputes the same counts
+    // through an explode + GROUP BY instead, so agreement checks the
+    // algebra, not the plan.
+    ("q406_collision_entropy", (s: SparkSession, d: String) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.collisionStats(col("text")).as("cs"))
+        .filter(col("cs").isNotNull)
+        .select(col("doc_id"), col("cs.n_grams").as("n_grams"),
+          col("cs.sumsq").as("sumsq"), col("cs.coll_ppm").as("coll_ppm"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, lower(trim(text)) AS tx FROM documents
+                 WHERE length(lower(trim(text))) >= 2),
+      g AS (SELECT doc_id, unnest(list_transform(range(1, length(tx)),
+              i -> substr(tx, CAST(i AS INT), 2))) AS gr FROM t),
+      c AS (SELECT doc_id, gr, COUNT(*) AS c FROM g GROUP BY 1, 2),
+      s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+              CAST(SUM(c * c) AS BIGINT) AS sumsq FROM c GROUP BY 1)
+      SELECT doc_id, n_grams, sumsq,
+        CAST(sumsq * 1000000 // (n_grams * n_grams) AS BIGINT) AS coll_ppm
+      FROM s ORDER BY doc_id""")),
+
+    // PNG IHDR metadata parse over REAL encoded payloads — the
+    // "read image dimensions without decoding pixels" fast path of a
+    // multimodal ingest, as pure codegen'd binary expressions (substr +
+    // conv(hex), big-endian at PNG-spec offsets). Payload dimensions
+    // VARY per doc (w = 8 + id mod 9, h = 8 + 7·id mod 9), so the parse
+    // is load-bearing: the oracle re-derives every width/height from
+    // the generative formula, and a wrong offset or endianness would
+    // mismatch on all 500 rows. bit_depth 8 / color_type 2 (truecolor) /
+    // interlace 0 pin what the JDK encoder actually emits.
+    ("q407_png_header", (s: SparkSession, d: String) => {
+      Multimodal.parsePngHeader(Multimodal.withPngPayloadSized(
+          t(s, d, "documents").select("doc_id")))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, TRUE AS sig_ok,
+        CAST(8 + doc_id % 9 AS BIGINT) AS width,
+        CAST(8 + (doc_id * 7) % 9 AS BIGINT) AS height,
+        CAST(8 AS BIGINT) AS bit_depth, CAST(2 AS BIGINT) AS color_type,
+        CAST(0 AS BIGINT) AS interlace
+      FROM documents ORDER BY doc_id""")),
+
+    // Per-source template detection via longest common prefix — the
+    // boilerplate probe for scraped corpora (shared headers/templates
+    // show up as a long LCP across a source's documents). Uses the
+    // classic set-LCP identity LCP(S) = LCP(min(S), max(S)) so the
+    // whole corpus reduces in ONE exact string min/max aggregation
+    // (map-side partial, source-cardinality rows cross the exchange);
+    // the character walk runs on the two survivor strings only.
+    ("q408_source_template_lcp", (s: SparkSession, d: String) => {
+      val agg = t(s, d, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          min("text").as("a"), max("text").as("b"))
+      val len = least(length(col("a")), length(col("b")))
+      val flags = transform(sequence(lit(1), len),
+        i => col("a").substr(i, lit(1)) === col("b").substr(i, lit(1)))
+      val mism = array_position(flags, lit(false))
+      agg.withColumn("lcp_len",
+          when(mism === 0, len.cast("long")).otherwise(mism - 1))
+        .select(col("source"), col("n_docs"), col("lcp_len"),
+          col("a").substr(lit(1),
+            least(col("lcp_len"), lit(40L)).cast("int")).as("lcp_prefix"))
+        .orderBy("source")
+    }, Some("""
+      WITH a AS (SELECT source, COUNT(*) AS n_docs,
+          MIN(text) AS a, MAX(text) AS b FROM documents GROUP BY 1),
+      f AS (SELECT source, n_docs, a, b,
+          least(length(a), length(b)) AS l FROM a),
+      m AS (SELECT *, COALESCE(list_position(
+          list_transform(range(1, l + 1),
+            i -> substr(a, CAST(i AS INT), 1) = substr(b, CAST(i AS INT), 1)),
+          false), 0) AS mism FROM f)
+      SELECT source, n_docs,
+        CAST(CASE WHEN mism = 0 THEN l ELSE mism - 1 END AS BIGINT) AS lcp_len,
+        substr(a, 1, CAST(least(
+          CASE WHEN mism = 0 THEN l ELSE mism - 1 END, 40) AS INT)) AS lcp_prefix
+      FROM m ORDER BY source"""))
   )
 
   /** DuckDB replay of [[Similarity.pcaTopComponent]] — HUGEINT

@@ -161,6 +161,67 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Variable-dimension variant of [[pngPayload]]: a REAL PNG whose size
+    * is a pure integer function of the id (w = 8 + id mod 9,
+    * h = 8 + 7·id mod 9) with the same per-pixel formula — the corpus
+    * stand-in for [[parsePngHeader]], where the point is that the
+    * header-declared dimensions VARY and must be read back out of the
+    * encoded bytes. */
+  def pngPayloadSized(docId: Long): Array[Byte] = {
+    val w = (8 + docId % 9).toInt
+    val h = (8 + (docId * 7) % 9).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((docId * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((docId * 17 + x * 11 + y * 3) % 256).toInt
+        val b = ((docId * 23 + x * 5 + y * 19) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  def withPngPayloadSized(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => MediaRow(id, pngPayloadSized(id))))
+      .toDF()
+  }
+
+  /** PNG IHDR header parse as PURE COLUMN EXPRESSIONS over the binary
+    * payload — the "extract image metadata without decoding pixels" fast
+    * path every multimodal ingest runs before deciding what to decode:
+    * signature check + big-endian field reads at fixed offsets (PNG
+    * spec: 8-byte signature, 4-byte length, "IHDR", then width(4)
+    * height(4) bitDepth(1) colorType(1) compression(1) filter(1)
+    * interlace(1)). No UDF, no decoder — `substring` on binary +
+    * `conv(hex(...))` stay in whole-stage codegen, so at 100 TB this
+    * runs at scan speed and Parquet still prunes the payload column out
+    * of every query that doesn't touch it.
+    *
+    * @return doc_id, sig_ok, width, height, bit_depth, color_type,
+    *         interlace
+    */
+  def parsePngHeader(media: DataFrame): DataFrame = {
+    def be(off: Int, len: Int) =
+      conv(hex(col("media").substr(lit(off), lit(len))), 16, 10).cast("long")
+    media.select(col("doc_id"),
+      (hex(col("media").substr(lit(1), lit(8))) === "89504E470D0A1A0A")
+        .as("sig_ok"),
+      be(17, 4).as("width"), be(21, 4).as("height"),
+      be(25, 1).as("bit_depth"), be(26, 1).as("color_type"),
+      be(29, 1).as("interlace"))
+  }
+
   /** (doc_id, media=PNG bytes) for each input doc id — the image-corpus
     * stand-in with REAL encoded payloads. */
   def withPngPayload(docs: DataFrame): DataFrame = {

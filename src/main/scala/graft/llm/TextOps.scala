@@ -101,6 +101,44 @@ object TextOps {
     (size(grams) - size(array_distinct(grams))).cast("double") / size(grams)
   }
 
+  /** Collision-entropy repetition signal: the per-document character-
+    * bigram collision probability Σc²/N² — exp(-H₂), the Rényi-2 analogue
+    * of the entropy quality gates in CCNet/Gopher — computed EXACTLY.
+    * Unlike Shannon entropy (whose ln differs across engines in the last
+    * ulp and can flip ranks), collision probability is a ratio of integer
+    * sums, so the parts-per-million value emitted here replays bit-for-
+    * bit in any engine: ppm = floor(Σc² · 1e6 / N²) over the multiset of
+    * overlapping 2-char grams of lower(trim(text)). High ppm = the
+    * character distribution is concentrated (repetitive/low-quality);
+    * natural prose sits low. Pure map-side expression — the gram counts
+    * for one doc never leave the row (run-length aggregation over the
+    * SORTED gram array — O(n log n) per doc, vs the O(n·distinct) of the
+    * filter-per-distinct-token shape), no shuffle, stays in whole-stage
+    * codegen. Counts fit int64 up to ~3e6-char documents (N²·1e6 <
+    * 2^63); longer docs would widen to DECIMAL(38,0).
+    *
+    * @return struct(n_grams LONG, sumsq LONG, coll_ppm LONG); NULL for
+    *         texts shorter than 2 chars (no bigram exists)
+    */
+  def collisionStats(text: Column): Column = {
+    val t = lower(trim(text))
+    val g = array_sort(transform(sequence(lit(1), length(t) - 1),
+      i => t.substr(i, lit(2))))
+    val n = size(g).cast("long")
+    val s2 = aggregate(g,
+      struct(lit(null).cast("string").as("prev"),
+        lit(0L).as("run"), lit(0L).as("acc")),
+      (s, x) => when(s("prev").isNotNull && x === s("prev"),
+          struct(x.as("prev"), (s("run") + lit(1L)).as("run"),
+            s("acc").as("acc")))
+        .otherwise(struct(x.as("prev"), lit(1L).as("run"),
+          (s("acc") + s("run") * s("run")).as("acc"))),
+      s => s("acc") + s("run") * s("run"))
+    when(length(t) >= 2,
+      struct(n.as("n_grams"), s2.as("sumsq"),
+        call_function("div", s2 * lit(1000000L), n * n).as("coll_ppm")))
+  }
+
   /** Canonical text normalization for dedup keys and quality gates:
     * lowercase, non-alphanumerics to spaces, whitespace collapsed, ends
     * trimmed. Pure codegen'd expression — composes with

@@ -410,4 +410,28 @@ class CurationSpec extends SparkSpec {
     assert(out == Set((1L, 1L, 4L, 5000L), (2L, 2L, 6L, 2500L),
       (4L, 4L, 8L, 0L)), s"got $out")
   }
+
+  test("ppsSystematicSample: Σ picks = k exactly, partitioning-invariant, " +
+      "expectation proportional to weight") {
+    val base = docs.select(col("doc_id"), col("n_chars"))
+    def run(k: Int, nPart: Int) =
+      Curation.ppsSystematicSample(base, "doc_id", "n_chars", k, nPart)
+        .select("doc_id", "n_picks").as[(Long, Long)].collect().toMap
+    val s200 = run(200, 32)
+    assert(s200.values.sum == 200L, s"picks must tile to k, got ${s200.values.sum}")
+    // The pick set is a pure function of (order, weights) — the parallel
+    // structure (nPart) must not change a single pick.
+    assert(run(200, 3) == s200)
+    // A doc with weight ≥ W/k is picked with certainty (its interval
+    // contains at least one gridpoint spacing); every picked doc at most
+    // ceil(w·k/W)+1 times. Spot-check the heaviest doc is picked when
+    // k is large enough that spacing < min weight.
+    val tw = base.agg(sum("n_chars")).as[Long].head()
+    val minW = base.agg(min("n_chars")).as[Long].head()
+    val kBig = (tw / minW + 1).toInt
+    val all = run(kBig, 32)
+    assert(all.size == base.count(),
+      "spacing below min weight must pick every doc at least once")
+    assert(all.values.sum == kBig.toLong)
+  }
 }

@@ -151,4 +151,29 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(got == ids.map(id => id -> ref(id)).toMap)
   }
+
+  test("parsePngHeader: expression-level IHDR parse agrees with a real " +
+      "ImageIO decode of the same payloads, and flags non-PNG bytes") {
+    import spark.implicits._
+    val ids = Seq(0L, 5L, 17L, 123L)
+    val media = Multimodal.withPngPayloadSized(ids.toDF("doc_id"))
+    val parsed = Multimodal.parsePngHeader(media)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    ids.foreach { id =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.pngPayloadSized(id)))
+      assert(parsed(id) ==
+        ((true, img.getWidth.toLong, img.getHeight.toLong, 8L, 2L, 0L)),
+        s"doc $id header mismatch: ${parsed(id)}")
+    }
+    // A payload that is not PNG must fail the signature check, not parse
+    // garbage silently.
+    val junk = Multimodal.parsePngHeader(
+      Seq((1L, "definitely not a png".getBytes("UTF-8")))
+        .toDF("doc_id", "media"))
+      .select("sig_ok").as[Boolean].head()
+    assert(!junk)
+  }
 }

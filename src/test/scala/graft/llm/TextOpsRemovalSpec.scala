@@ -91,4 +91,44 @@ class TextOpsRemovalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(got(1L) == 10000L && got(2L) == 5000L)
   }
+
+  test("collisionStats: hand-computed bigram collision mass; extremes; " +
+      "run-length form equals a groupBy replay on real docs") {
+    def stats(texts: (Long, String)*) =
+      texts.toSeq.toDF("doc_id", "text")
+        .select(col("doc_id"), TextOps.collisionStats(col("text")).as("cs"))
+        .select(col("doc_id"), col("cs.n_grams"), col("cs.sumsq"),
+          col("cs.coll_ppm"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2),
+            r.getLong(3))))).toMap
+    // "abab": grams ab,ba,ab → counts {ab:2, ba:1}: N=3, Σc²=5,
+    // ppm = 5e6 div 9 = 555555.
+    // "aaaa": grams aa,aa,aa → N=3, Σc²=9, ppm = 1e6 (maximal).
+    // "abcd": all distinct → N=3, Σc²=3, ppm = 333333 (minimal = 1e6/N).
+    // "a": no bigram → NULL.  Case folding: "AbAb" ≡ "abab".
+    val got = stats(1L -> "abab", 2L -> "aaaa", 3L -> "abcd", 4L -> "a",
+      5L -> "AbAb")
+    assert(got(1L).contains((3L, 5L, 555555L)), s"got ${got(1L)}")
+    assert(got(2L).contains((3L, 9L, 1000000L)))
+    assert(got(3L).contains((3L, 3L, 333333L)))
+    assert(got(4L).isEmpty)
+    assert(got(5L) == got(1L))
+    // On real corpus docs, the map-side run-length aggregation must equal
+    // an explode + groupBy computation of the same Σc².
+    val docs = graft.Tables(spark, sfDir, "documents").limit(50)
+    val viaExpr = docs
+      .select(col("doc_id"), TextOps.collisionStats(col("text"))("sumsq")
+        .as("sumsq"))
+      .as[(Long, Long)].collect().toMap
+    val t = lower(trim(col("text")))
+    val viaGroup = docs
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
+        .as("g"))
+      .groupBy("doc_id", "g").count()
+      .groupBy("doc_id").agg(sum(col("count") * col("count")).as("sumsq"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr == viaGroup)
+  }
 }
