@@ -787,4 +787,52 @@ class PlanQualitySpec extends SparkSpec {
         "exchange: " + fp.take(3000))
     assert(!fp.contains("SortMergeJoin"), fp.take(3000))
   }
+
+  test("q404: SQ8 scoring joins a BROADCAST query side; the corpus-sized " +
+      "candidate relation funnels through the bounded-heap aggregate") {
+    val p = plan("q404_sq8_knn")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // the top-k heap is a real partial+final typed aggregate: O(candK)
+    // state crosses the exchange, never the scored corpus
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      p.take(3000))
+  }
+
+  test("q405: PPS pick counts are map-side over the two-level prefix sum " +
+      "— no corpus-wide single-partition window") {
+    val df = SparkEntry.queries("q405_pps_systematic")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the only unpartitioned windows run on the nPart-row offset table
+    // (SinglePartition over metadata); the corpus window is keyed by __pid
+    assert(p.contains("windowspartition") || p.contains("__pid"), p.take(3000))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q406: collision stats never shuffle — one projection over the " +
+      "scan plus the output sort") {
+    val p = plan("q406_collision_entropy")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("q407: PNG header parse is expression-only over the payload rows") {
+    val p = plan("q407_png_header")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+    assert(p.contains("conv(hex("), p.take(3000))
+  }
+
+  test("q408: template LCP is one partial+final string min/max " +
+      "aggregate; the LCP walk runs on source-cardinality survivors") {
+    val p = plan("q408_source_template_lcp")
+    // string min/max buffers are varlen → planner picks SortAggregate;
+    // what matters is the partial+final split (map-side combine)
+    assert(p.contains("partial_min") && p.contains("partial_max"),
+      p.take(3000))
+    assert("Aggregate".r.findAllIn(p).length >= 2, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
 }
