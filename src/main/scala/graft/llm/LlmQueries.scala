@@ -4808,7 +4808,129 @@ object LlmQueries {
         CAST(CASE WHEN mism = 0 THEN l ELSE mism - 1 END AS BIGINT) AS lcp_len,
         substr(a, 1, CAST(least(
           CASE WHEN mism = 0 THEN l ELSE mism - 1 END, 40) AS INT)) AS lcp_prefix
-      FROM m ORDER BY source"""))
+      FROM m ORDER BY source""")),
+
+    // Nearest-class-mean (Rocchio) classifier eval — per-label centroid
+    // sums over floor(x·1000) integer coordinates, every vector argmax'd
+    // against every centroid by d/√m (exact int64 moments, one
+    // textually-identical IEEE division+sqrt close), emitted as the
+    // CONFUSION MATRIX only. Centroids are a label-cardinality broadcast;
+    // scoring is map-side zip_with; the argmax window partitions by
+    // vec_id (label-count rows each).
+    ("q409_nearest_centroid", (s: SparkSession, d: String) => {
+      Similarity.nearestCentroidEval(t(s, d, "embeddings"))
+    }, Some("""
+      WITH qt AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+          list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        FROM embeddings),
+      el AS (SELECT vec_id, label, generate_subscripts(q, 1) AS i,
+          unnest(q) AS x FROM qt),
+      ct AS (SELECT label AS clabel, i, CAST(SUM(x) AS BIGINT) AS s
+        FROM el GROUP BY 1, 2),
+      mm AS (SELECT clabel, CAST(SUM(s * s) AS BIGINT) AS m
+        FROM ct GROUP BY 1),
+      dd AS (SELECT e.vec_id, e.label, c.clabel,
+          CAST(SUM(e.x * c.s) AS BIGINT) AS d
+        FROM el e JOIN ct c ON e.i = c.i GROUP BY 1, 2, 3),
+      sc AS (SELECT vec_id, label, dd.clabel,
+          CASE WHEN m = 0 THEN -2.0
+               ELSE CAST(d AS DOUBLE) / sqrt(CAST(m AS DOUBLE)) END AS score
+        FROM dd JOIN mm USING (clabel)),
+      p AS (SELECT vec_id, label, clabel, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, clabel) AS rn FROM sc)
+      SELECT label, clabel AS pred_label, COUNT(*) AS n
+      FROM p WHERE rn = 1 GROUP BY 1, 2 ORDER BY label, pred_label""")),
+
+    // Hard-negative mining for contrastive training — top-5 nearest
+    // OTHER-label vectors per query, ranked in the SQ8 quantized domain
+    // (exact integer dot, norm-corrected one-expression double close —
+    // the metric the trainer's compressed retrieval index would use, so
+    // deliberately NO exact rerank). Query side broadcasts; corpus-sized
+    // candidates funnel through the bounded-heap TopKCosine aggregate.
+    ("q410_hard_negatives", (s: SparkSession, d: String) => {
+      Similarity.hardNegatives(t(s, d, "embeddings"), col("vec_id") < 8,
+        k = 5)
+    }, Some("""
+      WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+                    FROM embeddings),
+      g AS (SELECT vec_id, unnest(range(1, len(e) + 1)) AS i1,
+              unnest(e) AS v FROM base),
+      b AS (SELECT i1, greatest(abs(min(v)), abs(max(v))) AS a
+            FROM g GROUP BY 1),
+      qz AS (SELECT vec_id, g.i1,
+          CAST(CASE WHEN a = 0 THEN 0.0
+               ELSE greatest(-127.0, least(127.0,
+                 floor(v * 127.0 / a + 0.5))) END
+            AS BIGINT) AS q
+        FROM g JOIN b USING (i1)),
+      nrm AS (SELECT vec_id, SUM(q * q) AS n2 FROM qz GROUP BY 1),
+      qq AS (SELECT z.vec_id AS query_id, e.label AS q_label, z.i1,
+          z.q AS qv FROM qz z JOIN base e USING (vec_id)
+        WHERE z.vec_id < 8),
+      idot AS (SELECT qq.query_id, z.vec_id,
+          SUM(z.q * qq.qv) AS idot
+        FROM qz z JOIN base lb USING (vec_id)
+        JOIN qq ON z.i1 = qq.i1 AND lb.label <> qq.q_label
+        GROUP BY 1, 2),
+      sc AS (SELECT i.query_id, i.vec_id,
+          CASE WHEN nx.n2 * nq.n2 = 0 THEN -2.0
+               ELSE CAST(i.idot AS DOUBLE)
+                 / (sqrt(CAST(nx.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE)))
+          END AS s
+        FROM idot i JOIN nrm nx ON nx.vec_id = i.vec_id
+        JOIN nrm nq ON nq.vec_id = i.query_id)
+      SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id AS neighbor_id
+      FROM (SELECT query_id, vec_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn FROM sc)
+      WHERE rn <= 5 ORDER BY query_id, rank""")),
+
+    // Double-sweep diameter bound over the co-purchase graph — the
+    // classic 2-BFS heuristic (exact on trees, a tight lower bound in
+    // practice): BFS from node 1, restart from the farthest node found
+    // (max depth, min id tie-break), report both sweeps' eccentricity
+    // and reach. Each sweep is q204's frontier-sized BFS; the only
+    // driver-side value is the ONE (node, depth) row picked between
+    // sweeps. Depth-capped at 6 on both engines (the co-purchase graph's
+    // effective diameter is far smaller).
+    ("q411_double_sweep_diameter", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val e = coPurchaseEdges(s, d)
+      val b1 = Components.bfsLevels(e, src = 1L, maxDepth = 6)
+      def summarize(b: DataFrame, sweep: Int, src: Long) =
+        b.agg(max(col("depth")).cast("long").as("ecc"),
+            count(lit(1)).as("n_reached"))
+          .select(lit(sweep.toLong).as("sweep"), lit(src).as("src_node"),
+            col("ecc"), col("n_reached"))
+      val (far1, _) = b1.orderBy(col("depth").desc, col("node"))
+        .select("node", "depth").as[(Long, Int)].head()
+      val b2 = Components.bfsLevels(e, src = far1, maxDepth = 6)
+      summarize(b1, 1, 1L).unionAll(summarize(b2, 2, far1))
+        .orderBy("sweep")
+    }, Some("""
+      WITH RECURSIVE e AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      w1(node, depth) AS (
+        SELECT CAST(1 AS BIGINT), 0
+        UNION
+        SELECT e.dst, w.depth + 1 FROM w1 w JOIN e ON w.node = e.src
+        WHERE w.depth < 6),
+      l1 AS (SELECT node, MIN(depth) AS depth FROM w1 GROUP BY 1),
+      far AS (SELECT node FROM l1 ORDER BY depth DESC, node LIMIT 1),
+      w2(node, depth) AS (
+        SELECT node, 0 FROM far
+        UNION
+        SELECT e.dst, w.depth + 1 FROM w2 w JOIN e ON w.node = e.src
+        WHERE w.depth < 6),
+      l2 AS (SELECT node, MIN(depth) AS depth FROM w2 GROUP BY 1)
+      SELECT CAST(1 AS BIGINT) AS sweep, CAST(1 AS BIGINT) AS src_node,
+        CAST(MAX(depth) AS BIGINT) AS ecc, COUNT(*) AS n_reached FROM l1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), CAST((SELECT node FROM far) AS BIGINT),
+        CAST(MAX(depth) AS BIGINT), COUNT(*) FROM l2
+      ORDER BY sweep"""))
   )
 
   /** DuckDB replay of [[Similarity.pcaTopComponent]] — HUGEINT

@@ -909,6 +909,95 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
   }
 
+  /** Nearest-class-mean (Rocchio) classifier evaluation — the embedding-
+    * space sanity check a labeled corpus gets before anything fancier:
+    * per-label centroid sums over INTEGERIZED coordinates
+    * (floor(x·1000) — float→double is exact and the scaling replays
+    * identically in any engine), every vector scored against every
+    * centroid by the cosine-proportional d/√m (d = x·s exact int64,
+    * m = s·s exact int64; the close is one textually-identical
+    * IEEE division+sqrt — q387's discipline — and the emitted relation
+    * is the argmax CONFUSION MATRIX, never the score). Tie-break on the
+    * smaller label makes the argmax total.
+    *
+    * 100 TB posture: centroids are a label-cardinality aggregate
+    * broadcast back; scoring is map-side (zip_with over the broadcast
+    * array); the only corpus shuffles are the centroid partial-sum and
+    * the label-pair count. The per-vector argmax window partitions by
+    * vec_id (label-count rows per partition). At ~1e9 vectors/label the
+    * int64 centroid moments would widen to DECIMAL(38,0).
+    */
+  def nearestCentroidEval(emb: DataFrame, scale: Long = 1000L): DataFrame = {
+    val q = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * scale).cast("long")).as("q"))
+    val cents = q
+      .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(sum("x").as("s"))
+      .groupBy("label").agg(
+        transform(array_sort(collect_list(struct(col("i"), col("s")))),
+          p => p("s")).as("c"))
+      .withColumn("m",
+        aggregate(col("c"), lit(0L), (a, v) => a + v * v))
+      .select(col("label").as("clabel"), col("c"), col("m"))
+    // label-cardinality metadata side (one row per class) — the one
+    // sanctioned crossJoin shape
+    val scored = q.crossJoin(broadcast(cents))
+      .withColumn("d", aggregate(zip_with(col("q"), col("c"),
+        (a, b) => a * b), lit(0L), (a, v) => a + v))
+      .withColumn("score", when(col("m") === 0, lit(-2.0))
+        .otherwise(col("d").cast("double") / sqrt(col("m").cast("double"))))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("score").desc, col("clabel"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("label"), col("clabel").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "pred_label")
+  }
+
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k nearest OTHER-label vectors — the negatives that
+    * are hard precisely because the compressed metric ranks them close.
+    * Ranking runs in the SQ8 quantized domain ([[quantizeInt8Signed]]
+    * codes, exact integer dot, norm-corrected one-expression double
+    * close — bit-identical across engines, q404's discipline) and
+    * deliberately does NOT rerank exactly: production mining scores
+    * negatives with the same compressed metric the trainer's retrieval
+    * index uses. Corpus-sized candidates funnel through the bounded-heap
+    * [[TopKCosine]] aggregator (O(k) state per partition crosses the
+    * exchange); the query side broadcasts.
+    */
+  def hardNegatives(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val codes = quantizeInt8Signed(
+        emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .withColumn("n2",
+        aggregate(transform(col("qvec"), v => v.cast("long") * v.cast("long")),
+          lit(0L), (acc, v) => acc + v))
+    val q = codes.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("qvec").as("q_qvec"), col("n2").as("q_n2"))
+    codes.join(broadcast(q), col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        when(col("n2") * col("q_n2") === 0, lit(-2.0)).otherwise(
+          aggregate(zip_with(col("qvec"), col("q_qvec"),
+              (x, y) => x.cast("long") * y.cast("long")),
+            lit(0L), (acc, v) => acc + v).cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("q_n2").cast("double"))))
+          .as("sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, s) => Scored(id, s) }
+      .agg(new TopKCosine(k).toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("query_id"), (col("r") + 1).cast("long").as("rank"),
+        col("t").getField("neighbor_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein '98) —
     * the RAG diversification pass: greedily select k results balancing
     * query relevance against redundancy with what's already selected,

