@@ -131,6 +131,89 @@ object Curation {
       .select(col(idCol), col("w"), col("n_picks"))
   }
 
+  /** Quantile normalization across sources — the distribution-alignment
+    * pass that makes per-source quality scores comparable before a
+    * global threshold (each source's scorer drifts; rank space doesn't):
+    * every document's score is replaced by the GLOBAL nearest-rank
+    * quantile value at its within-source percentile,
+    * g = ceil(r·N / c) with r = rank within source, c = source count,
+    * N = corpus count — all exact integers, so any engine replays the
+    * mapping bit-for-bit (no float percentile interpolation).
+    *
+    * Shuffle ledger: one keyed window for within-source ranks, the
+    * [[graft.ops.Layout.globalRowNumber]] two-level scheme for global
+    * ranks (no corpus-wide single-task window), one broadcast one-row N,
+    * and one integer equi-join from g to the global rank relation.
+    * The index product r·N overflows int64 at ~10^9.5 rows, so it is
+    * computed in DECIMAL(38,0).
+    *
+    * @return (idCol, srcCol, score, norm_score)
+    */
+  def quantileNormalize(df: DataFrame, idCol: String, srcCol: String,
+      valCol: String): DataFrame = {
+    val base = df.select(col(idCol), col(srcCol),
+      col(valCol).cast("long").as("score"))
+    val wSrc = Window.partitionBy(srcCol).orderBy(col("score"), col(idCol))
+    val counts = base.groupBy(srcCol).agg(count(lit(1)).as("__c"))
+    val ranked = base
+      .withColumn("__r", row_number().over(wSrc).cast("long"))
+      .join(broadcast(counts), srcCol)
+    // globalRowNumber orders (coarse DESC, fine ASC); negating the score
+    // makes that (score ASC, id ASC) — the global quantile order.
+    val glob = graft.ops.Layout.globalRowNumber(
+        base.select(col(idCol).as("__gid"), col("score").as("__gv"))
+          .withColumn("__negv", -col("__gv")),
+        "__negv", "__gid")
+      .select(col("__gv"), col("rn").as("__g"))
+    val tot = base.agg(count(lit(1)).as("__n"))
+    val dec = "decimal(38,0)"
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("__g",
+        (col("__r").cast(dec) * col("__n") + col("__c") - lit(1))
+          .cast(dec).div_(col("__c").cast(dec)).cast("long"))
+      .join(glob, "__g")
+      .select(col(idCol), col(srcCol), col("score"),
+        col("__gv").as("norm_score"))
+  }
+
+  /** T5-style span-corruption mask statistics — the objective-
+    * construction pass of a denoising pretraining pipeline, made fully
+    * deterministic: a span of `spanLen` tokens starts at every position
+    * whose xxhash64(doc_id, pos) is ≡ 0 mod 16 (a pure function of the
+    * row — reproducible across runs/retries/partitionings, the
+    * [[sampleStratified]] hash-gate discipline; mod a power of two so
+    * the unsigned replay is exact), overlapping spans merge, and the
+    * per-document relation reports tokens/spans/masked counts with the
+    * masked fraction in exact basis points. Everything is keyed by
+    * doc_id — per-doc windows, never a global one.
+    */
+  def spanCorruptionStats(docs: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val starts = toks
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_tokens") - 1)).as("pos"))
+      .filter(pmod(xxhash64(col("doc_id"), col("pos")), lit(16)) === 0)
+    val masked = starts
+      .select(col("doc_id"), col("n_tokens"), explode(sequence(col("pos"),
+        least(col("pos") + (spanLen - 1), col("n_tokens") - 1))).as("mp"))
+      .distinct()
+    val wDoc = Window.partitionBy("doc_id").orderBy("mp")
+    val islands = masked
+      .withColumn("is_start",
+        when(lag("mp", 1).over(wDoc) === col("mp") - 1, 0L).otherwise(1L))
+      .groupBy("doc_id")
+      .agg(sum("is_start").as("n_spans"), count(lit(1)).as("n_masked"))
+    toks.join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        call_function("div",
+          coalesce(col("n_masked"), lit(0L)) * 10000L, col("n_tokens"))
+          .as("masked_bp"))
+  }
+
   /** Exact floor division on non-negative DECIMAL(38,0) operands —
     * Spark's integral `div` via the Column DSL so the PPS formula reads
     * like the math (`a div b` truncates toward zero; all operands here

@@ -4930,7 +4930,101 @@ object LlmQueries {
       UNION ALL
       SELECT CAST(2 AS BIGINT), CAST((SELECT node FROM far) AS BIGINT),
         CAST(MAX(depth) AS BIGINT), COUNT(*) FROM l2
-      ORDER BY sweep"""))
+      ORDER BY sweep""")),
+
+    // Windowed PCM16 energy over REAL little-endian audio bytes — the
+    // waveform feature pass (VAD/silence/loudness all start here),
+    // decoding samples from the binary column with pure expressions
+    // (substr + conv(hex) + sign correction) and emitting exact integer
+    // per-window Σs/Σs². Payload samples are a pure function of
+    // (doc_id, t), so the oracle re-derives every window's sums from
+    // the formula: a wrong endianness or sign bit in the byte parse
+    // mismatches on essentially every row (q407's honesty pattern,
+    // audio edition).
+    ("q412_pcm_window_energy", (s: SparkSession, d: String) => {
+      Multimodal.pcmWindowEnergy(Multimodal.withPcmPayload(
+          t(s, d, "documents").select("doc_id")))
+        .orderBy("doc_id", "win")
+    }, Some("""
+      WITH t AS (SELECT doc_id, 64 + 16 * (doc_id % 4) AS n FROM documents),
+      sm AS (SELECT doc_id, unnest(range(0, n)) AS ts,
+          ((doc_id * 37 + unnest(range(0, n)) * unnest(range(0, n)))
+            % 4001) - 2000 AS s
+        FROM t),
+      w AS (SELECT doc_id, ts // 16 AS win, s FROM sm)
+      SELECT doc_id, CAST(win AS BIGINT) AS win,
+        CAST(SUM(s) AS BIGINT) AS sum_s, CAST(SUM(s * s) AS BIGINT) AS sum_sq
+      FROM w GROUP BY 1, 2 ORDER BY doc_id, win""")),
+
+    // Cross-source quantile normalization — per-source quality scores
+    // mapped onto the GLOBAL score distribution by exact nearest-rank
+    // quantiles (g = ceil(r·N/c), integer arithmetic end to end): the
+    // alignment pass that makes heterogeneous source scorers
+    // threshold-comparable. Within-source ranks are keyed windows;
+    // global ranks use the two-level globalRowNumber scheme; the g →
+    // value mapping is one integer equi-join.
+    ("q413_quantile_normalize", (s: SparkSession, d: String) => {
+      Curation.quantileNormalize(t(s, d, "documents"), "doc_id", "source",
+          "n_chars")
+        .orderBy("doc_id")
+    }, Some("""
+      WITH s AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v
+                 FROM documents),
+      r AS (SELECT doc_id, source, v,
+          CAST(row_number() OVER (PARTITION BY source ORDER BY v, doc_id)
+            AS BIGINT) AS r,
+          CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS c FROM s),
+      g AS (SELECT v AS gv, CAST(row_number() OVER (ORDER BY v, doc_id)
+            AS BIGINT) AS grank FROM s),
+      n AS (SELECT COUNT(*) AS n FROM s),
+      ix AS (SELECT doc_id, source, v,
+          (r * n.n + c - 1) // c AS g FROM r, n)
+      SELECT ix.doc_id, ix.source, ix.v AS score, g.gv AS norm_score
+      FROM ix JOIN g ON g.grank = ix.g
+      ORDER BY ix.doc_id""")),
+
+    // T5-style span-corruption mask statistics — deterministic
+    // objective construction: spans of 3 tokens start wherever
+    // xxhash64(doc_id, pos) ≡ 0 (mod 16 — power of two, so the unsigned
+    // replay is exact), overlaps merge, and each doc reports
+    // tokens/merged-spans/masked counts with the masked fraction in
+    // exact basis points. The oracle replays the seed-chained two-long
+    // xxhash64 bit-for-bit and re-merges islands with a lag window.
+    ("q414_span_corruption", (s: SparkSession, d: String) => {
+      Curation.spanCorruptionStats(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH t AS (SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+            AS n_tokens FROM documents),
+      ds AS (SELECT doc_id,
+          ${XxHashOracle.hashLong("CAST(doc_id AS HUGEINT)",
+            "CAST(42 AS HUGEINT)")} AS seed
+        FROM t),
+      p AS (SELECT t.doc_id, n_tokens, unnest(range(0, n_tokens)) AS pos,
+            seed FROM t JOIN ds USING (doc_id)),
+      hs AS MATERIALIZED (SELECT doc_id, n_tokens, pos,
+          ${XxHashOracle.hashLong("CAST(pos AS HUGEINT)", "seed")} AS hu
+        FROM p),
+      st AS (SELECT doc_id, n_tokens, pos FROM hs
+             WHERE hu & CAST(15 AS HUGEINT) = CAST(0 AS HUGEINT)),
+      mk0 AS (SELECT doc_id, n_tokens,
+          range(pos, least(pos + 3, n_tokens)) AS rr FROM st),
+      mk1 AS (SELECT doc_id, n_tokens, CAST(unnest(rr) AS BIGINT) AS mp
+              FROM mk0),
+      mk AS (SELECT DISTINCT doc_id, n_tokens, mp FROM mk1),
+      i AS (SELECT doc_id, n_tokens, mp,
+          CASE WHEN lag(mp) OVER (PARTITION BY doc_id ORDER BY mp) = mp - 1
+               THEN 0 ELSE 1 END AS is_start FROM mk),
+      agg AS (SELECT doc_id, CAST(SUM(is_start) AS BIGINT) AS n_spans,
+          COUNT(*) AS n_masked FROM i GROUP BY 1)
+      SELECT t.doc_id, t.n_tokens,
+        COALESCE(agg.n_spans, 0) AS n_spans,
+        COALESCE(agg.n_masked, 0) AS n_masked,
+        CAST(COALESCE(agg.n_masked, 0) * 10000 // t.n_tokens AS BIGINT)
+          AS masked_bp
+      FROM t LEFT JOIN agg USING (doc_id)
+      ORDER BY t.doc_id"""))
   )
 
   /** DuckDB replay of [[Similarity.pcaTopComponent]] — HUGEINT

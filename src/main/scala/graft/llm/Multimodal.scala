@@ -222,6 +222,67 @@ object Multimodal {
       be(29, 1).as("interlace"))
   }
 
+  /** Deterministic 16-bit little-endian PCM payload per doc id — REAL
+    * audio-container bytes (the WAV data-chunk encoding) whose sample
+    * values are a pure integer function of (doc_id, t):
+    * s_t = (37·id + t²) mod 4001 − 2000, n = 64 + 16·(id mod 4) samples
+    * (always whole 16-sample windows). As with [[pngPayloadSized]], the
+    * generative formula is what lets the oracle check the BYTE PARSE:
+    * the engine must recover every sample from the raw bytes
+    * (little-endian, sign bit), and a wrong endianness/sign would
+    * mismatch on essentially every row. */
+  def pcmPayload(docId: Long): Array[Byte] = {
+    val n = (64 + 16 * (docId % 4)).toInt
+    val out = new Array[Byte](2 * n)
+    var t = 0
+    while (t < n) {
+      val s = ((docId * 37 + t.toLong * t) % 4001 - 2000).toInt
+      out(2 * t) = (s & 0xFF).toByte
+      out(2 * t + 1) = ((s >> 8) & 0xFF).toByte
+      t += 1
+    }
+    out
+  }
+
+  def withPcmPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => MediaRow(id, pcmPayload(id))))
+      .toDF()
+  }
+
+  /** Windowed PCM16 energy — the waveform feature pass of an audio
+    * ingest (VAD gates, silence trimming, loudness bucketing all start
+    * from per-window energy), decoding the SAMPLES from the binary
+    * column with pure expressions: little-endian int16 with sign
+    * correction via substr + conv(hex), then per-16-sample-window exact
+    * integer Σs and Σs² (energy; RMS = √(Σs²/n) is left to the consumer
+    * so the emitted relation stays float-free). One map-side transform +
+    * a posexplode of window stats — the corpus never shuffles samples,
+    * only the window-stat rows. */
+  def pcmWindowEnergy(media: DataFrame, winLen: Int = 16): DataFrame = {
+    val n = (length(col("media")) / 2).cast("int")
+    val sample = (t: org.apache.spark.sql.Column) => {
+      val lo = conv(hex(col("media").substr(t * 2 + 1, lit(1))), 16, 10)
+        .cast("long")
+      val hi = conv(hex(col("media").substr(t * 2 + 2, lit(1))), 16, 10)
+        .cast("long")
+      val v = lo + hi * 256L
+      when(v >= 32768L, v - 65536L).otherwise(v)
+    }
+    val nw = floor(n / lit(winLen)).cast("int")
+    media
+      .withColumn("samples", transform(sequence(lit(0), n - 1), sample))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), nw - 1), wi =>
+          slice(col("samples"), wi * winLen + 1, lit(winLen))))
+        .as(Seq("win", "w")))
+      .select(col("doc_id"), col("win").cast("long").as("win"),
+        aggregate(col("w"), lit(0L), (a, v) => a + v).as("sum_s"),
+        aggregate(col("w"), lit(0L), (a, v) => a + v * v).as("sum_sq"))
+  }
+
   /** (doc_id, media=PNG bytes) for each input doc id — the image-corpus
     * stand-in with REAL encoded payloads. */
   def withPngPayload(docs: DataFrame): DataFrame = {

@@ -844,6 +844,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("q412: PCM decode + window energy is map-side — samples never " +
+      "shuffle") {
+    val p = plan("q412_pcm_window_energy")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("conv(hex("), p.take(3000))
+  }
+
+  test("q413: quantile normalization has no corpus-wide unpartitioned " +
+      "window — global ranks are two-level") {
+    val p = plan("q413_quantile_normalize")
+    // the only SinglePartition exchanges feed the metadata relations
+    // (globalRowNumber's value-cardinality offset table and the one-row
+    // N); every corpus window partitions by source or score value
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(p.contains("hashpartitioning(source") ||
+      p.contains("hashpartitioning(__negv"), p.take(3000))
+  }
+
+  test("q414: span masks come from keyed per-doc windows and a hash " +
+      "gate pushed below the explode result") {
+    val p = plan("q414_span_corruption")
+    assert(p.contains("xxhash64"), p.take(3000))
+    assert(!p.contains("SinglePartition"), p.take(3000))
+  }
+
   test("q408: template LCP is one partial+final string min/max " +
       "aggregate; the LCP walk runs on source-cardinality survivors") {
     val p = plan("q408_source_template_lcp")

@@ -434,4 +434,52 @@ class CurationSpec extends SparkSpec {
       "spacing below min weight must pick every doc at least once")
     assert(all.values.sum == kBig.toLong)
   }
+
+  test("quantileNormalize: hand-computed nearest-rank mapping; norm " +
+      "values come from the global multiset; extremes map to extremes") {
+    // Source a: values 10, 20, 30 (ranks 1-3 of 3). Source b: 1, 2
+    // (ranks 1-2 of 2). Global sorted: 1, 2, 10, 20, 30 (N=5).
+    // g = ceil(r*5/c): a -> 2, 4, 5 => 2, 20, 30. b -> 3, 5 => 10, 30.
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 1L), (5L, "b", 2L)).toDF("doc_id", "source", "v")
+    val got = Curation.quantileNormalize(df, "doc_id", "source", "v")
+      .select("doc_id", "norm_score").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 20L, 3L -> 30L, 4L -> 10L,
+      5L -> 30L), s"got $got")
+    // On the corpus: every source's max maps to the global max, and the
+    // normalized multiset is a subset of the global value multiset.
+    val real = Curation.quantileNormalize(docs, "doc_id", "source",
+      "n_chars")
+    val gmax = docs.agg(max("n_chars")).as[Long].head()
+    val perSrcMax = real.groupBy("source")
+      .agg(max(struct(col("score"), col("norm_score"))).as("m"))
+      .select(col("m.norm_score")).as[Long].collect()
+    assert(perSrcMax.forall(_ == gmax))
+    val vals = docs.select(col("n_chars").cast("long")).as[Long]
+      .collect().toSet
+    val normed = real.select("norm_score").as[Long].collect()
+    assert(normed.forall(vals.contains) && normed.length == docs.count())
+  }
+
+  test("spanCorruptionStats: deterministic, bounded, islands merged " +
+      "(n_spans counts runs, n_masked counts positions)") {
+    val a = Curation.spanCorruptionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val b = Curation.spanCorruptionStats(docs.repartition(7), "doc_id",
+        "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(a == b, "mask must be partitioning-invariant")
+    a.values.foreach { case (n, spans, masked, bp) =>
+      assert(masked <= n && spans <= masked)
+      assert(bp == masked * 10000 / n)
+    }
+    assert(a.size == docs.count(), "every doc reports, even unmasked ones")
+    // corpus-level: the 1/16 gate should mask a nontrivial fraction
+    val totMasked = a.values.map(_._3).sum.toDouble
+    val totTok = a.values.map(_._1).sum.toDouble
+    assert(totMasked / totTok > 0.05 && totMasked / totTok < 0.40,
+      s"masked fraction ${totMasked / totTok} outside the plausible band")
+  }
 }

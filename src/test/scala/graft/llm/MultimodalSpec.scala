@@ -176,4 +176,26 @@ class MultimodalSpec extends SparkSpec {
       .select("sig_ok").as[Boolean].head()
     assert(!junk)
   }
+
+  test("pcmWindowEnergy: expression-level byte parse equals a driver-side " +
+      "int16 decode of the same payloads") {
+    import spark.implicits._
+    val ids = Seq(0L, 3L, 41L)
+    val got = Multimodal.pcmWindowEnergy(
+        Multimodal.withPcmPayload(ids.toDF("doc_id")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val expected = ids.flatMap { id =>
+      val b = Multimodal.pcmPayload(id)
+      val samples = b.grouped(2).map { p =>
+        ((p(0) & 0xFF) | (p(1).toInt << 8)).toLong }.toSeq
+      samples.grouped(16).zipWithIndex.map { case (w, i) =>
+        (id, i.toLong) -> (w.sum, w.map(s => s * s).sum) }
+    }.toMap
+    assert(got == expected)
+    // sign correction is load-bearing: the synthetic wave has negative
+    // samples in every payload
+    assert(expected.values.exists(_._1 < 0))
+  }
 }
