@@ -5024,7 +5024,115 @@ object LlmQueries {
         CAST(COALESCE(agg.n_masked, 0) * 10000 // t.n_tokens AS BIGINT)
           AS masked_bp
       FROM t LEFT JOIN agg USING (doc_id)
-      ORDER BY t.doc_id"""))
+      ORDER BY t.doc_id""")),
+
+    // Prefix-cache savings audit (the vLLM/radix-cache question asked of
+    // a SERVING corpus): per source, how many of the first ≤16 prompt
+    // tokens would a perfect prefix trie compute once instead of per
+    // request — total prefix tokens Σ min(len,16) vs DISTINCT prefixes
+    // (trie nodes), savings in exact basis points. Prefixes shuffle as
+    // 8-byte xxhash64 values (never strings); the oracle hashes the same
+    // prefixes with the generated XXH64 and dedups AFTER hashing, so
+    // even a collision is mirrored (q287's discipline). At production
+    // depth the O(D²) per-doc prefix materialization would switch to an
+    // incremental rolling hash — the audit form here is the exactness
+    // anchor.
+    ("q415_prefix_cache_savings", (s: SparkSession, d: String) => {
+      val toks = TextOps.tokens(col("text"))
+      val docs = t(s, d, "documents")
+      val pref = docs.select(col("source"),
+        explode(transform(
+          sequence(lit(1), least(size(toks), lit(16))),
+          dd => xxhash64(concat_ws(" ", slice(toks, lit(1), dd)))))
+          .as("ph"))
+      val tot = docs.select(col("source"),
+          least(size(toks), lit(16)).cast("long").as("np"))
+        .groupBy("source").agg(sum("np").as("total_prefix_tokens"))
+      val dist = pref.groupBy("source")
+        .agg(count_distinct(col("ph")).as("distinct_prefixes"))
+      tot.join(dist, "source")
+        .withColumn("savings_bp", call_function("div",
+          (col("total_prefix_tokens") - col("distinct_prefixes")) * 10000L,
+          col("total_prefix_tokens")))
+        .orderBy("source")
+    }, Some(s"""
+      WITH tkn AS (SELECT source,
+          regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+      pr AS (SELECT source AS doc_id,
+          unnest(list_transform(range(1, least(len(tk), 16) + 1),
+            d -> array_to_string(tk[1:d], ' '))) AS tok FROM tkn),
+      ${XxHashOracle.xxh64Ctes("pr")},
+      dist AS (SELECT doc_id AS source,
+          CAST(COUNT(DISTINCT hu) AS BIGINT) AS distinct_prefixes
+        FROM hashed GROUP BY 1),
+      tot AS (SELECT source,
+          CAST(SUM(least(len(tk), 16)) AS BIGINT) AS total_prefix_tokens
+        FROM tkn GROUP BY 1)
+      SELECT source, total_prefix_tokens, distinct_prefixes,
+        CAST((total_prefix_tokens - distinct_prefixes) * 10000
+          // total_prefix_tokens AS BIGINT) AS savings_bp
+      FROM tot JOIN dist USING (source) ORDER BY source""")),
+
+    // Token-bucket rate-limit replay — the per-entity sequential-state
+    // audit (API quota / abuse forensics): each user's bucket starts
+    // full (5 tokens ≡ 3000 credit-seconds, refill 1/600 s), every
+    // event consumes 600 if available, all in exact integer seconds.
+    // Per-key ordered folds are THE distributed shape for sequential
+    // state replay: one groupBy(user) shuffle, the fold runs map-side
+    // over each user's sorted event list (bounded by per-user activity;
+    // a hot key would shard by day first). The oracle replays the same
+    // clamp recurrence via list_reduce with a prepended initial state.
+    ("q416_token_bucket_replay", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events").select(col("user_id"),
+        unix_timestamp(col("ts")).as("tss"), col("event_id"))
+      val lst = ev.groupBy("user_id")
+        .agg(array_sort(collect_list(struct(col("tss"), col("event_id"))))
+          .as("evs"))
+      val cap = lit(3000L)
+      val cost = lit(600L)
+      lst.withColumn("st", aggregate(col("evs"),
+          struct(cap.as("budget"), lit(0L).as("acc"), lit(0L).as("rej"),
+            element_at(col("evs"), 1)("tss").as("last")),
+          (st, e) => {
+            val b = least(cap, st("budget") + (e("tss") - st("last")))
+            struct(
+              when(b >= cost, b - cost).otherwise(b).as("budget"),
+              (st("acc") + when(b >= cost, 1L).otherwise(0L)).as("acc"),
+              (st("rej") + when(b >= cost, 0L).otherwise(1L)).as("rej"),
+              e("tss").as("last"))
+          }))
+        .select(col("user_id"), size(col("evs")).cast("long").as("n_events"),
+          col("st.acc").as("n_accepted"), col("st.rej").as("n_rejected"))
+        .orderBy("user_id")
+    }, Some("""
+      WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tss,
+          event_id FROM events),
+      l AS (SELECT user_id, list_sort(list(struct_pack(
+          tss := tss, eid := event_id))) AS evs FROM e GROUP BY 1),
+      f AS (SELECT user_id, len(evs) AS n_events,
+        list_reduce(
+          list_prepend(
+            struct_pack(tss := evs[1].tss, eid := CAST(-1 AS BIGINT),
+              budget := CAST(3000 AS BIGINT), acc := CAST(0 AS BIGINT),
+              rej := CAST(0 AS BIGINT)),
+            list_transform(evs, x -> struct_pack(tss := x.tss,
+              eid := x.eid, budget := CAST(NULL AS BIGINT),
+              acc := CAST(NULL AS BIGINT), rej := CAST(NULL AS BIGINT)))),
+          (s, x) -> struct_pack(
+            tss := x.tss, eid := x.eid,
+            budget := CASE WHEN least(3000, s.budget + (x.tss - s.tss))
+                  >= 600
+                THEN least(3000, s.budget + (x.tss - s.tss)) - 600
+                ELSE least(3000, s.budget + (x.tss - s.tss)) END,
+            acc := s.acc + CASE WHEN least(3000,
+                s.budget + (x.tss - s.tss)) >= 600 THEN 1 ELSE 0 END,
+            rej := s.rej + CASE WHEN least(3000,
+                s.budget + (x.tss - s.tss)) >= 600 THEN 0 ELSE 1 END))
+          AS st
+        FROM l)
+      SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        st.acc AS n_accepted, st.rej AS n_rejected
+      FROM f ORDER BY user_id"""))
   )
 
   /** DuckDB replay of [[Similarity.pcaTopComponent]] — HUGEINT

@@ -870,6 +870,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p.take(3000))
   }
 
+  test("q415: prefix trie audit shuffles 8-byte hashes keyed by source " +
+      "— partial+final aggregates, broadcast-joined summaries") {
+    val p = plan("q415_prefix_cache_savings")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("xxhash64"), p.take(3000))
+  }
+
+  test("q416: token-bucket replay is ONE groupBy(user) shuffle and a " +
+      "map-side fold — no window, no join") {
+    val p = plan("q416_token_bucket_replay")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected exactly one keyed shuffle, got " +
+      s"$shuffles:\n" + p.take(3000))
+  }
+
   test("q408: template LCP is one partial+final string min/max " +
       "aggregate; the LCP walk runs on source-cardinality survivors") {
     val p = plan("q408_source_template_lcp")
