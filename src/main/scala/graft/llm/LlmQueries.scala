@@ -5132,7 +5132,110 @@ object LlmQueries {
         FROM l)
       SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
         st.acc AS n_accepted, st.rej AS n_rejected
-      FROM f ORDER BY user_id"""))
+      FROM f ORDER BY user_id""")),
+
+    // Speculative-decoding acceptance-rate replay under a bigram draft
+    // model — "how predictable is this corpus to a cheap drafter": the
+    // draft proposes the corpus-argmax continuation of the previous
+    // token (max count, lexicographically-smallest tie-break via
+    // min(struct(-c, w))), and a position is accepted iff the real next
+    // token matches. Per-doc acceptance in exact basis points — the
+    // signal that sizes speculative-decoding budgets per domain. Two
+    // gram-keyed shuffles (count store, per-position join); the argmax
+    // is a partial-aggregable min(struct), no window.
+    ("q417_draft_acceptance", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val pairs = docs.select(col("doc_id"),
+          explode(NearDup.wordNgrams(TextOps.tokens(col("text")), 2))
+            .as("gram"))
+        .withColumn("w1", substring_index(col("gram"), " ", 1))
+      val best = pairs.groupBy("gram").agg(count(lit(1)).as("c2"))
+        .withColumn("w1", substring_index(col("gram"), " ", 1))
+        .withColumn("w2", substring_index(col("gram"), " ", -1))
+        .groupBy("w1")
+        .agg(min(struct((-col("c2")).as("nc"), col("w2").as("w2"))).as("b"))
+        .select(col("w1"), col("b.w2").as("draft"))
+      pairs.join(best, "w1")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(substring_index(col("gram"), " ", -1) === col("draft"),
+            1L).otherwise(0L)).as("n_accept"))
+        .withColumn("accept_bp", call_function("div",
+          col("n_accept") * 10000L, col("n_pairs")))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH tkn AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+      g AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+          THEN list_transform(range(1, len(tk)),
+            i -> tk[i] || ' ' || tk[i + 1])
+          ELSE [array_to_string(tk, ' ')] END) AS gram FROM tkn),
+      c AS (SELECT gram, COUNT(*) AS c2,
+          split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2
+        FROM g GROUP BY 1),
+      b AS (SELECT w1, min(struct_pack(nc := -c2, w2 := w2)).w2 AS draft
+        FROM c GROUP BY 1),
+      a AS (SELECT doc_id, COUNT(*) AS n_pairs,
+          CAST(SUM(CASE WHEN split_part(gram, ' ', 2) = draft
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_accept
+        FROM g JOIN b ON split_part(gram, ' ', 1) = b.w1
+        GROUP BY 1)
+      SELECT doc_id, n_pairs, n_accept,
+        CAST(n_accept * 10000 // n_pairs AS BIGINT) AS accept_bp
+      FROM a ORDER BY doc_id""")),
+
+    // Surprisal-spike localization — find WHERE inside each document the
+    // bigram-LM integer surprisal (q164's c1 div c2) concentrates: the
+    // max 8-position window sum and its start offset (earliest wins on
+    // ties). The segmentation pass that turns a document-level quality
+    // score into a cut point. Per-position scores ride q164's two
+    // gram-keyed joins; the windowed sum and argmax are per-doc keyed
+    // frames — never a global window.
+    ("q418_surprisal_spike", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val pairs = docs.select(col("doc_id"),
+          posexplode(NearDup.wordNgrams(TextOps.tokens(col("text")), 2))
+            .as(Seq("pos", "gram")))
+      val store = pairs.groupBy("gram").agg(count(lit(1)).as("c2"))
+        .withColumn("w1", substring_index(col("gram"), " ", 1))
+      val ctx = store.groupBy("w1").agg(sum(col("c2")).as("c1"))
+      val scored = pairs.join(store, "gram").join(ctx, "w1")
+        .select(col("doc_id"), col("pos"), expr("c1 div c2").as("sc"))
+      val wSum = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, 7)
+      val winsum = scored
+        .withColumn("wsum", sum("sc").over(wSum))
+      winsum.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(struct((-col("wsum")).as("nw"), col("pos").as("p"))).as("b"))
+        .select(col("doc_id"), col("n_pairs"),
+          (-col("b.nw")).as("max_win_sum"),
+          col("b.p").cast("long").as("win_start"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH tkn AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+      g AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+          THEN list_transform(range(1, len(tk)),
+            i -> tk[i] || ' ' || tk[i + 1])
+          ELSE [array_to_string(tk, ' ')] END) AS gram,
+          unnest(CASE WHEN len(tk) >= 2 THEN range(0, len(tk) - 1)
+                 ELSE [CAST(0 AS BIGINT)] END) AS pos FROM tkn),
+      c AS (SELECT gram, COUNT(*) AS c2 FROM g GROUP BY 1),
+      cw AS (SELECT gram, c2, split_part(gram, ' ', 1) AS w1 FROM c),
+      cx AS (SELECT w1, SUM(c2) AS c1 FROM cw GROUP BY 1),
+      sc AS (SELECT doc_id, pos, CAST(c1 // c2 AS BIGINT) AS sc
+        FROM g JOIN cw USING (gram) JOIN cx USING (w1)),
+      ws AS (SELECT doc_id, pos, SUM(sc) OVER (PARTITION BY doc_id
+          ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wsum
+        FROM sc),
+      mx AS (SELECT doc_id, COUNT(*) AS n_pairs,
+          min(struct_pack(nw := -wsum, p := pos)) AS b
+        FROM ws GROUP BY 1)
+      SELECT doc_id, n_pairs, CAST(-(b.nw) AS BIGINT) AS max_win_sum,
+        CAST(b.p AS BIGINT) AS win_start
+      FROM mx ORDER BY doc_id"""))
   )
 
   /** DuckDB replay of [[Similarity.pcaTopComponent]] — HUGEINT

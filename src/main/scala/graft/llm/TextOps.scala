@@ -113,9 +113,13 @@ object TextOps {
     * natural prose sits low. Pure map-side expression — the gram counts
     * for one doc never leave the row (run-length aggregation over the
     * SORTED gram array — O(n log n) per doc, vs the O(n·distinct) of the
-    * filter-per-distinct-token shape), no shuffle, stays in whole-stage
-    * codegen. Counts fit int64 up to ~3e6-char documents (N²·1e6 <
-    * 2^63); longer docs would widen to DECIMAL(38,0).
+    * filter-per-distinct-token shape), no shuffle. Note: higher-order
+    * functions are CodegenFallback (interpreted inside the projection) —
+    * acceptable here because the array sort dominates per-row cost and
+    * the stage stays map-side; if this became the corpus bottleneck the
+    * next step is a native expression (the RollingHash discipline).
+    * Counts fit int64 up to ~3e6-char documents (N²·1e6 < 2^63); longer
+    * docs would widen to DECIMAL(38,0).
     *
     * @return struct(n_grams LONG, sumsq LONG, coll_ppm LONG); NULL for
     *         texts shorter than 2 chars (no bigram exists)

@@ -888,6 +888,20 @@ class PlanQualitySpec extends SparkSpec {
       s"$shuffles:\n" + p.take(3000))
   }
 
+  test("q417: the draft argmax is a partial-aggregable min(struct) — " +
+      "no window anywhere") {
+    val p = plan("q417_draft_acceptance")
+    assert(!p.contains("Window"), p.take(3000))
+    assert("HashAggregate|SortAggregate".r.findAllIn(p).nonEmpty, p.take(3000))
+  }
+
+  test("q418: spike windows are keyed by doc — no SinglePartition " +
+      "exchange feeds a window") {
+    val p = plan("q418_surprisal_spike")
+    assert(p.contains("hashpartitioning(doc_id"), p.take(3000))
+    assert(!p.contains("SinglePartition"), p.take(3000))
+  }
+
   test("q408: template LCP is one partial+final string min/max " +
       "aggregate; the LCP walk runs on source-cardinality survivors") {
     val p = plan("q408_source_template_lcp")

@@ -536,4 +536,37 @@ class CurationSpec extends SparkSpec {
       .select(col("st.acc"), col("st.rej")).as[(Long, Long)].head()
     assert(got == ((5L, 2L)), s"got $got")
   }
+
+  test("q417 draft acceptance: conservation, and the argmax draft beats " +
+      "any fixed alternative draft corpus-wide") {
+    val out = graft.SparkEntry.queries("q417_draft_acceptance")(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (np, na, bp) =>
+      assert(na <= np && bp == na * 10000 / np)
+    }
+    val argmaxTotal = out.map(_._2).sum
+    // The echo draft ("predict the previous token repeats") is one
+    // member of the per-context draft family the argmax dominates.
+    val echoTotal = docs.select(
+        explode(NearDup.wordNgrams(TextOps.tokens(col("text")), 2))
+          .as("gram"))
+      .filter(substring_index(col("gram"), " ", 1) ===
+        substring_index(col("gram"), " ", -1))
+      .count()
+    assert(argmaxTotal >= echoTotal,
+      s"argmax draft ($argmaxTotal) lost to echo draft ($echoTotal)")
+  }
+
+  test("q418 surprisal spike: window start in range, spike at least the " +
+      "per-doc mean window") {
+    val out = graft.SparkEntry.queries("q418_surprisal_spike")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, np, mx, st) =>
+      assert(st >= 0 && st < np)
+      assert(mx >= 1, "bigram surprisal c1 div c2 is always >= 1")
+    }
+  }
 }
