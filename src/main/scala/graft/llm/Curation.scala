@@ -214,6 +214,59 @@ object Curation {
           .as("masked_bp"))
   }
 
+  /** Optimal length bucketing for padded batching — choose `k` bucket
+    * boundaries over the token-length distribution minimizing total
+    * padding Σ (bucket_upper − len), the classic Jenks-style 1-D DP that
+    * decides the bucket shapes a padded-batch trainer/server uses.
+    * The CORPUS work is one histogram aggregate (distinct token lengths
+    * + counts — value-cardinality metadata); the O(k·D²) DP then runs on
+    * that collected histogram, squarely inside the sanctioned
+    * metadata-sized driver-work class (bucket indexes, day lists). Cost
+    * of a bucket ending at index i starting after m is closed-form from
+    * prefix sums: len_i·(C_i − C_m) − (S_i − S_m); argmin ties break on
+    * the smaller split index. The DuckDB oracle replays the same DP as
+    * unrolled relational layers — two independent implementations must
+    * agree on every boundary.
+    *
+    * @return k rows (bucket_id, upper_len, n_docs, padding)
+    */
+  def optimalLengthBuckets(docs: DataFrame, textCol: String,
+      k: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    val hist = docs
+      .select(size(TextOps.tokens(col(textCol))).cast("long").as("len"))
+      .groupBy("len").agg(count(lit(1)).as("cnt"))
+      .orderBy("len")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val d = hist.length
+    require(d >= k, s"need at least $k distinct lengths, got $d")
+    val len = hist.map(_._1)
+    val cc = hist.map(_._2).scanLeft(0L)(_ + _).tail
+    val ss = hist.map(h => h._1 * h._2).scanLeft(0L)(_ + _).tail
+    def cost(m: Int, i: Int): Long = // bucket covers indices (m, i], m = -1 ok
+      len(i) * (cc(i) - (if (m < 0) 0L else cc(m))) -
+        (ss(i) - (if (m < 0) 0L else ss(m)))
+    // dp(j)(i): min padding covering indices 0..i with j+1 buckets, the
+    // last ending exactly at i; arg(j)(i): its best previous end.
+    val dp = Array.fill(k, d)(Long.MaxValue)
+    val arg = Array.fill(k, d)(-1)
+    for (i <- 0 until d) dp(0)(i) = cost(-1, i)
+    for (j <- 1 until k; i <- j until d; m <- (j - 1) until i) {
+      val c = dp(j - 1)(m) + cost(m, i)
+      if (c < dp(j)(i)) { dp(j)(i) = c; arg(j)(i) = m }
+    }
+    val ends = new Array[Int](k)
+    ends(k - 1) = d - 1
+    for (j <- (k - 1) to 1 by -1) ends(j - 1) = arg(j)(ends(j))
+    val rows = (0 until k).map { j =>
+      val e = ends(j)
+      val m = if (j == 0) -1 else ends(j - 1)
+      (j.toLong + 1, len(e), cc(e) - (if (m < 0) 0L else cc(m)), cost(m, e))
+    }
+    import spark.implicits._
+    rows.toDF("bucket_id", "upper_len", "n_docs", "padding")
+  }
+
   /** Exact floor division on non-negative DECIMAL(38,0) operands —
     * Spark's integral `div` via the Column DSL so the PPS formula reads
     * like the math (`a div b` truncates toward zero; all operands here

@@ -5235,7 +5235,112 @@ object LlmQueries {
         FROM ws GROUP BY 1)
       SELECT doc_id, n_pairs, CAST(-(b.nw) AS BIGINT) AS max_win_sum,
         CAST(b.p AS BIGINT) AS win_start
-      FROM mx ORDER BY doc_id"""))
+      FROM mx ORDER BY doc_id""")),
+
+    // Optimal length bucketing (Jenks-style 1-D DP) — the 4 padded-batch
+    // bucket boundaries minimizing total padding over the token-length
+    // distribution. Corpus work is ONE histogram aggregate; the O(k·D²)
+    // DP runs on the collected value-cardinality histogram (sanctioned
+    // metadata driver work). The oracle replays the SAME DP as unrolled
+    // relational layers with closed-form prefix-sum bucket costs — two
+    // independent DP implementations must agree on every boundary,
+    // count, and padding cell.
+    ("q419_optimal_length_buckets", (s: SparkSession, d: String) => {
+      Curation.optimalLengthBuckets(t(s, d, "documents"), "text", k = 4)
+    }, Some("""
+      WITH l AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\s+'))
+          AS BIGINT) AS len FROM documents),
+      h AS (SELECT len, COUNT(*) AS cnt FROM l GROUP BY 1),
+      p AS (SELECT len, cnt,
+          CAST(row_number() OVER (ORDER BY len) AS BIGINT) AS i,
+          CAST(SUM(cnt) OVER (ORDER BY len) AS BIGINT) AS cc,
+          CAST(SUM(cnt * len) OVER (ORDER BY len) AS BIGINT) AS ss FROM h),
+      d1 AS (SELECT i, len * cc - ss AS c FROM p),
+      d2 AS (SELECT pi.i AS i, min(struct_pack(
+            c := d1.c + pi.len * (pi.cc - pm.cc) - (pi.ss - pm.ss),
+            m := pm.i)) AS b
+          FROM p pi JOIN p pm ON pm.i < pi.i JOIN d1 ON d1.i = pm.i
+          GROUP BY 1),
+      d3 AS (SELECT pi.i AS i, min(struct_pack(
+            c := (d2.b).c + pi.len * (pi.cc - pm.cc) - (pi.ss - pm.ss),
+            m := pm.i)) AS b
+          FROM p pi JOIN p pm ON pm.i < pi.i JOIN d2 ON d2.i = pm.i
+          GROUP BY 1),
+      d4 AS (SELECT pi.i AS i, min(struct_pack(
+            c := (d3.b).c + pi.len * (pi.cc - pm.cc) - (pi.ss - pm.ss),
+            m := pm.i)) AS b
+          FROM p pi JOIN p pm ON pm.i < pi.i JOIN d3 ON d3.i = pm.i
+          GROUP BY 1),
+      mx AS (SELECT MAX(i) AS di FROM p),
+      e4 AS (SELECT di AS e,
+          (SELECT (b).m FROM d4, mx WHERE i = di) AS m FROM mx),
+      e3 AS (SELECT m AS e,
+          (SELECT (d3.b).m FROM d3 JOIN e4 ON d3.i = e4.m) AS m FROM e4),
+      e2 AS (SELECT m AS e,
+          (SELECT (d2.b).m FROM d2 JOIN e3 ON d2.i = e3.m) AS m FROM e3),
+      bk AS (
+        SELECT 1 AS bucket_id, e2.m AS e, CAST(0 AS BIGINT) AS st FROM e2
+        UNION ALL SELECT 2, e2.e, e2.m FROM e2
+        UNION ALL SELECT 3, e3.e, e2.e FROM e3, e2
+        UNION ALL SELECT 4, e4.e, e3.e FROM e4, e3)
+      SELECT CAST(bucket_id AS BIGINT) AS bucket_id, pe.len AS upper_len,
+        CAST(pe.cc - COALESCE(ps.cc, 0) AS BIGINT) AS n_docs,
+        CAST(pe.len * (pe.cc - COALESCE(ps.cc, 0))
+          - (pe.ss - COALESCE(ps.ss, 0)) AS BIGINT) AS padding
+      FROM bk JOIN p pe ON pe.i = bk.e LEFT JOIN p ps ON ps.i = bk.st
+      ORDER BY bucket_id""")),
+
+    // Token-budget greedy data selection — pick documents by
+    // quality-per-token ratio (distinct-token count / token count, one
+    // IEEE division identical on both engines) until a 10%-of-corpus
+    // token budget is spent: the knapsack-greedy shape of "select the
+    // best B tokens", with the cumulative spend computed by the q83
+    // two-level prefix sum in (ratio DESC, doc_id) order — no global
+    // single-task window, budget a broadcast one-row aggregate.
+    ("q420_budget_greedy_selection", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, d, "documents").select(col("doc_id"),
+          size(array_distinct(TextOps.tokensLower(col("text"))))
+            .cast("long").as("q"),
+          TextOps.nTokens(col("text")).as("c"))
+        .withColumn("ratio",
+          col("q").cast("double") / col("c").cast("double"))
+      val ord = Seq(col("ratio").desc, col("doc_id").asc)
+      val parts = base.repartitionByRange(32, ord: _*)
+        .withColumn("__pid", spark_partition_id())
+      val wLocal = Window.partitionBy("__pid").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = parts.withColumn("__cl", sum("c").over(wLocal))
+      val wOff = Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = parts.groupBy("__pid").agg(sum("c").as("__ps"))
+        .withColumn("__off", coalesce(sum("__ps").over(wOff), lit(0L)))
+        .select("__pid", "__off")
+      val budget = base.agg(
+        call_function("div", sum("c"), lit(10L)).as("__budget"))
+      local.join(broadcast(offsets), "__pid")
+        .crossJoin(broadcast(budget))
+        .withColumn("cum", col("__cl") + col("__off"))
+        .filter(col("cum") <= col("__budget"))
+        .select(col("doc_id"), col("q"), col("c"), col("cum"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH b AS (SELECT doc_id,
+          CAST(len(list_distinct(regexp_split_to_array(
+            trim(lower(text)), '\s+'))) AS BIGINT) AS q,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+            AS c
+        FROM documents),
+      r AS (SELECT *, CAST(q AS DOUBLE) / CAST(c AS DOUBLE) AS ratio
+            FROM b),
+      t AS (SELECT CAST(SUM(c) // 10 AS BIGINT) AS budget FROM b),
+      cm AS (SELECT doc_id, q, c,
+          CAST(SUM(c) OVER (ORDER BY ratio DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum
+        FROM r)
+      SELECT doc_id, q, c, cum FROM cm, t
+      WHERE cum <= budget ORDER BY doc_id"""))
   )
 
   /** DuckDB replay of [[Similarity.pcaTopComponent]] — HUGEINT

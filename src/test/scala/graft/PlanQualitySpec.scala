@@ -902,6 +902,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p.take(3000))
   }
 
+  test("q420: budget selection cumsum is two-level — corpus windows key " +
+      "on __pid, budget broadcasts") {
+    val p = plan("q420_budget_greedy_selection")
+    assert(p.contains("hashpartitioning(__pid"), p.take(3000))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("q408: template LCP is one partial+final string min/max " +
       "aggregate; the LCP walk runs on source-cardinality survivors") {
     val p = plan("q408_source_template_lcp")

@@ -558,6 +558,67 @@ class CurationSpec extends SparkSpec {
       s"argmax draft ($argmaxTotal) lost to echo draft ($echoTotal)")
   }
 
+  test("optimalLengthBuckets (q419): equals brute force over all " +
+      "boundary triples on a planted length distribution; partitions " +
+      "the corpus") {
+    // Planted: lengths 1x10, 2x10, 3x10, 10x10, 11x10, 50x1, 100x5
+    val planted = (Seq.fill(10)(1) ++ Seq.fill(10)(2) ++ Seq.fill(10)(3) ++
+      Seq.fill(10)(10) ++ Seq.fill(10)(11) ++ Seq(50) ++ Seq.fill(5)(100))
+      .zipWithIndex.map { case (n, i) => (i.toLong, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = Curation.optimalLengthBuckets(planted, "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // brute force over all C(6,3) boundary triples on the 7 distinct
+    // lengths (last boundary fixed at the max)
+    val hist = Seq((1L, 10L), (2L, 10L), (3L, 10L), (10L, 10L),
+      (11L, 10L), (50L, 1L), (100L, 5L))
+    def pad(lo: Int, hi: Int) = // bucket covers hist indices (lo, hi]
+      ((lo + 1) to hi).map(x => (hist(hi)._1 - hist(x)._1) * hist(x)._2).sum
+    val best = (for {
+      a <- 0 until 6; b <- (a + 1) until 6; c <- (b + 1) until 6
+    } yield (pad(-1, a) + pad(a, b) + pad(b, c) + pad(c, 6),
+        Seq(a, b, c, 6))).minBy(x => (x._1, x._2.mkString(",")))
+    assert(got.map(_._4).sum == best._1,
+      s"DP padding ${got.map(_._4).sum} != brute ${best._1}")
+    assert(got.map(_._2).toSeq == best._2.map(hist(_)._1),
+      s"boundaries ${got.map(_._2).toSeq} != brute ${best._2.map(hist(_)._1)}")
+    assert(got.map(_._3).sum == planted.count())
+    // corpus run partitions everything and upper bounds ascend
+    val real = Curation.optimalLengthBuckets(docs, "text", k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(real.map(_._2).sum == docs.count())
+    assert(real.map(_._1).toSeq == real.map(_._1).sorted.toSeq)
+  }
+
+  test("q420 budget greedy: spend within budget and maximal; selection " +
+      "is the ratio-order prefix") {
+    val out = graft.SparkEntry.queries("q420_budget_greedy_selection")(
+        spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.nonEmpty)
+    val totalTokens = docs.select(TextOps.nTokens(col("text")))
+      .as[Long].collect().sum
+    val budget = totalTokens / 10
+    assert(out.map(_._4).max <= budget)
+    assert(out.map(_._3).sum == out.map(_._4).max,
+      "cum of the last selected doc must equal the total spend")
+    // maximality: the cheapest unselected doc would blow the budget at
+    // its insertion point — equivalently every unselected doc's ratio
+    // is <= every selected doc's ratio under the (ratio, -doc_id) order
+    val ratios = docs.select(col("doc_id"),
+        (size(array_distinct(TextOps.tokensLower(col("text"))))
+          .cast("double") / TextOps.nTokens(col("text"))).as("r"))
+      .as[(Long, Double)].collect().toMap
+    val sel = out.map(_._1).toSet
+    val minSel = out.map(t => ratios(t._1)).min
+    val unsel = ratios.keys.filterNot(sel.contains)
+    val maxUnsel = unsel.map(ratios).max
+    assert(maxUnsel <= minSel,
+      s"greedy violated: unselected ratio $maxUnsel > selected $minSel")
+  }
+
   test("q418 surprisal spike: window start in range, spike at least the " +
       "per-doc mean window") {
     val out = graft.SparkEntry.queries("q418_surprisal_spike")(spark, sfDir)
