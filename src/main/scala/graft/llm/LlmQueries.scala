@@ -5340,7 +5340,99 @@ object LlmQueries {
             AS cum
         FROM r)
       SELECT doc_id, q, c, cum FROM cm, t
-      WHERE cum <= budget ORDER BY doc_id"""))
+      WHERE cum <= budget ORDER BY doc_id""")),
+
+    // Integer Sinkhorn balancing of the (source × lang) contingency to
+    // uniform marginals — optimal-transport-lite for data-mixing
+    // targets: 3 alternating row/col scalings in exact integer
+    // arithmetic (w := w·target div marginal, the q94 integer-iteration
+    // discipline), so every engine replays each round bit-for-bit. The
+    // corpus appears ONLY in the one contingency aggregate; the scaling
+    // rounds run on the grid (source×lang cardinality metadata).
+    ("q421_sinkhorn_mix", (s: SparkSession, d: String) => {
+      val grid0 = t(s, d, "documents").groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"))
+      val dec = "decimal(38,0)"
+      val tot = grid0.agg(sum("n").cast(dec).as("tt"),
+        count_distinct(col("source")).cast(dec).as("ns"),
+        count_distinct(col("lang")).cast(dec).as("nl"))
+      var w = grid0.crossJoin(broadcast(tot))
+        .withColumn("w", (col("n").cast(dec) * lit(1000000L)).cast(dec))
+        .withColumn("rt", call_function("div",
+          col("tt") * lit(1000000L), col("ns")).cast(dec))
+        .withColumn("ct", call_function("div",
+          col("tt") * lit(1000000L), col("nl")).cast(dec))
+      import org.apache.spark.sql.expressions.Window
+      for (_ <- 1 to 3) {
+        val wr = Window.partitionBy("source")
+        w = w.withColumn("w", call_function("div",
+          col("w") * col("rt"), sum("w").over(wr)).cast(dec))
+        val wc = Window.partitionBy("lang")
+        w = w.withColumn("w", call_function("div",
+          col("w") * col("ct"), sum("w").over(wc)).cast(dec))
+      }
+      w.select(col("source"), col("lang"), col("n"),
+          col("w").cast("long").as("w_scaled"))
+        .orderBy("source", "lang")
+    }, Some("""
+      WITH g AS (SELECT source, lang, COUNT(*) AS n FROM documents
+                 GROUP BY 1, 2),
+      tt AS (SELECT CAST(SUM(n) AS HUGEINT) AS tt,
+          CAST(COUNT(DISTINCT source) AS HUGEINT) AS ns,
+          CAST(COUNT(DISTINCT lang) AS HUGEINT) AS nl FROM g),
+      w0 AS (SELECT source, lang, n,
+          CAST(n AS HUGEINT) * 1000000 AS w,
+          (tt * 1000000) // ns AS rt, (tt * 1000000) // nl AS ct
+        FROM g, tt),
+      r1 AS (SELECT *, (w * rt) // (SUM(w) OVER (PARTITION BY source))
+          AS w1 FROM w0),
+      c1 AS (SELECT *, (w1 * ct) // (SUM(w1) OVER (PARTITION BY lang))
+          AS w2 FROM r1),
+      r2 AS (SELECT *, (w2 * rt) // (SUM(w2) OVER (PARTITION BY source))
+          AS w3 FROM c1),
+      c2 AS (SELECT *, (w3 * ct) // (SUM(w3) OVER (PARTITION BY lang))
+          AS w4 FROM r2),
+      r3 AS (SELECT *, (w4 * rt) // (SUM(w4) OVER (PARTITION BY source))
+          AS w5 FROM c2),
+      c3 AS (SELECT *, (w5 * ct) // (SUM(w5) OVER (PARTITION BY lang))
+          AS w6 FROM r3)
+      SELECT source, lang, n, CAST(w6 AS BIGINT) AS w_scaled
+      FROM c3 ORDER BY source, lang""")),
+
+    // Per-label medoid (prototype) selection — "the one example that
+    // best represents each class", by total squared L2 over integerized
+    // coordinates WITHOUT a pair stage: Σ_y‖x−y‖² = n‖x‖² − 2x·S + T
+    // closes from the per-label moment aggregates, so the plan is one
+    // moments pass, a broadcast-back map-side score, and a partial-
+    // aggregable argmin. The oracle replays the same closed form.
+    ("q422_label_medoids", (s: SparkSession, d: String) => {
+      Similarity.labelMedoids(t(s, d, "embeddings"))
+    }, Some("""
+      WITH qt AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+          list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        FROM embeddings),
+      sq AS (SELECT vec_id, label, q,
+          list_aggregate(list_transform(q, v -> v * v), 'sum') AS sq
+        FROM qt),
+      el AS (SELECT vec_id, label, generate_subscripts(q, 1) AS i,
+          unnest(q) AS x FROM qt),
+      sv AS (SELECT label, i, CAST(SUM(x) AS BIGINT) AS s
+        FROM el GROUP BY 1, 2),
+      tn AS (SELECT label, COUNT(*) AS n, CAST(SUM(sq) AS BIGINT) AS t
+        FROM sq GROUP BY 1),
+      xs AS (SELECT e.vec_id, e.label, CAST(SUM(e.x * sv.s) AS BIGINT)
+          AS xs FROM el e JOIN sv ON sv.label = e.label AND sv.i = e.i
+        GROUP BY 1, 2),
+      sc AS (SELECT s.vec_id, s.label,
+          tn.n * s.sq - 2 * xs.xs + tn.t AS td, tn.n
+        FROM sq s JOIN xs ON xs.vec_id = s.vec_id
+        JOIN tn ON tn.label = s.label),
+      m AS (SELECT label, min(struct_pack(td := td, v := vec_id)) AS b,
+          CAST(MAX(n) AS BIGINT) AS n FROM sc GROUP BY 1)
+      SELECT label, (b).v AS medoid_vec_id, n,
+        CAST((b).td AS BIGINT) AS total_sqdist
+      FROM m ORDER BY label"""))
   )
 
   /** DuckDB replay of [[Similarity.pcaTopComponent]] — HUGEINT

@@ -998,6 +998,49 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-label medoid selection — the prototype/coreset pick ("which
+    * single example best represents this class"): the vector minimizing
+    * the total squared L2 distance to its label-mates, WITHOUT a
+    * quadratic pair stage. Over integerized coordinates
+    * (floor(x·1000), exact in both engines) the total distance has the
+    * closed form Σ_y‖x−y‖² = n·‖x‖² − 2·x·S + T from the per-label
+    * moment aggregates S = Σ_y y (vector) and T = Σ_y‖y‖² — so the plan
+    * is ONE corpus moments aggregate broadcast back, a map-side score,
+    * and a partial-aggregable argmin (min-id tie-break). All int64 at
+    * this scale; ~1e9 rows/label would widen the moments to
+    * DECIMAL(38,0).
+    *
+    * @return (label, medoid_vec_id, n, total_sqdist)
+    */
+  def labelMedoids(emb: DataFrame, scale: Long = 1000L): DataFrame = {
+    val q = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * scale).cast("long")).as("q"))
+      .withColumn("sq",
+        aggregate(col("q"), lit(0L), (a, v) => a + v * v))
+    val moments = q
+      .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(sum("x").as("s"))
+      .groupBy("label").agg(
+        transform(array_sort(collect_list(struct(col("i"), col("s")))),
+          p => p("s")).as("sv"))
+    val tn = q.groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("sq").as("t"))
+    val scored = q
+      .join(broadcast(moments), "label")
+      .join(broadcast(tn), "label")
+      .withColumn("xs", aggregate(zip_with(col("q"), col("sv"),
+        (a, b) => a * b), lit(0L), (a, v) => a + v))
+      .withColumn("total_sqdist",
+        col("n") * col("sq") - lit(2L) * col("xs") + col("t"))
+    scored.groupBy("label")
+      .agg(min(struct(col("total_sqdist"), col("vec_id"))).as("b"),
+        max("n").as("n"))
+      .select(col("label"), col("b.vec_id").as("medoid_vec_id"),
+        col("n"), col("b.total_sqdist").as("total_sqdist"))
+      .orderBy("label")
+  }
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein '98) —
     * the RAG diversification pass: greedily select k results balancing
     * query relevance against redundancy with what's already selected,

@@ -619,6 +619,22 @@ class CurationSpec extends SparkSpec {
       s"greedy violated: unselected ratio $maxUnsel > selected $minSel")
   }
 
+  test("q421 sinkhorn: after the final column scaling every lang " +
+      "marginal is within truncation distance of its target") {
+    val rows = graft.SparkEntry.queries("q421_sinkhorn_mix")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val total = docs.count()
+    val nLangs = rows.map(_._2).distinct.length
+    val ct = total * 1000000L / nLangs
+    rows.groupBy(_._2).foreach { case (lang, cells) =>
+      val marg = cells.map(_._3).sum
+      // each cell's integer division truncates < 1 unit of w
+      assert(marg <= ct && ct - marg <= cells.length,
+        s"lang $lang marginal $marg vs target $ct (${cells.length} cells)")
+    }
+  }
+
   test("q418 surprisal spike: window start in range, spike at least the " +
       "per-doc mean window") {
     val out = graft.SparkEntry.queries("q418_surprisal_spike")(spark, sfDir)

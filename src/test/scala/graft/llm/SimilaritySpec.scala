@@ -328,6 +328,28 @@ class SimilaritySpec extends SparkSpec {
       s"got $got")
   }
 
+  test("labelMedoids (q422): closed-form moments argmin equals the " +
+      "brute-force pairwise medoid") {
+    import spark.implicits._
+    val got = Similarity.labelMedoids(emb)
+      .select("label", "medoid_vec_id", "total_sqdist")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // brute force: driver-side pairwise over the (small) corpus
+    val all = emb.select(col("vec_id"), col("label").cast("long"),
+        col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).map(x => math.floor(x.toDouble * 1000).toLong)))
+    all.groupBy(_._2).foreach { case (label, vs) =>
+      val brute = vs.map { case (id, _, q) =>
+        val td = vs.map { case (_, _, y) =>
+          q.zip(y).map { case (a, b) => (a - b) * (a - b) }.sum }.sum
+        (td, id)
+      }.min
+      assert(got(label) == ((brute._2, brute._1)),
+        s"label $label: got ${got(label)}, brute $brute")
+    }
+  }
+
   test("hardNegatives (q410): every mined negative has a different label, " +
       "ranks are 1..k, and it equals the window formulation") {
     import spark.implicits._
