@@ -5432,7 +5432,45 @@ object LlmQueries {
           CAST(MAX(n) AS BIGINT) AS n FROM sc GROUP BY 1)
       SELECT label, (b).v AS medoid_vec_id, n,
         CAST((b).td AS BIGINT) AS total_sqdist
-      FROM m ORDER BY label"""))
+      FROM m ORDER BY label""")),
+
+    // DSv2 write with DECLARED distribution + ordering
+    // (RequiresDistributionAndOrdering, the Iceberg-style write path):
+    // the SINK tells Spark "cluster by day, sort by (day, event_id)"
+    // and the planner inserts the exchange + sort — no caller-side
+    // repartition/sortWithinPartitions to forget. The writer hard-fails
+    // if rows arrive unclustered or unsorted (runtime proof the
+    // contract was honored; the input below is hash-scrambled first),
+    // lands one Avro file per (day, task), and the round-trip aggregate
+    // must equal the oracle's direct scan.
+    ("q423_dsv2_sorted_write", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events").select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("user_id"), col("value").cast("double").as("value"))
+        // adversarial input order: if the sink did NOT declare its
+        // requirements, this order reaches the writer and it throws
+        .repartition(8, pmod(xxhash64(col("event_id")), lit(8)))
+      val dir = s"/tmp/graft_sortsink/${new java.io.File(d).getName}"
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+      ev.write.format("graft.sources.v2.SortedClusterSink")
+        .option("path", dir).option("clusterCol", "day")
+        .option("sortCol", "event_id").mode("append").save()
+      val avro = graft.ops.AvroSerDe.avroSchemaFor("SortedRecord", ev.schema)
+      graft.ops.AvroOcf.read(s, dir, avro, ev.schema)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), min("event_id").as("min_id"),
+          max("event_id").as("max_id"),
+          graft.ops.Exact.sumD(col("value")).as("sv"))
+        .orderBy("day")
+    }, Some("""
+      SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+        MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+        CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(12,2))) AS DOUBLE)
+          AS sv
+      FROM events GROUP BY 1 ORDER BY day"""))
   )
 
   /** DuckDB replay of [[Similarity.pcaTopComponent]] — HUGEINT
