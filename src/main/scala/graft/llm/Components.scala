@@ -341,7 +341,12 @@ object Components {
   def bfsLevels(edges: DataFrame, src: Long, maxDepth: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val und0 = edges.select(col("src"), col("dst"))
+    // Canonicalize to (min, max) BEFORE the distinct: inputs that already
+    // carry both directions (the co-purchase relation is symmetric) would
+    // otherwise survive dedup twice, and every round's frontier-edge join
+    // would process each undirected edge 2x for the 6+ rounds below.
+    val und0 = edges.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
     val und = und0
       .union(und0.select(col("dst").as("src"), col("src").as("dst")))
@@ -384,7 +389,10 @@ object Components {
     require(sources.nonEmpty, "sources must be non-empty")
     val spark = edges.sparkSession
     import spark.implicits._
-    val und0 = edges.select(col("src"), col("dst"))
+    // Same (min, max) canonicalization as [[bfsLevels]] — symmetric
+    // inputs must not pay the per-round join twice per undirected edge.
+    val und0 = edges.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
     val und = und0
       .union(und0.select(col("dst").as("src"), col("src").as("dst")))
