@@ -338,39 +338,65 @@ object Components {
     * @param edges (src, dst) pairs; direction/duplicates ignored
     * @return (node, depth) — every vertex within `maxDepth` hops of `src`
     */
-  def bfsLevels(edges: DataFrame, src: Long, maxDepth: Int): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    // Canonicalize to (min, max) BEFORE the distinct: inputs that already
-    // carry both directions (the co-purchase relation is symmetric) would
-    // otherwise survive dedup twice, and every round's frontier-edge join
-    // would process each undirected edge 2x for the 6+ rounds below.
+  def bfsLevels(edges: DataFrame, src: Long, maxDepth: Int): DataFrame =
+    bfsLevelsPrepared(prepareUndirected(edges), src, maxDepth)
+
+  /** Canonicalize + dedup + mirror an edge list into the materialized
+    * bidirectional form the BFS loops join against. Exposed so callers
+    * that run SEVERAL sweeps over the same graph (double-sweep diameter,
+    * landmark batches) pay the edge build — often a fact-table self-join
+    * far heavier than the sweeps — exactly once. Canonicalizing to
+    * (min, max) BEFORE the distinct matters for symmetric inputs (the
+    * co-purchase relation): both directions would survive dedup and
+    * every round's frontier-edge join would process each undirected
+    * edge 2x. */
+  def prepareUndirected(edges: DataFrame): DataFrame = {
     val und0 = edges.select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-    val und = und0
-      .union(und0.select(col("dst").as("src"), col("src").as("dst")))
+    und0.union(und0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
-    // `visited` is a lazy UNION of per-round checkpointed frontiers:
-    // each frontier materializes exactly once (its own checkpoint), so
-    // the anti-join reads D small materialized pieces instead of
-    // re-writing the whole accumulated set every round (which is
-    // O(depth x reached) extra materialization — quadratic in depth).
+  }
+
+  /** [[bfsLevels]] over an edge list already materialized by
+    * [[prepareUndirected]] (both directions present, no self-loops, no
+    * duplicates). */
+  def bfsLevelsPrepared(und: DataFrame, src: Long,
+      maxDepth: Int): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    // Per-round materialization stays `localCheckpoint` ON PURPOSE (not
+    // [[mat]]): the checkpoint rewrites stats to the ACTUAL frontier
+    // size, so Catalyst auto-broadcasts the (small) frontier into the
+    // edge join — a [[mat]] frame gets default LogicalRDD stats and
+    // silently degrades every round to a full edge shuffle (measured
+    // 3x). BFS has no self-join, so the stats-squaring pathology that
+    // forces [[mat]] in the pointer-jump loops cannot occur here. The
+    // dedup anti-join needs only the LAST TWO levels, not the full
+    // visited set: in an undirected graph a neighbor of a depth-d vertex
+    // has depth >= d-1 (else that vertex would be closer than d), so any
+    // already-reached candidate sits in level d or d-1. That keeps the
+    // per-round anti-join O(|frontier|), independent of total reach.
     var levels = List(Seq((src, 0)).toDF("node", "depth").localCheckpoint(true))
-    def visited = levels.reduce(_ union _)
-    var frontier = levels.head.select("node")
+    var prev: DataFrame = null
+    var frontier = levels.head
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
       depth += 1
-      val next = frontier.join(und, frontier("node") === und("src"))
+      val recent =
+        if (prev == null) frontier.select("node")
+        else frontier.select("node").union(prev.select("node"))
+      val fr = frontier.select("node")
+      val next = fr.join(und, fr("node") === und("src"))
         .select(col("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
+        .join(recent, Seq("node"), "left_anti")
         .withColumn("depth", lit(depth))
         .localCheckpoint(true)
       levels ::= next
-      frontier = next.select("node")
+      prev = frontier
+      frontier = next
     }
-    visited
+    levels.reduce(_ union _)
   }
 
   /** Multi-source BFS — one frontier keyed by (node, root) explores all
@@ -389,30 +415,32 @@ object Components {
     require(sources.nonEmpty, "sources must be non-empty")
     val spark = edges.sparkSession
     import spark.implicits._
-    // Same (min, max) canonicalization as [[bfsLevels]] — symmetric
-    // inputs must not pay the per-round join twice per undirected edge.
-    val und0 = edges.select(least(col("src"), col("dst")).as("src"),
-        greatest(col("src"), col("dst")).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
-    val und = und0
-      .union(und0.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+    // Same [[prepareUndirected]] canonicalization and two-level dedup
+    // window as [[bfsLevelsPrepared]] (the depth >= d-1 argument holds
+    // per root independently).
+    val und = prepareUndirected(edges)
     var levels = List(sources.map(r => (r, r, 0))
       .toDF("node", "root", "depth").localCheckpoint(true))
-    def visited = levels.reduce(_ union _)
-    var frontier = levels.head.select("node", "root")
+    var prev: DataFrame = null
+    var frontier = levels.head
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
       depth += 1
-      val next = frontier.join(und, frontier("node") === und("src"))
+      val recent =
+        if (prev == null) frontier.select("node", "root")
+        else frontier.select("node", "root")
+          .union(prev.select("node", "root"))
+      val fr = frontier.select("node", "root")
+      val next = fr.join(und, fr("node") === und("src"))
         .select(col("dst").as("node"), col("root")).distinct()
-        .join(visited, Seq("node", "root"), "left_anti")
+        .join(recent, Seq("node", "root"), "left_anti")
         .withColumn("depth", lit(depth))
         .localCheckpoint(true)
       levels ::= next
-      frontier = next.select("node", "root")
+      prev = frontier
+      frontier = next
     }
-    visited
+    levels.reduce(_ union _)
   }
 
   /** Deterministic MUTUAL-BEST matching on a weighted pair graph — the

@@ -4895,8 +4895,10 @@ object LlmQueries {
     // effective diameter is far smaller).
     ("q411_double_sweep_diameter", (s: SparkSession, d: String) => {
       import s.implicits._
-      val e = coPurchaseEdges(s, d)
-      val b1 = Components.bfsLevels(e, src = 1L, maxDepth = 6)
+      // One shared edge build for both sweeps: the lineitem self-join
+      // behind coPurchaseEdges dwarfs either frontier sweep.
+      val e = Components.prepareUndirected(coPurchaseEdges(s, d))
+      val b1 = Components.bfsLevelsPrepared(e, src = 1L, maxDepth = 6)
       def summarize(b: DataFrame, sweep: Int, src: Long) =
         b.agg(max(col("depth")).cast("long").as("ecc"),
             count(lit(1)).as("n_reached"))
@@ -4904,7 +4906,7 @@ object LlmQueries {
             col("ecc"), col("n_reached"))
       val (far1, _) = b1.orderBy(col("depth").desc, col("node"))
         .select("node", "depth").as[(Long, Int)].head()
-      val b2 = Components.bfsLevels(e, src = far1, maxDepth = 6)
+      val b2 = Components.bfsLevelsPrepared(e, src = far1, maxDepth = 6)
       summarize(b1, 1, 1L).unionAll(summarize(b2, 2, far1))
         .orderBy("sweep")
     }, Some("""
