@@ -5472,8 +5472,327 @@ object LlmQueries {
         MIN(event_id) AS min_id, MAX(event_id) AS max_id,
         CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(12,2))) AS DOUBLE)
           AS sv
-      FROM events GROUP BY 1 ORDER BY day"""))
+      FROM events GROUP BY 1 ORDER BY day""")),
+
+    // Layout-QUALITY audit — does the fancy clustering actually skip
+    // files? q151/q242 only PRODUCE Z/Hilbert layouts; this measures the
+    // property a 100 TB table buys them for: per-file min/max footer
+    // stats under (a) a linear partkey sort and (b) a Z-order layout,
+    // replayed against a 4x4 grid of 2-D range predicates, counting the
+    // files and rows a min/max-pruning scan cannot skip. Everything
+    // after the one pass over the fact table is metadata (32 file-stat
+    // rows x 16 predicates); ranks are exact integer grid cells, so both
+    // engines agree bit-for-bit.
+    ("q424_layout_skipping_audit", (s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.ops.Layout
+      val li = t(s, d, "lineitem").select(
+        col("l_partkey").cast("long").as("pk"),
+        col("l_suppkey").cast("long").as("sk"))
+      val bounds = li.agg(min("pk").as("pmin"),
+        (max("pk") - min("pk") + 1).as("pspan"),
+        min("sk").as("smin"), (max("sk") - min("sk") + 1).as("sspan"))
+      val g = li.crossJoin(broadcast(bounds))
+        .withColumn("rx", expr("((pk - pmin) * 256) div pspan"))
+        .withColumn("ry", expr("((sk - smin) * 256) div sspan"))
+        .withColumn("f_lin", expr("rx div 16"))
+        .withColumn("z", Layout.zValue(col("rx"), col("ry"), 8))
+        .withColumn("f_z", expr("z div 4096"))
+      val stats = g.select(lit("linear").as("layout"),
+          col("f_lin").as("file"), col("rx"), col("ry"))
+        .unionByName(g.select(lit("zorder").as("layout"),
+          col("f_z").as("file"), col("rx"), col("ry")))
+        .groupBy("layout", "file")
+        .agg(count(lit(1)).as("n"),
+          min("rx").as("xmin"), max("rx").as("xmax"),
+          min("ry").as("ymin"), max("ry").as("ymax"))
+      // predicate grid OFFSET by half a cell so rectangles straddle
+      // z-block boundaries — the aligned grid would let z-order hit
+      // exactly one file per predicate, overstating the layout
+      val preds = (0 until 16).map { i =>
+        (i.toLong, (i % 4) * 64L + 32, (i % 4) * 64L + 95,
+          (i / 4) * 64L + 32, (i / 4) * 64L + 95)
+      }.toDF("pred_id", "qx0", "qx1", "qy0", "qy1")
+      val hit = col("xmax") >= col("qx0") && col("xmin") <= col("qx1") &&
+        col("ymax") >= col("qy0") && col("ymin") <= col("qy1")
+      stats.crossJoin(broadcast(preds))
+        .groupBy("pred_id", "layout")
+        .agg(sum(when(hit, 1L).otherwise(0L)).as("files_scanned"),
+          sum(when(hit, col("n")).otherwise(0L)).as("rows_scanned"))
+        .orderBy("pred_id", "layout")
+    }, Some(s"""
+      WITH li AS (SELECT CAST(l_partkey AS BIGINT) AS pk,
+          CAST(l_suppkey AS BIGINT) AS sk FROM lineitem),
+      bd AS (SELECT MIN(pk) AS pmin, MAX(pk) - MIN(pk) + 1 AS pspan,
+          MIN(sk) AS smin, MAX(sk) - MIN(sk) + 1 AS sspan FROM li),
+      gg AS (SELECT ((pk - pmin) * 256) // pspan AS rx,
+          ((sk - smin) * 256) // sspan AS ry FROM li, bd),
+      gz AS (SELECT rx, ry, rx // 16 AS f_lin,
+          (${graft.ops.Layout.zSqlDuck("rx", "ry", 8)}) // 4096 AS f_z
+        FROM gg),
+      st AS (SELECT 'linear' AS layout, f_lin AS fle, COUNT(*) AS n,
+          MIN(rx) AS xmin, MAX(rx) AS xmax,
+          MIN(ry) AS ymin, MAX(ry) AS ymax FROM gz GROUP BY 1, 2
+        UNION ALL
+        SELECT 'zorder', f_z, COUNT(*), MIN(rx), MAX(rx),
+          MIN(ry), MAX(ry) FROM gz GROUP BY 1, 2),
+      pr AS (SELECT i AS pred_id, (i % 4) * 64 + 32 AS qx0,
+          (i % 4) * 64 + 95 AS qx1, (i // 4) * 64 + 32 AS qy0,
+          (i // 4) * 64 + 95 AS qy1
+        FROM (SELECT unnest(range(0, 16)) AS i))
+      SELECT pred_id, layout,
+        CAST(COALESCE(SUM(CASE WHEN xmax >= qx0 AND xmin <= qx1
+            AND ymax >= qy0 AND ymin <= qy1 THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS files_scanned,
+        CAST(COALESCE(SUM(CASE WHEN xmax >= qx0 AND xmin <= qx1
+            AND ymax >= qy0 AND ymin <= qy1 THEN n ELSE 0 END), 0)
+          AS BIGINT) AS rows_scanned
+      FROM st CROSS JOIN pr
+      GROUP BY 1, 2 ORDER BY pred_id, layout""")),
+
+    // Exact nDCG@10 for label-relevance retrieval over the embedding
+    // table: candidates ranked per query by EXACT integer dot product of
+    // floor-quantized vectors (the pcaSql scaling discipline), gains are
+    // 0/1 label matches, and the rank discounts 1/log2(i+1) are inlined
+    // as one shared 10-row integer table (scaled 1e9) so neither engine
+    // recomputes a transcendental. Top-10 per query is two-phase
+    // (partition-local window, then a final window over <= 10 rows per
+    // partition per query) — no corpus-wide single-task sort at scale.
+    ("q425_ndcg_eval", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("q").as("qq"))
+      val scored = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("qlabel"), col("vec_id"), col("label"),
+          expr("aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, " +
+            "(acc, x) -> acc + x)").as("idot"))
+        .withColumn("rel",
+          when(col("label") === col("qlabel"), 1L).otherwise(0L))
+      val wLoc = Window
+        .partitionBy(col("query_id"), spark_partition_id())
+        .orderBy(col("idot").desc, col("vec_id"))
+      val wGlob = Window.partitionBy("query_id")
+        .orderBy(col("idot").desc, col("vec_id"))
+      val top = scored
+        .withColumn("lr", row_number().over(wLoc)).filter(col("lr") <= 10)
+        .withColumn("rnk", row_number().over(wGlob))
+        .filter(col("rnk") <= 10)
+      val discs = ndcgDiscounts.zipWithIndex
+        .map { case (v, i) => (i + 1L, v) }.toDF("rnk", "disc")
+      val ideal = ndcgDiscounts.zipWithIndex
+        .map { case (_, i) =>
+          (i + 1L, ndcgDiscounts.take(i + 1).sum)
+        }.toDF("r_cap", "idcg_scaled")
+      val dcg = top.join(broadcast(discs), "rnk")
+        .groupBy("query_id")
+        .agg(sum(col("rel") * col("disc")).as("dcg_scaled"))
+      val nrel = scored.groupBy("query_id").agg(sum("rel").as("n_rel"))
+      nrel.join(dcg, Seq("query_id"), "left")
+        .withColumn("dcg_scaled", coalesce(col("dcg_scaled"), lit(0L)))
+        .join(broadcast(ideal), least(col("n_rel"), lit(10L)) === col("r_cap"),
+          "left")
+        .withColumn("idcg_scaled", coalesce(col("idcg_scaled"), lit(0L)))
+        .select(col("query_id"), col("n_rel"), col("dcg_scaled"),
+          col("idcg_scaled"),
+          when(col("idcg_scaled") > 0,
+            expr("(dcg_scaled * 1000000) div idcg_scaled"))
+            .otherwise(0L).as("ndcg_ppm"))
+        .orderBy("query_id")
+    }, Some(s"""
+      WITH qt AS (SELECT vec_id, label,
+          list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        FROM embeddings),
+      el AS (SELECT vec_id, generate_subscripts(q, 1) AS i, unnest(q) AS x
+        FROM qt),
+      qq AS (SELECT t.vec_id AS query_id, t.label AS qlabel, e.i, e.x
+        FROM qt t JOIN el e ON t.vec_id = e.vec_id WHERE t.vec_id < 8),
+      sc AS (SELECT qq.query_id, qq.qlabel, e.vec_id,
+          SUM(e.x * qq.x) AS idot
+        FROM el e JOIN qq ON e.i = qq.i AND e.vec_id <> qq.query_id
+        GROUP BY 1, 2, 3),
+      rl AS (SELECT s.query_id, s.vec_id, s.idot,
+          CASE WHEN t.label = s.qlabel THEN 1 ELSE 0 END AS rel
+        FROM sc s JOIN qt t ON t.vec_id = s.vec_id),
+      rk AS (SELECT query_id, rel, row_number() OVER (
+          PARTITION BY query_id ORDER BY idot DESC, vec_id) AS rnk
+        FROM rl),
+      ds(rnk, disc) AS (VALUES ${ndcgDiscounts.zipWithIndex
+        .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")}),
+      id(r_cap, idcg) AS (VALUES ${ndcgDiscounts.zipWithIndex
+        .map { case (_, i) =>
+          s"(${i + 1}, ${ndcgDiscounts.take(i + 1).sum})"
+        }.mkString(", ")}),
+      dc AS (SELECT query_id,
+          CAST(COALESCE(SUM(rel * disc), 0) AS BIGINT) AS dcg_scaled
+        FROM rk JOIN ds USING (rnk) WHERE rnk <= 10 GROUP BY 1),
+      nr AS (SELECT query_id, CAST(SUM(rel) AS BIGINT) AS n_rel FROM rl
+        GROUP BY 1)
+      SELECT nr.query_id, nr.n_rel,
+        COALESCE(dc.dcg_scaled, 0) AS dcg_scaled,
+        CAST(COALESCE(id.idcg, 0) AS BIGINT) AS idcg_scaled,
+        CASE WHEN COALESCE(id.idcg, 0) > 0
+          THEN CAST(COALESCE(dc.dcg_scaled, 0) * 1000000 // id.idcg
+            AS BIGINT) ELSE 0 END AS ndcg_ppm
+      FROM nr LEFT JOIN dc USING (query_id)
+      LEFT JOIN id ON LEAST(nr.n_rel, 10) = id.r_cap
+      ORDER BY query_id""")),
+
+    // Corpus-level BLEU component table — clipped n-gram precision
+    // numerators/denominators for n=1..4 plus the exact length totals the
+    // brevity penalty needs. Candidate = the first ceil(0.8·len) tokens
+    // of each doc, reference = the full doc, so clipping (min of
+    // candidate and reference counts PER distinct gram per doc) is
+    // genuinely exercised on repeated grams. All outputs are exact
+    // BIGINTs; the closing exp/log combine is a 4-number driver formula
+    // documented here, not recomputed floating state.
+    ("q426_corpus_bleu", (s: SparkSession, d: String) => {
+      val tk = t(s, d, "documents").select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("tk"))
+        .withColumn("rlen", size(col("tk")).cast("long"))
+        .withColumn("clen", expr("(rlen * 8 + 9) div 10"))
+        .withColumn("ck", expr("slice(tk, 1, CAST(clen AS INT))"))
+      val lens = tk.agg(sum("clen").as("cand_len"), sum("rlen").as("ref_len"))
+      def grams(arr: String, len: String, n: Int) =
+        expr(s"CASE WHEN $len >= $n THEN transform(" +
+          s"sequence(1, CAST($len AS INT) - ${n - 1}), " +
+          s"i -> array_join(slice($arr, i, $n), ' ')) " +
+          "ELSE array() END")
+      val perN = (1 to 4).map { n =>
+        val c = tk.select(col("doc_id"),
+            explode(grams("ck", "clen", n)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("cn"))
+        val r = tk.select(col("doc_id"),
+            explode(grams("tk", "rlen", n)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("rn"))
+        c.join(r, Seq("doc_id", "g"), "left")
+          .agg(lit(n.toLong).as("n"),
+            sum(least(col("cn"), coalesce(col("rn"), lit(0L))))
+              .as("matched"),
+            sum("cn").as("total"))
+      }
+      perN.reduce(_ unionByName _).crossJoin(broadcast(lens))
+        .orderBy("n")
+    }, Some((1 to 4).map { n =>
+      s"""SELECT CAST($n AS BIGINT) AS n,
+        CAST(SUM(LEAST(cn, COALESCE(rn, 0))) AS BIGINT) AS matched,
+        CAST(SUM(cn) AS BIGINT) AS total,
+        (SELECT CAST(SUM((len(regexp_split_to_array(trim(text), '\\s+'))
+            * 8 + 9) // 10) AS BIGINT) FROM documents) AS cand_len,
+        (SELECT CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+            AS BIGINT) FROM documents) AS ref_len
+      FROM (
+        WITH tk AS (SELECT doc_id,
+            regexp_split_to_array(trim(text), '\\s+') AS tk,
+            len(regexp_split_to_array(trim(text), '\\s+')) AS rlen,
+            (len(regexp_split_to_array(trim(text), '\\s+')) * 8 + 9) // 10
+              AS clen
+          FROM documents),
+        cg AS (SELECT doc_id, unnest(CASE WHEN clen >= $n
+            THEN list_transform(range(1, CAST(clen AS BIGINT) - ${n - 2}),
+              i -> array_to_string(tk[i:i+${n - 1}], ' '))
+            ELSE [] END) AS g FROM tk),
+        rg AS (SELECT doc_id, unnest(CASE WHEN rlen >= $n
+            THEN list_transform(range(1, CAST(rlen AS BIGINT) - ${n - 2}),
+              i -> array_to_string(tk[i:i+${n - 1}], ' '))
+            ELSE [] END) AS g FROM tk),
+        cc AS (SELECT doc_id, g, COUNT(*) AS cn FROM cg GROUP BY 1, 2),
+        rc AS (SELECT doc_id, g, COUNT(*) AS rn FROM rg GROUP BY 1, 2)
+        SELECT cc.doc_id, cc.g, cc.cn, rc.rn
+        FROM cc LEFT JOIN rc ON cc.doc_id = rc.doc_id AND cc.g = rc.g)"""
+    }.mkString("\nUNION ALL\n") + "\nORDER BY n")),
+
+    // Split-conformal prediction interval (Vovk; Lei et al.) in exact
+    // integer arithmetic: nonconformity = |n_chars - 6·n_tokens| on the
+    // even-doc_id calibration half, q-hat = the ceil((n+1)·0.9)-th
+    // smallest calibration score — selected WITHOUT a global sort via
+    // [[graft.ops.Select.kthSmallest]]'s two-pass histogram selection —
+    // and the guaranteed >= 90% marginal coverage is then audited on the
+    // odd-doc_id test half. One summary row, every column a BIGINT.
+    ("q427_conformal_calibration", (s: SparkSession, d: String) => {
+      val base = t(s, d, "documents").select(col("doc_id"),
+        abs(col("n_chars") -
+          lit(6L) * TextOps.nTokens(col("text"))).as("score"))
+      val cal = base.filter(col("doc_id") % 2 === 0)
+      val tst = base.filter(col("doc_id") % 2 =!= 0)
+      val nCal = cal.count()
+      val k = (9L * (nCal + 1) + 9) / 10
+      require(k <= nCal, s"alpha too small for n_cal=$nCal")
+      val qhat = graft.ops.Select
+        .kthSmallest(cal.sparkSession, cal, "score", shift = 6,
+          ranks = Seq(("qhat", k)))
+        .select(col("value").as("qhat"))
+      tst.crossJoin(broadcast(qhat))
+        .agg(lit(nCal).as("n_cal"), lit(k).as("k"),
+          max("qhat").as("qhat"), count(lit(1)).as("n_test"),
+          sum(when(col("score") <= col("qhat"), 1L).otherwise(0L))
+            .as("covered"))
+        .withColumn("coverage_bp",
+          expr("(covered * 10000) div n_test"))
+    }, Some("""
+      WITH b AS (SELECT doc_id,
+          ABS(n_chars - 6 * len(regexp_split_to_array(trim(text), '\s+')))
+            AS score
+        FROM documents),
+      cal AS (SELECT score FROM b WHERE doc_id % 2 = 0),
+      nc AS (SELECT COUNT(*) AS n_cal FROM cal),
+      kk AS (SELECT n_cal, (9 * (n_cal + 1) + 9) // 10 AS k FROM nc),
+      qh AS (SELECT CAST(score AS BIGINT) AS qhat FROM cal, kk
+        ORDER BY score LIMIT 1 OFFSET (SELECT k - 1 FROM kk)),
+      tst AS (SELECT score FROM b WHERE doc_id % 2 <> 0)
+      SELECT CAST(kk.n_cal AS BIGINT) AS n_cal, CAST(kk.k AS BIGINT) AS k,
+        qh.qhat, COUNT(*) AS n_test,
+        CAST(SUM(CASE WHEN score <= qh.qhat THEN 1 ELSE 0 END) AS BIGINT)
+          AS covered,
+        CAST(SUM(CASE WHEN score <= qh.qhat THEN 1 ELSE 0 END) * 10000
+          // COUNT(*) AS BIGINT) AS coverage_bp
+      FROM tst, kk, qh GROUP BY 1, 2, 3""")),
+
+    // Weighted sampling WITHOUT replacement via Efraimidis–Spirakis A-ES
+    // keys: u = (xxhash64(doc_id) mod 2^53 + 1)/2^53 (exact-double by
+    // construction — both engines divide the same integer by a power of
+    // two), key = ln(u)/w maximized — the classic one-pass distributed
+    // weighted reservoir, here as a global top-100 TakeOrdered (no full
+    // sort). Output is rank/ids/weights only; the float key is internal
+    // ordering state, never emitted.
+    ("q428_weighted_sample_aes", (s: SparkSession, d: String) => {
+      val w53 = 9007199254740992L // 2^53
+      val keyed = t(s, d, "documents").select(col("doc_id"),
+          greatest(col("n_chars"), lit(1L)).as("w"))
+        .withColumn("u",
+          (xxhash64(col("doc_id")).bitwiseAND(lit(w53 - 1)).cast("double")
+            + 1.0) / lit(w53.toDouble))
+        .withColumn("key", log(col("u")) / col("w").cast("double"))
+      val top = keyed.orderBy(col("key").desc, col("doc_id")).limit(100)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(col("key").desc, col("doc_id"))))
+        .select(col("rank").cast("long").as("rank"), col("doc_id"), col("w"))
+        .orderBy("rank")
+    }, Some(s"""
+      WITH h AS (SELECT doc_id, GREATEST(n_chars, 1) AS w,
+          ${XxHashOracle.hashLong("CAST(doc_id AS HUGEINT)",
+            "CAST(42 AS HUGEINT)")} % 9007199254740992 AS h53
+        FROM documents),
+      k AS (SELECT doc_id, w,
+          ln((CAST(h53 AS DOUBLE) + 1.0) / 9007199254740992.0)
+            / CAST(w AS DOUBLE) AS key
+        FROM h)
+      SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT)
+          AS rank, doc_id, CAST(w AS BIGINT) AS w
+      FROM k ORDER BY key DESC, doc_id LIMIT 100"""))
   )
+
+  /** round(1e9 / log2(i+1)) for i = 1..10 — the shared nDCG discount
+    * table (inlined as integer constants on BOTH engines so neither
+    * recomputes a transcendental in the checked output). */
+  private def ndcgDiscounts: Seq[Long] = Seq(1000000000L, 630929754L,
+    500000000L, 430676558L, 386852807L, 356207187L, 333333333L,
+    315464877L, 301029996L, 289064826L)
 
   /** DuckDB replay of [[Similarity.pcaTopComponent]] — HUGEINT
     * arithmetic, floor-div `//` wrapped in a sign CASE to match Spark's
