@@ -5784,8 +5784,112 @@ object LlmQueries {
         FROM h)
       SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT)
           AS rank, doc_id, CAST(w AS BIGINT) AS w
-      FROM k ORDER BY key DESC, doc_id LIMIT 100"""))
+      FROM k ORDER BY key DESC, doc_id LIMIT 100""")),
+
+    // Greedy k-center coreset selection (farthest-first traversal) over
+    // the embedding table — 8 maximally-spread exemplars plus the
+    // covering-radius² trajectory, all in exact integer squared-L2 (see
+    // [[Similarity.kCenterGreedy]] for the one-broadcast-row-per-round
+    // shape). The oracle unrolls the 8 greedy rounds as CTEs.
+    ("q429_kcenter_coreset", (s: SparkSession, d: String) => {
+      Similarity.kCenterGreedy(t(s, d, "embeddings"), k = 8)
+        .orderBy("round")
+    }, Some(kcenterSql(8))),
+
+    // Horvitz–Thompson total estimation under DETERMINISTIC Poisson-PPS
+    // sampling: inclusion probability π_i = min(1, n·w_i/W), membership
+    // decided by the exact integer comparison h53·W < 2^53·n·w_i (the
+    // xxhash64-mod-2^53 coin both engines replay bit-for-bit — no float
+    // thresholds), and the estimator Σ y_i/π_i carried as per-term
+    // integer division at 1e6 scale in DECIMAL(38,0)/HUGEINT. The
+    // census truth is computed in the SAME aggregate pass, so the output
+    // row audits the estimator's error in ppm — the sample-design check
+    // a corpus-stats pipeline runs before trusting sampled metrics.
+    ("q430_horvitz_thompson", (s: SparkSession, d: String) => {
+      val base = t(s, d, "documents").select(col("doc_id"),
+        greatest(col("n_chars"), lit(1L)).as("w"),
+        TextOps.nTokens(col("text")).as("y"))
+      val tot = base.agg(sum("w").as("bigw"), sum("y").as("truey"))
+      val w53 = 9007199254740992L // 2^53
+      base.crossJoin(broadcast(tot))
+        .withColumn("h53",
+          xxhash64(col("doc_id")).bitwiseAND(lit(w53 - 1)))
+        .filter(col("h53").cast("decimal(38,0)")
+          * col("bigw").cast("decimal(38,0)") <
+          lit(w53).cast("decimal(38,0)") * 100 *
+            col("w").cast("decimal(38,0)"))
+        .withColumn("term", expr(
+          "CASE WHEN 100 * w >= bigw THEN y * 1000000 " +
+            "ELSE CAST((CAST(y AS DECIMAL(38,0)) * bigw * 1000000) div " +
+            "(100 * CAST(w AS DECIMAL(38,0))) AS BIGINT) END"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum("term").as("est_scaled"),
+          (max("truey") * 1000000).as("true_scaled"))
+        .withColumn("err_ppm", expr(
+          "(abs(est_scaled - true_scaled) * 1000000) div true_scaled"))
+    }, Some("""
+      WITH b AS (SELECT doc_id, GREATEST(n_chars, 1) AS w,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+            AS y
+        FROM documents),
+      tt AS (SELECT CAST(SUM(w) AS HUGEINT) AS bigw,
+          CAST(SUM(y) AS BIGINT) AS truey FROM b),
+      h AS (SELECT doc_id, w, y,
+          """ + XxHashOracle.hashLong("CAST(doc_id AS HUGEINT)",
+            "CAST(42 AS HUGEINT)") + """ % 9007199254740992 AS h53
+        FROM b),
+      sel AS (SELECT h.*, tt.bigw, tt.truey FROM h, tt
+        WHERE CAST(h53 AS HUGEINT) * bigw
+          < CAST(9007199254740992 AS HUGEINT) * 100 * w),
+      terms AS (SELECT CASE WHEN 100 * w >= bigw THEN y * 1000000
+          ELSE CAST((CAST(y AS HUGEINT) * bigw * 1000000)
+            // (100 * CAST(w AS HUGEINT)) AS BIGINT) END AS term,
+          truey
+        FROM sel)
+      SELECT COUNT(*) AS n_sampled,
+        CAST(SUM(term) AS BIGINT) AS est_scaled,
+        CAST(MAX(truey) * 1000000 AS BIGINT) AS true_scaled,
+        CAST(ABS(CAST(SUM(term) AS HUGEINT) - MAX(truey) * 1000000)
+          * 1000000 // (MAX(truey) * 1000000) AS BIGINT) AS err_ppm
+      FROM terms"""))
   )
+
+  /** DuckDB replay of [[Similarity.kCenterGreedy]] — the k greedy rounds
+    * unrolled as CTEs, each: one center's coordinates, one exact integer
+    * d² aggregate, a LEAST fold into the running min-distance, and an
+    * ORDER BY md DESC, vec_id LIMIT 1 argmax. */
+  private def kcenterSql(k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      val prev = if (r == 2) "m1" else s"m${r - 1}"
+      s"""c$r AS (SELECT vec_id AS cid, md FROM $prev
+        ORDER BY md DESC, vec_id LIMIT 1),
+      ce$r AS (SELECT i, x FROM el JOIN c$r ON el.vec_id = c$r.cid),
+      d$r AS (SELECT e.vec_id, SUM((e.x - c.x) * (e.x - c.x)) AS d2
+        FROM el e JOIN ce$r c USING (i) GROUP BY 1),
+      m$r AS MATERIALIZED (SELECT p.vec_id, LEAST(p.md, d$r.d2) AS md
+        FROM $prev p JOIN d$r USING (vec_id))"""
+    }.mkString(",\n      ")
+    val outs = (2 to k).map { r =>
+      s"UNION ALL SELECT $r, cid, CAST(md AS BIGINT) FROM c$r"
+    }.mkString("\n      ")
+    s"""
+      WITH qt AS (SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        FROM embeddings),
+      el AS MATERIALIZED (SELECT vec_id, generate_subscripts(q, 1) AS i,
+          unnest(q) AS x FROM qt),
+      c1 AS (SELECT MIN(vec_id) AS cid FROM qt),
+      ce1 AS (SELECT i, x FROM el JOIN c1 ON el.vec_id = c1.cid),
+      m1 AS MATERIALIZED (SELECT e.vec_id,
+          SUM((e.x - c.x) * (e.x - c.x)) AS md
+        FROM el e JOIN ce1 c USING (i) GROUP BY 1),
+      $rounds
+      SELECT CAST(1 AS BIGINT) AS round, cid AS center_id,
+        CAST(0 AS BIGINT) AS radius2 FROM c1
+      $outs
+      ORDER BY round"""
+  }
 
   /** round(1e9 / log2(i+1)) for i = 1..10 — the shared nDCG discount
     * table (inlined as integer constants on BOTH engines so neither

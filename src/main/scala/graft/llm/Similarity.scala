@@ -1041,6 +1041,55 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Greedy k-center / farthest-first traversal (Gonzalez '85, the
+    * classic 2-approximation) — the coreset/diversity selection pass a
+    * data-pruning pipeline runs to pick k maximally-spread exemplars.
+    * Distances are EXACT integer squared-L2 over floor(x·scale)
+    * coordinates, so every engine replays each round bit-for-bit.
+    *
+    * 100 TB posture: per round exactly ONE new center's quantized vector
+    * broadcasts (a one-row frame); the min-distance update is a map-only
+    * pass over the (vec_id, q, mind2) state — the vector column never
+    * crosses a shuffle — and the next center is a single
+    * max(struct(mind2, -id)) argmax row to the driver. State
+    * localCheckpoints per round so lineage stays flat across k rounds.
+    *
+    * Returns (round, center_id, radius2): radius2 is the covering radius²
+    * BEFORE that round's center was added (round 1 = seed, radius2 0). */
+  def kCenterGreedy(emb: DataFrame, k: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.select(col("vec_id"), transform(col("embedding"),
+      x => floor(x.cast("double") * scale).cast("long")).as("q"))
+    val seed = q.agg(min("vec_id")).as[Long].head()
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    var state = q.crossJoin(broadcast(
+        q.filter(col("vec_id") === seed).select(col("q").as("cq"))))
+      .select(col("vec_id"), col("q"), d2(col("q"), col("cq")).as("mind2"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer((1L, seed, 0L))
+    for (r <- 2 to k) {
+      val m = state
+        .agg(max(struct(col("mind2"), (-col("vec_id")).as("nv"))).as("m"))
+        .select(col("m.mind2"), (-col("m.nv")).as("cid"))
+        .as[(Long, Long)].head()
+      val (radius2, cid) = m
+      out += ((r.toLong, cid, radius2))
+      if (r < k) {
+        state = state.crossJoin(broadcast(state
+            .filter(col("vec_id") === cid).select(col("q").as("cq"))))
+          .select(col("vec_id"), col("q"),
+            least(col("mind2"), d2(col("q"), col("cq"))).as("mind2"))
+          .localCheckpoint(true)
+      }
+    }
+    out.toSeq.toDF("round", "center_id", "radius2")
+  }
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein '98) —
     * the RAG diversification pass: greedily select k results balancing
     * query relevance against redundancy with what's already selected,
