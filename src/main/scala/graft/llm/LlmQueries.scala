@@ -5851,7 +5851,123 @@ object LlmQueries {
         CAST(MAX(truey) * 1000000 AS BIGINT) AS true_scaled,
         CAST(ABS(CAST(SUM(term) AS HUGEINT) - MAX(truey) * 1000000)
           * 1000000 // (MAX(truey) * 1000000) AS BIGINT) AS err_ppm
-      FROM terms"""))
+      FROM terms""")),
+
+    // McNemar's paired test (continuity-corrected) comparing two token
+    // estimators on the SAME documents — the paired-eval primitive for
+    // "is model B actually better than model A on this corpus" (paired
+    // discordant counts, not two independent accuracies). Estimator A =
+    // chars div 5, B = chars div 6, correct = within 5% of the true
+    // whitespace token count; the b/c discordant cells and the
+    // chi-square statistic (scaled 1e6, exact integer division) replay
+    // identically on both engines. One aggregation pass, one output row.
+    ("q431_mcnemar_paired", (s: SparkSession, d: String) => {
+      val base = t(s, d, "documents").select(
+        TextOps.nTokens(col("text")).as("y"),
+        expr("n_chars div 5").as("ya"), expr("n_chars div 6").as("yb"))
+        .withColumn("ca", abs(col("ya") - col("y")) * 20 <= col("y"))
+        .withColumn("cb", abs(col("yb") - col("y")) * 20 <= col("y"))
+      base.agg(count(lit(1)).as("n"),
+          sum(when(col("ca") && !col("cb"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("ca") && col("cb"), 1L).otherwise(0L)).as("c"),
+          sum(when(col("ca") && col("cb"), 1L).otherwise(0L))
+            .as("both_correct"))
+        .withColumn("chi2_ppm", when(col("b") + col("c") > 0, expr(
+          "((abs(b - c) - 1) * (abs(b - c) - 1) * 1000000) div (b + c)"))
+          .otherwise(0L))
+    }, Some("""
+      WITH b AS (SELECT
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+            AS y,
+          n_chars // 5 AS ya, n_chars // 6 AS yb
+        FROM documents),
+      f AS (SELECT y, ABS(ya - y) * 20 <= y AS ca,
+          ABS(yb - y) * 20 <= y AS cb FROM b),
+      agg AS (SELECT COUNT(*) AS n,
+          CAST(SUM(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT)
+            AS b,
+          CAST(SUM(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END) AS BIGINT)
+            AS c,
+          CAST(SUM(CASE WHEN ca AND cb THEN 1 ELSE 0 END) AS BIGINT)
+            AS both_correct
+        FROM f)
+      SELECT n, b, c, both_correct,
+        CASE WHEN b + c > 0 THEN
+          CAST((ABS(b - c) - 1) * (ABS(b - c) - 1) * 1000000 // (b + c)
+            AS BIGINT)
+        ELSE 0 END AS chi2_ppm
+      FROM agg""")),
+
+    // CUPED variance reduction (Deng et al. 2013) for the user-split
+    // experiment readout: pre-period value (Jan 1-15) is the covariate,
+    // post-period value the metric, arms split on user_id parity. All
+    // moments are exact integer cent sums (ONE conditional-aggregation
+    // pass per user, then one tiny arm rollup); theta = cov/var and the
+    // raw/adjusted deltas are fixed-point ppm integer divisions replayed
+    // identically on both engines — the float-free A/B analysis close.
+    ("q432_cuped_adjustment", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events").select(col("user_id"),
+        (date_format(col("ts"), "yyyy-MM-dd") < "2024-01-16").as("pre"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      val per = ev.groupBy("user_id").agg(
+        sum(when(col("pre"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("cents")).otherwise(0L)).as("y"))
+        .withColumn("trt", (col("user_id") % 2 === 1).cast("boolean"))
+      val dec = "decimal(38,0)"
+      per.agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+          sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+          sum(when(col("trt"), 1L).otherwise(0L)).as("nt"),
+          sum(when(col("trt"), col("x")).otherwise(0L)).as("sxt"),
+          sum(when(col("trt"), col("y")).otherwise(0L)).as("syt"))
+        .withColumn("theta_ppm", expr(
+          "CAST((CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0))"
+            + " * sy) * 1000000 div (CAST(n AS DECIMAL(38,0)) * sxx - "
+            + "CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)"))
+        .withColumn("dy_ppm", expr(
+          "(syt * 1000000) div nt - ((sy - syt) * 1000000) div (n - nt)"))
+        .withColumn("dx_ppm", expr(
+          "(sxt * 1000000) div nt - ((sx - sxt) * 1000000) div (n - nt)"))
+        .withColumn("adj_ppm",
+          expr("dy_ppm - (theta_ppm * dx_ppm) div 1000000"))
+        .select(col("n"), col("nt"), col("sx"), col("sy"),
+          col("theta_ppm"), col("dy_ppm"), col("dx_ppm"), col("adj_ppm"))
+    }, Some("""
+      WITH ev AS (SELECT user_id,
+          strftime(ts, '%Y-%m-%d') < '2024-01-16' AS pre,
+          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+      per AS (SELECT user_id,
+          CAST(COALESCE(SUM(CASE WHEN pre THEN cents END), 0) AS BIGINT)
+            AS x,
+          CAST(COALESCE(SUM(CASE WHEN NOT pre THEN cents END), 0)
+            AS BIGINT) AS y,
+          user_id % 2 = 1 AS trt
+        FROM ev GROUP BY user_id),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+          CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+          CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+          CAST(SUM(CASE WHEN trt THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+          CAST(COALESCE(SUM(CASE WHEN trt THEN x END), 0) AS BIGINT)
+            AS sxt,
+          CAST(COALESCE(SUM(CASE WHEN trt THEN y END), 0) AS BIGINT)
+            AS syt
+        FROM per),
+      th AS (SELECT *,
+          CAST((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+            // (n * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+            AS theta_ppm,
+          CAST((syt * 1000000) // nt
+            - ((sy - syt) * 1000000) // (n - nt) AS BIGINT) AS dy_ppm,
+          CAST((sxt * 1000000) // nt
+            - ((sx - sxt) * 1000000) // (n - nt) AS BIGINT) AS dx_ppm
+        FROM m)
+      SELECT n, nt, sx, sy, theta_ppm, dy_ppm, dx_ppm,
+        CAST(dy_ppm - (CAST(theta_ppm AS HUGEINT) * dx_ppm) // 1000000
+          AS BIGINT) AS adj_ppm
+      FROM th"""))
   )
 
   /** DuckDB replay of [[Similarity.kCenterGreedy]] — the k greedy rounds
