@@ -5592,7 +5592,9 @@ object LlmQueries {
         .groupBy("query_id")
         .agg(sum(col("rel") * col("disc")).as("dcg_scaled"))
       val nrel = scored.groupBy("query_id").agg(sum("rel").as("n_rel"))
-      nrel.join(dcg, Seq("query_id"), "left")
+      // dcg is a query-count-sized aggregate (bounded by the probe set,
+      // not the corpus) — broadcast it; pre-AQE stats would SMJ here
+      nrel.join(broadcast(dcg), Seq("query_id"), "left")
         .withColumn("dcg_scaled", coalesce(col("dcg_scaled"), lit(0L)))
         .join(broadcast(ideal), least(col("n_rel"), lit(10L)) === col("r_cap"),
           "left")

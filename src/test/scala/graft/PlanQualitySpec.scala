@@ -910,6 +910,77 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("q424: layout audit broadcasts bounds and the predicate grid; " +
+      "file stats are partial+final; nothing sort-merges") {
+    val p = plan("q424_layout_skipping_audit")
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2, p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q425: nDCG ranks against a BROADCAST query set; the corpus " +
+      "top-k window is two-level (partition-local first)") {
+    val p = plan("q425_ndcg_eval")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // local pass keys on (query_id, SPARK_PARTITION_ID) — the global
+    // window then sees <= 10 rows per partition per query
+    assert(p.contains("SPARK_PARTITION_ID") ||
+      p.contains("spark_partition_id"), p.take(3000))
+  }
+
+  test("q426: BLEU gram counts are partial+final keyed aggregates; " +
+      "the length totals broadcast") {
+    val p = plan("q426_corpus_bleu")
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p.take(3000))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("q427: conformal close joins a BROADCAST one-row q-hat; no " +
+      "sort-merge join, no corpus-wide unkeyed window") {
+    val p = plan("q427_conformal_calibration")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q428: weighted sampling is a TakeOrdered global top-k — " +
+      "never a full sort of the corpus") {
+    val p = plan("q428_weighted_sample_aes")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(3000))
+  }
+
+  test("q430: HT estimation is one pass with a BROADCAST totals row; " +
+      "membership is the exact integer hash comparison") {
+    val p = plan("q430_horvitz_thompson")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("xxhash64"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q431: McNemar is a single partial+final aggregate — no join, " +
+      "no keyed shuffle, no window") {
+    val p = plan("q431_mcnemar_paired")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("q432: CUPED pays exactly ONE keyed shuffle (per-user rollup); " +
+      "the moment close is a single-row aggregate") {
+    val p = plan("q432_cuped_adjustment")
+    val shuffles = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected one keyed shuffle, got $shuffles:\n" +
+      p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
   test("q408: template LCP is one partial+final string min/max " +
       "aggregate; the LCP walk runs on source-cardinality survivors") {
     val p = plan("q408_source_template_lcp")

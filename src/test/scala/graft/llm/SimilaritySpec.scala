@@ -350,6 +350,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kCenterGreedy (q429): matches the driver-side farthest-first " +
+      "replay exactly, radii are non-increasing, centers distinct") {
+    import spark.implicits._
+    val got = Similarity.kCenterGreedy(emb, k = 6)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).sameElements(1L to 6L))
+    assert(got.map(_._2).distinct.length == 6, s"duplicate centers: $got")
+    // radius sequence non-increasing from round 2 on (greedy invariant)
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"radii not monotone: ${radii.toSeq}")
+    // exact driver replay
+    val all = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000000).toLong)))
+      .sortBy(_._1)
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var centers = List(all.head._1)
+    var mind = all.map { case (id, q) => id -> d2(q, all.head._2) }.toMap
+    val vecs = all.toMap
+    val expect = scala.collection.mutable.ArrayBuffer((1L, all.head._1, 0L))
+    for (r <- 2 to 6) {
+      val (cid, rad) = mind.toSeq.map { case (id, dd) => (dd, -id) }.max match {
+        case (dd, nid) => (-nid, dd)
+      }
+      expect += ((r.toLong, cid, rad))
+      centers ::= cid
+      mind = mind.map { case (id, dd) =>
+        id -> math.min(dd, d2(vecs(id), vecs(cid))) }
+    }
+    assert(got.toSeq == expect.toSeq, s"got ${got.toSeq}, want $expect")
+  }
+
   test("hardNegatives (q410): every mined negative has a different label, " +
       "ranks are 1..k, and it equals the window formulation") {
     import spark.implicits._
