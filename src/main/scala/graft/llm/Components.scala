@@ -567,6 +567,65 @@ object Components {
     * @param edges (src, dst) pairs; symmetrized and de-duplicated here
     * @return surviving (node, core_deg) — degree within the k-core
     */
+  /** Luby-style maximal independent set over an undirected edge list,
+    * DETERMINISTIC: vertex priority is the total order
+    * (xxhash64(id), id), so every engine replays the exact same MIS.
+    * Per round each ACTIVE vertex compares its priority against the MIN
+    * priority among its active neighbors (one keyed aggregate over the
+    * live edge relation — min(struct) is partial-aggregable, no window);
+    * strict winners join the MIS, then winners and their neighborhoods
+    * leave. Fixed `rounds` rather than a fixpoint claim so a
+    * bounded-round oracle replays it exactly (the kTruss discipline);
+    * with a total order at least the globally-minimal active vertex
+    * wins each round, and whp a constant fraction of edges dies per
+    * round (Luby '86). A vertex whose neighborhood was consumed earlier
+    * has no live edges and wins its round automatically.
+    *
+    * 100 TB posture: shuffles carry (src, dst) / (v, priority) longs
+    * only; per-round localCheckpoint flattens lineage; winners
+    * accumulate as materialized per-round frames unioned lazily at the
+    * end. Returns (node, mis_round) for vertices that entered the MIS
+    * within `rounds`. */
+  def lubyMis(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val pri = struct(xxhash64(col("v")).as("h"), col("v").as("i"))
+    var e = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    var active = e.select(col("src").as("v")).distinct().localCheckpoint(true)
+    val misParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      r += 1
+      val nbrMin = e
+        .groupBy(col("src").as("v"))
+        .agg(min(struct(xxhash64(col("dst")).as("h"),
+          col("dst").as("i"))).as("nb"))
+      val winners = active.join(nbrMin, Seq("v"), "left")
+        .filter(col("nb").isNull || pri < col("nb"))
+        .select(col("v"), lit(r.toLong).as("mis_round"))
+        .localCheckpoint(true)
+      misParts += winners
+      val removed = winners.select("v")
+        .union(e.join(winners.select("v").withColumnRenamed("v", "src"),
+          Seq("src"), "left_semi").select(col("dst").as("v")))
+        .distinct()
+      active = active.join(removed, Seq("v"), "left_anti")
+        .localCheckpoint(true)
+      done = active.isEmpty
+      if (!done) {
+        e = e
+          .join(active.select(col("v").as("src")), Seq("src"), "left_semi")
+          .join(active.select(col("v").as("dst")), Seq("dst"), "left_semi")
+          .select("src", "dst")
+          .localCheckpoint(true)
+      }
+    }
+    misParts.reduce(_ union _).select(col("v").as("node"), col("mis_round"))
+  }
+
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
     def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)),

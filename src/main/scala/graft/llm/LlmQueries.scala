@@ -5969,8 +5969,57 @@ object LlmQueries {
       SELECT n, nt, sx, sy, theta_ppm, dy_ppm, dx_ppm,
         CAST(dy_ppm - (CAST(theta_ppm AS HUGEINT) * dx_ppm) // 1000000
           AS BIGINT) AS adj_ppm
-      FROM th"""))
+      FROM th""")),
+
+    // Deterministic Luby maximal independent set on the co-purchase
+    // graph — the parallel scheduling/conflict-set primitive (pick a
+    // maximal set of pairwise-non-adjacent items in O(log n) BSP
+    // rounds). Priorities are the total order (xxhash64(id), id), so
+    // the MIS is exact and the oracle unrolls the same 6 rounds with
+    // the hash computed once per vertex in a CTE. See
+    // [[Components.lubyMis]] for the per-round shuffle shape.
+    ("q433_luby_mis", (s: SparkSession, d: String) => {
+      Components.lubyMis(coPurchaseEdges(s, d), rounds = 6)
+        .orderBy("node")
+    }, Some(lubyMisSql(6)))
   )
+
+  /** DuckDB replay of [[Components.lubyMis]]: the bounded rounds
+    * unrolled as CTEs — per round a neighbor-min struct aggregate, the
+    * strict priority comparison, and active/edge shrinkage. */
+  private def lubyMisSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""nb$r AS (SELECT e.src AS v, MIN({'h': t.h, 'i': e.dst}) AS nb
+        FROM e$r e JOIN vh t ON e.dst = t.v GROUP BY 1),
+      w$r AS (SELECT a.v FROM a$r a JOIN vh m ON a.v = m.v
+        LEFT JOIN nb$r n ON a.v = n.v
+        WHERE n.v IS NULL OR m.h < n.nb.h
+          OR (m.h = n.nb.h AND a.v < n.nb.i)),
+      rm$r AS (SELECT v FROM w$r
+        UNION SELECT e.dst FROM e$r e JOIN w$r w ON e.src = w.v),
+      a${r + 1} AS MATERIALIZED (SELECT v FROM a$r
+        EXCEPT SELECT v FROM rm$r),
+      e${r + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e$r e
+        JOIN a${r + 1} x ON e.src = x.v
+        JOIN a${r + 1} y ON e.dst = y.v)"""
+    }.mkString(",\n      ")
+    val outs = (1 to rounds).map { r =>
+      s"SELECT v, CAST($r AS BIGINT) AS mis_round FROM w$r"
+    }.mkString("\n      UNION ALL ")
+    s"""
+      WITH e1 AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      a1 AS (SELECT DISTINCT src AS v FROM e1),
+      vh AS MATERIALIZED (SELECT v,
+        ${XxHashOracle.signed(XxHashOracle.hashLong(
+          "CAST(v AS HUGEINT)", "CAST(42 AS HUGEINT)"))} AS h
+        FROM a1),
+      $steps
+      SELECT v AS node, mis_round FROM ($outs)
+      ORDER BY node"""
+  }
 
   /** DuckDB replay of [[Similarity.kCenterGreedy]] — the k greedy rounds
     * unrolled as CTEs, each: one center's coordinates, one exact integer
