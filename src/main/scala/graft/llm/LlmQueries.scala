@@ -5981,7 +5981,141 @@ object LlmQueries {
     ("q433_luby_mis", (s: SparkSession, d: String) => {
       Components.lubyMis(coPurchaseEdges(s, d), rounds = 6)
         .orderBy("node")
-    }, Some(lubyMisSql(6)))
+    }, Some(lubyMisSql(6))),
+
+    // Zipf rank-frequency audit WITHOUT transcendentals, over 3-gram
+    // frequencies (the synthetic corpus' unigram vocabulary is ~31
+    // types — flat; trigrams carry the power-law-ish tail): frequencies
+    // fold into doubling buckets b = floor(log2(f)) via the exact
+    // binary-string length (bin() on both engines — no float log2), and
+    // the slope over (b, floor(log2(#types_b))) comes from integer OLS
+    // at 1e6 scale. The gram scan pays one keyed aggregate; everything
+    // after runs on the bucket histogram. The doubling histogram +
+    // slope is the corpus health-check that a tokenizer/vocab change
+    // shifted the tail.
+    ("q434_zipf_slope", (s: SparkSession, d: String) => {
+      val tk = t(s, d, "documents")
+        .select(TextOps.tokensLower(col("text")).as("tk"))
+        .withColumn("ln", size(col("tk")))
+      val freq = tk.select(explode(expr(
+          "CASE WHEN ln >= 3 THEN transform(sequence(1, ln - 2), " +
+            "i -> array_join(slice(tk, i, 3), ' ')) " +
+            "ELSE array() END")).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("f"))
+      val hist = freq
+        .groupBy((length(bin(col("f"))) - 1).cast("long").as("b"))
+        .agg(count(lit(1)).as("n_types"), sum("f").as("n_tokens"))
+        .withColumn("log2_types",
+          (length(bin(col("n_types"))) - 1).cast("long"))
+      val ols = hist.agg(count(lit(1)).as("n"),
+        sum("b").as("sx"), sum("log2_types").as("sy"),
+        sum(col("b") * col("log2_types")).as("sxy"),
+        sum(col("b") * col("b")).as("sxx"))
+      hist.crossJoin(broadcast(ols))
+        .withColumn("slope_ppm", expr(
+          "((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)"))
+        .select(col("b"), col("n_types"), col("n_tokens"),
+          col("log2_types"), col("slope_ppm"))
+        .orderBy("b")
+    }, Some("""
+      WITH tk AS (SELECT
+          regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        FROM documents),
+      fr AS (SELECT g, COUNT(*) AS f FROM (
+          SELECT unnest(CASE WHEN len(tk) >= 3
+            THEN list_transform(range(1, len(tk) - 1),
+              i -> array_to_string(tk[i:i+2], ' '))
+            ELSE [] END) AS g FROM tk)
+        GROUP BY 1),
+      h AS (SELECT CAST(length(bin(f)) - 1 AS BIGINT) AS b,
+          COUNT(*) AS n_types, CAST(SUM(f) AS BIGINT) AS n_tokens
+        FROM fr GROUP BY 1),
+      h2 AS (SELECT *, CAST(length(bin(n_types)) - 1 AS BIGINT)
+          AS log2_types FROM h),
+      o AS (SELECT COUNT(*) AS n, SUM(b) AS sx, SUM(log2_types) AS sy,
+          SUM(b * log2_types) AS sxy, SUM(b * b) AS sxx FROM h2)
+      SELECT b, n_types, n_tokens, log2_types,
+        CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+          AS BIGINT) AS slope_ppm
+      FROM h2, o ORDER BY b""")),
+
+    // Consistent-hash ring rebalance audit — the scale-out planning
+    // question "how many keys move when the cluster grows 8 -> 9
+    // nodes": 16 virtual nodes per node at positions xxhash64(node·100
+    // + vnode), keys at xxhash64(doc_id), ownership = minimal UNSIGNED
+    // clockwise distance (two's-complement wrap XOR'd to a sortable
+    // signed key on the Spark side, HUGEINT modular arithmetic in the
+    // oracle — bit-identical orders). Both ring assignments come from
+    // ONE pass: the 144-row position table broadcasts, per-key argmin
+    // is a partial-aggregable min(struct) with a FILTER'd twin for the
+    // 8-node ring. A healthy ring moves ~1/9 of keys, all INTO the new
+    // node — gained > 0 on any old node flags a broken hash ring.
+    ("q435_ring_rebalance", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val positions = (for { n <- 0 until 9; v <- 0 until 16 }
+        yield (n.toLong, n * 100L + v)).toDF("node", "slot")
+        .withColumn("pos", xxhash64(col("slot")))
+      val keys = t(s, d, "documents")
+        .select(col("doc_id"), xxhash64(col("doc_id")).as("kh"))
+      // ANSI mode forbids wrapped long subtraction, so the unsigned
+      // clockwise distance is explicit DECIMAL(20,0) modular arithmetic
+      // — textually the oracle's HUGEINT formula
+      def u64(c: String) = s"CASE WHEN $c < 0 " +
+        s"THEN CAST($c AS DECIMAL(20,0)) + 18446744073709551616 " +
+        s"ELSE CAST($c AS DECIMAL(20,0)) END"
+      val owners = keys.crossJoin(broadcast(positions))
+        .withColumn("dist", expr(
+          s"CASE WHEN ${u64("pos")} >= ${u64("kh")} " +
+            s"THEN ${u64("pos")} - ${u64("kh")} " +
+            s"ELSE ${u64("pos")} - ${u64("kh")} + 18446744073709551616 END"))
+        .groupBy("doc_id")
+        .agg(min(when(col("node") < 8,
+            struct(col("dist"), col("node")))).as("o8"),
+          min(struct(col("dist"), col("node"))).as("o9"))
+        .select(col("doc_id"), col("o8.node").as("n8"),
+          col("o9.node").as("n9"))
+      owners.groupBy(col("n9").as("node"))
+        .agg(count(lit(1)).as("keys_after"),
+          sum(when(col("n8") =!= col("n9"), 1L).otherwise(0L)).as("gained"))
+        .join(owners.groupBy(col("n8").as("node"))
+          .agg(count(lit(1)).as("keys_before")), Seq("node"), "full")
+        .select(col("node"),
+          coalesce(col("keys_before"), lit(0L)).as("keys_before"),
+          coalesce(col("keys_after"), lit(0L)).as("keys_after"),
+          coalesce(col("gained"), lit(0L)).as("gained"))
+        .orderBy("node")
+    }, Some(s"""
+      WITH slots AS (SELECT n.n AS node, n.n * 100 + v.v AS slot
+        FROM (SELECT unnest(range(0, 9)) AS n) n,
+             (SELECT unnest(range(0, 16)) AS v) v),
+      pos AS MATERIALIZED (SELECT node,
+        ${XxHashOracle.hashLong("CAST(slot AS HUGEINT)",
+          "CAST(42 AS HUGEINT)")} AS pos
+        FROM slots),
+      keys AS MATERIALIZED (SELECT doc_id,
+        ${XxHashOracle.hashLong("CAST(doc_id AS HUGEINT)",
+          "CAST(42 AS HUGEINT)")} AS kh
+        FROM documents),
+      dd AS (SELECT k.doc_id, p.node,
+          (p.pos - k.kh + CAST(18446744073709551616 AS HUGEINT))
+            % CAST(18446744073709551616 AS HUGEINT) AS dist
+        FROM keys k CROSS JOIN pos p),
+      own AS (SELECT doc_id,
+          (MIN({'d': dist, 'n': node})
+            FILTER (WHERE node < 8)).n AS n8,
+          (MIN({'d': dist, 'n': node})).n AS n9
+        FROM dd GROUP BY 1),
+      aft AS (SELECT n9 AS node, COUNT(*) AS keys_after,
+          CAST(SUM(CASE WHEN n8 <> n9 THEN 1 ELSE 0 END) AS BIGINT)
+            AS gained
+        FROM own GROUP BY 1),
+      bef AS (SELECT n8 AS node, COUNT(*) AS keys_before FROM own
+        GROUP BY 1)
+      SELECT CAST(node AS BIGINT) AS node,
+        COALESCE(keys_before, 0) AS keys_before,
+        COALESCE(keys_after, 0) AS keys_after,
+        COALESCE(gained, 0) AS gained
+      FROM aft FULL JOIN bef USING (node) ORDER BY node"""))
   )
 
   /** DuckDB replay of [[Components.lubyMis]]: the bounded rounds
