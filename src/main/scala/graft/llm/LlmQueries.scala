@@ -6074,15 +6074,16 @@ object LlmQueries {
           min(struct(col("dist"), col("node"))).as("o9"))
         .select(col("doc_id"), col("o8.node").as("n8"),
           col("o9.node").as("n9"))
-      owners.groupBy(col("n9").as("node"))
-        .agg(count(lit(1)).as("keys_after"),
-          sum(when(col("n8") =!= col("n9"), 1L).otherwise(0L)).as("gained"))
-        .join(owners.groupBy(col("n8").as("node"))
-          .agg(count(lit(1)).as("keys_before")), Seq("node"), "full")
-        .select(col("node"),
-          coalesce(col("keys_before"), lit(0L)).as("keys_before"),
-          coalesce(col("keys_after"), lit(0L)).as("keys_after"),
-          coalesce(col("gained"), lit(0L)).as("gained"))
+      // tall union + ONE rollup instead of two aggregates full-outer
+      // joined — node 8 (keys_before 0) appears via its "after" leg
+      owners.select(col("n8").as("node"), lit(1L).as("b"),
+          lit(0L).as("a"), lit(0L).as("g"))
+        .unionAll(owners.select(col("n9").as("node"), lit(0L).as("b"),
+          lit(1L).as("a"),
+          when(col("n8") =!= col("n9"), 1L).otherwise(0L).as("g")))
+        .groupBy("node")
+        .agg(sum("b").as("keys_before"), sum("a").as("keys_after"),
+          sum("g").as("gained"))
         .orderBy("node")
     }, Some(s"""
       WITH slots AS (SELECT n.n AS node, n.n * 100 + v.v AS slot

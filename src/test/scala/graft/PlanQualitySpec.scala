@@ -981,6 +981,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(3000))
   }
 
+  test("q434: Zipf histogram is one gram aggregate; the OLS close " +
+      "runs on the broadcast bucket relation") {
+    val p = plan("q434_zipf_slope")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(3000))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("q435: ring ownership is a map-side argmin over a BROADCAST " +
+      "position table — the key relation shuffles once for the rollup") {
+    val p = plan("q435_ring_rebalance")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    // the before/after rollup is one tall-union aggregate, not two
+    // aggregates re-joined
+    assert(!p.contains("FullOuter"), p.take(3000))
+  }
+
   test("q408: template LCP is one partial+final string min/max " +
       "aggregate; the LCP walk runs on source-cardinality survivors") {
     val p = plan("q408_source_template_lcp")

@@ -263,6 +263,55 @@ class ComponentsSpec extends SparkSpec {
     Components.kCore(edges.toDF("src", "dst"), k)
       .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
 
+  test("lubyMis (q433): independent, maximal once converged, and " +
+      "matches the driver-side priority replay on random graphs") {
+    val rng = new scala.util.Random(29)
+    for (trial <- 1 to 5) {
+      val n = 5 + rng.nextInt(20)
+      val es = Seq.fill(6 + rng.nextInt(50)) {
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }.distinct
+      if (es.nonEmpty) {
+        val got = Components.lubyMis(es.toDF("src", "dst"), rounds = 12)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val mis = got.keySet
+        val und = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+        // independence: no edge inside the MIS
+        assert(!und.exists { case (a, b) => mis(a) && mis(b) },
+          s"trial $trial: MIS not independent: $mis in $es")
+        // maximality (12 rounds converge on <= 25 vertices): every
+        // vertex is in the MIS or adjacent to one
+        val verts = und.map(_._1)
+        assert(verts.forall(v => mis(v) ||
+          und.exists { case (a, b) => a == v && mis(b) }),
+          s"trial $trial: not maximal: $mis in $es")
+        // exact replay: greedy by (xxhash64, id) priority — a vertex
+        // wins round r iff its priority beats every then-active
+        // neighbor; replicate with Spark's own hash values
+        val hash = verts.toSeq.toDF("v")
+          .withColumn("h", xxhash64(col("v")))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        var active = verts
+        val expect = scala.collection.mutable.Map[Long, Long]()
+        var r = 0L
+        while (active.nonEmpty && r < 12) {
+          r += 1
+          val win = active.filter { v =>
+            val nbr = und.collect {
+              case (a, b) if a == v && active(b) => b }
+            nbr.forall(u => Ordering[(Long, Long)]
+              .lt((hash(v), v), (hash(u), u)))
+          }
+          win.foreach(v => expect(v) = r)
+          val rm = win ++ und.collect {
+            case (a, b) if win(a) => b }
+          active = active -- rm
+        }
+        assert(got == expect.toMap, s"trial $trial: got $got want $expect")
+      }
+    }
+  }
+
   test("kCore: clique survives k=3, chain and triangle peel away") {
     // K4 on {0..3} is the 3-core; a chain hung off it (4-5-6) and a
     // separate triangle {10,11,12} must peel (max degree 2). The chain's
