@@ -1035,6 +1035,47 @@ object Curation {
     * Everything is bigram-type-keyed: two aggregates over the gram
     * stream plus two vocabulary-sized side relations — the corpus is
     * touched once, the model store is vocabulary-sized. */
+  /** Greedy maximum-coverage source selection — the classic (1−1/e)
+    * set-cover greedy, run when a budget allows ingesting only k of the
+    * corpus' sources and you want the union of their distinct content
+    * maximized. Elements are 8-byte gram hashes, so every round's state
+    * shuffles longs only; per round ONE anti-join against the picked
+    * source's (checkpointed) element set, one map-side-combined
+    * per-source count, and a single min(struct) argmax row to the
+    * driver. Ties break on the lexicographically smallest source.
+    *
+    * @param pairs DISTINCT (source: String, h: Long) element pairs
+    * @return (round, source, gained, cum_covered), one row per pick */
+  def greedySetCover(pairs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    var remaining = pairs.select(col("source"), col("h"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long)]
+    var cum = 0L
+    var r = 0
+    var exhausted = false
+    while (r < k && !exhausted) {
+      r += 1
+      val pick = remaining.groupBy("source").agg(count(lit(1)).as("g"))
+        .agg(min(struct((-col("g")).as("ng"), col("source").as("s"))).as("m"))
+        .select(col("m.s"), (-col("m.ng")).as("g")).head()
+      if (pick.isNullAt(0)) exhausted = true
+      else {
+        val (src, gained) = (pick.getString(0), pick.getLong(1))
+        cum += gained
+        out += ((r.toLong, src, gained, cum))
+        val covered = remaining.filter(col("source") === src).select("h")
+        remaining = remaining.filter(col("source") =!= src)
+          .join(covered, Seq("h"), "left_anti")
+          .localCheckpoint(true)
+      }
+    }
+    out.toSeq.toDF("round", "source", "gained", "cum_covered")
+  }
+
   def kneserNeyBigrams(docs: DataFrame, idCol: String, textCol: String,
       scale: Long = 1000000L): DataFrame = {
     val grams = docs.select(

@@ -6116,8 +6116,139 @@ object LlmQueries {
         COALESCE(keys_before, 0) AS keys_before,
         COALESCE(keys_after, 0) AS keys_after,
         COALESCE(gained, 0) AS gained
-      FROM aft FULL JOIN bef USING (node) ORDER BY node"""))
+      FROM aft FULL JOIN bef USING (node) ORDER BY node""")),
+
+    // Greedy maximum-coverage source selection (the (1-1/e) set-cover
+    // greedy) — "which 5 of the 20 sources cover the most distinct
+    // trigrams": per round one anti-join against the covered element
+    // set, a per-source count, a one-row argmax
+    // ([[Curation.greedySetCover]]). Elements are Spark's own trigram
+    // xxhash64 values; the oracle replays the hash byte-for-byte
+    // (xxh64Ctes) and unrolls the 5 rounds.
+    ("q436_greedy_set_cover", (s: SparkSession, d: String) => {
+      val pairs = t(s, d, "documents").select(col("source"),
+          explode(NearDup.wordNgrams(TextOps.tokens(col("text")), 3))
+            .as("gram"))
+        .select(col("source"), xxhash64(col("gram")).as("h")).distinct()
+      Curation.greedySetCover(pairs, k = 5).orderBy("round")
+    }, Some(setCoverSql(5))),
+
+    // Water-filling token-budget allocation — the third classic
+    // apportionment next to Hamilton (q235) and D'Hondt (q342):
+    // equalize per-source token allocations at a common LEVEL under a
+    // global budget, saturating small sources at capacity; the exact
+    // integer level comes from the sorted-capacity prefix-sum
+    // breakpoint scan, and the floor-division remainder tops up the
+    // largest unsaturated sources one token each (largest-remainder
+    // discipline). The corpus appears ONLY in the per-source token
+    // aggregate; every window after runs on the 20-row capacity
+    // relation (metadata).
+    ("q437_water_filling", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val caps = t(s, d, "documents").groupBy("source")
+        .agg(sum(TextOps.nTokens(col("text"))).as("cap"))
+      val tot = caps.agg(count(lit(1)).as("m"),
+        expr("sum(cap) div 2").as("b"))
+      val wAsc = Window.orderBy(col("cap").asc, col("source").asc)
+      val ranked = caps.crossJoin(broadcast(tot))
+        .withColumn("i", row_number().over(wAsc).cast("long"))
+        .withColumn("p", sum("cap").over(wAsc))
+      val istar = ranked
+        .agg(coalesce(max(when(
+          col("p") + (col("m") - col("i")) * col("cap") <= col("b"),
+          struct(col("i"), col("p")))),
+          struct(lit(0L).as("i"), lit(0L).as("p"))).as("s"))
+        .select(col("s.i").as("istar"), col("s.p").as("pstar"))
+      val lvl = istar.crossJoin(broadcast(tot))
+        .select(col("istar"), col("pstar"), col("m"),
+          expr("(b - pstar) div (m - istar)").as("lvl"),
+          (col("b") - col("pstar")).as("rem0"))
+        .withColumn("r", col("rem0") - (col("m") - col("istar")) * col("lvl"))
+        .select("lvl", "r")
+      val wDesc = Window.orderBy(col("cap").desc, col("source").asc)
+      ranked.crossJoin(broadcast(lvl))
+        .withColumn("alloc0", least(col("cap"), col("lvl")))
+        .withColumn("unsat_rank",
+          when(col("cap") > col("lvl"),
+            row_number().over(wDesc).cast("long")).otherwise(lit(null)))
+        .withColumn("alloc", col("alloc0") +
+          when(col("unsat_rank").isNotNull &&
+            col("unsat_rank") <= col("r"), 1L).otherwise(0L))
+        .select(col("source"), col("cap"), col("lvl").as("level"),
+          col("alloc"))
+        .orderBy("source")
+    }, Some("""
+      WITH caps AS (SELECT source,
+          CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+            AS BIGINT) AS cap
+        FROM documents GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS m, CAST(SUM(cap) // 2 AS BIGINT) AS b
+        FROM caps),
+      rk AS (SELECT source, cap, m, b,
+          CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+          CAST(SUM(cap) OVER (ORDER BY cap, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS p
+        FROM caps, tot),
+      st AS (SELECT COALESCE(MAX({'i': i, 'p': p}) FILTER (
+          WHERE p + (m - i) * cap <= b), {'i': 0, 'p': 0}) AS s
+        FROM rk),
+      lv AS (SELECT (b - (st.s).p) // (m - (st.s).i) AS lvl,
+          b - (st.s).p - (m - (st.s).i)
+            * ((b - (st.s).p) // (m - (st.s).i)) AS r
+        FROM st, tot),
+      unsat AS (SELECT source, cap,
+          CASE WHEN cap > lvl THEN row_number() OVER (
+            PARTITION BY (cap > lvl) ORDER BY cap DESC, source)
+          END AS ur
+        FROM rk, lv)
+      SELECT u.source, u.cap, CAST(lv.lvl AS BIGINT) AS level,
+        CAST(LEAST(u.cap, lv.lvl)
+          + CASE WHEN u.ur IS NOT NULL AND u.ur <= lv.r THEN 1 ELSE 0 END
+          AS BIGINT) AS alloc
+      FROM unsat u, lv ORDER BY u.source"""))
   )
+
+  /** DuckDB replay of [[Curation.greedySetCover]] over trigram hashes:
+    * xxh64Ctes replays Spark's string hash (the `toks` CTE aliases
+    * source into the chain's doc_id slot), then the k greedy rounds
+    * unroll as anti-join + count + ORDER BY LIMIT 1 CTEs. */
+  private def setCoverSql(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      val rem = if (r == 1) "p" else s"rem$r"
+      val remNext =
+        s"""rem${r + 1} AS MATERIALIZED (SELECT q.source, q.hu
+          FROM $rem q ANTI JOIN cov$r c ON q.hu = c.hu
+          WHERE q.source <> (SELECT source FROM pick$r))"""
+      s"""c$r AS (SELECT source, COUNT(*) AS g FROM $rem GROUP BY 1),
+      pick$r AS (SELECT source, g FROM c$r ORDER BY g DESC, source
+        LIMIT 1),
+      cov$r AS MATERIALIZED (SELECT hu FROM $rem
+        JOIN pick$r USING (source)),
+      cum$r AS (SELECT ${(1 to r).map(i => s"(SELECT COUNT(*) FROM cov$i)")
+        .mkString(" + ")} AS cum)${if (r < k) ",\n      " + remNext else ""}"""
+    }.mkString(",\n      ")
+    val outs = (1 to k).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, source, " +
+        s"CAST(g AS BIGINT) AS gained, CAST(cum AS BIGINT) AS cum_covered " +
+        s"FROM pick$r, cum$r"
+    }.mkString("\n      UNION ALL ")
+    s"""
+      WITH tk AS (SELECT source,
+          regexp_split_to_array(trim(text), '\\s+') AS tks
+        FROM documents),
+      toks AS (SELECT source AS doc_id, unnest(CASE WHEN len(tks) >= 3
+          THEN list_transform(range(1, len(tks) - 1),
+            i -> array_to_string(tks[i:i+2], ' '))
+          ELSE [array_to_string(tks, ' ')] END) AS tok
+        FROM tk),
+      ${XxHashOracle.xxh64Ctes("toks")},
+      p AS MATERIALIZED (SELECT DISTINCT doc_id AS source, hu
+        FROM hashed),
+      $rounds
+      $outs
+      ORDER BY round"""
+  }
 
   /** DuckDB replay of [[Components.lubyMis]]: the bounded rounds
     * unrolled as CTEs — per round a neighbor-min struct aggregate, the
