@@ -1003,6 +1003,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("FullOuter"), p.take(3000))
   }
 
+  test("q437: water filling pays one corpus aggregate; windows run on " +
+      "the source-cardinality relation; scalars broadcast") {
+    val p = plan("q437_water_filling")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(3000))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("q408: template LCP is one partial+final string min/max " +
       "aggregate; the LCP walk runs on source-cardinality survivors") {
     val p = plan("q408_source_template_lcp")

@@ -635,6 +635,37 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("greedySetCover (q436): matches the driver-side greedy exactly, " +
+      "gains non-increasing, rounds stop when covered") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    val pairs = (for {
+      s <- 'a' to 'f'; _ <- 1 to (4 + rng.nextInt(20))
+    } yield (s.toString, rng.nextInt(30).toLong)).distinct
+    val got = graft.llm.Curation
+      .greedySetCover(pairs.toDF("source", "h"), k = 6)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // driver-side brute greedy
+    var remaining = pairs
+    val expect = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long)]
+    var cum = 0L
+    var r = 0L
+    while (r < 6 && remaining.nonEmpty) {
+      r += 1
+      val (src, g) = remaining.groupBy(_._1).view.mapValues(_.size.toLong)
+        .toSeq.minBy { case (s, g) => (-g, s) }
+      cum += g
+      expect += ((r, src, g, cum))
+      val covered = remaining.filter(_._1 == src).map(_._2).toSet
+      remaining = remaining.filter(p => p._1 != src && !covered(p._2))
+    }
+    assert(got.toSeq == expect.toSeq, s"got ${got.toSeq}, want $expect")
+    val gains = got.map(_._3)
+    assert(gains.zip(gains.tail).forall { case (a, b) => b <= a })
+  }
+
   test("q418 surprisal spike: window start in range, spike at least the " +
       "per-doc mean window") {
     val out = graft.SparkEntry.queries("q418_surprisal_spike")(spark, sfDir)
