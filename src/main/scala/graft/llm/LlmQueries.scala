@@ -6206,7 +6206,57 @@ object LlmQueries {
         CAST(LEAST(u.cap, lv.lvl)
           + CASE WHEN u.ur IS NOT NULL AND u.ur <= lv.r THEN 1 ELSE 0 END
           AS BIGINT) AS alloc
-      FROM unsat u, lv ORDER BY u.source"""))
+      FROM unsat u, lv ORDER BY u.source""")),
+
+    // REAL pHash (DCT perceptual hash) through the decode contract:
+    // javax.imageio decodes the deterministic 16×16 PNGs (q399's
+    // lossless-payload honesty pattern), then a 2-D 16-point DCT-II in
+    // EXACT integer arithmetic — the cosine basis is ONE shared
+    // 1e4-scaled table built from [[Multimodal.dctC]] and inlined into
+    // the oracle's VALUES, so no engine computes a transcendental in
+    // checked output — and the 63 AC coefficients threshold at their
+    // exact median. A 1-in-4 doc slice bounds the oracle's 64-coef ×
+    // 256-pixel replay (disclosed scope; the Spark path runs the same
+    // code for any slice).
+    ("q438_phash_dct", (s: SparkSession, d: String) => {
+      Multimodal.pHashRealPng(s, Multimodal.withPngPayload(
+          t(s, d, "documents").filter(col("doc_id") % 4 === 0)
+            .select("doc_id")))
+        .toDF().orderBy("doc_id")
+    }, Some {
+      def ch(mul: Long, xm: Long, ym: Long) =
+        s"(doc_id*$mul + x*$xm + y*$ym) % 256"
+      val cvals = (for (k <- 0 until 16; n <- 0 until 16)
+        yield s"($k, $n, ${Multimodal.dctC(k)(n)})").mkString(", ")
+      s"""
+      WITH xy AS (SELECT a.x, b.y
+        FROM (SELECT unnest(range(0, 16)) AS x) a,
+             (SELECT unnest(range(0, 16)) AS y) b),
+      lum AS (SELECT d.doc_id, xy.x, xy.y,
+          (299 * (${ch(31, 7, 13)}) + 587 * (${ch(17, 11, 3)})
+           + 114 * (${ch(23, 5, 19)})) // 1000 AS l
+        FROM documents d CROSS JOIN xy WHERE d.doc_id % 4 = 0),
+      c(k, n, c) AS (VALUES $cvals),
+      f AS (SELECT l.doc_id, cu.k AS u, cv.k AS v,
+          CAST(SUM(l.l * cu.c * cv.c) AS BIGINT) AS fv
+        FROM lum l
+        JOIN c cu ON cu.n = l.y AND cu.k < 8
+        JOIN c cv ON cv.n = l.x AND cv.k < 8
+        GROUP BY 1, 2, 3),
+      ac AS (SELECT doc_id, u, v, fv, u * 8 + v - 1 AS bit
+        FROM f WHERE NOT (u = 0 AND v = 0)),
+      md AS (SELECT doc_id, fv AS median_f FROM (
+          SELECT doc_id, fv, row_number() OVER (
+            PARTITION BY doc_id ORDER BY fv, u, v) AS rn FROM ac)
+        WHERE rn = 32)
+      SELECT ac.doc_id,
+        CAST(SUM(CASE WHEN ac.fv > md.median_f
+          THEN (CAST(1 AS BIGINT) << CAST(ac.bit AS INT)) ELSE 0 END)
+          AS BIGINT) AS phash,
+        CAST(MAX(md.median_f) AS BIGINT) AS median_f
+      FROM ac JOIN md USING (doc_id)
+      GROUP BY 1 ORDER BY doc_id"""
+    })
   )
 
   /** DuckDB replay of [[Curation.greedySetCover]] over trigram hashes:

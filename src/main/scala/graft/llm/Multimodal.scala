@@ -353,6 +353,88 @@ object Multimodal {
       }
   }
 
+  /** 16-point DCT-II basis, scaled: C[k][n] = round(1e4·cos(π(2n+1)k/32)).
+    * Computed ONCE here and inlined verbatim into the DuckDB oracle
+    * (LlmQueries builds the VALUES table from THIS array), so both
+    * engines share bit-identical integer constants and neither
+    * evaluates a transcendental inside the checked output. */
+  val dctC: Array[Array[Long]] = Array.tabulate(16, 16) { (k, n) =>
+    math.round(10000.0 * math.cos(math.Pi * (2 * n + 1) * k / 32))
+  }
+
+  case class PHashRow(doc_id: Long, phash: Long, median_f: Long)
+
+  /** REAL-decode pHash (DCT perceptual hash): `javax.imageio` decode →
+    * exact per-pixel ITU-R 601 integer luma → 2-D 16-point DCT-II in
+    * EXACT integer arithmetic with the shared [[dctC]] basis (scaled
+    * 1e4; |F| ≤ 255·16²·1e8 fits long) → the 63 low-frequency
+    * coefficients (u,v ≤ 7, DC excluded) thresholded at their exact
+    * median (32nd smallest) — the classic pHash shape, but every step
+    * integer so a lossless payload replays bit-for-bit on any engine.
+    * Unlike [[aHashRealPng]]'s block means, the DCT sees structure, not
+    * just brightness: it is the standard near-dup hash for re-encoded
+    * or lightly-edited images. */
+  def pHashRealPng(spark: SparkSession,
+      media: DataFrame): Dataset[PHashRow] = {
+    import spark.implicits._
+    val c = dctC
+    media.select(col("doc_id"), col("media")).as[MediaRow]
+      .mapPartitions { it =>
+        it.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.media))
+          require(img != null,
+            s"payload for doc ${r.doc_id} is not a decodable image")
+          require(img.getWidth == 16 && img.getHeight == 16,
+            s"pHash expects 16x16, got ${img.getWidth}x${img.getHeight}")
+          val lum = Array.ofDim[Long](16, 16)
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val p = img.getRGB(x, y)
+              lum(y)(x) = (299L * ((p >> 16) & 0xFF) +
+                587L * ((p >> 8) & 0xFF) + 114L * (p & 0xFF)) / 1000L
+              x += 1
+            }
+            y += 1
+          }
+          // F[u][v] = Σ_y Σ_x lum[y][x]·C[u][y]·C[v][x], u,v in 0..7
+          val f = new Array[Long](64)
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              var acc = 0L
+              var yy = 0
+              while (yy < 16) {
+                var xx = 0
+                var rowAcc = 0L
+                while (xx < 16) {
+                  rowAcc += lum(yy)(xx) * c(v)(xx)
+                  xx += 1
+                }
+                acc += rowAcc * c(u)(yy)
+                yy += 1
+              }
+              f(u * 8 + v) = acc
+              v += 1
+            }
+            u += 1
+          }
+          val ac = f.drop(1) // 63 coefficients, DC excluded
+          val median = ac.sorted.apply(31) // exact 32nd smallest
+          var h = 0L
+          var i = 0
+          while (i < 63) {
+            if (ac(i) > median) h |= 1L << i
+            i += 1
+          }
+          PHashRow(r.doc_id, h, median)
+        }
+      }
+  }
+
   /** Perceptual-hash near-duplicate detection over binary payloads —
     * the image-dedup shape (aHash/pHash family) on the stubbed decode:
     * 63 evenly-spaced sample bytes stand in for the 8x8 grayscale

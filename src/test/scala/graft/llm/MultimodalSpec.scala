@@ -198,4 +198,21 @@ class MultimodalSpec extends SparkSpec {
     // samples in every payload
     assert(expected.values.exists(_._1 < 0))
   }
+  test("pHashRealPng (q438): ids 256 apart share pixel content and the " +
+      "exact hash; median splits the 63 AC coefficients") {
+    import spark.implicits._
+    val media = Multimodal.withPngPayload(
+      Seq(7L, 263L, 9L).toDF("doc_id"))
+    val got = Multimodal.pHashRealPng(spark, media).collect()
+      .map(r => r.doc_id -> (r.phash, r.median_f)).toMap
+    // the per-channel formulas are (id*odd + ...) % 256, so ids 256
+    // apart render the identical image -> identical DCT hash
+    assert(got(7L) == got(263L), s"got $got")
+    assert(got(7L) != got(9L), "different content should differ")
+    // the exact median threshold puts at most 31 coefficients strictly
+    // above it (63 values, 32nd smallest is the pivot)
+    got.values.foreach { case (h, _) =>
+      assert(java.lang.Long.bitCount(h) <= 31, s"popcount ${java.lang.Long.bitCount(h)}")
+    }
+  }
 }
