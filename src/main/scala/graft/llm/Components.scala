@@ -589,10 +589,7 @@ object Components {
   def lubyMis(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val pri = struct(xxhash64(col("v")).as("h"), col("v").as("i"))
-    var e = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(true)
+    var e = prepareUndirected(edges)
     var active = e.select(col("src").as("v")).distinct().localCheckpoint(true)
     val misParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var r = 0
