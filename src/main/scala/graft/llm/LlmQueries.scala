@@ -6256,7 +6256,185 @@ object LlmQueries {
         CAST(MAX(md.median_f) AS BIGINT) AS median_f
       FROM ac JOIN md USING (doc_id)
       GROUP BY 1 ORDER BY doc_id"""
-    })
+    }),
+
+    // Krippendorff's alpha (nominal, 3 raters, no missing data) — the
+    // multi-rater agreement coefficient labeling pipelines report where
+    // Cohen's kappa (q345) only handles two raters. Raters are three
+    // deterministic length-bucket classifiers; the coincidence-matrix
+    // disagreement folds per doc as Σ_c cnt_c·(m−cnt_c) (ordered
+    // cross-category pairs, ×(m−1) scaled to stay integer), expected
+    // disagreement from the global category marginals, and
+    // alpha = 1 − (n−1)·ΣO_off / (2·Σ_{c≠c'} n_c·n_{c'}) closes in
+    // exact 1e6-scaled integer division. One doc-keyed aggregate + one
+    // category-marginal aggregate; everything else is a scalar row.
+    ("q439_krippendorff_alpha", (s: SparkSession, d: String) => {
+      val rated = t(s, d, "documents").select(col("doc_id"),
+        when(col("n_chars") < 200, 0L).when(col("n_chars") < 350, 1L)
+          .otherwise(2L).as("r1"),
+        when(TextOps.nTokens(col("text")) < 35, 0L)
+          .when(TextOps.nTokens(col("text")) < 60, 1L).otherwise(2L)
+          .as("r2"),
+        when(size(array_distinct(TextOps.tokensLower(col("text")))) < 25,
+          0L).when(size(array_distinct(TextOps.tokensLower(col("text"))))
+          < 30, 1L).otherwise(2L).as("r3"))
+      val long = rated.select(col("doc_id"),
+        explode(array(col("r1"), col("r2"), col("r3"))).as("cat"))
+      val perDoc = long.groupBy("doc_id", "cat")
+        .agg(count(lit(1)).as("c"))
+      val oOff = perDoc.agg(sum(col("c") * (lit(3L) - col("c")))
+        .as("o_off"), count_distinct(col("doc_id")).as("n_units"))
+      val marg = long.groupBy("cat").agg(count(lit(1)).as("nc"))
+        .agg(sum("nc").as("n_vals"),
+          (sum(col("nc") * col("nc"))).as("sq"))
+        .select(col("n_vals"), (col("n_vals") * col("n_vals") - col("sq"))
+          .as("de_den"))
+      oOff.crossJoin(broadcast(marg))
+        .select(col("n_units"), col("n_vals"), col("o_off"), col("de_den"),
+          expr("1000000 - ((n_vals - 1) * o_off * 1000000) div " +
+            "(2 * de_den)").as("alpha_ppm"))
+    }, Some("""
+      WITH r AS (SELECT doc_id,
+          CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 350 THEN 1
+            ELSE 2 END AS r1,
+          CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 35
+            THEN 0
+            WHEN len(regexp_split_to_array(trim(text), '\s+')) < 60
+            THEN 1 ELSE 2 END AS r2,
+          CASE WHEN len(list_distinct(regexp_split_to_array(
+              trim(lower(text)), '\s+'))) < 25 THEN 0
+            WHEN len(list_distinct(regexp_split_to_array(
+              trim(lower(text)), '\s+'))) < 30 THEN 1 ELSE 2 END AS r3
+        FROM documents),
+      lg AS (SELECT doc_id, unnest([r1, r2, r3]) AS cat FROM r),
+      pd AS (SELECT doc_id, cat, COUNT(*) AS c FROM lg GROUP BY 1, 2),
+      oo AS (SELECT CAST(SUM(c * (3 - c)) AS BIGINT) AS o_off,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_units FROM pd),
+      mg AS (SELECT CAST(SUM(nc) AS BIGINT) AS n_vals,
+          CAST(SUM(nc) * SUM(nc) - SUM(nc * nc) AS BIGINT) AS de_den
+        FROM (SELECT cat, COUNT(*) AS nc FROM lg GROUP BY 1))
+      SELECT n_units, n_vals, o_off, de_den,
+        CAST(1000000 - ((n_vals - 1) * o_off * 1000000)
+          // (2 * de_den) AS BIGINT) AS alpha_ppm
+      FROM oo, mg""")),
+
+    // Friedman rank test over blocked estimator errors — "is any of the
+    // k estimators consistently better across blocks" (the
+    // repeated-measures sibling of Kruskal-Wallis q381): blocks are the
+    // 20 sources, treatments three chars-div-k token estimators scored
+    // by total |error| per block, within-block ranks are exact integers
+    // (ties broken by estimator index — values collide with probability
+    // ~0 and the break is engine-identical), and
+    // χ² = 12·ΣR_j²/(n·k·(k+1)) − 3n(k+1) closes in 1e6-scaled integer
+    // division. The corpus appears only in the per-source error
+    // aggregate; ranks and the statistic run on the 60-row grid.
+    ("q440_friedman_test", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, d, "documents").select(col("source"),
+        TextOps.nTokens(col("text")).as("y"), col("n_chars"))
+      val errs = (5 to 7).map { k =>
+        base.groupBy("source").agg(
+          sum(abs(expr(s"n_chars div $k") - col("y"))).as("err"))
+          .select(col("source"), lit(k.toLong).as("est"), col("err"))
+      }.reduce(_ unionByName _)
+      val w = Window.partitionBy("source")
+        .orderBy(col("err").asc, col("est").asc)
+      val ranked = errs.withColumn("rk", row_number().over(w).cast("long"))
+      val rj = ranked.groupBy("est").agg(sum("rk").as("rj"),
+        count(lit(1)).as("n"))
+      rj.agg(max("n").as("n"), count(lit(1)).as("k"),
+          sum(col("rj") * col("rj")).as("srj2"))
+        .select(col("n"), col("k"), col("srj2"),
+          expr("(12 * srj2 * 1000000) div (n * k * (k + 1)) - " +
+            "3 * n * (k + 1) * 1000000").as("chi2_ppm"))
+    }, Some("""
+      WITH b AS (SELECT source,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+            AS y, n_chars
+        FROM documents),
+      e AS (SELECT source, 5 AS est, SUM(ABS(n_chars // 5 - y)) AS err
+          FROM b GROUP BY 1
+        UNION ALL SELECT source, 6, SUM(ABS(n_chars // 6 - y)) FROM b
+          GROUP BY 1
+        UNION ALL SELECT source, 7, SUM(ABS(n_chars // 7 - y)) FROM b
+          GROUP BY 1),
+      rk AS (SELECT est, CAST(row_number() OVER (PARTITION BY source
+          ORDER BY err, est) AS BIGINT) AS rk FROM e),
+      rj AS (SELECT est, SUM(rk) AS rj, COUNT(*) AS n FROM rk GROUP BY 1)
+      SELECT CAST(MAX(n) AS BIGINT) AS n, COUNT(*) AS k,
+        CAST(SUM(rj * rj) AS BIGINT) AS srj2,
+        CAST((12 * SUM(rj * rj) * 1000000)
+            // (MAX(n) * COUNT(*) * (COUNT(*) + 1))
+          - 3 * MAX(n) * (COUNT(*) + 1) * 1000000 AS BIGINT) AS chi2_ppm
+      FROM rj""")),
+
+    // Simplified silhouette (centroid-based — the 100 TB variant of the
+    // O(n²) silhouette): per vector, a = squared distance to the OWN
+    // label centroid, b = min over the other centroids. Centroids stay
+    // EXACT integer (sum, count) pairs; d² = ‖n·x − S‖²/n² is carried
+    // at the fixed common scale (A·10⁹) div n² — a truncating integer
+    // division both engines replay bit-for-bit, so the min and the
+    // (b−a)/max(a,b) close are engine-exact at ppm scale. Map-side with
+    // a broadcast label-cardinality centroid table; one rollup per
+    // label emits mean s_ppm and the misplaced-point count.
+    ("q441_simplified_silhouette", (s: SparkSession, d: String) => {
+      val dec = "decimal(38,0)"
+      val q = t(s, d, "embeddings").select(col("vec_id"),
+        col("label").cast("long").as("label"),
+        expr("transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+      val cents = q.select(col("label").as("clabel"),
+          posexplode(col("q")).as(Seq("i", "x")))
+        .groupBy("clabel", "i").agg(sum("x").as("s"))
+        .groupBy("clabel").agg(transform(array_sort(
+          collect_list(struct(col("i"), col("s")))), p => p("s")).as("sv"))
+      val sizes = q.groupBy(col("label").as("clabel"))
+        .agg(count(lit(1)).as("cn"))
+      val perPair = q.crossJoin(broadcast(cents.join(sizes, "clabel")))
+        .withColumn("a2", expr("aggregate(zip_with(q, sv, " +
+          "(x, s) -> (CAST(cn AS DECIMAL(38,0)) * x - s) * " +
+          "(CAST(cn AS DECIMAL(38,0)) * x - s)), " +
+          s"CAST(0 AS $dec), (acc, v) -> acc + v)"))
+        .withColumn("d2s", expr(
+          "(a2 * 1000000000) div (CAST(cn AS DECIMAL(38,0)) * cn)"))
+      val ab = perPair.groupBy("vec_id", "label")
+        .agg(max(when(col("clabel") === col("label"), col("d2s"))).as("a"),
+          min(when(col("clabel") =!= col("label"), col("d2s"))).as("b"))
+        .withColumn("s_ppm", when(greatest(col("a"), col("b")) === 0, 0L)
+          .otherwise(expr("((CAST(b AS DECIMAL(38,0)) - a) * 1000000) " +
+            "div greatest(a, b)")))
+      ab.groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          expr("sum(s_ppm) div count(1)").as("mean_s_ppm"),
+          sum(when(col("s_ppm") < 0, 1L).otherwise(0L)).as("n_negative"))
+        .orderBy("label")
+    }, Some("""
+      WITH qt AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+          list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        FROM embeddings),
+      el AS (SELECT vec_id, label, generate_subscripts(q, 1) AS i,
+          unnest(q) AS x FROM qt),
+      ct AS (SELECT label AS clabel, i, CAST(SUM(x) AS HUGEINT) AS s,
+          CAST(COUNT(DISTINCT vec_id) AS HUGEINT) AS cn
+        FROM el GROUP BY 1, 2),
+      pp AS (SELECT e.vec_id, e.label, c.clabel,
+          (SUM((c.cn * e.x - c.s) * (c.cn * e.x - c.s))
+            * 1000000000) // (MAX(c.cn) * MAX(c.cn)) AS d2s
+        FROM el e JOIN ct c ON e.i = c.i GROUP BY 1, 2, 3),
+      ab AS (SELECT vec_id, label,
+          MAX(CASE WHEN clabel = label THEN d2s END) AS a,
+          MIN(CASE WHEN clabel <> label THEN d2s END) AS b
+        FROM pp GROUP BY 1, 2),
+      sp AS (SELECT vec_id, label,
+          CASE WHEN GREATEST(a, b) = 0 THEN 0
+            ELSE ((b - a) * 1000000) // GREATEST(a, b) END AS s_ppm
+        FROM ab)
+      SELECT label, COUNT(*) AS n,
+        CAST(SUM(s_ppm) // COUNT(*) AS BIGINT) AS mean_s_ppm,
+        CAST(SUM(CASE WHEN s_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_negative
+      FROM sp GROUP BY 1 ORDER BY label"""))
   )
 
   /** DuckDB replay of [[Curation.greedySetCover]] over trigram hashes:
