@@ -1012,6 +1012,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("q439: Krippendorff folds are partial+final aggregates; the " +
+      "scalar close broadcasts; no join machinery") {
+    val p = plan("q439_krippendorff_alpha")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("q440: Friedman ranks window on the source-cardinality grid; " +
+      "the corpus pays only the per-source error aggregates") {
+    val p = plan("q440_friedman_test")
+    assert(p.contains("hashpartitioning(source"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q441: silhouette scores map-side against a BROADCAST centroid " +
+      "table; vectors shuffle once for the per-vector rollup") {
+    val p = plan("q441_simplified_silhouette")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
   test("q408: template LCP is one partial+final string min/max " +
       "aggregate; the LCP walk runs on source-cardinality survivors") {
     val p = plan("q408_source_template_lcp")
