@@ -6434,7 +6434,68 @@ object LlmQueries {
         CAST(SUM(s_ppm) // COUNT(*) AS BIGINT) AS mean_s_ppm,
         CAST(SUM(CASE WHEN s_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT)
           AS n_negative
-      FROM sp GROUP BY 1 ORDER BY label"""))
+      FROM sp GROUP BY 1 ORDER BY label""")),
+
+    // Column-encoding advisor — the lakehouse OPTIMIZE companion: for a
+    // column set of the fact table, exact cardinality + within-order
+    // run counts (adjacency is defined WITHIN l_orderkey groups, so the
+    // run scan is a KEYED window — order-cardinality partitions, never
+    // a corpus-wide sort) drive the standard encoding rules
+    // (RLE_DICT / DICT / PLAIN). This is the stats pass a writer runs
+    // before choosing parquet encodings at 100 TB; every number is an
+    // exact integer and the advice CASE is textually shared.
+    ("q442_encoding_advisor", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, d, "lineitem")
+      val cols = Seq("l_returnflag", "l_linestatus", "l_quantity",
+        "l_shipdate", "l_extendedprice")
+      val tall = cols.map { c =>
+        li.select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          lit(c).as("col_name"), col(c).cast("string").as("v"))
+      }.reduce(_ unionByName _)
+      // (ok, ln) is not unique in the synthetic data — the value
+      // itself completes the total order so lag() is deterministic
+      val w = Window.partitionBy("col_name", "ok").orderBy("ln", "v")
+      val stats = tall
+        .withColumn("chg",
+          when(lag("v", 1).over(w).isNull ||
+            lag("v", 1).over(w) =!= col("v"), 1L).otherwise(0L))
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n"), count_distinct(col("v")).as("nd"),
+          sum("chg").as("runs"))
+      stats.select(col("col_name"), col("n"), col("nd"), col("runs"),
+          expr("runs * 10000 div n").as("runs_bp"),
+          expr("CASE WHEN runs * 4 <= n AND nd <= 64 THEN 'RLE_DICT' " +
+            "WHEN nd * 10 <= n THEN 'DICT' ELSE 'PLAIN' END").as("advice"))
+        .orderBy("col_name")
+    }, Some("""
+      WITH tall AS (
+        SELECT l_orderkey AS ok, l_linenumber AS ln,
+          'l_returnflag' AS col_name, CAST(l_returnflag AS VARCHAR) AS v
+          FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_linestatus',
+          CAST(l_linestatus AS VARCHAR) FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_quantity',
+          CAST(l_quantity AS VARCHAR) FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_shipdate',
+          CAST(l_shipdate AS VARCHAR) FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+          CAST(l_extendedprice AS VARCHAR) FROM lineitem),
+      ch AS (SELECT col_name, v,
+          CASE WHEN lag(v) OVER (PARTITION BY col_name, ok
+              ORDER BY ln, v)
+            IS NULL OR lag(v) OVER (PARTITION BY col_name, ok
+            ORDER BY ln, v) <> v THEN 1 ELSE 0 END AS chg
+        FROM tall),
+      st AS (SELECT col_name, COUNT(*) AS n,
+          CAST(COUNT(DISTINCT v) AS BIGINT) AS nd,
+          CAST(SUM(chg) AS BIGINT) AS runs
+        FROM ch GROUP BY 1)
+      SELECT col_name, n, nd, runs,
+        CAST(runs * 10000 // n AS BIGINT) AS runs_bp,
+        CASE WHEN runs * 4 <= n AND nd <= 64 THEN 'RLE_DICT'
+          WHEN nd * 10 <= n THEN 'DICT' ELSE 'PLAIN' END AS advice
+      FROM st ORDER BY col_name"""))
   )
 
   /** DuckDB replay of [[Curation.greedySetCover]] over trigram hashes:
