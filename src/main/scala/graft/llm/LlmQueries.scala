@@ -6495,7 +6495,48 @@ object LlmQueries {
         CAST(runs * 10000 // n AS BIGINT) AS runs_bp,
         CASE WHEN runs * 4 <= n AND nd <= 64 THEN 'RLE_DICT'
           WHEN nd * 10 <= n THEN 'DICT' ELSE 'PLAIN' END AS advice
-      FROM st ORDER BY col_name"""))
+      FROM st ORDER BY col_name""")),
+
+    // Join-cardinality estimation audit — the CBO-quality check: the
+    // equi-width histogram estimate Σ_b C_b² div d_b (uniform-within-
+    // bucket assumption, the classic System-R formula for the
+    // l_partkey self-join) against the EXACT actual Σ_v c_v², plus the
+    // worst bucket's contribution. Both layers are exact integer
+    // arithmetic over one per-key aggregate; the histogram is a 64-row
+    // metadata relation. An estimate off by >2x is what makes a
+    // planner pick the wrong join at 100 TB — this measures that gap.
+    ("q443_join_card_estimate", (s: SparkSession, d: String) => {
+      val perKey = t(s, d, "lineitem")
+        .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("c"))
+      val bounds = perKey.agg(min("k").as("kmin"),
+        (max("k") - min("k") + 1).as("kspan"))
+      val bucketed = perKey.crossJoin(broadcast(bounds))
+        .withColumn("b", expr("((k - kmin) * 64) div kspan"))
+      val hist = bucketed.groupBy("b")
+        .agg(sum("c").as("cb"), count(lit(1)).as("db"),
+          sum(col("c") * col("c")).as("actual_b"))
+        .withColumn("est_b", expr("(cb * cb) div db"))
+      hist.agg(sum("actual_b").as("actual"), sum("est_b").as("estimate"),
+          max(struct(col("actual_b") - col("est_b"), col("b"))).as("w"))
+        .select(col("actual"), col("estimate"),
+          expr("(estimate * 10000) div actual").as("est_over_actual_bp"),
+          col("w.b").as("worst_bucket"))
+    }, Some("""
+      WITH pk AS (SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem
+        GROUP BY 1),
+      bd AS (SELECT MIN(k) AS kmin, MAX(k) - MIN(k) + 1 AS kspan FROM pk),
+      bk AS (SELECT ((k - kmin) * 64) // kspan AS b, c FROM pk, bd),
+      h AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb,
+          CAST(COUNT(*) AS BIGINT) AS db,
+          CAST(SUM(c * c) AS BIGINT) AS actual_b
+        FROM bk GROUP BY 1),
+      h2 AS (SELECT *, (cb * cb) // db AS est_b FROM h)
+      SELECT CAST(SUM(actual_b) AS BIGINT) AS actual,
+        CAST(SUM(est_b) AS BIGINT) AS estimate,
+        CAST((SUM(est_b) * 10000) // SUM(actual_b) AS BIGINT)
+          AS est_over_actual_bp,
+        (MAX({'d': actual_b - est_b, 'b': b})).b AS worst_bucket
+      FROM h2"""))
   )
 
   /** DuckDB replay of [[Curation.greedySetCover]] over trigram hashes:
