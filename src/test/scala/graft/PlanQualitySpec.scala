@@ -1036,6 +1036,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(3000))
   }
 
+  test("q442: encoding stats are keyed windows (col, order) — no " +
+      "corpus-wide sort; the rollup is partial+final") {
+    val p = plan("q442_encoding_advisor")
+    assert(p.contains("windowspartition") ||
+      p.contains("hashpartitioning(col_name"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(3000))
+  }
+
+  test("q443: cardinality audit pays one per-key aggregate; bounds " +
+      "broadcast; the histogram close is metadata") {
+    val p = plan("q443_join_card_estimate")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(3000))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
   test("q408: template LCP is one partial+final string min/max " +
       "aggregate; the LCP walk runs on source-cardinality survivors") {
     val p = plan("q408_source_template_lcp")
