@@ -1039,10 +1039,11 @@ class PlanQualitySpec extends SparkSpec {
   test("q442: encoding stats are keyed windows (col, order) — no " +
       "corpus-wide sort; the rollup is partial+final") {
     val p = plan("q442_encoding_advisor")
-    assert(p.contains("windowspartition") ||
-      p.contains("hashpartitioning(col_name"), p.take(3000))
+    // the run window keys on (col_name, ok) — order-cardinality
+    // partitions; the only rangepartitioning is the 5-row output sort
+    assert(p.contains("hashpartitioning(col_name"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
-    assert(!p.contains("Exchange rangepartitioning"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
   }
 
   test("q443: cardinality audit pays one per-key aggregate; bounds " +
