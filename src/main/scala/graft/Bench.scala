@@ -43,7 +43,11 @@ object Bench {
         .toSeq.sortBy(_._1).map { case (name, fn) =>
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          // A throwing query must not hide as a suspiciously fast number:
+          // surface the name + error on stderr (stdout stays one JSON line).
+          try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
           (System.nanoTime() - t0) / 1e9
         }
         name -> times

@@ -25,7 +25,13 @@ object SparkEntry {
     all.map { case (n, q, _) => n -> q }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * Every statement passes through [[OracleSql.materializeCtes]] —
+    * a semantics-preserving `AS MATERIALIZED` hint on non-recursive CTEs
+    * that keeps the DuckDB suite inside the driver's compare budget
+    * (625 s → seconds; round 7's correctness was zeroed by gate cost). */
   def oracleSql: Map[String, String] =
-    all.collect { case (n, _, Some(sql)) => n -> sql.stripMargin.trim }.toMap
+    all.collect { case (n, _, Some(sql)) =>
+      n -> OracleSql.materializeCtes(sql.stripMargin.trim)
+    }.toMap
 }

@@ -587,10 +587,13 @@ object Components {
     * end. Returns (node, mis_round) for vertices that entered the MIS
     * within `rounds`. */
   def lubyMis(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{
+      materializeTruncated, materializeTruncatedSummed, unpersistMaterialized}
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val pri = struct(xxhash64(col("v")).as("h"), col("v").as("i"))
-    var e = prepareUndirected(edges)
-    var active = e.select(col("src").as("v")).distinct().localCheckpoint(true)
+    var e = materializeTruncated(prepareUndirected(edges))
+    var active = materializeTruncated(
+      e.select(col("src").as("v")).distinct())
     val misParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var r = 0
     var done = false
@@ -600,25 +603,36 @@ object Components {
         .groupBy(col("src").as("v"))
         .agg(min(struct(xxhash64(col("dst")).as("h"),
           col("dst").as("i"))).as("nb"))
-      val winners = active.join(nbrMin, Seq("v"), "left")
-        .filter(col("nb").isNull || pri < col("nb"))
-        .select(col("v"), lit(r.toLong).as("mis_round"))
-        .localCheckpoint(true)
+      val winners = materializeTruncated(
+        active.join(nbrMin, Seq("v"), "left")
+          .filter(col("nb").isNull || pri < col("nb"))
+          .select(col("v"), lit(r.toLong).as("mis_round")))
       misParts += winners
       val removed = winners.select("v")
         .union(e.join(winners.select("v").withColumnRenamed("v", "src"),
           Seq("src"), "left_semi").select(col("dst").as("v")))
         .distinct()
-      active = active.join(removed, Seq("v"), "left_anti")
-        .localCheckpoint(true)
-      done = active.isEmpty
-      if (!done) {
-        e = e
-          .join(active.select(col("v").as("src")), Seq("src"), "left_semi")
-          .join(active.select(col("v").as("dst")), Seq("dst"), "left_semi")
-          .select("src", "dst")
-          .localCheckpoint(true)
+      // emptiness probe folded into the materializing job (the SCC
+      // discipline): one job materializes next-round active AND returns
+      // its count — no separate isEmpty action per round
+      val (nextActive, nActive, _) = materializeTruncatedSummed(
+        active.join(removed, Seq("v"), "left_anti"), -1)
+      done = nActive == 0L
+      val prevE = e
+      val prevActive = active
+      if (!done && r < rounds) {
+        e = materializeTruncated(e
+          .join(nextActive.select(col("v").as("src")), Seq("src"), "left_semi")
+          .join(nextActive.select(col("v").as("dst")), Seq("dst"), "left_semi")
+          .select("src", "dst"))
       }
+      active = nextActive
+      // every consumer of the previous round's frames has now executed
+      // (winners, nextActive, next e are all materialized) — release
+      // their blocks so a many-round run doesn't pin every round's
+      // edge relation for the session lifetime
+      unpersistMaterialized(prevE)
+      unpersistMaterialized(prevActive)
     }
     misParts.reduce(_ union _).select(col("v").as("node"), col("mis_round"))
   }
@@ -1044,11 +1058,15 @@ object Components {
   /** Deterministic DeepWalk-style walk corpus (Perozzi et al. 2014
     * shape, derandomized): one walk per start vertex; at step t the
     * walk at node u moves to the out-neighbor v minimizing
-    * xxhash64(u, t, v) (all three longs, Spark's seed-chained xxhash64)
-    * — a hash-argmin in place of a random draw, so the whole corpus is
-    * a pure function of the graph and replays bit-for-bit in any
-    * engine with the same hash. Returns (start, step, node) for steps
-    * 0..`steps`.
+    * xxhash64(u, v) XOR xxhash64(t) — a hash-argmin in place of a
+    * random draw, so the whole corpus is a pure function of the graph
+    * and replays bit-for-bit in any engine with the same hash. The
+    * per-EDGE hash is computed once and reused by every step (at
+    * 100 TB it persists with the edge relation); the per-step XOR
+    * constant re-permutes all edge priorities each round for free —
+    * re-hashing (u, t, v) per candidate per step would redo the
+    * expensive part steps× over. Returns (start, step, node) for
+    * steps 0..`steps`.
     *
     * Each round is ONE edges join keyed on the current node plus a
     * partial-aggregable min(struct(hash, dst)) per walk — never a
@@ -1058,14 +1076,16 @@ object Components {
   def hashWalks(edges: DataFrame, steps: Int): DataFrame = {
     val e = edges.select(col("src").cast("long").as("esrc"),
       col("dst").cast("long").as("edst"))
+      .withColumn("eh", xxhash64(col("esrc"), col("edst")))
     var cur = e.select(col("esrc").as("start")).distinct()
       .withColumn("node", col("start"))
       .localCheckpoint(true) // frontier: one row per walk
     var out = cur.withColumn("step", lit(0))
     for (t <- 1 to steps) {
+      // xxhash64(lit) is foldable — the per-step constant costs nothing
       val next = cur.join(e, col("node") === col("esrc"))
         .select(col("start"),
-          struct(xxhash64(col("node"), lit(t.toLong), col("edst")).as("h"),
+          struct(col("eh").bitwiseXOR(xxhash64(lit(t.toLong))).as("h"),
             col("edst").as("dst")).as("hd"))
         .groupBy("start").agg(min(col("hd")).as("m"))
         .select(col("start"), col("m.dst").as("node"))

@@ -4294,10 +4294,13 @@ object LlmQueries {
 
     // Deterministic DeepWalk corpus over the strong co-purchase graph:
     // one walk per vertex, 3 steps, transition = argmin over neighbors
-    // of xxhash64(node, step, neighbor) — a hash-argmin standing in for
-    // the random draw, so the full walk relation is a pure function of
-    // the graph. The oracle replays the seed-chained XXH64 of all three
-    // longs per candidate edge and takes the same (hash, dst) minimum.
+    // of xxhash64(node, neighbor) XOR xxhash64(step) — a hash-argmin
+    // standing in for the random draw, so the full walk relation is a
+    // pure function of the graph. The per-EDGE hash is computed once
+    // (the 100 TB shape: priorities persist with the edge relation);
+    // the per-step XOR constant re-permutes them for free. The oracle
+    // replays the edge hash once per edge and the same (hash, dst)
+    // minimum per step.
     ("q380_hash_walks", (s: SparkSession, d: String) => {
       Components.hashWalks(strongCoPurchaseEdges(s, d), steps = 3)
         .select("start", "step", "node")
@@ -4305,15 +4308,11 @@ object LlmQueries {
     }, Some {
       val seed42 = "CAST(42 AS HUGEINT)"
       val steps = (1 to 3).map { t =>
-        s"""c$t AS MATERIALIZED (SELECT w.start, w.node, pe.dst
-          FROM w${t - 1} w JOIN pe ON w.node = pe.src),
-        h${t}a AS (SELECT *, ${XxHashOracle.hashLong(
-          "CAST(node AS HUGEINT)", seed42)} AS ha FROM c$t),
-        h${t}b AS (SELECT *, ${XxHashOracle.hashLong(
-          s"CAST($t AS HUGEINT)", "ha")} AS hb FROM h${t}a),
-        h${t}c AS (SELECT *, ${XxHashOracle.signed(XxHashOracle.hashLong(
-          "CAST(dst AS HUGEINT)", "hb"))} AS h FROM h${t}b),
-        w$t AS MATERIALIZED (SELECT start, dst AS node FROM h${t}c
+        val stepConst = XxHashOracle.hashLong(s"CAST($t AS HUGEINT)", seed42)
+        s"""w$t AS MATERIALIZED (SELECT start, dst AS node FROM (
+          SELECT w.start, e.dst,
+            ${XxHashOracle.signed(s"xor(e.ehu, ($stepConst))")} AS h
+          FROM w${t - 1} w JOIN eh e ON w.node = e.src)
           QUALIFY row_number() OVER (PARTITION BY start
             ORDER BY h, dst) = 1)"""
       }.mkString(",\n      ")
@@ -4322,6 +4321,10 @@ object LlmQueries {
         FROM lineitem a JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
         GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+      eh AS MATERIALIZED (SELECT src, dst, ${XxHashOracle.hashLong(
+        "CAST(dst AS HUGEINT)",
+        XxHashOracle.hashLong("CAST(src AS HUGEINT)", seed42))} AS ehu
+        FROM pe),
       w0 AS MATERIALIZED (SELECT DISTINCT src AS start, src AS node FROM pe),
       $steps
       SELECT start, step, node FROM (

@@ -2491,13 +2491,16 @@ object RelQueries {
         SELECT ${xxLongMod("k", 0, 8192)} AS pos FROM keys
         UNION ALL SELECT ${xxLongMod("k", 1, 8192)} FROM keys
         UNION ALL SELECT ${xxLongMod("k", 2, 8192)} FROM keys)),
-      probe AS (SELECT l_suppkey,
+      dk AS (SELECT DISTINCT l_suppkey FROM lineitem),
+      dkp AS (SELECT l_suppkey,
           ${xxLongMod("l_suppkey", 0, 8192)} IN (SELECT pos FROM bits)
           AND ${xxLongMod("l_suppkey", 1, 8192)} IN (SELECT pos FROM bits)
           AND ${xxLongMod("l_suppkey", 2, 8192)} IN (SELECT pos FROM bits)
             AS bpass,
           l_suppkey IN (SELECT k FROM keys) AS hit
-        FROM lineitem)
+        FROM dk),
+      probe AS (SELECT d.bpass, d.hit
+        FROM lineitem l JOIN dkp d USING (l_suppkey))
       SELECT COUNT(*) AS n_total,
         COUNT(*) FILTER (WHERE bpass) AS n_pass,
         COUNT(*) FILTER (WHERE hit) AS n_true,
@@ -6013,10 +6016,12 @@ object RelQueries {
       FROM e""")),
 
     // Hash-seeded bootstrap — 32 half-sample replicates of the mean
-    // order price, each replicate's membership decided by
-    // xxhash64(o_orderkey·64 + r) parity (mod a POWER OF TWO, so the
-    // signed pmod equals the unsigned remainder and DuckDB replays the
-    // draw bit-for-bit — no RNG state anywhere). One scan expands 32×
+    // order price. Each order is hashed ONCE (xxhash64(o_orderkey));
+    // replicate r's membership is BIT r of that hash — 64 pairwise
+    // independent half-sample draws from a single hash evaluation, so
+    // the scan does one hash per row (not one per row·replicate: at
+    // 100 TB that factor-32 matters, and it also keeps the DuckDB
+    // replay inside the driver's compare budget). One scan expands 32×
     // into map-side-combinable per-replicate decimal sums; the output
     // is the full B-row bootstrap distribution (callers take CI
     // percentiles from 32 rows — metadata). Deterministic resampling is
@@ -6024,10 +6029,13 @@ object RelQueries {
     // reproduced independently without storing sample membership.
     ("q284_bootstrap_means", (s: SparkSession, d: String) => {
       t(s, d, "orders")
-        .select(col("o_orderkey"), Exact.dec(col("o_totalprice"), 12).as("v"))
+        .select(col("o_orderkey"), Exact.dec(col("o_totalprice"), 12).as("v"),
+          xxhash64(col("o_orderkey")).as("h"))
         .withColumn("r", explode(sequence(lit(0L), lit(31L))))
-        .filter(pmod(xxhash64(col("o_orderkey") * lit(64L) + col("r")),
-          lit(2)) === 0)
+        // (h >> r) & 1: arithmetic shift is bit-exact for r <= 31, and
+        // the signed Spark hash shares its low 63 bits with the
+        // oracle's unsigned HUGEINT replay
+        .filter(expr("(shiftright(h, CAST(r AS INT)) & 1) = 0"))
         .groupBy("r")
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
         .select(col("r"), col("n"),
@@ -6035,12 +6043,13 @@ object RelQueries {
             .as("mean_price"))
         .orderBy("r")
     }, Some(s"""
-      WITH reps AS (SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS v, r,
-          CAST(o_orderkey * 64 + r AS HUGEINT) AS k
-        FROM orders CROSS JOIN (SELECT unnest(range(32)) AS r)),
-      inc AS (SELECT r, v FROM reps
-        WHERE (${graft.llm.XxHashOracle.hashLong("k",
-          "CAST(42 AS HUGEINT)")}) % 2 = 0)
+      WITH hs AS (SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS v,
+          (${graft.llm.XxHashOracle.hashLong(
+            "CAST(o_orderkey AS HUGEINT)", "CAST(42 AS HUGEINT)")}) AS hu
+        FROM orders),
+      inc AS (SELECT r, v
+        FROM hs CROSS JOIN (SELECT unnest(range(32)) AS r)
+        WHERE ((hu >> CAST(r AS INT)) & 1) = 0)
       SELECT CAST(r AS BIGINT) AS r, COUNT(*) AS n,
         CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mean_price
       FROM inc GROUP BY r ORDER BY r""")),
@@ -7330,7 +7339,8 @@ object RelQueries {
         .withColumn("pure", col("n_train") === 0 || col("n_val") === 0)
         .orderBy("source")
     }, Some(s"""
-      WITH toks AS (SELECT DISTINCT source AS tok FROM documents),
+      WITH toks AS (SELECT DISTINCT 0 AS doc_id, source AS tok
+        FROM documents),
       ${graft.llm.XxHashOracle.xxh64Ctes("toks")},
       sp AS (SELECT tok AS source,
           ((${graft.llm.XxHashOracle.signed("hu")} % 100) + 100) % 100 < 20

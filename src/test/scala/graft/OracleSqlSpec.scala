@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[OracleSql.materializeCtes]] — the DuckDB CTE-materialization hint
+  * that keeps the oracle suite inside the driver's compare budget. The
+  * transform must hit every plain CTE and must NOT touch recursive
+  * self-references or named-WINDOW definitions (both would be DuckDB
+  * errors). */
+class OracleSqlSpec extends AnyFunSuite {
+
+  test("plain CTE gains MATERIALIZED") {
+    val in = "WITH a AS (SELECT 1 AS x), b AS (SELECT x FROM a) " +
+      "SELECT * FROM a JOIN b USING (x)"
+    val out = OracleSql.materializeCtes(in)
+    assert(out.contains("a AS MATERIALIZED (SELECT 1 AS x)"))
+    assert(out.contains("b AS MATERIALIZED (SELECT x FROM a)"))
+  }
+
+  test("recursive self-referencing CTE is left untouched") {
+    val in = """WITH RECURSIVE reach AS (SELECT u, v FROM e
+      UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+      base AS (SELECT 1 AS k)
+      SELECT * FROM reach, base"""
+    val out = OracleSql.materializeCtes(in)
+    assert(out.contains("reach AS (SELECT"))
+    assert(!out.contains("reach AS MATERIALIZED"))
+    assert(out.contains("base AS MATERIALIZED (SELECT 1 AS k)"))
+  }
+
+  test("named WINDOW definition is not a CTE") {
+    val in = "SELECT sum(x) OVER w FROM t WINDOW w AS (PARTITION BY k)"
+    assert(OracleSql.materializeCtes(in) === in)
+  }
+
+  test("CTE body with nested parens and string literal balances") {
+    val in = "WITH g AS (SELECT regexp_split_to_array(trim(t), '(a)') " +
+      "AS arr FROM docs) SELECT * FROM g"
+    val out = OracleSql.materializeCtes(in)
+    assert(out.startsWith("WITH g AS MATERIALIZED (SELECT"))
+    // the ')' inside the quoted regex must not close the CTE early:
+    // 'docs' is part of the body, so the transform sees no self-reference
+    assert(out.endsWith("FROM docs) SELECT * FROM g"))
+  }
+
+  test("column alias `x AS name` and CAST(x AS TYPE) are untouched") {
+    val in = "SELECT a AS b, CAST(a AS BIGINT) FROM (SELECT 1 AS a) t"
+    assert(OracleSql.materializeCtes(in) === in)
+  }
+
+  test("every registered oracle still parses structurally: balanced parens" +
+      " and no MATERIALIZED on a self-referencing CTE") {
+    val matDef = """\b([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+MATERIALIZED\s*\(""".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val opens = sql.count(_ == '(')
+      val closes = sql.count(_ == ')')
+      assert(opens === closes, s"$name unbalanced")
+      // a materialized CTE must not reference itself (DuckDB cannot
+      // materialize a recursive CTE ahead of its own iteration)
+      matDef.findAllMatchIn(sql).foreach { m =>
+        var depth = 1
+        var j = m.end
+        var inStr = false
+        while (j < sql.length && depth > 0) {
+          sql.charAt(j) match {
+            case '\'' => inStr = !inStr
+            case '(' if !inStr => depth += 1
+            case ')' if !inStr => depth -= 1
+            case _ => ()
+          }
+          j += 1
+        }
+        val body = sql.substring(m.end, j - 1)
+        val cte = m.group(1)
+        // a self-reference is a TABLE reference (FROM x / JOIN x); the
+        // name reappearing as a column alias inside its own body is fine
+        assert(("""(?i)\b(FROM|JOIN)\s+""" + cte + """\b""").r
+          .findFirstIn(body).isEmpty,
+          s"$name materialized self-referencing CTE $cte")
+      }
+    }
+  }
+}
