@@ -38,34 +38,42 @@ object Bench {
     SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    val samples: Seq[(String, Seq[Double])] =
+    val samples: Seq[(String, Seq[Double], Boolean)] =
       SparkEntry.queries.filter(kv => nameFilter(kv._1))
         .toSeq.sortBy(_._1).map { case (name, fn) =>
+        var failed = false
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           // A throwing query must not hide as a suspiciously fast number:
-          // surface the name + error on stderr (stdout stays one JSON line).
+          // surface the name + error on stderr (stdout stays one JSON line)
+          // AND mark it in the JSON so downstream comparisons cannot read
+          // the near-instant elapsed time as a measurement.
           try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+            failed = true
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           }
           (System.nanoTime() - t0) / 1e9
         }
-        name -> times
+        (name, times, failed)
       }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    val medians = samples.map { case (n, ts) => n -> median(ts) }
-    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = medians.map(_._2).sum
+    val medians = samples.map { case (n, ts, failed) =>
+      (n, median(ts), failed)
+    }
+    val qs = medians.map { case (k, v, failed) =>
+      "\"" + k + "\":" + (if (failed) "null" else v.toString)
+    }.mkString("{", ",", "}")
+    val total = medians.collect { case (_, v, false) => v }.sum
+    val nFailed = medians.count(_._3)
     // Full artifact: every rep, so regressions vs noise are
     // distinguishable after the fact without a re-run.
-    val full = samples.map { case (n, ts) =>
+    val full = samples.map { case (n, ts, failed) =>
       "\"" + n + "\":{\"times\":" + ts.mkString("[", ",", "]") +
-        ",\"median\":" + median(ts) + "}"
+        ",\"median\":" + median(ts) + ",\"failed\":" + failed + "}"
     }.mkString("{", ",", "}")
     Files.writeString(Paths.get(outPath),
-      s"""{"sf":"$sfDir","reps":$reps,"total_median":$total,"queries":$full}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"sf":"$sfDir","reps":$reps,"total_median":$total,"failed":$nFailed,"queries":$full}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

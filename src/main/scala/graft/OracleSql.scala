@@ -44,8 +44,13 @@ object OracleSql {
         name.equalsIgnoreCase("MATERIALIZED") || name.equalsIgnoreCase("NOT")
       val bodyEnd = matchParen(sql, i + mm.end)
       val body = sql.substring(i + mm.end, bodyEnd - 1)
-      val selfRef = ("""\b""" + Regex.quote(name) + """\b""").r
-        .findFirstIn(body).isDefined
+      // A self-reference is a TABLE reference (FROM x / JOIN x) — the CTE
+      // name reappearing as a column alias or inside a string literal is
+      // not recursion, and with the corpus's single-letter CTE names a
+      // bare word match would silently skip hot CTEs.
+      val selfRef =
+        ("""(?i)\b(?:FROM|JOIN)\s+""" + Regex.quote(name) + """\b""").r
+          .findFirstIn(body).isDefined
       if (isWindow || skipKeyword || selfRef)
         out.append(sql.substring(i, i + mm.end))
       else {
@@ -62,7 +67,8 @@ object OracleSql {
   /** Index just past the ')' closing the '(' at `start - 1`'s match —
     * `start` is the first char inside the paren. Single-quoted string
     * literals are skipped so a paren inside a regex literal cannot
-    * unbalance the scan. */
+    * unbalance the scan, and `--` line comments are skipped so an
+    * apostrophe or unbalanced paren in a comment cannot desync it. */
   private def matchParen(sql: String, start: Int): Int = {
     var depth = 1
     var j = start
@@ -70,6 +76,9 @@ object OracleSql {
     while (j < sql.length && depth > 0) {
       sql.charAt(j) match {
         case '\'' => inStr = !inStr
+        case '-' if !inStr && j + 1 < sql.length && sql.charAt(j + 1) == '-' =>
+          while (j < sql.length && sql.charAt(j) != '\n') j += 1
+          j -= 1 // net +1 below lands on the newline (or end)
         case '(' if !inStr => depth += 1
         case ')' if !inStr => depth -= 1
         case _ => ()

@@ -592,7 +592,7 @@ object Components {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val pri = struct(xxhash64(col("v")).as("h"), col("v").as("i"))
     var e = materializeTruncated(prepareUndirected(edges))
-    var active = materializeTruncated(
+    var active: DataFrame = materializeTruncated(
       e.select(col("src").as("v")).distinct())
     val misParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var r = 0
@@ -603,23 +603,32 @@ object Components {
         .groupBy(col("src").as("v"))
         .agg(min(struct(xxhash64(col("dst")).as("h"),
           col("dst").as("i"))).as("nb"))
-      val winners = materializeTruncated(
-        active.join(nbrMin, Seq("v"), "left")
-          .filter(col("nb").isNull || pri < col("nb"))
-          .select(col("v"), lit(r.toLong).as("mis_round")))
-      misParts += winners
-      val removed = winners.select("v")
-        .union(e.join(winners.select("v").withColumnRenamed("v", "src"),
-          Seq("src"), "left_semi").select(col("dst").as("v")))
-        .distinct()
-      // emptiness probe folded into the materializing job (the SCC
-      // discipline): one job materializes next-round active AND returns
-      // its count — no separate isEmpty action per round
-      val (nextActive, nActive, _) = materializeTruncatedSummed(
-        active.join(removed, Seq("v"), "left_anti"), -1)
-      done = nActive == 0L
+      val flagged = active.join(nbrMin, Seq("v"), "left")
+        .select(col("v"), (col("nb").isNull || pri < col("nb")).as("w"))
+      val winners = flagged.filter(col("w"))
+        .select(col("v"), lit(r.toLong).as("mis_round"))
+      val nbrOfWinners = e
+        .join(winners.select(col("v").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("v")).distinct()
+      val surviving = flagged.filter(!col("w"))
+        .join(nbrOfWinners, Seq("v"), "left_anti")
+        .select(col("v"), lit(null).cast("long").as("mis_round"))
+      // Winners AND survivors land in ONE materialized frame per round,
+      // with the emptiness probe (Σ alive) folded into the same job —
+      // round 8 paid three jobs per round (winners, next-active+count,
+      // edge filter) and at small SF job-launch overhead, not data,
+      // dominated. The winner subtree is referenced twice inside this
+      // plan (union branch + its neighborhood semi join); both sit over
+      // the same materialized inputs and the repeated exchanges reuse.
+      val (labeled, _, aliveSum) = materializeTruncatedSummed(
+        winners.union(surviving).withColumn("alive",
+          when(col("mis_round").isNull, 1L).otherwise(0L)),
+        2)
+      misParts += labeled.filter(col("mis_round").isNotNull)
+        .select("v", "mis_round")
+      done = aliveSum.longValueExact() == 0L
+      val nextActive = labeled.filter(col("alive") === 1L).select("v")
       val prevE = e
-      val prevActive = active
       if (!done && r < rounds) {
         e = materializeTruncated(e
           .join(nextActive.select(col("v").as("src")), Seq("src"), "left_semi")
@@ -627,12 +636,14 @@ object Components {
           .select("src", "dst"))
       }
       active = nextActive
-      // every consumer of the previous round's frames has now executed
-      // (winners, nextActive, next e are all materialized) — release
-      // their blocks so a many-round run doesn't pin every round's
-      // edge relation for the session lifetime
+      // Only the edge relation is released per round: each round's
+      // `labeled` frame BACKS its misParts entry (winners and survivors
+      // share the one materialized RDD, and localCheckpoint truncated
+      // its lineage, so dropping it would lose the output), and the
+      // active sets are vertex-sized and shrink geometrically — the
+      // session-lifetime-pinning risk the unpersist discipline exists
+      // for is the per-round EDGE relation.
       unpersistMaterialized(prevE)
-      unpersistMaterialized(prevActive)
     }
     misParts.reduce(_ union _).select(col("v").as("node"), col("mis_round"))
   }

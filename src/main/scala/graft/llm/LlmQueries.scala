@@ -3490,13 +3490,18 @@ object LlmQueries {
             .cast("double") /
             ((col("oof_n") + lit(m)) * col("n_tot"))).as("enc"))
         .orderBy("seg", "fold")
-    }, Some(s"""
+    }, Some {
+      // Fold hash through the linear per-step chain (hashLongSubquery) —
+      // the inline macro evaluated its argument ~1000x per orders row.
+      val hashedOrders = XxHashOracle.hashLongSubquery("orders",
+        Seq("o_custkey", "o_totalprice"),
+        "CAST(o_orderkey AS HUGEINT)", "CAST(42 AS HUGEINT)", "hu")
+      s"""
       WITH lab AS (SELECT c.c_mktsegment AS seg,
-          ((${XxHashOracle.signed(XxHashOracle.hashLong(
-            "CAST(o_orderkey AS HUGEINT)", "CAST(42 AS HUGEINT)"))} % 4)
+          ((${XxHashOracle.signed("hu")} % 4)
             + 4) % 4 AS fold,
           CASE WHEN o_totalprice > 25000.0 THEN 1 ELSE 0 END AS pos
-        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        FROM $hashedOrders o JOIN customer c ON o.o_custkey = c.c_custkey),
       pf AS (SELECT seg, CAST(fold AS BIGINT) AS fold,
           COUNT(*) AS n_f, CAST(SUM(pos) AS BIGINT) AS pos_f
         FROM lab GROUP BY 1, 2),
@@ -3510,7 +3515,8 @@ object LlmQueries {
         CAST(oof_pos AS BIGINT) AS oof_pos,
         CAST(oof_pos * n_tot + 20 * pos_tot AS DOUBLE)
           / ((oof_n + 20) * n_tot) AS enc
-      FROM w, tot ORDER BY seg, fold""")),
+      FROM w, tot ORDER BY seg, fold"""
+    }),
 
     // Minimizer-sampled candidate pairs (Roberts et al. 2004, the
     // genomics sampling scheme modern dedup borrows): each doc keeps
@@ -4306,12 +4312,18 @@ object LlmQueries {
         .select("start", "step", "node")
         .orderBy("start", "step")
     }, Some {
-      val seed42 = "CAST(42 AS HUGEINT)"
+      // Per-step XOR constants xxhash64(lit(t)) are folded to literals in
+      // Scala (hashLongConst): embedding the hashLong SQL macro multiplies
+      // its argument text ~1000x, and NESTING it (r08) squared that into a
+      // 36 MB statement that alone cost DuckDB ~365 s / 10 GB. The chained
+      // eh1 -> eh CTEs below keep the two-column hash linear: eh seeds the
+      // dst hash with the COLUMN h1, never with h1's expansion.
       val steps = (1 to 3).map { t =>
-        val stepConst = XxHashOracle.hashLong(s"CAST($t AS HUGEINT)", seed42)
+        val stepConst =
+          XxHashOracle.hugeint(XxHashOracle.hashLongConst(BigInt(t), BigInt(42)))
         s"""w$t AS MATERIALIZED (SELECT start, dst AS node FROM (
           SELECT w.start, e.dst,
-            ${XxHashOracle.signed(s"xor(e.ehu, ($stepConst))")} AS h
+            ${XxHashOracle.signed(s"xor(e.ehu, $stepConst)")} AS h
           FROM w${t - 1} w JOIN eh e ON w.node = e.src)
           QUALIFY row_number() OVER (PARTITION BY start
             ORDER BY h, dst) = 1)"""
@@ -4321,10 +4333,12 @@ object LlmQueries {
         FROM lineitem a JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
         GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
-      eh AS MATERIALIZED (SELECT src, dst, ${XxHashOracle.hashLong(
-        "CAST(dst AS HUGEINT)",
-        XxHashOracle.hashLong("CAST(src AS HUGEINT)", seed42))} AS ehu
+      eh1 AS MATERIALIZED (SELECT src, dst, ${XxHashOracle.hashLong(
+        "CAST(src AS HUGEINT)", "CAST(42 AS HUGEINT)")} AS h1
         FROM pe),
+      eh AS MATERIALIZED (SELECT src, dst, ${XxHashOracle.hashLong(
+        "CAST(dst AS HUGEINT)", "h1")} AS ehu
+        FROM eh1),
       w0 AS MATERIALIZED (SELECT DISTINCT src AS start, src AS node FROM pe),
       $steps
       SELECT start, step, node FROM (

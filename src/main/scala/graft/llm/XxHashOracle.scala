@@ -111,6 +111,56 @@ object XxHashOracle {
     fmix(add(mm(rotl(acc, 27), p1), p4))
   }
 
+  /** hashLong(l, seed) computed in Scala — XXH64 of one 8-byte long, the
+    * same function [[hashLong]] expands to SQL. Use it to fold
+    * hash-of-constant subexpressions (e.g. q380's per-step XOR constants
+    * xxhash64(lit(t))) into a single HUGEINT literal instead of embedding
+    * the macro expansion — the textual expansion multiplies its argument
+    * ~1000x, so nesting it is what ballooned the round-8 q380 oracle to
+    * 36 MB. Pinned against Spark's xxhash64(lit(l)) in XxHashOracleSpec. */
+  def hashLongConst(l: BigInt, seed: BigInt): BigInt = {
+    val M = BigInt(1) << 64
+    def rotlL(x: BigInt, r: Int): BigInt = ((x << r) | (x >> (64 - r))).mod(M)
+    def fmixL(h0: BigInt): BigInt = {
+      var h = h0
+      h ^= h >> 33; h = (h * P2v).mod(M)
+      h ^= h >> 29; h = (h * P3v).mod(M)
+      h ^ (h >> 32)
+    }
+    val w = l.mod(M)
+    val k1 = (rotlL((w * P2v).mod(M), 31) * P1v).mod(M)
+    val acc = (seed + P5v + 8).mod(M) ^ k1
+    fmixL((rotlL(acc, 27) * P1v + P4v).mod(M))
+  }
+
+  /** Unsigned HUGEINT literal for a Scala-computed hash constant. */
+  def hugeint(v: BigInt): String = ch(v)
+
+  /** hashLong(inExpr, seedExpr) as a LINEAR nested-projection chain —
+    * returns a parenthesized subquery over `srcRel` computing the hash as
+    * unsigned HUGEINT column `outCol` (keeping `keepCols`). Each XXH64
+    * step lands in a named column of its own projection, so the statement
+    * stays ~2 KB and DuckDB evaluates every step ONCE per row; the
+    * [[hashLong]] inline macro instead duplicates its argument ~1000x in
+    * both text and evaluation, which is what made the per-row replay
+    * oracles (q241 KMV, q402 ridge folds) the suite's residual
+    * heavyweights. `srcRel` may be a table name or a parenthesized
+    * subquery; same bit-for-bit Spark xxhash64 parity as [[hashLong]]. */
+  def hashLongSubquery(srcRel: String, keepCols: Seq[String], inExpr: String,
+      seedExpr: String, outCol: String): String = {
+    val keep = keepCols.map(c => s"$c, ").mkString
+    def st(inner: String, extra: String, alias: String) =
+      s"(SELECT $keep$extra FROM $inner AS $alias)"
+    val q0 = st(srcRel, s"($inExpr) AS _xh0, ($seedExpr) AS _xsd", "_x0")
+    val q1 = st(q0, s"_xsd, ${mm("_xh0", p2)} AS _xh1", "_x1")
+    val q2 = st(q1, s"_xsd, ${mm(rotl("_xh1", 31), p1)} AS _xh2", "_x2")
+    val q3 = st(q2, s"xor(${add(add("_xsd", p5), ch(8))}, _xh2) AS _xh3", "_x3")
+    val q4 = st(q3, s"${add(mm(rotl("_xh3", 27), p1), p4)} AS _xh4", "_x4")
+    val q5 = st(q4, s"${mm("xor(_xh4, (_xh4 >> 33))", p2)} AS _xh5", "_x5")
+    val q6 = st(q5, s"${mm("xor(_xh5, (_xh5 >> 29))", p3)} AS _xh6", "_x6")
+    st(q6, s"xor(_xh6, (_xh6 >> 32)) AS $outCol", "_x7")
+  }
+
   /** hashInt(i, 42) computed in Scala — XXH64 of a 4-byte int, the MinHash
     * family seed. Formula = Spark XxHash64Function.hashInt; pinned against
     * Spark's own xxhash64(lit(i)) in XxHashOracleSpec. */

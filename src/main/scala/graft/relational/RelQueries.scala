@@ -30,14 +30,21 @@ object RelQueries {
   private def tax = Exact.dec(col("l_tax"), 4)
   private def revenue = price * (Exact.one - disc)
 
-  // DuckDB replay of Spark's xxhash64(lit(i), longCol) reduced mod a POWER
-  // OF TWO m (so the signed pmod and the unsigned remainder agree — see
-  // ops.Sketches). `c` must be a non-negative BIGINT column expression.
-  private def xxLongMod(c: String, i: Int, m: Int): String = {
-    require((m & (m - 1)) == 0, s"m must be a power of two, got $m")
-    s"((${graft.llm.XxHashOracle.hashLong(s"CAST($c AS HUGEINT)",
-      s"CAST(${graft.llm.XxHashOracle.familySeed(i)} AS HUGEINT)")}) % $m)"
-  }
+  /** `families` stacked hashLongSubquery chains over `src`: unsigned
+    * hashes xxhash64(lit(i), keyCol) land in columns h0..h(families-1).
+    * Reduce them mod a POWER OF TWO at the use site, so the signed pmod
+    * and the unsigned remainder agree — see ops.Sketches. The
+    * linear-chain replacement for the retired inline xxLongMod macro —
+    * same Spark parity, ~1 KB of text per family instead of ~250 KB,
+    * each step evaluated once per row instead of ~1000x. */
+  private def xxLongModChain(src: String, keepCols: Seq[String],
+      keyCol: String, families: Int): String =
+    (0 until families).foldLeft(src) { case (inner, i) =>
+      graft.llm.XxHashOracle.hashLongSubquery(inner,
+        keepCols ++ (0 until i).map(j => s"h$j"),
+        s"CAST($keyCol AS HUGEINT)",
+        s"CAST(${graft.llm.XxHashOracle.familySeed(i)} AS HUGEINT)", s"h$i")
+    }
 
   // oracle fragments (DuckDB side)
   private val oQty = "CAST(l_quantity AS DECIMAL(10,2))"
@@ -2484,21 +2491,31 @@ object RelQueries {
           count(when(col("bpass") && col("hit").isNotNull, 1)).as("n_tp"))
         .select(col("n_total"), col("n_pass"), col("n_true"),
           (col("n_tp") === col("n_true")).as("fn_free"))
-    }, Some(s"""
-      WITH keys AS (SELECT DISTINCT s_suppkey AS k FROM supplier
-                    WHERE s_nationkey = 0),
+    }, Some {
+      // The three family hashes run through the linear per-step chain
+      // (hashLongSubquery) instead of six xxLongMod inline macros — the
+      // macro text made this the corpus's largest statement (1.6 MB) and
+      // its per-row evaluation duplicated the argument ~1000x.
+      val kh = xxLongModChain(
+        "(SELECT DISTINCT s_suppkey AS k FROM supplier WHERE s_nationkey = 0)",
+        Seq("k"), "k", 3)
+      val ph = xxLongModChain(
+        "(SELECT DISTINCT l_suppkey FROM lineitem)",
+        Seq("l_suppkey"), "l_suppkey", 3)
+      s"""
+      WITH kh AS (SELECT k, h0 % 8192 AS p0, h1 % 8192 AS p1,
+          h2 % 8192 AS p2 FROM $kh _kh),
       bits AS (SELECT DISTINCT pos FROM (
-        SELECT ${xxLongMod("k", 0, 8192)} AS pos FROM keys
-        UNION ALL SELECT ${xxLongMod("k", 1, 8192)} FROM keys
-        UNION ALL SELECT ${xxLongMod("k", 2, 8192)} FROM keys)),
-      dk AS (SELECT DISTINCT l_suppkey FROM lineitem),
+        SELECT p0 AS pos FROM kh
+        UNION ALL SELECT p1 FROM kh
+        UNION ALL SELECT p2 FROM kh)),
       dkp AS (SELECT l_suppkey,
-          ${xxLongMod("l_suppkey", 0, 8192)} IN (SELECT pos FROM bits)
-          AND ${xxLongMod("l_suppkey", 1, 8192)} IN (SELECT pos FROM bits)
-          AND ${xxLongMod("l_suppkey", 2, 8192)} IN (SELECT pos FROM bits)
+          h0 % 8192 IN (SELECT pos FROM bits)
+          AND h1 % 8192 IN (SELECT pos FROM bits)
+          AND h2 % 8192 IN (SELECT pos FROM bits)
             AS bpass,
-          l_suppkey IN (SELECT k FROM keys) AS hit
-        FROM dk),
+          l_suppkey IN (SELECT k FROM kh) AS hit
+        FROM $ph _ph),
       probe AS (SELECT d.bpass, d.hit
         FROM lineitem l JOIN dkp d USING (l_suppkey))
       SELECT COUNT(*) AS n_total,
@@ -2506,7 +2523,8 @@ object RelQueries {
         COUNT(*) FILTER (WHERE hit) AS n_true,
         COUNT(*) FILTER (WHERE bpass AND hit) =
           COUNT(*) FILTER (WHERE hit) AS fn_free
-      FROM probe""")),
+      FROM probe"""
+    }),
 
     // Count-min sketch frequency store: depth 3 x width 4096 long counters
     // in ONE array via a custom Aggregator whose partial states merge
@@ -2528,13 +2546,17 @@ object RelQueries {
         .select(col("l_partkey"), col("true_cnt"), col("est"),
           (col("est") >= col("true_cnt")).as("lower_ok"))
         .orderBy(col("true_cnt").desc, col("l_partkey"))
-    }, Some(s"""
-      WITH cnt AS (SELECT l_partkey AS k, COUNT(*) AS true_cnt
-                   FROM lineitem GROUP BY 1),
-      pos AS (SELECT k, true_cnt, 0 AS i, ${xxLongMod("k", 0, 4096)} AS pos
-                FROM cnt
-        UNION ALL SELECT k, true_cnt, 1, ${xxLongMod("k", 1, 4096)} FROM cnt
-        UNION ALL SELECT k, true_cnt, 2, ${xxLongMod("k", 2, 4096)} FROM cnt),
+    }, Some {
+      // Family hashes via the linear chain — see q160's rationale.
+      val ch = xxLongModChain(
+        "(SELECT l_partkey AS k, COUNT(*) AS true_cnt FROM lineitem GROUP BY 1)",
+        Seq("k", "true_cnt"), "k", 3)
+      s"""
+      WITH cnt AS (SELECT k, true_cnt, h0 % 4096 AS p0, h1 % 4096 AS p1,
+          h2 % 4096 AS p2 FROM $ch _ch),
+      pos AS (SELECT k, true_cnt, 0 AS i, p0 AS pos FROM cnt
+        UNION ALL SELECT k, true_cnt, 1, p1 FROM cnt
+        UNION ALL SELECT k, true_cnt, 2, p2 FROM cnt),
       cells AS (SELECT i, pos, SUM(true_cnt) AS cc FROM pos GROUP BY 1, 2),
       top AS (SELECT k, true_cnt FROM cnt ORDER BY true_cnt DESC, k LIMIT 10),
       est AS (SELECT p.k, p.true_cnt, MIN(cc) AS est
@@ -2543,7 +2565,8 @@ object RelQueries {
         GROUP BY 1, 2)
       SELECT k AS l_partkey, true_cnt, CAST(est AS BIGINT) AS est,
         est >= true_cnt AS lower_ok
-      FROM est ORDER BY true_cnt DESC, l_partkey""")),
+      FROM est ORDER BY true_cnt DESC, l_partkey"""
+    }),
 
     // Time-series linear interpolation over a gapped daily series: a
     // two-month day spine left-joins daily order counts, every day not
@@ -4248,10 +4271,16 @@ object RelQueries {
           li.agg(countDistinct(col("l_orderkey")).as("exact_distinct"))))
     }, Some {
       import graft.llm.XxHashOracle
-      val h = XxHashOracle.signed(XxHashOracle.hashLong(
-        "CAST(l_orderkey AS HUGEINT)", "CAST(42 AS HUGEINT)"))
+      // DISTINCT keys first (sets of hashes are equal either way), then
+      // the linear per-step hash chain — the inline macro evaluated its
+      // argument ~1000x per lineitem ROW and was the suite's #2
+      // heavyweight (19.8 s in the round-8 timing).
+      val hashed = XxHashOracle.hashLongSubquery(
+        "(SELECT DISTINCT l_orderkey FROM lineitem)", Seq.empty,
+        "CAST(l_orderkey AS HUGEINT)", "CAST(42 AS HUGEINT)", "hu")
       s"""
-      WITH h AS (SELECT DISTINCT $h AS h FROM lineitem),
+      WITH h AS (SELECT DISTINCT ${XxHashOracle.signed("hu")} AS h
+        FROM $hashed AS _hs),
       k AS (SELECT h FROM h ORDER BY h LIMIT 256),
       s AS (SELECT COUNT(*) AS n_kept,
             CAST(MAX(h) AS BIGINT) AS kth_hash FROM k),
@@ -4667,16 +4696,21 @@ object RelQueries {
         .filter(col("dist") <= 8)
         .select("ka", "kb", "dist")
         .orderBy("ka", "kb")
-    }, Some(s"""
+    }, Some {
+      // Coordinate hashes via the linear chain — see q160's rationale.
+      val hashed = xxLongModChain("customer", Seq("c_custkey"),
+        "c_custkey", 2)
+      s"""
       WITH pts AS (SELECT c_custkey AS k,
-          CAST(${xxLongMod("c_custkey", 0, 1024)} AS BIGINT) AS x,
-          CAST(${xxLongMod("c_custkey", 1, 1024)} AS BIGINT) AS y
-        FROM customer)
+          CAST(h0 % 1024 AS BIGINT) AS x,
+          CAST(h1 % 1024 AS BIGINT) AS y
+        FROM $hashed _p)
       SELECT a.k AS ka, b.k AS kb,
         GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) AS dist
       FROM pts a JOIN pts b ON a.k < b.k
       WHERE GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) <= 8
-      ORDER BY 1, 2""")),
+      ORDER BY 1, 2"""
+    }),
 
     // Seasonal-baseline anomaly flags — days whose revenue exceeds
     // 1.5× their day-of-week mean. The threshold is evaluated by
@@ -9489,16 +9523,21 @@ object RelQueries {
         .selectExpr("fold", "n AS n_holdout", "beta0", "beta1", "beta2",
           "sqrt(sse / hn) AS rmse")
         .orderBy("fold")
-    }, Some(s"""
+    }, Some {
+      // Per-row fold hash through the linear chain (hashLongSubquery):
+      // the inline macro evaluated its argument ~1000x per joined row and
+      // made this the suite's #1 oracle heavyweight (22.2 s in r08).
+      val hashedLi = graft.llm.XxHashOracle.hashLongSubquery("lineitem",
+        Seq("l_partkey", "l_quantity", "l_extendedprice"),
+        "CAST(l_orderkey AS HUGEINT)", "CAST(42 AS HUGEINT)", "hu")
+      s"""
       WITH b AS (SELECT
-          CAST(((${graft.llm.XxHashOracle.signed(
-            graft.llm.XxHashOracle.hashLong(
-              "CAST(l_orderkey AS HUGEINT)", "CAST(42 AS HUGEINT)"))} % 4)
+          CAST(((${graft.llm.XxHashOracle.signed("hu")} % 4)
             + 4) % 4 AS BIGINT) AS fold,
           CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x1,
           CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x2,
           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
-        FROM lineitem JOIN part ON l_partkey = p_partkey),
+        FROM $hashedLi li JOIN part ON l_partkey = p_partkey),
       a AS (SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
           SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
           SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
@@ -9548,7 +9587,8 @@ object RelQueries {
         FROM bt)
       SELECT fold, n AS n_holdout, beta0, beta1, beta2,
         sqrt(sse / hn) AS rmse
-      FROM sq ORDER BY fold""")),
+      FROM sq ORDER BY fold"""
+    }),
 
     // STREAMING STATE REPARTITIONING on scale-out — the operational
     // move a long-running 100 TB stream makes when its fixed state

@@ -48,6 +48,19 @@ class OracleSqlSpec extends AnyFunSuite {
     assert(OracleSql.materializeCtes(in) === in)
   }
 
+  test("no oracle statement exceeds 2 MB") {
+    // Round 8 shipped a 36.3 MB q380 oracle (a hashLong macro nested
+    // inside itself) that cost DuckDB ~365 s / ~10 GB to parse+bind and
+    // zeroed CORRECTNESS_r08. Statement size is the cheap proxy that
+    // catches runaway textual macro expansion before it ships.
+    val limit = 2 * 1024 * 1024
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.length < limit,
+        s"$name oracle is ${sql.length} bytes (limit $limit) — " +
+          "likely a nested macro expansion; linearize via chained CTEs")
+    }
+  }
+
   test("every registered oracle still parses structurally: balanced parens" +
       " and no MATERIALIZED on a self-referencing CTE") {
     val matDef = """\b([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+MATERIALIZED\s*\(""".r

@@ -21,6 +21,23 @@ class XxHashOracleSpec extends SparkSpec {
     }
   }
 
+  test("hashLongConst replicates Spark's xxhash64 over a long") {
+    // q380's per-step XOR constants xxhash64(lit(t)) are folded to
+    // literals by this formula; pin it against Spark at the source.
+    import spark.implicits._
+    val inputs = Seq(0L, 1L, 2L, 3L, 42L, -1L, Long.MaxValue, Long.MinValue,
+      1234567890123L)
+    val sparkSide = inputs.toDF("l")
+      .select(col("l"), xxhash64(col("l")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (l <- inputs) {
+      val u = XxHashOracle.hashLongConst(BigInt(l), BigInt(42))
+      val signed =
+        if (u >= (BigInt(1) << 63)) (u - (BigInt(1) << 64)).toLong else u.toLong
+      assert(signed == sparkSide(l), s"long $l")
+    }
+  }
+
   test("generated oracle SQL embeds per-parameter structure") {
     val sql = XxHashOracle.minhashSql(n = 3, bands = 16, rowsPerBand = 4,
       tau = 0.5)
