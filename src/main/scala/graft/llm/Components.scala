@@ -586,14 +586,26 @@ object Components {
     * accumulate as materialized per-round frames unioned lazily at the
     * end. Returns (node, mis_round) for vertices that entered the MIS
     * within `rounds`. */
-  def lubyMis(edges: DataFrame, rounds: Int): DataFrame = {
+  def lubyMis(edges: DataFrame, rounds: Int,
+      symmetricInput: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge.{
       materializeTruncated, materializeTruncatedSummed, unpersistMaterialized}
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val pri = struct(xxhash64(col("v")).as("h"), col("v").as("i"))
-    var e = materializeTruncated(prepareUndirected(edges))
-    var active: DataFrame = materializeTruncated(
-      e.select(col("src").as("v")).distinct())
+    // symmetricInput: the caller guarantees `edges` is already
+    // symmetrized, self-loop-free, and distinct (the co-purchase
+    // relation is, by construction), so the doubling+distinct of the
+    // algorithm's BIGGEST relation — measured at a third of q433's
+    // wall time — is skipped. Round 1 then scans the input relation
+    // directly (columnar scans, no materialization job needed).
+    var e = if (symmetricInput) edges.select("src", "dst")
+      else materializeTruncated(prepareUndirected(edges))
+    // No prepared active set: active is by construction exactly the
+    // src key set of the symmetric edge relation, which is exactly
+    // nbrMin's grouping keys, so round 1 reads winners straight off
+    // the aggregate (nb is never null there) and later rounds carry
+    // the survivor set forward.
+    var active: DataFrame = null
     val misParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var r = 0
     var done = false
@@ -603,32 +615,36 @@ object Components {
         .groupBy(col("src").as("v"))
         .agg(min(struct(xxhash64(col("dst")).as("h"),
           col("dst").as("i"))).as("nb"))
-      val flagged = active.join(nbrMin, Seq("v"), "left")
-        .select(col("v"), (col("nb").isNull || pri < col("nb")).as("w"))
-      val winners = flagged.filter(col("w"))
+      // Profiled shape (round 9): materialize flagged FIRST so the
+      // nbrMin aggregate — the expensive edge-keyed shuffle — is
+      // evaluated exactly once per round. Referencing the winner
+      // subtree from both the survivor anti-join and the output union
+      // in one fused job re-evaluated that aggregate three times and
+      // was measured SLOWER (7.8 s vs 5.6 s idle at sf0.1), not faster.
+      val flaggedPlan =
+        if (r == 1) nbrMin.select(col("v"),
+          (pri < col("nb")).cast("long").as("w"))
+        else active.join(nbrMin, Seq("v"), "left")
+          .select(col("v"),
+            (col("nb").isNull || pri < col("nb")).cast("long").as("w"))
+      // flagged backs this round's misParts slice, so it stays pinned
+      // for the call's lifetime — vertex-sized and shrinking
+      // geometrically, unlike the per-round EDGE relation below.
+      val flagged = materializeTruncated(flaggedPlan)
+      misParts += flagged.filter(col("w") === 1L)
         .select(col("v"), lit(r.toLong).as("mis_round"))
       val nbrOfWinners = e
-        .join(winners.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(flagged.filter(col("w") === 1L).select(col("v").as("src")),
+          Seq("src"), "left_semi")
         .select(col("dst").as("v")).distinct()
-      val surviving = flagged.filter(!col("w"))
-        .join(nbrOfWinners, Seq("v"), "left_anti")
-        .select(col("v"), lit(null).cast("long").as("mis_round"))
-      // Winners AND survivors land in ONE materialized frame per round,
-      // with the emptiness probe (Σ alive) folded into the same job —
-      // round 8 paid three jobs per round (winners, next-active+count,
-      // edge filter) and at small SF job-launch overhead, not data,
-      // dominated. The winner subtree is referenced twice inside this
-      // plan (union branch + its neighborhood semi join); both sit over
-      // the same materialized inputs and the repeated exchanges reuse.
-      val (labeled, _, aliveSum) = materializeTruncatedSummed(
-        winners.union(surviving).withColumn("alive",
-          when(col("mis_round").isNull, 1L).otherwise(0L)),
-        2)
-      misParts += labeled.filter(col("mis_round").isNotNull)
-        .select("v", "mis_round")
-      done = aliveSum.longValueExact() == 0L
-      val nextActive = labeled.filter(col("alive") === 1L).select("v")
+      // Survivor materialization doubles as the emptiness probe (count
+      // folded into the materializing job — no separate isEmpty action).
+      val (nextActive, nAct, _) = materializeTruncatedSummed(
+        flagged.filter(col("w") === 0L).select("v")
+          .join(nbrOfWinners, Seq("v"), "left_anti"), -1)
+      done = nAct == 0L
       val prevE = e
+      val prevActive = active
       if (!done && r < rounds) {
         e = materializeTruncated(e
           .join(nextActive.select(col("v").as("src")), Seq("src"), "left_semi")
@@ -636,14 +652,14 @@ object Components {
           .select("src", "dst"))
       }
       active = nextActive
-      // Only the edge relation is released per round: each round's
-      // `labeled` frame BACKS its misParts entry (winners and survivors
-      // share the one materialized RDD, and localCheckpoint truncated
-      // its lineage, so dropping it would lose the output), and the
-      // active sets are vertex-sized and shrink geometrically — the
-      // session-lifetime-pinning risk the unpersist discipline exists
-      // for is the per-round EDGE relation.
+      // Every consumer of the previous round's frames has now executed
+      // (flagged, nextActive, next e are all materialized) — release
+      // their blocks so a many-round run doesn't pin every round's
+      // edge relation for the session lifetime. (Round 1's prevE may be
+      // the caller's un-materialized input — unpersistMaterialized is a
+      // no-op on anything but a LogicalRDD.)
       unpersistMaterialized(prevE)
+      if (prevActive != null) unpersistMaterialized(prevActive)
     }
     misParts.reduce(_ union _).select(col("v").as("node"), col("mis_round"))
   }

@@ -5996,7 +5996,11 @@ object LlmQueries {
     // the hash computed once per vertex in a CTE. See
     // [[Components.lubyMis]] for the per-round shuffle shape.
     ("q433_luby_mis", (s: SparkSession, d: String) => {
-      Components.lubyMis(coPurchaseEdges(s, d), rounds = 6)
+      // symmetricInput: coPurchaseEdges is symmetric, distinct, and
+      // self-loop-free by construction (a JOIN b on the shared order
+      // emits both directions; a.part <> b.part; DISTINCT applied).
+      Components.lubyMis(coPurchaseEdges(s, d), rounds = 6,
+        symmetricInput = true)
         .orderBy("node")
     }, Some(lubyMisSql(6))),
 
