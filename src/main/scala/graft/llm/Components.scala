@@ -871,19 +871,31 @@ object Components {
     var digest = r0._3
     var converged = false
     var inner = 0
-    while (!converged && inner < maxInner) {
-      inner += 1
+    // One propagation step: c'(v) = max(c(v), max over in-edges of
+    // c(u), c(c(v))) — edge relax plus pointer jump, monotone
+    // non-decreasing per vertex.
+    def step(p: DataFrame): DataFrame = {
       val fromEdges = e
-        .join(ptr.select(col("id").as("src"), col("c").as("cand")),
+        .join(p.select(col("id").as("src"), col("c").as("cand")),
           Seq("src"))
         .select(col("dst").as("id"), col("cand"))
-      val fromJump = ptr.as("p")
-        .join(ptr.select(col("id").as("c0"), col("c").as("cand")).as("j"),
+      val fromJump = p.as("p")
+        .join(p.select(col("id").as("c0"), col("c").as("cand")).as("j"),
           col("p.c") === col("j.c0"))
         .select(col("p.id").as("id"), col("cand"))
-      val rn = matSummed(ptr.select(col("id"), col("c").as("cand"))
+      p.select(col("id"), col("c").as("cand"))
         .union(fromEdges).union(fromJump)
-        .groupBy("id").agg(max("cand").as("c")), 1)
+        .groupBy("id").agg(max("cand").as("c"))
+    }
+    // NOTE (round-9 measurement): fusing two steps per materializing
+    // job (step(step(ptr))) HALVED the round count but TRIPLED the
+    // per-round time — the inner step's subtree is re-evaluated at each
+    // of its four references (fresh exprIds defeat exchange reuse) —
+    // and was a net regression at every scale tried. One step per job
+    // is the measured optimum; don't re-fuse.
+    while (!converged && inner < maxInner) {
+      inner += 1
+      val rn = matSummed(step(ptr), 1)
       val nd = rn._3 // monotone non-decreasing: equal sum = fixpoint
       converged = nd.compareTo(digest) == 0
       digest = nd
@@ -969,10 +981,23 @@ object Components {
   private def withLoopShuffle[T](spark: org.apache.spark.sql.SparkSession,
       rows: Long)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
     val old = spark.conf.get(key)
-    val p = math.max(1L, math.min(old.toLong, rows / 50000L + 1)).toString
-    spark.conf.set(key, p)
-    try f finally spark.conf.set(key, old)
+    val oldAqe = spark.conf.get(aqeKey)
+    val p = math.max(1L, math.min(old.toLong, rows / 50000L + 1))
+    spark.conf.set(key, p.toString)
+    // AQE exists to right-size UNKNOWN shuffles; here the loop state is
+    // known and already sized, so when it is metadata-scale (a few
+    // partitions) AQE contributes only its per-stage re-planning and
+    // extra stage-job scheduling — measured at a large share of the
+    // ~130 ms fixed cost of each of the q372 SCC's ~45 tiny round jobs.
+    // Corpus-scale loops (p at the session default) keep AQE: there the
+    // runtime re-plan (skew splits, coalescing) is worth its overhead.
+    if (p <= 4) spark.conf.set(aqeKey, "false")
+    try f finally {
+      spark.conf.set(key, old)
+      spark.conf.set(aqeKey, oldAqe)
+    }
   }
 
   private def sccBody(edges: DataFrame, maxOuter: Int,
@@ -1004,6 +1029,9 @@ object Components {
       // both/single/e-rewrite ledger paid 3 driver jobs per layer.
       var trimming = nRemaining > 0
       var trimRounds = 0
+      // (One layer per materializing job — fusing two, like the
+      // coloring fusion, re-evaluated the inner layer's subtree and
+      // measured slower; see the colorToFixpoint note.)
       while (trimming && trimRounds < maxInner) {
         trimRounds += 1
         val (ne, n2, _) = matSummed(
