@@ -312,6 +312,29 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("lubyMis symmetricInput path matches the general path") {
+    // symmetricInput = true skips prepareUndirected under the caller's
+    // guarantee (symmetric, distinct, no self-loops) — feeding it the
+    // pre-symmetrized edge list must give the exact same MIS + rounds
+    // as the general path given the raw list.
+    val rng = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val n = 5 + rng.nextInt(20)
+      val es = Seq.fill(6 + rng.nextInt(50)) {
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }.distinct
+      if (es.nonEmpty) {
+        val sym = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+        val general = Components.lubyMis(es.toDF("src", "dst"), rounds = 12)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val fast = Components.lubyMis(sym.toDF("src", "dst"), rounds = 12,
+          symmetricInput = true)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(fast == general, s"trial $trial")
+      }
+    }
+  }
+
   test("kCore: clique survives k=3, chain and triangle peel away") {
     // K4 on {0..3} is the 3-core; a chain hung off it (4-5-6) and a
     // separate triangle {10,11,12} must peel (max degree 2). The chain's
