@@ -458,10 +458,18 @@ object Components {
     *              unordered pair is enough)
     * @return (u, v, round) matched pairs, u < v
     */
-  def mutualBestMatching(edges: DataFrame, rounds: Int): DataFrame = {
+  def mutualBestMatching(edges: DataFrame, rounds: Int,
+      symmetricInput: Boolean = false): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = edges.sparkSession
-    val und = edges.filter(col("u") =!= col("v"))
+    // symmetricInput: the caller guarantees (u,v,w) already contains both
+    // directions with equal weights, no self-pairs, one row per directed
+    // pair — the union + groupBy-max re-symmetrization (a full shuffle
+    // and aggregate over the algorithm's biggest relation) is then
+    // skipped. The same caller-invariant discipline as
+    // [[lubyMis]]'s symmetricInput.
+    val und = if (symmetricInput) edges.select(col("u"), col("v"), col("w"))
+    else edges.filter(col("u") =!= col("v"))
       .select(col("u"), col("v"), col("w"))
       .union(edges.select(col("v").as("u"), col("u").as("v"), col("w")))
       .groupBy("u", "v").agg(max("w").as("w"))

@@ -3401,14 +3401,20 @@ object LlmQueries {
       // is identical to the a.pk < b.pk join form the oracle replays.
       val li = t(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      // y <> x (not y > x) emits BOTH directions from the one explode,
+      // so the pair count IS the symmetric weighted relation and the
+      // matcher's union + groupBy-max re-symmetrization shuffle is
+      // skipped (symmetricInput) — each direction sees the same
+      // co-occurrence count, which is exactly the max the general path
+      // would have taken.
       val e = li.groupBy("ok").agg(collect_list(col("pk")).as("pks"))
         .select(explode(expr(
           "flatten(transform(pks, x -> transform(" +
-            "filter(pks, y -> y > x), y -> struct(x AS u, y AS v))))"))
+            "filter(pks, y -> y <> x), y -> struct(x AS u, y AS v))))"))
           .as("p"))
         .groupBy(col("p.u").as("u"), col("p.v").as("v"))
         .agg(count(lit(1)).as("w"))
-      Components.mutualBestMatching(e, rounds = 4)
+      Components.mutualBestMatching(e, rounds = 4, symmetricInput = true)
         .orderBy("u")
     }, Some(matchingSql(4))),
 
