@@ -597,10 +597,9 @@ object LlmQueries {
              WHEN de >= fr AND de >= es THEN 'de'
              WHEN fr >= es THEN 'fr'
              ELSE 'es' END AS lang FROM sc),
-      h AS (SELECT doc_id, lang,
-        ${XxHashOracle.signed(XxHashOracle.hashLong(
-          "CAST(doc_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} AS hv
-        FROM lang)
+      h AS (SELECT doc_id, lang, ${XxHashOracle.signed("hu")} AS hv
+        FROM ${XxHashOracle.hashLongSubquery("lang", Seq("doc_id", "lang"),
+          "CAST(doc_id AS HUGEINT)", "CAST(42 AS HUGEINT)", "hu")} _h)
       SELECT doc_id, lang FROM h
       WHERE ((hv % 100) + 100) % 100 <
         CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 100 ELSE 75 END
@@ -719,11 +718,12 @@ object LlmQueries {
           targetWeight = 1000L)
         .orderBy("doc_id")
     }, Some(s"""
-      WITH w AS (SELECT doc_id,
-          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS w,
-          ${XxHashOracle.signed(XxHashOracle.hashLong(
-            "CAST(doc_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} AS hv
-        FROM documents),
+      WITH w AS (SELECT doc_id, w, ${XxHashOracle.signed("hu")} AS hv
+        FROM ${XxHashOracle.hashLongSubquery(
+          "(SELECT doc_id, CAST(len(regexp_split_to_array(trim(text)," +
+            " '\\s+')) AS BIGINT) AS w FROM documents)",
+          Seq("doc_id", "w"),
+          "CAST(doc_id AS HUGEINT)", "CAST(42 AS HUGEINT)", "hu")} _w),
       c AS (SELECT doc_id, w,
           SUM(w) OVER (ORDER BY hv, doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -1004,10 +1004,8 @@ object LlmQueries {
       WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
       m AS (SELECT min(c) AS m FROM c),
       r AS (SELECT lang, (m.m * 100) // c.c AS rate FROM c, m),
-      h AS (SELECT doc_id, lang,
-        ${XxHashOracle.signed(XxHashOracle.hashLong(
-          "CAST(doc_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} AS hv
-        FROM documents)
+      h AS ${XxHashOracle.signedHashCol("documents", Seq("doc_id", "lang"),
+        "CAST(doc_id AS HUGEINT)", "hv")}
       SELECT doc_id, lang FROM h JOIN r USING (lang)
       WHERE ((hv % 100) + 100) % 100 < rate
       ORDER BY doc_id""")),
@@ -1043,10 +1041,8 @@ object LlmQueries {
       Curation.sampleExactK(t(s, d, "documents"), "doc_id", "lang", k = 10)
         .select("doc_id", "lang").orderBy("lang", "doc_id")
     }, Some(s"""
-      WITH h AS (SELECT doc_id, lang,
-        ${XxHashOracle.signed(XxHashOracle.hashLong(
-          "CAST(doc_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} AS hv
-        FROM documents),
+      WITH h AS ${XxHashOracle.signedHashCol("documents",
+        Seq("doc_id", "lang"), "CAST(doc_id AS HUGEINT)", "hv")},
       r AS (SELECT doc_id, lang,
           row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
         FROM h)
@@ -1462,10 +1458,8 @@ object LlmQueries {
       r AS (SELECT source,
           FLOOR(10000 * SQRT(CAST(m.m AS DOUBLE) / CAST(c.c AS DOUBLE)))
             AS rate FROM c, m),
-      h AS (SELECT doc_id, source,
-        ${XxHashOracle.signed(XxHashOracle.hashLong(
-          "CAST(doc_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} AS hv
-        FROM documents)
+      h AS ${XxHashOracle.signedHashCol("documents",
+        Seq("doc_id", "source"), "CAST(doc_id AS HUGEINT)", "hv")}
       SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS first_kept
       FROM h JOIN r USING (source)
       WHERE ((hv % 10000) + 10000) % 10000 < rate
@@ -1706,11 +1700,10 @@ object LlmQueries {
         .orderBy("source")
     }, Some(s"""
       WITH h AS (SELECT doc_id, source,
-        CASE WHEN ((${XxHashOracle.signed(XxHashOracle.hashLong(
-          "CAST(doc_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} % 100)
-            + 100) % 100 < 5
+        CASE WHEN ((hv % 100) + 100) % 100 < 5
           THEN 'val' ELSE 'train' END AS split
-        FROM documents)
+        FROM ${XxHashOracle.signedHashCol("documents",
+          Seq("doc_id", "source"), "CAST(doc_id AS HUGEINT)", "hv")} _h)
       SELECT source,
         COUNT(*) FILTER (WHERE split = 'train') AS n_train,
         COUNT(*) FILTER (WHERE split = 'val') AS n_val,
@@ -2418,10 +2411,8 @@ object LlmQueries {
             WHEN row_number() OVER (ORDER BY rem DESC, lang) <= extra
             THEN 1 ELSE 0 END AS alloc
         FROM q, x),
-      h AS (SELECT doc_id, lang,
-        ${XxHashOracle.signed(XxHashOracle.hashLong(
-          "CAST(doc_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} AS hv
-        FROM documents),
+      h AS ${XxHashOracle.signedHashCol("documents",
+        Seq("doc_id", "lang"), "CAST(doc_id AS HUGEINT)", "hv")},
       r AS (SELECT doc_id, lang,
           row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
         FROM h)
@@ -2998,10 +2989,10 @@ object LlmQueries {
         JOIN sizes sb ON sb.doc_id = d2
         WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5),
       sp AS (SELECT doc_id,
-          CASE WHEN ((${XxHashOracle.signed(XxHashOracle.hashLong(
-            "CAST(doc_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} % 100)
-              + 100) % 100 < 5
-            THEN 'val' ELSE 'train' END AS s FROM documents)
+          CASE WHEN ((hv % 100) + 100) % 100 < 5
+            THEN 'val' ELSE 'train' END AS s
+        FROM ${XxHashOracle.signedHashCol("documents", Seq("doc_id"),
+          "CAST(doc_id AS HUGEINT)", "hv")} _sp)
       SELECT d1, d2, jaccard, s1.s AS split1, s2.s AS split2
       FROM pairs JOIN sp s1 ON s1.doc_id = d1 JOIN sp s2 ON s2.doc_id = d2
       WHERE s1.s <> s2.s
@@ -3699,20 +3690,26 @@ object LlmQueries {
             .as("d2_proj_scaled"))
         .withColumn("ratio", col("d2_proj_scaled") / col("d2_orig"))
         .orderBy("v1", "v2")
-    }, Some(s"""
+    }, Some {
+      // Both hashes through the linear per-step chain: the sample gate
+      // hashed every embeddings ROW through the inline macro (~1000x
+      // argument re-evaluation per row), making this one of the two
+      // largest (1.05 MB) and slowest (~4 s) oracle statements.
+      val sampHashed = XxHashOracle.hashLongSubquery("embeddings",
+        Seq("vec_id", "embedding"),
+        "CAST(vec_id AS HUGEINT)", "CAST(42 AS HUGEINT)", "hu")
+      val gridHashed = XxHashOracle.hashLongSubquery(
+        "(SELECT j, i, CAST(j * 64 + i AS HUGEINT) AS v" +
+          " FROM (SELECT unnest(range(0, 16)) AS j)," +
+          " (SELECT unnest(range(0, 64)) AS i))",
+        Seq("j", "i"), "v", "CAST(42 AS HUGEINT)", "gu")
+      s"""
       WITH samp AS (SELECT vec_id, embedding::DOUBLE[] AS e
-        FROM embeddings
-        WHERE ((${XxHashOracle.signed(XxHashOracle.hashLong(
-          "CAST(vec_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} % 8) + 8)
-          % 8 = 0),
-      grid AS (SELECT j, i,
-          CAST(j * 64 + i AS HUGEINT) AS v
-        FROM (SELECT unnest(range(0, 16)) AS j),
-          (SELECT unnest(range(0, 64)) AS i)),
+        FROM $sampHashed _s
+        WHERE ((${XxHashOracle.signed("hu")} % 8) + 8) % 8 = 0),
       sg AS (SELECT j, i,
-          1.0 - 2.0 * CAST(${XxHashOracle.hashLong("v",
-            "CAST(42 AS HUGEINT)")} % 2 AS DOUBLE) AS sgn
-        FROM grid),
+          1.0 - 2.0 * CAST(gu % 2 AS DOUBLE) AS sgn
+        FROM $gridHashed _g),
       sv AS (SELECT j, list(sgn ORDER BY i) AS sv FROM sg GROUP BY j),
       proj AS (SELECT vec_id, j, list_dot_product(e, sv) AS p
         FROM samp, sv),
@@ -3736,7 +3733,8 @@ object LlmQueries {
              * (a.e[CAST(i AS INT)] - b.e[CAST(i AS INT)]))),
           (acc, x) -> acc + x) AS ratio
       FROM wp a JOIN wp b ON a.vec_id < b.vec_id
-      ORDER BY v1, v2""")),
+      ORDER BY v1, v2"""
+    }),
 
     // Retrieval eval — MRR and precision@10 for label-relevance over
     // the brute cosine ranking (the metric layer q325's majority-vote
@@ -3769,10 +3767,9 @@ object LlmQueries {
       WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
         FROM embeddings),
       q AS (SELECT vec_id AS query_id, e AS qe, label AS qlabel
-        FROM base
-        WHERE ((${XxHashOracle.signed(XxHashOracle.hashLong(
-          "CAST(vec_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} % 16) + 16)
-          % 16 = 0),
+        FROM ${XxHashOracle.signedHashCol("base",
+          Seq("vec_id", "label", "e"), "CAST(vec_id AS HUGEINT)", "hv")} _q
+        WHERE ((hv % 16) + 16) % 16 = 0),
       r AS (SELECT q.query_id, b.label, q.qlabel,
           row_number() OVER (PARTITION BY q.query_id
             ORDER BY list_cosine_similarity(b.e, q.qe) DESC, b.vec_id)
@@ -4339,12 +4336,12 @@ object LlmQueries {
         FROM lineitem a JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
         GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
-      eh1 AS MATERIALIZED (SELECT src, dst, ${XxHashOracle.hashLong(
-        "CAST(src AS HUGEINT)", "CAST(42 AS HUGEINT)")} AS h1
-        FROM pe),
-      eh AS MATERIALIZED (SELECT src, dst, ${XxHashOracle.hashLong(
-        "CAST(dst AS HUGEINT)", "h1")} AS ehu
-        FROM eh1),
+      eh1 AS MATERIALIZED (SELECT src, dst, h1
+        FROM ${XxHashOracle.hashLongSubquery("pe", Seq("src", "dst"),
+          "CAST(src AS HUGEINT)", "CAST(42 AS HUGEINT)", "h1")} _e1),
+      eh AS MATERIALIZED (SELECT src, dst, ehu
+        FROM ${XxHashOracle.hashLongSubquery("eh1", Seq("src", "dst"),
+          "CAST(dst AS HUGEINT)", "h1", "ehu")} _e2),
       w0 AS MATERIALIZED (SELECT DISTINCT src AS start, src AS node FROM pe),
       $steps
       SELECT start, step, node FROM (
@@ -4653,14 +4650,19 @@ object LlmQueries {
           case None    => s.conf.unset(providerKey)
         }
       }
-    }, Some(s"""
+    }, Some {
+      // Per-event half split through the linear per-step chain — same
+      // inline-macro-per-row retirement as q361.
+      val hashedEv = XxHashOracle.hashLongSubquery("events",
+        Seq("user_id"),
+        "CAST(event_id AS HUGEINT)", "CAST(42 AS HUGEINT)", "hu")
+      s"""
       WITH h AS (SELECT user_id,
-          (((${XxHashOracle.signed(XxHashOracle.hashLong(
-            "CAST(event_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} % 2)
-            + 2) % 2) AS half
-        FROM events)
+          ((${XxHashOracle.signed("hu")} % 2) + 2) % 2 AS half
+        FROM $hashedEv _e)
       SELECT user_id, COUNT(*) AS n_in_window
-      FROM h GROUP BY user_id, half ORDER BY user_id, n_in_window""")),
+      FROM h GROUP BY user_id, half ORDER BY user_id, n_in_window"""
+    }),
 
     // SQ8 scalar-quantized ANN — the FAISS-ScalarQuantizer compression
     // path beside IVF (q39), LSH (q43) and IVF-PQ (q195): symmetric
@@ -4730,10 +4732,9 @@ object LlmQueries {
           "doc_id", "n_chars", k = 200)
         .orderBy("doc_id")
     }, Some(s"""
-      WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
-          ${XxHashOracle.signed(XxHashOracle.hashLong(
-            "CAST(doc_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} AS hv
-        FROM documents),
+      WITH w AS ${XxHashOracle.signedHashCol(
+        "(SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents)",
+        Seq("doc_id", "w"), "CAST(doc_id AS HUGEINT)", "hv")},
       c AS (SELECT doc_id, w,
           SUM(w) OVER (ORDER BY hv, doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -5022,15 +5023,15 @@ object LlmQueries {
       WITH t AS (SELECT doc_id,
           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
             AS n_tokens FROM documents),
-      ds AS (SELECT doc_id,
-          ${XxHashOracle.hashLong("CAST(doc_id AS HUGEINT)",
-            "CAST(42 AS HUGEINT)")} AS seed
-        FROM t),
+      ds AS (SELECT doc_id, seed FROM ${XxHashOracle.hashLongSubquery(
+          "t", Seq("doc_id"),
+          "CAST(doc_id AS HUGEINT)", "CAST(42 AS HUGEINT)", "seed")} _ds),
       p AS (SELECT t.doc_id, n_tokens, unnest(range(0, n_tokens)) AS pos,
             seed FROM t JOIN ds USING (doc_id)),
-      hs AS MATERIALIZED (SELECT doc_id, n_tokens, pos,
-          ${XxHashOracle.hashLong("CAST(pos AS HUGEINT)", "seed")} AS hu
-        FROM p),
+      hs AS MATERIALIZED (SELECT doc_id, n_tokens, pos, hu
+        FROM ${XxHashOracle.hashLongSubquery("p",
+          Seq("doc_id", "n_tokens", "pos"),
+          "CAST(pos AS HUGEINT)", "seed", "hu")} _hs),
       st AS (SELECT doc_id, n_tokens, pos FROM hs
              WHERE hu & CAST(15 AS HUGEINT) = CAST(0 AS HUGEINT)),
       mk0 AS (SELECT doc_id, n_tokens,
@@ -5799,10 +5800,11 @@ object LlmQueries {
         .select(col("rank").cast("long").as("rank"), col("doc_id"), col("w"))
         .orderBy("rank")
     }, Some(s"""
-      WITH h AS (SELECT doc_id, GREATEST(n_chars, 1) AS w,
-          ${XxHashOracle.hashLong("CAST(doc_id AS HUGEINT)",
-            "CAST(42 AS HUGEINT)")} % 9007199254740992 AS h53
-        FROM documents),
+      WITH h AS (SELECT doc_id, w, hu % 9007199254740992 AS h53
+        FROM ${XxHashOracle.hashLongSubquery(
+          "(SELECT doc_id, GREATEST(n_chars, 1) AS w FROM documents)",
+          Seq("doc_id", "w"),
+          "CAST(doc_id AS HUGEINT)", "CAST(42 AS HUGEINT)", "hu")} _h),
       k AS (SELECT doc_id, w,
           ln((CAST(h53 AS DOUBLE) + 1.0) / 9007199254740992.0)
             / CAST(w AS DOUBLE) AS key
@@ -5859,10 +5861,9 @@ object LlmQueries {
         FROM documents),
       tt AS (SELECT CAST(SUM(w) AS HUGEINT) AS bigw,
           CAST(SUM(y) AS BIGINT) AS truey FROM b),
-      h AS (SELECT doc_id, w, y,
-          """ + XxHashOracle.hashLong("CAST(doc_id AS HUGEINT)",
-            "CAST(42 AS HUGEINT)") + """ % 9007199254740992 AS h53
-        FROM b),
+      h AS (SELECT doc_id, w, y, hu % 9007199254740992 AS h53
+        FROM """ + XxHashOracle.hashLongSubquery("b", Seq("doc_id", "w", "y"),
+          "CAST(doc_id AS HUGEINT)", "CAST(42 AS HUGEINT)", "hu") + """ _h),
       sel AS (SELECT h.*, tt.bigw, tt.truey FROM h, tt
         WHERE CAST(h53 AS HUGEINT) * bigw
           < CAST(9007199254740992 AS HUGEINT) * 100 * w),
@@ -6116,14 +6117,12 @@ object LlmQueries {
       WITH slots AS (SELECT n.n AS node, n.n * 100 + v.v AS slot
         FROM (SELECT unnest(range(0, 9)) AS n) n,
              (SELECT unnest(range(0, 16)) AS v) v),
-      pos AS MATERIALIZED (SELECT node,
-        ${XxHashOracle.hashLong("CAST(slot AS HUGEINT)",
-          "CAST(42 AS HUGEINT)")} AS pos
-        FROM slots),
-      keys AS MATERIALIZED (SELECT doc_id,
-        ${XxHashOracle.hashLong("CAST(doc_id AS HUGEINT)",
-          "CAST(42 AS HUGEINT)")} AS kh
-        FROM documents),
+      pos AS MATERIALIZED (SELECT node, pos
+        FROM ${XxHashOracle.hashLongSubquery("slots", Seq("node"),
+          "CAST(slot AS HUGEINT)", "CAST(42 AS HUGEINT)", "pos")} _p),
+      keys AS MATERIALIZED (SELECT doc_id, kh
+        FROM ${XxHashOracle.hashLongSubquery("documents", Seq("doc_id"),
+          "CAST(doc_id AS HUGEINT)", "CAST(42 AS HUGEINT)", "kh")} _k),
       dd AS (SELECT k.doc_id, p.node,
           (p.pos - k.kh + CAST(18446744073709551616 AS HUGEINT))
             % CAST(18446744073709551616 AS HUGEINT) AS dist
@@ -6635,10 +6634,8 @@ object LlmQueries {
         FROM lineitem a JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
       a1 AS (SELECT DISTINCT src AS v FROM e1),
-      vh AS MATERIALIZED (SELECT v,
-        ${XxHashOracle.signed(XxHashOracle.hashLong(
-          "CAST(v AS HUGEINT)", "CAST(42 AS HUGEINT)"))} AS h
-        FROM a1),
+      vh AS MATERIALIZED ${XxHashOracle.signedHashCol("a1", Seq("v"),
+        "CAST(v AS HUGEINT)", "h")},
       $steps
       SELECT v AS node, mis_round FROM ($outs)
       ORDER BY node"""

@@ -161,6 +161,19 @@ object XxHashOracle {
     st(q6, s"xor(_xh6, (_xh6 >> 32)) AS $outCol", "_x7")
   }
 
+  /** The corpus's most common oracle shape — a SIGNED xxhash64(42, key)
+    * gate column over a relation — as a parenthesized subquery usable
+    * directly as a CTE body: `h AS ${signedHashCol(...)}`. Built on
+    * [[hashLongSubquery]], so the statement stays ~2 KB and every hash
+    * step evaluates once per row (the inline [[hashLong]] macro costs
+    * ~800 KB of text and ~2 s of DuckDB parse+bind per use). */
+  def signedHashCol(rel: String, keep: Seq[String], inExpr: String,
+      outCol: String): String = {
+    val ks = keep.map(_ + ", ").mkString
+    s"(SELECT $ks${signed("_shu")} AS $outCol FROM ${hashLongSubquery(
+      rel, keep, inExpr, "CAST(42 AS HUGEINT)", "_shu")} _shc)"
+  }
+
   /** hashInt(i, 42) computed in Scala — XXH64 of a 4-byte int, the MinHash
     * family seed. Formula = Spark XxHash64Function.hashInt; pinned against
     * Spark's own xxhash64(lit(i)) in XxHashOracleSpec. */

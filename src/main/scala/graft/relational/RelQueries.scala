@@ -2707,32 +2707,35 @@ object RelQueries {
           (col("d_base") === col("d_copy") &&
             col("n_base") === col("n_copy")).as("is_match"), col("n_base"))
         .orderBy("bucket")
-    }, Some(s"""
+    }, Some {
+      // Per-row seed-chained row digest via the linear per-step chain
+      // (hashLongSubquery) — the four inline hashLong macros made this
+      // the corpus's largest statement (1.08 MB) and its slowest
+      // replayer (~5 s): each macro evaluates its argument ~1000x/row.
+      import graft.llm.XxHashOracle
+      def rowDigest(rel: String) = XxHashOracle.hashLongSubquery(
+        XxHashOracle.hashLongSubquery(
+          s"(SELECT o_orderkey % 64 AS bucket, o_orderkey, o_custkey" +
+            s" FROM $rel)",
+          Seq("bucket", "o_custkey"),
+          "CAST(o_orderkey AS HUGEINT)", "CAST(42 AS HUGEINT)", "s1"),
+        Seq("bucket"), "CAST(o_custkey AS HUGEINT)", "s1", "hu")
+      s"""
       WITH base AS (SELECT o_orderkey, o_custkey FROM orders),
       copy AS (SELECT o_orderkey,
           CASE WHEN o_orderkey % 97 = 13 THEN o_custkey + 1
                ELSE o_custkey END AS o_custkey FROM orders),
-      bh1 AS (SELECT o_orderkey % 64 AS bucket, o_custkey,
-          ${graft.llm.XxHashOracle.hashLong(
-            "CAST(o_orderkey AS HUGEINT)", "CAST(42 AS HUGEINT)")} AS s1
-        FROM base),
-      bh2 AS (SELECT bucket, ${graft.llm.XxHashOracle.hashLong(
-            "CAST(o_custkey AS HUGEINT)", "s1")} AS hu FROM bh1),
       bd AS (SELECT bucket, bit_xor(hu) AS du, COUNT(*) AS n_base
-             FROM bh2 GROUP BY 1),
-      ch1 AS (SELECT o_orderkey % 64 AS bucket, o_custkey,
-          ${graft.llm.XxHashOracle.hashLong(
-            "CAST(o_orderkey AS HUGEINT)", "CAST(42 AS HUGEINT)")} AS s1
-        FROM copy),
-      ch2 AS (SELECT bucket, ${graft.llm.XxHashOracle.hashLong(
-            "CAST(o_custkey AS HUGEINT)", "s1")} AS hu FROM ch1),
-      cd AS (SELECT bucket, bit_xor(hu) AS du FROM ch2 GROUP BY 1)
+             FROM ${rowDigest("base")} _b GROUP BY 1),
+      cd AS (SELECT bucket, bit_xor(hu) AS du
+             FROM ${rowDigest("copy")} _c GROUP BY 1)
       SELECT bd.bucket AS bucket,
-        CAST(${graft.llm.XxHashOracle.signed("bd.du")} AS BIGINT) AS d_base,
-        CAST(${graft.llm.XxHashOracle.signed("cd.du")} AS BIGINT) AS d_copy,
+        CAST(${XxHashOracle.signed("bd.du")} AS BIGINT) AS d_base,
+        CAST(${XxHashOracle.signed("cd.du")} AS BIGINT) AS d_copy,
         bd.du = cd.du AS is_match, n_base
       FROM bd JOIN cd ON bd.bucket = cd.bucket
-      ORDER BY bucket""")),
+      ORDER BY bucket"""
+    }),
 
     // Winsorization at exact global percentiles: o_totalprice clipped to
     // [p05, p95] (exact interpolated percentiles, broadcast back), then
@@ -3687,9 +3690,9 @@ object RelQueries {
       s"""
       WITH keys AS (SELECT c_custkey AS k FROM customer),
       nodes(node, seed) AS (VALUES $nodes),
-      h0 AS (SELECT k, node,
-          ${XxHashOracle.hashLong("CAST(k AS HUGEINT)", "seed")} AS hu
-        FROM keys CROSS JOIN nodes),
+      h0 AS (SELECT k, node, hu FROM ${XxHashOracle.hashLongSubquery(
+          "(SELECT k, node, seed FROM keys CROSS JOIN nodes)",
+          Seq("k", "node"), "CAST(k AS HUGEINT)", "seed", "hu")} _h0),
       hs AS (SELECT k, node,
           CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
             THEN hu - CAST('18446744073709551616' AS HUGEINT)
@@ -4348,8 +4351,6 @@ object RelQueries {
         .crossJoin(broadcast(exact))
     }, Some {
       import graft.llm.XxHashOracle
-      val h = XxHashOracle.signed(XxHashOracle.hashLong(
-        "CAST(o_custkey AS HUGEINT)", "CAST(42 AS HUGEINT)"))
       s"""
       WITH o AS (SELECT o_custkey, EXTRACT(year FROM o_orderdate) AS yr
                  FROM orders),
@@ -4357,8 +4358,10 @@ object RelQueries {
           MAX(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS a,
           MAX(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS b
         FROM o GROUP BY 1),
-      fk AS (SELECT $h AS h, a, b FROM f
-             WHERE a = 1 OR b = 1),
+      fk AS (SELECT h, a, b FROM ${XxHashOracle.signedHashCol(
+          "(SELECT * FROM f WHERE a = 1 OR b = 1)",
+          Seq("a", "b", "o_custkey"),
+          "CAST(o_custkey AS HUGEINT)", "h")} _fk),
       k AS (SELECT h, a, b FROM fk ORDER BY h LIMIT 256),
       s AS (SELECT COUNT(*) AS n_kept,
           CAST(SUM(a * b) AS BIGINT) AS n_both,
@@ -4958,12 +4961,11 @@ object RelQueries {
             .as("skew_x"))
         .orderBy("bucket")
     }, Some(s"""
-      WITH sized AS (SELECT
-          CAST((${graft.llm.XxHashOracle.hashLong(
-            "CAST(user_id AS HUGEINT)", "CAST(42 AS HUGEINT)")}) % 64
-            AS BIGINT) AS bucket,
+      WITH sized AS (SELECT CAST(hu % 64 AS BIGINT) AS bucket,
           CAST(COUNT(*) AS BIGINT) AS n_rows
-        FROM events GROUP BY 1)
+        FROM ${graft.llm.XxHashOracle.hashLongSubquery("events", Seq.empty,
+          "CAST(user_id AS HUGEINT)", "CAST(42 AS HUGEINT)", "hu")} _s
+        GROUP BY 1)
       SELECT bucket, n_rows,
         CAST(n_rows * 64 AS DOUBLE)
           / CAST((SELECT SUM(n_rows) FROM sized) AS DOUBLE) AS skew_x
@@ -6077,10 +6079,12 @@ object RelQueries {
             .as("mean_price"))
         .orderBy("r")
     }, Some(s"""
-      WITH hs AS (SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS v,
-          (${graft.llm.XxHashOracle.hashLong(
-            "CAST(o_orderkey AS HUGEINT)", "CAST(42 AS HUGEINT)")}) AS hu
-        FROM orders),
+      WITH hs AS (SELECT v, hu FROM ${graft.llm.XxHashOracle
+          .hashLongSubquery(
+            "(SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS v, o_orderkey" +
+              " FROM orders)", Seq("v"),
+            "CAST(o_orderkey AS HUGEINT)", "CAST(42 AS HUGEINT)",
+            "hu")} _hs),
       inc AS (SELECT r, v
         FROM hs CROSS JOIN (SELECT unnest(range(32)) AS r)
         WHERE ((hu >> CAST(r AS INT)) & 1) = 0)
@@ -6179,10 +6183,10 @@ object RelQueries {
           countDistinct(col("c_custkey")).as("n_cust"))
         .orderBy("c_mktsegment")
     }, Some(s"""
-      WITH h AS (SELECT c_custkey, c_mktsegment,
-          (${graft.llm.XxHashOracle.hashLong("CAST(c_custkey AS HUGEINT)",
-            "CAST(42 AS HUGEINT)")}) % 16 AS slice
-        FROM customer),
+      WITH h AS (SELECT c_custkey, c_mktsegment, hu % 16 AS slice
+        FROM ${graft.llm.XxHashOracle.hashLongSubquery("customer",
+          Seq("c_custkey", "c_mktsegment"),
+          "CAST(c_custkey AS HUGEINT)", "CAST(42 AS HUGEINT)", "hu")} _h),
       present AS (SELECT c_custkey, c_mktsegment FROM h WHERE slice <> 0),
       inferred AS (SELECT DISTINCT o_custkey AS c_custkey,
           'INFERRED' AS c_mktsegment
@@ -6374,9 +6378,10 @@ object RelQueries {
       WITH iv0 AS (SELECT user_id, ts AS valid_from, event_id,
           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
             AS valid_to,
-          (${graft.llm.XxHashOracle.hashLong("CAST(event_id AS HUGEINT)",
-            "CAST(42 AS HUGEINT)")}) % 16 AS slice
-        FROM events),
+          hu % 16 AS slice
+        FROM ${graft.llm.XxHashOracle.hashLongSubquery("events",
+          Seq("user_id", "ts", "event_id"),
+          "CAST(event_id AS HUGEINT)", "CAST(42 AS HUGEINT)", "hu")} _iv),
       iv AS (SELECT user_id, valid_from, event_id,
           CASE WHEN slice = 0 THEN valid_to - INTERVAL 1 HOUR
                WHEN slice = 1 THEN valid_to + INTERVAL 1 HOUR
@@ -8097,12 +8102,17 @@ object RelQueries {
       s.read.parquet(s"$root/out")
         .select(date_format(col("w0"), "yyyy-MM-dd").as("day"), col("n"))
         .orderBy("day")
-    }, Some(s"""
+    }, Some {
+      // Per-event batch hash through the linear per-step chain — the
+      // inline macro evaluated its argument ~1000x per events row and
+      // left this among the suite's slowest oracles (~6 s).
+      val hashedEv = graft.llm.XxHashOracle.hashLongSubquery("events",
+        Seq("event_id", "ts"),
+        "CAST(event_id AS HUGEINT)", "CAST(42 AS HUGEINT)", "hu")
+      s"""
       WITH e AS (SELECT event_id, ts,
-          ((${graft.llm.XxHashOracle.signed(graft.llm.XxHashOracle.hashLong(
-            "CAST(event_id AS HUGEINT)", "CAST(42 AS HUGEINT)"))} % 3)
-            + 3) % 3 AS c
-        FROM events),
+          ((${graft.llm.XxHashOracle.signed("hu")} % 3) + 3) % 3 AS c
+        FROM $hashedEv _e),
       cm AS (SELECT c, MAX(ts) AS mx FROM e GROUP BY 1),
       rm AS (SELECT c, MAX(mx) OVER (ORDER BY c
           ROWS UNBOUNDED PRECEDING) AS runmax FROM cm),
@@ -8114,7 +8124,8 @@ object RelQueries {
       agg AS (SELECT date_trunc('day', ts) AS w0, COUNT(*) AS n
         FROM surv GROUP BY 1)
       SELECT strftime(w0, '%Y-%m-%d') AS day, n FROM agg, fin
-      WHERE w0 + INTERVAL 1 DAY <= wmf ORDER BY day""")),
+      WHERE w0 + INTERVAL 1 DAY <= wmf ORDER BY day"""
+    }),
 
     // SQL table function (Spark 4 CREATE FUNCTION … RETURNS TABLE) —
     // the reusable parameterized-view surface: top-n order spenders per
