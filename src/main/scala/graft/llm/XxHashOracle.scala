@@ -253,7 +253,8 @@ object XxHashOracle {
     fam(fi, fs) AS (VALUES ${famValues(k)}),
     perfam AS (SELECT doc_id, fi,
         MIN(CAST(${signed("r")} AS BIGINT)) AS m
-      FROM (SELECT doc_id, fi, ${hashLong("hu", "fs")} AS r FROM hashed, fam)
+      FROM ${hashLongSubquery("(SELECT doc_id, fi, fs, hu FROM hashed, fam)",
+        Seq("doc_id", "fi"), "hu", "fs", "r")} _pf
       GROUP BY doc_id, fi),
     sigarr AS (SELECT doc_id, list(m ORDER BY fi) AS sig FROM perfam
       GROUP BY doc_id)"""
