@@ -48,6 +48,17 @@ class OracleSqlSpec extends AnyFunSuite {
     assert(OracleSql.materializeCtes(in) === in)
   }
 
+  test("total oracle corpus stays under 8 MB") {
+    // Per-statement caps miss broad regressions (many mid-size macro
+    // expansions); the corpus total is the complementary proxy. Round-9
+    // healthy value: ~2.0 MB over 442 statements after every inline
+    // XXH64 macro was linearized.
+    val total = SparkEntry.oracleSql.values.map(_.length.toLong).sum
+    assert(total < 8L * 1024 * 1024,
+      s"oracle corpus is $total bytes — a macro-expansion regression;" +
+        " see XxHashOracle.hashLongSubquery / signedHashCol")
+  }
+
   test("no oracle statement exceeds 2 MB") {
     // Round 8 shipped a 36.3 MB q380 oracle (a hashLong macro nested
     // inside itself) that cost DuckDB ~365 s / ~10 GB to parse+bind and
