@@ -1,23 +1,41 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line (total + per-query seconds) for the driver.
   *
-  * Robustness (round-4 lesson: single-shot timings under machine load
-  * produced false 6x regressions): each query is timed
+  * Robustness, part 1 (round-4 lesson: single-shot timings under machine
+  * load produced false 6x regressions): each query is timed
   * SPARK_GRAFT_BENCH_REPS times (default 3) and the reported number is
   * the MEDIAN; the complete per-rep sample set is persisted as a JSON
   * artifact (SPARK_GRAFT_BENCH_OUT, default BENCH_FULL.json in the cwd)
   * so per-query data survives even when the driver truncates the stdout
-  * tail. */
+  * tail.
+  *
+  * Robustness, part 2 (round-9 lesson: a loaded host blew the driver's
+  * wall budget and the whole artifact was lost at SIGTERM — rc=124,
+  * `parsed: null`): the run must DEGRADE, never VANISH.
+  *  - The full artifact is rewritten (atomic tmp+move) after EVERY
+  *    query, so a kill at any point leaves the measurements taken so far
+  *    on disk.
+  *  - A JVM shutdown hook emits the one-line stdout JSON from whatever
+  *    completed (flagged `"total_partial":true`), so the driver parses a
+  *    partial result instead of nothing.
+  *  - A per-query wall budget (SPARK_GRAFT_BENCH_BUDGET seconds, default
+  *    10) degrades reps to 1 when the first rep already exceeds it: on a
+  *    loaded host the suite sheds up to 2/3 of its wall time instead of
+  *    tripling down on the slowest queries.
+  *  - `total_partial` is also set whenever any query failed, so a
+  *    failure-induced drop in the total can never be read as a speedup
+  *    by cross-round tooling. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "10").toDouble
     // Optional regex over query names (local iteration only — the driver
     // never sets it, so driver benches always cover the full surface).
     val nameFilter: String => Boolean =
@@ -31,49 +49,109 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val names = SparkEntry.queries.keys.filter(nameFilter).toSeq.sorted
+    val expected = names.size
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+    // (name, per-rep times, failed) in completion order; all access under
+    // `lock` because the shutdown hook reads it from another thread.
+    val results = scala.collection.mutable.LinkedHashMap[String, (Seq[Double], Boolean)]()
+    val lock = new Object
+    @volatile var emitted = false
+
+    def snapshot(): Seq[(String, Seq[Double], Boolean)] = lock.synchronized {
+      results.toSeq.map { case (n, (ts, f)) => (n, ts, f) }
+    }
+    // Whole body under `lock`: the shutdown hook may flush concurrently
+    // with the main loop, and two writers on one tmp path would corrupt
+    // it (monitors are reentrant, so the inner snapshot() is fine).
+    def flushArtifact(): Unit = lock.synchronized {
+      val snap = snapshot()
+      val total = snap.collect { case (_, ts, false) => median(ts) }.sum
+      val nFailed = snap.count(_._3)
+      val full = snap.map { case (n, ts, failed) =>
+        "\"" + n + "\":{\"times\":" + ts.mkString("[", ",", "]") +
+          ",\"median\":" + median(ts) + ",\"failed\":" + failed + "}"
+      }.mkString("{", ",", "}")
+      val partial = nFailed > 0 || snap.size < expected
+      val json =
+        s"""{"sf":"$sfDir","reps":$reps,"total_median":$total,"failed":$nFailed,""" +
+          s""""completed":${snap.size},"expected":$expected,"total_partial":$partial,""" +
+          s""""queries":$full}"""
+      // Atomic replace: a kill mid-write can never corrupt the artifact.
+      val tmp = Paths.get(outPath + ".tmp")
+      Files.writeString(tmp, json)
+      Files.move(tmp, Paths.get(outPath),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
+    def stdoutLine(): String = {
+      val snap = snapshot()
+      val qs = snap.map { case (k, ts, failed) =>
+        "\"" + k + "\":" + (if (failed) "null" else median(ts).toString)
+      }.mkString("{", ",", "}")
+      val total = snap.collect { case (_, ts, false) => median(ts) }.sum
+      val nFailed = snap.count(_._3)
+      val partial = nFailed > 0 || snap.size < expected
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,""" +
+        s""""completed":${snap.size},"expected":$expected,"total_partial":$partial,""" +
+        s""""queries":$qs,"sf":"$sfDir"}"""
+    }
+
+    // SIGTERM/budget-expiry path: persist + emit whatever completed.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!emitted) {
+        try { flushArtifact() } catch { case _: Throwable => () }
+        try { println(stdoutLine()); System.out.flush() } catch { case _: Throwable => () }
+      }
+    }))
+
     // Untimed warmup at the smallest SF: pays JIT/codegen/parquet-reader
     // startup once so the timed numbers below reflect steady-state
     // per-query cost rather than whichever query happens to run first.
+    // Capped: on a loaded host an unbounded warmup could eat the whole
+    // driver budget before a single timed measurement lands. Past the
+    // cap the remaining queries go unwarmed — their first timed rep
+    // doubles as warmup, and on a host that slow the per-query budget
+    // degrades them to one rep anyway.
+    val warmupBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_WARMUP_BUDGET", "900").toDouble
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    val warmT0 = System.nanoTime()
+    names.foreach { n =>
+      if ((System.nanoTime() - warmT0) / 1e9 < warmupBudgetSec)
+        try SparkEntry.queries(n)(spark, warmDir).count()
+        catch { case _: Throwable => () }
     }
-    val samples: Seq[(String, Seq[Double], Boolean)] =
-      SparkEntry.queries.filter(kv => nameFilter(kv._1))
-        .toSeq.sortBy(_._1).map { case (name, fn) =>
-        var failed = false
-        val times = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          // A throwing query must not hide as a suspiciously fast number:
-          // surface the name + error on stderr (stdout stays one JSON line)
-          // AND mark it in the JSON so downstream comparisons cannot read
-          // the near-instant elapsed time as a measurement.
-          try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-            failed = true
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          }
-          (System.nanoTime() - t0) / 1e9
+
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      var failed = false
+      def rep(): Double = {
+        val t0 = System.nanoTime()
+        // A throwing query must not hide as a suspiciously fast number:
+        // surface the name + error on stderr (stdout stays one JSON line)
+        // AND mark it in the JSON so downstream comparisons cannot read
+        // the near-instant elapsed time as a measurement.
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          failed = true
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
-        (name, times, failed)
+        (System.nanoTime() - t0) / 1e9
       }
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    val medians = samples.map { case (n, ts, failed) =>
-      (n, median(ts), failed)
+      val t1 = rep()
+      // Over-budget first rep → a loaded host (or a genuinely heavy
+      // query); one honest sample beats three that triple the overrun.
+      val times =
+        if (t1 > budgetSec || failed) Seq(t1)
+        else t1 +: (2 to reps).map(_ => rep())
+      lock.synchronized { results.put(name, (times, failed)) }
+      flushArtifact()
     }
-    val qs = medians.map { case (k, v, failed) =>
-      "\"" + k + "\":" + (if (failed) "null" else v.toString)
-    }.mkString("{", ",", "}")
-    val total = medians.collect { case (_, v, false) => v }.sum
-    val nFailed = medians.count(_._3)
-    // Full artifact: every rep, so regressions vs noise are
-    // distinguishable after the fact without a re-run.
-    val full = samples.map { case (n, ts, failed) =>
-      "\"" + n + "\":{\"times\":" + ts.mkString("[", ",", "]") +
-        ",\"median\":" + median(ts) + ",\"failed\":" + failed + "}"
-    }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(outPath),
-      s"""{"sf":"$sfDir","reps":$reps,"total_median":$total,"failed":$nFailed,"queries":$full}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
+
+    emitted = true
+    flushArtifact()
+    println(stdoutLine())
     spark.stop()
   }
 }

@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
   * sized by spark.sql.files.maxPartitionBytes bound decoder memory.
   */
 object Multimodal {
+  /** ImageIO's default stream cache spools every read/write through a
+    * disk temp file; under host IO contention that file traffic
+    * serializes decode across all tasks (the round-9 loaded-host
+    * q399 2.9 s → 68.6 s amplifier). Heap-backed streams only —
+    * referenced by every decode/encode call site so the switch flips
+    * once per JVM (driver and executors alike) before first use. */
+  private[graft] lazy val imageIoNoCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRow(doc_id: Long, media: Array[Byte])
   case class DecodedRow(doc_id: Long, n_bytes: Long, width: Long,
       height: Long, channels: Long, fingerprint: String)
@@ -35,6 +44,7 @@ object Multimodal {
     * bit-for-bit. */
   private[llm] def decodeImage(r: MediaRow): Option[DecodedRow] =
     try {
+      imageIoNoCache
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(r.media))
       if (img == null) None
@@ -157,6 +167,7 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
+    imageIoNoCache
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
@@ -185,6 +196,7 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
+    imageIoNoCache
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
@@ -308,6 +320,7 @@ object Multimodal {
     import spark.implicits._
     media.select(col("doc_id"), col("media")).as[MediaRow]
       .mapPartitions { it =>
+        imageIoNoCache
         it.map { r =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.media))
@@ -380,6 +393,7 @@ object Multimodal {
     val c = dctC
     media.select(col("doc_id"), col("media")).as[MediaRow]
       .mapPartitions { it =>
+        imageIoNoCache
         it.map { r =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.media))

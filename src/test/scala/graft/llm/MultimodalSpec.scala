@@ -152,6 +152,13 @@ class MultimodalSpec extends SparkSpec {
     assert(got == ids.map(id => id -> ref(id)).toMap)
   }
 
+  test("ImageIO disk-backed stream cache is off after any decode/encode " +
+      "call site runs (the round-9 loaded-host serialization amplifier)") {
+    Multimodal.pngPayload(7L) // any site referencing imageIoNoCache
+    assert(!javax.imageio.ImageIO.getUseCache,
+      "ImageIO.setUseCache(false) must have run before first use")
+  }
+
   test("parsePngHeader: expression-level IHDR parse agrees with a real " +
       "ImageIO decode of the same payloads, and flags non-PNG bytes") {
     import spark.implicits._
