@@ -4450,10 +4450,11 @@ object LlmQueries {
     // (rank groups with >= 2 occurrences) — the suffix-array index
     // structure underneath exact substring dedup, complementing the
     // hash-window approximation (q163/q192) with the real
-    // lexicographic order. Dense re-ranking per round uses the
-    // two-level scheme (per-r1 distinct counts + keyed row_number),
-    // never a corpus-wide single-partition window; the oracle replays
-    // the doubling rounds with plain dense_rank windows.
+    // lexicographic order. Every global ordering (doc offsets, vocab
+    // rank, per-round pair re-rank) runs through ops.Dist's
+    // range-partitioned two-level scheme — never a corpus-cardinality
+    // single-partition window; the oracle replays the doubling rounds
+    // with plain dense_rank windows (same values, serial plan).
     ("q393_suffix_ranks", (s: SparkSession, d: String) => {
       TextOps.suffixRanks(t(s, d, "documents"), "doc_id", "text",
           rounds = 2)

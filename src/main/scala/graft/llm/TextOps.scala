@@ -291,29 +291,35 @@ object TextOps {
     * the index structure under suffix-array substring dedup (the
     * lattice q163/q192's hash windows approximate). Round k: pair each
     * position's rank with the rank 2^(k-1) ahead (end-of-stream = 0,
-    * sorting first), then DENSE-rank the pairs — here via the
-    * two-level scheme (per-r1 distinct-r2 counts prefix-summed, keyed
-    * row_number within r1), never a corpus-wide single-partition
-    * window. Returns (p, r): global position → context rank.
+    * sorting first), then DENSE-rank the pairs. Returns (p, r):
+    * global position → context rank.
     *
-    * Shuffle ledger per round: one positional self-join (keyed on p)
-    * and one (r1, r2) aggregate — both corpus-keyed. The offsets
-    * window runs on the r1-cardinality relation, which GROWS toward
-    * corpus size in late rounds (the inherent log-round global-sort
-    * cost of SA construction) — bound `rounds` accordingly; dedup
-    * detection needs only context length ≥ the dedup window. */
+    * Every global ordering here — the doc-offset prefix sum, the
+    * initial vocab rank, and each round's (r1, r2) pair re-rank — runs
+    * through [[graft.ops.Dist]]'s two-level scheme (range-partitioned
+    * local windows + an nPart-row broadcast offset table), so NO
+    * corpus-cardinality relation ever funnels through a
+    * single-partition window: dense-rank(pairs) = row_number over the
+    * DISTINCT pairs, computed distributed.
+    *
+    * Shuffle ledger per round: one positional self-join (keyed on p),
+    * one pair-distinct aggregate, one range partition of the distinct
+    * pairs — all corpus-keyed, all parallel. The distinct-pair
+    * relation GROWS toward corpus size in late rounds (the inherent
+    * log-round cost of SA construction) — bound `rounds` accordingly;
+    * dedup detection needs only context length ≥ the dedup window. */
   def suffixRanks(docs: DataFrame, idCol: String, textCol: String,
       rounds: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       posexplode(tokens(col(textCol))).as(Seq("j", "tok")))
     val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val offs = lens.withColumn("off",
-      coalesce(sum(col("n")).over(Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offs = graft.ops.Dist
+      .exclusivePrefixSum(lens, Seq(col("doc_id")), "n", "off")
+      .select("doc_id", "off")
     val pos = toks.join(offs, "doc_id")
       .select((col("off") + col("j")).as("p"), col("tok"))
-    val vocab = pos.select("tok").distinct()
-      .withColumn("r", dense_rank().over(Window.orderBy("tok")).cast("long"))
+    val vocab = graft.ops.Dist
+      .globalRowNumber(pos.select("tok").distinct(), Seq(col("tok")), "r")
     var cur = pos.join(vocab, "tok").select("p", "r").localCheckpoint(true)
     for (k <- 1 to rounds) {
       val gap = 1L << (k - 1)
@@ -321,17 +327,9 @@ object TextOps {
       val pairs = cur.withColumnRenamed("r", "r1")
         .join(ahead, Seq("p"), "left")
         .na.fill(0L, Seq("r2"))
-      val keys = pairs.groupBy("r1", "r2").agg(count(lit(1)).as("__c"))
-      val offsets = keys.groupBy("r1")
-        .agg(countDistinct(col("r2")).as("__n"))
-        .withColumn("__off", coalesce(sum(col("__n"))
-          .over(Window.orderBy("r1")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("r1", "__off")
-      val ranked = keys.join(offsets, "r1")
-        .withColumn("r", (col("__off") + row_number().over(
-          Window.partitionBy("r1").orderBy("r2"))).cast("long"))
-        .select("r1", "r2", "r")
+      val ranked = graft.ops.Dist.globalRowNumber(
+        pairs.select("r1", "r2").distinct(),
+        Seq(col("r1"), col("r2")), "r")
       cur = pairs.join(ranked, Seq("r1", "r2"))
         .select("p", "r").localCheckpoint(true)
     }
