@@ -34,6 +34,18 @@ object OracleSql {
     val out = new StringBuilder
     var i = 0
     var m = cteDef.findFirstMatchIn(sql)
+    // Recursion is only POSSIBLE under WITH RECURSIVE (in a plain WITH a
+    // CTE's own name inside its body resolves to the outer table, not to
+    // itself), so the self-reference guard applies only there — and
+    // there it is deliberately CONSERVATIVE: any bare-word occurrence of
+    // the CTE's name in its body (FROM x, JOIN x, `FROM other, x`,
+    // `x AS alias` …) skips materialization. A spuriously-skipped CTE
+    // costs a re-evaluation; a spuriously-MATERIALIZED recursive CTE is
+    // a DuckDB error that zeroes the query's correctness row. The
+    // structural spec check stays on the stricter FROM|JOIN detector, so
+    // the transform can only be more cautious than what ships.
+    val recursive =
+      """(?i)\bWITH\s+RECURSIVE\b""".r.findFirstIn(sql).isDefined
     while (m.isDefined) {
       val mm = m.get
       val name = mm.group(1)
@@ -44,13 +56,9 @@ object OracleSql {
         name.equalsIgnoreCase("MATERIALIZED") || name.equalsIgnoreCase("NOT")
       val bodyEnd = matchParen(sql, i + mm.end)
       val body = sql.substring(i + mm.end, bodyEnd - 1)
-      // A self-reference is a TABLE reference (FROM x / JOIN x) — the CTE
-      // name reappearing as a column alias or inside a string literal is
-      // not recursion, and with the corpus's single-letter CTE names a
-      // bare word match would silently skip hot CTEs.
-      val selfRef =
-        ("""(?i)\b(?:FROM|JOIN)\s+""" + Regex.quote(name) + """\b""").r
-          .findFirstIn(body).isDefined
+      val selfRef = recursive &&
+        ("""(?i)(?<![A-Za-z0-9_."])""" + Regex.quote(name) +
+          """(?![A-Za-z0-9_"])""").r.findFirstIn(body).isDefined
       if (isWindow || skipKeyword || selfRef)
         out.append(sql.substring(i, i + mm.end))
       else {
@@ -68,8 +76,11 @@ object OracleSql {
     * `start` is the first char inside the paren. Single-quoted string
     * literals are skipped so a paren inside a regex literal cannot
     * unbalance the scan, and `--` line comments are skipped so an
-    * apostrophe or unbalanced paren in a comment cannot desync it. */
-  private def matchParen(sql: String, start: Int): Int = {
+    * apostrophe or unbalanced paren in a comment cannot desync it.
+    * package-private: OracleSqlSpec's structural corpus check scans CTE
+    * bodies with THIS scanner (not a copy), so the spec can never fall
+    * out of sync with how production scopes a body. */
+  private[graft] def matchParen(sql: String, start: Int): Int = {
     var depth = 1
     var j = start
     var inStr = false

@@ -146,19 +146,36 @@ object XxHashOracle {
     * oracles (q241 KMV, q402 ridge folds) the suite's residual
     * heavyweights. `srcRel` may be a table name or a parenthesized
     * subquery; same bit-for-bit Spark xxhash64 parity as [[hashLong]]. */
+  /** The seven XXH64-of-one-long steps as (column, SQL expression)
+    * pairs over the chain variables `_xh0` (input) and `_xsd` (seed) —
+    * the linear chain [[hashLongSubquery]] wires into nested
+    * projections. package-private so XxHashOracleSpec can EVALUATE the
+    * actual emitted expressions (a tiny HUGEINT-fragment interpreter)
+    * against Spark's XxHash64Function: an edit that drops the `_xsd`
+    * carry or a step's mask now fails `sbt test` instead of surfacing
+    * only in the external DuckDB gate. */
+  private[llm] val hashLongSteps: Seq[(String, String)] = Seq(
+    "_xh1" -> mm("_xh0", p2),
+    "_xh2" -> mm(rotl("_xh1", 31), p1),
+    "_xh3" -> s"xor(${add(add("_xsd", p5), ch(8))}, _xh2)",
+    "_xh4" -> add(mm(rotl("_xh3", 27), p1), p4),
+    "_xh5" -> mm("xor(_xh4, (_xh4 >> 33))", p2),
+    "_xh6" -> mm("xor(_xh5, (_xh5 >> 29))", p3),
+    "_out" -> "xor(_xh6, (_xh6 >> 32))")
+
   def hashLongSubquery(srcRel: String, keepCols: Seq[String], inExpr: String,
       seedExpr: String, outCol: String): String = {
     val keep = keepCols.map(c => s"$c, ").mkString
     def st(inner: String, extra: String, alias: String) =
       s"(SELECT $keep$extra FROM $inner AS $alias)"
     val q0 = st(srcRel, s"($inExpr) AS _xh0, ($seedExpr) AS _xsd", "_x0")
-    val q1 = st(q0, s"_xsd, ${mm("_xh0", p2)} AS _xh1", "_x1")
-    val q2 = st(q1, s"_xsd, ${mm(rotl("_xh1", 31), p1)} AS _xh2", "_x2")
-    val q3 = st(q2, s"xor(${add(add("_xsd", p5), ch(8))}, _xh2) AS _xh3", "_x3")
-    val q4 = st(q3, s"${add(mm(rotl("_xh3", 27), p1), p4)} AS _xh4", "_x4")
-    val q5 = st(q4, s"${mm("xor(_xh4, (_xh4 >> 33))", p2)} AS _xh5", "_x5")
-    val q6 = st(q5, s"${mm("xor(_xh5, (_xh5 >> 29))", p3)} AS _xh6", "_x6")
-    st(q6, s"xor(_xh6, (_xh6 >> 32)) AS $outCol", "_x7")
+    hashLongSteps.zipWithIndex.foldLeft(q0) {
+      case (inner, ((stepCol, ex), idx)) =>
+        val colName = if (stepCol == "_out") outCol else stepCol
+        // `_xsd` is consumed by step _xh3; carry it through until then
+        val carry = if (idx < 2) "_xsd, " else ""
+        st(inner, s"$carry$ex AS $colName", s"_x${idx + 1}")
+    }
   }
 
   /** The corpus's most common oracle shape — a SIGNED xxhash64(42, key)

@@ -52,6 +52,28 @@ object Dist {
       .drop("__pid", "__rn", "__off")
   }
 
+  /** Distributed exact NTILE(k) over a total order: standard SQL bucket
+    * semantics (q = n div k, r = n mod k; buckets 1..r hold q+1 rows,
+    * the rest q), computed from [[globalRowNumber]] plus ONE broadcast
+    * one-row count — never an unpartitioned corpus window. Bit-identical
+    * to `ntile(k).over(Window.orderBy(orderCols))` for any total order.
+    * The count aggregate re-reads `df`; inside one query plan the
+    * optimizer's exchange reuse dedups it against the ranked side. */
+  def globalNtile(df: DataFrame, orderCols: Seq[Column], k: Int,
+      outCol: String, nPart: Int = 32): DataFrame = {
+    require(k >= 1, s"ntile bucket count must be >= 1, got $k")
+    val rn = globalRowNumber(df, orderCols, "__ntrn", nPart)
+    val cnt = df.agg(count(lit(1)).as("__ntn"))
+    rn.crossJoin(broadcast(cnt))
+      .withColumn(outCol, expr(
+        s"""CASE WHEN __ntrn <= (__ntn % $k) * (__ntn div $k + 1)
+            THEN (__ntrn - 1) div (__ntn div $k + 1) + 1
+            ELSE (__ntn % $k) +
+              (__ntrn - (__ntn % $k) * (__ntn div $k + 1) - 1)
+                div (__ntn div $k) + 1 END"""))
+      .drop("__ntrn", "__ntn")
+  }
+
   /** Global EXCLUSIVE prefix sum of `weightCol` (long) in `orderCols`
     * order: each row gets the exact sum of all weights strictly before
     * it. Row one gets 0. */

@@ -7608,9 +7608,13 @@ object RelQueries {
     // customer, the standard CRM cut. Quintiles are ntile(5) under a
     // TOTAL order (metric + custkey tie-break, so both engines bucket
     // identically); 5 = best (most recent / most frequent / highest
-    // spend). The per-customer rollup is one keyed aggregate; the
-    // ntile windows run over the customer DIMENSION (not the fact
-    // table), which is the relation quantile scoring is defined on.
+    // spend). The per-customer rollup is one keyed aggregate; each
+    // quintile runs through ops.Dist.globalNtile (range-partitioned
+    // two-level row numbers + one broadcast count, bit-identical to the
+    // window ntile) — the customer dimension is corpus-scale at 100 TB,
+    // so a bare `ntile(5).over(Window.orderBy(...))` would funnel it
+    // through one task three times. The oracle keeps plain NTILE
+    // windows (same values, serial plan).
     ("q338_rfm_segments", (s: SparkSession, d: String) => {
       val o = t(s, d, "orders").groupBy("o_custkey").agg(
         max(to_date(col("o_orderdate"))).as("last_d"),
@@ -7621,13 +7625,14 @@ object RelQueries {
       val base = o.crossJoin(broadcast(mx))
         .withColumn("recency", datediff(col("mxd"), col("last_d"))
           .cast("long"))
-      base
-        .withColumn("r_score", ntile(5).over(Window.orderBy(
-          col("recency").desc, col("o_custkey"))).cast("long"))
-        .withColumn("f_score", ntile(5).over(Window.orderBy(
-          col("f"), col("o_custkey"))).cast("long"))
-        .withColumn("m_score", ntile(5).over(Window.orderBy(
-          col("m"), col("o_custkey"))).cast("long"))
+      val scored = Seq[(String, Seq[Column])](
+        "r_score" -> Seq(col("recency").desc, col("o_custkey")),
+        "f_score" -> Seq(col("f"), col("o_custkey")),
+        "m_score" -> Seq(col("m"), col("o_custkey"))
+      ).foldLeft(base) { case (df, (out, ord)) =>
+        graft.ops.Dist.globalNtile(df, ord, 5, out)
+      }
+      scored
         .select(col("o_custkey"), col("recency"), col("f"), col("m"),
           col("r_score"), col("f_score"), col("m_score"),
           (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))

@@ -28,6 +28,40 @@ class OracleSqlSpec extends AnyFunSuite {
     assert(out.contains("base AS MATERIALIZED (SELECT 1 AS k)"))
   }
 
+  test("comma-form recursive self-reference (FROM other, name) is left " +
+      "untouched — the r9 selfRef regex only saw FROM/JOIN forms") {
+    val in = """WITH RECURSIVE reach AS (SELECT u, v FROM e
+      UNION SELECT r.u, e2.v FROM e e2, reach r WHERE r.v = e2.u),
+      base AS (SELECT 1 AS k)
+      SELECT * FROM reach, base"""
+    val out = OracleSql.materializeCtes(in)
+    assert(!out.contains("reach AS MATERIALIZED"), out)
+    assert(out.contains("base AS MATERIALIZED (SELECT 1 AS k)"), out)
+  }
+
+  test("the recursive guard is bare-word conservative: an alias collision " +
+      "inside a WITH RECURSIVE statement skips materialization (cheap) " +
+      "rather than risking a circular materialized CTE") {
+    val in = """WITH RECURSIVE walk AS (SELECT 1 AS n
+      UNION ALL SELECT n + 1 FROM walk WHERE n < 3),
+      agg AS (SELECT max(n) AS agg FROM walk)
+      SELECT agg FROM agg"""
+    val out = OracleSql.materializeCtes(in)
+    assert(!out.contains("walk AS MATERIALIZED"), out)
+    // `agg`'s body mentions its own name as a column alias — bare-word
+    // match, so the conservative rule skips it inside WITH RECURSIVE
+    assert(!out.contains("agg AS MATERIALIZED"), out)
+  }
+
+  test("plain WITH (no RECURSIVE) needs no self-reference guard: DuckDB " +
+      "rejects a shadowing CTE at bind time with or without the hint, so " +
+      "every working plain-WITH CTE is materializable") {
+    val in = "WITH q AS (SELECT x FROM base q WHERE q.x > 0) " +
+      "SELECT * FROM q"
+    val out = OracleSql.materializeCtes(in)
+    assert(out.contains("q AS MATERIALIZED"), out)
+  }
+
   test("named WINDOW definition is not a CTE") {
     val in = "SELECT sum(x) OVER w FROM t WINDOW w AS (PARTITION BY k)"
     assert(OracleSql.materializeCtes(in) === in)
@@ -80,20 +114,11 @@ class OracleSqlSpec extends AnyFunSuite {
       val closes = sql.count(_ == ')')
       assert(opens === closes, s"$name unbalanced")
       // a materialized CTE must not reference itself (DuckDB cannot
-      // materialize a recursive CTE ahead of its own iteration)
+      // materialize a recursive CTE ahead of its own iteration); body
+      // scoping reuses production's comment/string-aware scanner so the
+      // two can never desync
       matDef.findAllMatchIn(sql).foreach { m =>
-        var depth = 1
-        var j = m.end
-        var inStr = false
-        while (j < sql.length && depth > 0) {
-          sql.charAt(j) match {
-            case '\'' => inStr = !inStr
-            case '(' if !inStr => depth += 1
-            case ')' if !inStr => depth -= 1
-            case _ => ()
-          }
-          j += 1
-        }
+        val j = OracleSql.matchParen(sql, m.end)
         val body = sql.substring(m.end, j - 1)
         val cte = m.group(1)
         // a self-reference is a TABLE reference (FROM x / JOIN x); the

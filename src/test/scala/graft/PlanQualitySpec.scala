@@ -41,6 +41,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>")) // pruned
   }
 
+  test("q338: RFM quintiles never run an unpartitioned window over the " +
+      "customer dimension — every ntile is the two-level Dist scheme") {
+    val df = SparkEntry.queries("q338_rfm_segments")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // three range partitions (one per score's total order) + __pid-keyed
+    // local windows; SinglePartition exchanges feed only metadata (the
+    // nPart-row offset tables and the one-row counts/max-date)
+    assert("Exchange rangepartitioning".r.findAllIn(p).length >= 3,
+      p.take(3000))
+    assert(p.contains("__pid"), p.take(3000))
+    assert(!p.toLowerCase.contains("ntile("), p.take(3000))
+  }
+
   test("q38: query side is broadcast against the corpus scan") {
     assert(plan("q38_knn_brute_cosine").contains("BroadcastNestedLoopJoin") ||
       plan("q38_knn_brute_cosine").contains("BroadcastHashJoin"))

@@ -335,6 +335,39 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("mutualBestMatching symmetricInput path matches the general path") {
+    // symmetricInput = true skips the self-pair filter and the
+    // union + groupBy-max re-symmetrization under the caller's guarantee
+    // (both directions present with equal weights, no self-pairs) —
+    // feeding it the pre-symmetrized weighted list must give the exact
+    // same (u, v, round) matching as the general path given the raw
+    // one-row-per-unordered-pair list. Mirrors the lubyMis parity test
+    // above; q377 relies on this invariant.
+    val rng = new scala.util.Random(47)
+    for (trial <- 1 to 3) {
+      val n = 5 + rng.nextInt(20)
+      val es = Seq.fill(6 + rng.nextInt(50)) {
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong,
+          (1 + rng.nextInt(9)).toLong)
+      }.filter { case (a, b, _) => a != b }
+        .groupBy { case (a, b, _) => (math.min(a, b), math.max(a, b)) }
+        .map { case ((a, b), g) => (a, b, g.map(_._3).max) }.toSeq
+      if (es.nonEmpty) {
+        val sym = es.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+        val general = Components
+          .mutualBestMatching(es.toDF("u", "v", "w"), rounds = 4)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        val fast = Components
+          .mutualBestMatching(sym.toDF("u", "v", "w"), rounds = 4,
+            symmetricInput = true)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        assert(fast == general, s"trial $trial")
+      }
+    }
+  }
+
   test("kCore: clique survives k=3, chain and triangle peel away") {
     // K4 on {0..3} is the 3-core; a chain hung off it (4-5-6) and a
     // separate triangle {10,11,12} must peel (max degree 2). The chain's

@@ -55,6 +55,22 @@ class DistSpec extends SparkSpec {
     }
   }
 
+  test("globalNtile equals ntile(k) over the same total order, including " +
+      "uneven n % k remainders and n < k") {
+    for (nRows <- Seq(3, 11, 257); k <- Seq(2, 5, 7)) {
+      val df = rows.take(nRows).toDF("k", "id", "w")
+      val got = Dist.globalNtile(df, Seq(col("w").desc, col("id")), k, "b", 7)
+        .select("id", "b").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = df.withColumn("b",
+          ntile(k).over(Window.orderBy(col("w").desc, col("id")))
+            .cast("long"))
+        .select("id", "b").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"nRows=$nRows k=$k")
+    }
+  }
+
   test("plan: the data path range-partitions; the only SinglePartition " +
       "exchange feeds the nPart-row broadcast offset table") {
     val df = rows.toDF("k", "id", "w")
