@@ -98,6 +98,19 @@ object Bench {
         s""""queries":$qs,"sf":"$sfDir"}"""
     }
 
+    // The streaming queries land results in `memory`-sink temp views
+    // (fresh UUID name per execution) that otherwise stay registered —
+    // and their rows PINNED on the driver heap, unmanaged by the block
+    // manager — for the session lifetime. Over warmup + 442×reps that
+    // is hundreds of result tables of dead weight, measured as 2-3x
+    // inflation on late-suite queries vs the same query solo. Drop them
+    // once their consumer (count / parquet write) has run.
+    def dropMemSinkViews(): Unit =
+      try spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary && t.name.contains("_mem_"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      catch { case _: Throwable => () }
+
     // SIGTERM/budget-expiry path: persist + emit whatever completed.
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       if (!emitted) {
@@ -119,9 +132,11 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     val warmT0 = System.nanoTime()
     names.foreach { n =>
-      if ((System.nanoTime() - warmT0) / 1e9 < warmupBudgetSec)
+      if ((System.nanoTime() - warmT0) / 1e9 < warmupBudgetSec) {
         try SparkEntry.queries(n)(spark, warmDir).count()
         catch { case _: Throwable => () }
+        dropMemSinkViews()
+      }
     }
 
     names.foreach { name =>
@@ -137,7 +152,9 @@ object Bench {
           failed = true
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        dropMemSinkViews() // outside the timed span: harness hygiene
+        dt
       }
       val t1 = rep()
       // Over-budget first rep → a loaded host (or a genuinely heavy

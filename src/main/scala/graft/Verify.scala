@@ -45,6 +45,14 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // Drop the streaming queries' memory-sink temp views once their
+        // parquet dump has consumed them: each holds its full result on
+        // the driver heap, unmanaged, for the session lifetime otherwise
+        // (hundreds of dead tables by the end of a 442-query dump).
+        try spark.catalog.listTables().collect()
+          .filter(t => t.isTemporary && t.name.contains("_mem_"))
+          .foreach(t => spark.catalog.dropTempView(t.name))
+        catch { case _: Throwable => () }
     }
     spark.stop()
   }
