@@ -6563,7 +6563,59 @@ object LlmQueries {
         CAST((SUM(est_b) * 10000) // SUM(actual_b) AS BIGINT)
           AS est_over_actual_bp,
         (MAX({'d': actual_b - est_b, 'b': b})).b AS worst_bucket
-      FROM h2"""))
+      FROM h2""")),
+
+    // STREAMING incremental MinHash-LSH near-dup — q111's daily-crawl
+    // flow as a REAL Structured Streaming execution (the 12th): the new
+    // documents arrive as a file stream (two files, maxFilesPerTrigger=1
+    // → two micro-batches, proven from the checkpoint's commit log) and
+    // each micro-batch is signed and banded against the PERSISTED corpus
+    // signature index inside foreachBatch — the production shape for
+    // "dedup today's crawl against the corpus": corpus text is never
+    // re-read, per-batch work is linear in the batch, and the union of
+    // micro-batch outputs equals the whole-batch result EXACTLY because
+    // candidates are batch×corpus only (no batch×batch pairs), which is
+    // what lets the batch oracle check the streamed execution.
+    ("q444_stream_incremental_neardup", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = s"/tmp/graft_q444/${new java.io.File(d).getName}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 1)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 1)
+        .select("doc_id", "text")
+      // Two arrival files → two micro-batches under maxFilesPerTrigger=1.
+      batch.filter(pmod(col("doc_id"), lit(20)) === 1)
+        .coalesce(1).write.parquet(s"$root/in/d0")
+      batch.filter(pmod(col("doc_id"), lit(20)) =!= 1)
+        .coalesce(1).write.parquet(s"$root/in/d1")
+      // The "stored" index (production: read back from parquet), forced
+      // BEFORE the stream starts so batches join, never rebuild it.
+      val index = NearDup.minhashSignatures(corpus, "doc_id", "text",
+          n = 3, k = 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      index.count()
+      val stream = s.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          NearDup.minhashLshAgainstIndex(b, "doc_id", "text", index,
+              n = 3, bands = 16, rowsPerBand = 4, tau = 0.5)
+            .write.mode("append").parquet(s"$root/out")
+          ()
+        }
+        .option("checkpointLocation", s"$root/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      index.unpersist()
+      val nBatches = new java.io.File(s"$root/ck/commits")
+        .listFiles().count(f => f.getName.forall(_.isDigit))
+      require(nBatches >= 2,
+        s"expected >= 2 micro-batches, checkpoint shows $nBatches")
+      s.read.parquet(s"$root/out").orderBy("d1", "d2")
+    }, Some(XxHashOracle.minhashIncrementalSql(n = 3, bands = 16,
+      rowsPerBand = 4, tau = 0.5,
+      batchPred = "DOCID % 10 = 1", corpusPred = "DOCID % 10 <> 1")))
   )
 
   /** DuckDB replay of [[Curation.greedySetCover]] over trigram hashes:
