@@ -2637,26 +2637,38 @@ object LlmQueries {
     // replays signatures, every banding, every candidate join, and the
     // exact truth — end to end in DuckDB.
     ("q294_lsh_tuning_eval", (s: SparkSession, d: String) => {
+      import s.implicits._
       val docs = t(s, d, "documents")
       val truth = NearDup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
         .select("d1", "d2").localCheckpoint(true)
       val sigs = NearDup.minhashSignatures(docs, "doc_id", "text",
         n = 3, k = 16).localCheckpoint(true)
-      val rows = Seq((16, 1), (8, 2), (4, 4)).map { case (b, r) =>
-        val cand = NearDup.lshCandidatePairs(sigs, b, r)
-          .localCheckpoint(true)
-        val nc = cand.agg(count(lit(1)).as("n_candidates"))
-        val tpc = cand.join(truth, Seq("d1", "d2"), "left_semi")
-          .agg(count(lit(1)).as("tp"))
-        val fnc = truth.join(cand, Seq("d1", "d2"), "left_anti")
-          .agg(count(lit(1)).as("fn"))
-        nc.crossJoin(broadcast(tpc)).crossJoin(broadcast(fnc))
+      val configs = Seq((16, 1), (8, 2), (4, 4))
+      // All three configs' candidate sets ride ONE tagged frame, so the
+      // per-config accounting is a single keyed aggregate instead of
+      // nine scalar jobs (count + semi + anti per config): candidates
+      // are distinct and the truth relation emits each pair once, so
+      // TP = candidates seen in truth and FN = |truth| - TP exactly.
+      val cands = configs.map { case (b, r) =>
+        NearDup.lshCandidatePairs(sigs, b, r)
           .select(lit(b.toLong).as("bands"),
-            lit(r.toLong).as("rows_per_band"),
-            col("n_candidates"), col("tp"),
-            (col("n_candidates") - col("tp")).as("fp"), col("fn"))
-      }
-      rows.reduce(_ unionByName _)
+            lit(r.toLong).as("rows_per_band"), col("d1"), col("d2"))
+      }.reduce(_ unionByName _)
+      val counted = cands
+        .join(truth.withColumn("__t", lit(1)), Seq("d1", "d2"), "left")
+        .groupBy("bands", "rows_per_band")
+        .agg(count(lit(1)).as("n_candidates"), count(col("__t")).as("tp"))
+      // Seed frame: a config whose candidate set is EMPTY still gets
+      // its (0-candidate) report row, as the per-config loop emitted.
+      val seed = configs.map { case (b, r) => (b.toLong, r.toLong) }
+        .toDF("bands", "rows_per_band")
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      seed.join(counted, Seq("bands", "rows_per_band"), "left")
+        .na.fill(0L, Seq("n_candidates", "tp"))
+        .crossJoin(broadcast(nTruth))
+        .select(col("bands"), col("rows_per_band"), col("n_candidates"),
+          col("tp"), (col("n_candidates") - col("tp")).as("fp"),
+          (col("n_truth") - col("tp")).as("fn"))
         .withColumn("precision_bp", when(col("n_candidates") === 0, 0L)
           .otherwise(expr("tp * 10000 div n_candidates")))
         .withColumn("recall_bp", when(col("tp") + col("fn") === 0, 0L)
@@ -2686,12 +2698,27 @@ object LlmQueries {
         .localCheckpoint(true)
       val verts = und.select(col("src").as("id"))
         .union(und.select(col("dst").as("id"))).distinct()
-      val cc1 = Components.connectedComponentsStars(verts, und)
       val dVerts = verts.union(verts.select((col("id") + BipOff).as("id")))
       val dEdges = und.select(col("src"), (col("dst") + BipOff).as("dst"))
         .union(und.select(col("dst").as("src"),
           (col("src") + BipOff).as("dst")))
       val cc2 = Components.connectedComponentsStars(dVerts, dEdges)
+        .localCheckpoint(true)
+      // The original graph's components fall out of the SAME doubled-CC
+      // run: for v's original component K, v's doubled component
+      // contains w or w' for EVERY w in K (bipartite K splits into the
+      // two parity copies, each still covering all of K through
+      // mirrors; odd K stays whole), so min over REAL ids of v's
+      // doubled component = min(K) — exactly the label a second CC on
+      // the original edges would assign. One CC pass certifies
+      // bipartiteness at any scale, not two.
+      val realMin = cc2
+        .select(when(col("id") < BipOff, col("id"))
+          .otherwise(col("id") - BipOff).as("rid"), col("component"))
+        .groupBy("component").agg(min("rid").as("orig_comp"))
+      val cc1 = cc2.filter(col("id") < BipOff)
+        .join(realMin, Seq("component"))
+        .select(col("id"), col("orig_comp").as("component"))
       val odd = cc2.filter(col("id") < BipOff)
         .join(cc2.filter(col("id") >= BipOff)
           .select((col("id") - BipOff).as("id"),
@@ -2736,28 +2763,36 @@ object LlmQueries {
     // decontamination (bench slice dropped + contaminated dropped) →
     // first-occurrence novelty floor. Corpus-dependent stages (dedup,
     // decontam, novelty) are computed on each stage's SURVIVORS — the
-    // real pipeline semantics, not five independent predicates. Output
-    // is five (n_in, n_out, n_removed) rows assembled from broadcast
-    // one-row counts; each stage frame is checkpointed once so nothing
-    // recomputes upstream gates. The oracle replays all five stages as
-    // nested CTEs over the same definitions the standalone queries
-    // (q32/q91/q34/q190/q287) verify individually.
+    // real pipeline semantics, not five independent predicates. The
+    // per-doc gates (lang-id, Gopher ratios, dedup keeper) all ride ONE
+    // corpus pass as boolean flag columns — the keeper flag conditions
+    // its fingerprint-window min on the survivor flags, so no stage
+    // needs its own materialized frame — and the first three counts are
+    // one aggregate over that pass; only the genuinely corpus-dependent
+    // tails (13-gram decontamination vs the bench slice, first-occurrence
+    // novelty WITHIN the survivors) run as their own joins. The oracle
+    // replays all five stages as nested CTEs over the same definitions
+    // the standalone queries (q32/q91/q34/q190/q287) verify individually.
     ("q300_corpus_yield_funnel", (s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = t(s, d, "documents").select("doc_id", "text")
+      val flags = t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          (TextOps.langId(col("text")) === "en").as("f1"),
+          (TextOps.distinctTokenRatio(col("text")) >= 0.3 &&
+            TextOps.topTokenFraction(col("text")) <= 0.2 &&
+            TextOps.dupNgramFraction(col("text"), 2) <= 0.5).as("f2"),
+          TextOps.fingerprint(col("text")).as("__fp"))
+        .withColumn("f12", col("f1") && col("f2"))
+        .withColumn("keep3", col("f12") && col("doc_id") ===
+          min(when(col("f12"), col("doc_id")))
+            .over(Window.partitionBy("__fp")))
+        .drop("__fp")
         .localCheckpoint(true)
-      val s1 = docs.filter(TextOps.langId(col("text")) === "en")
-        .localCheckpoint(true)
-      val s2 = s1.filter(TextOps.distinctTokenRatio(col("text")) >= 0.3 &&
-          TextOps.topTokenFraction(col("text")) <= 0.2 &&
-          TextOps.dupNgramFraction(col("text"), 2) <= 0.5)
-        .localCheckpoint(true)
-      val s3 = s2.withColumn("__k", min(col("doc_id"))
-          .over(Window.partitionBy(TextOps.fingerprint(col("text")))))
-        .filter(col("doc_id") === col("__k")).drop("__k")
-        .localCheckpoint(true)
-      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
-      val train = s3.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      val bench = flags.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select("doc_id", "text")
+      val train = flags
+        .filter(col("keep3") && pmod(col("doc_id"), lit(97)) =!= 0)
+        .select("doc_id", "text")
       val clean = Curation.decontaminateOverlap(train, bench,
           "doc_id", "text", n = 13)
         .filter(col("n_shared_grams") === 0).select("doc_id")
@@ -2767,10 +2802,10 @@ object LlmQueries {
           .filter(col("novelty_bp") >= 2500).select("doc_id"),
         Seq("doc_id"), "left_semi")
       def cnt(df: DataFrame, nm: String) = df.agg(count(lit(1)).as(nm))
-      val wide = cnt(docs, "c0")
-        .crossJoin(broadcast(cnt(s1, "c1")))
-        .crossJoin(broadcast(cnt(s2, "c2")))
-        .crossJoin(broadcast(cnt(s3, "c3")))
+      val wide = flags.agg(count(lit(1)).as("c0"),
+          count(when(col("f1"), 1)).as("c1"),
+          count(when(col("f12"), 1)).as("c2"),
+          count(when(col("keep3"), 1)).as("c3"))
         .crossJoin(broadcast(cnt(s4, "c4")))
         .crossJoin(broadcast(cnt(s5, "c5")))
         .localCheckpoint(true)
@@ -4921,8 +4956,13 @@ object LlmQueries {
     ("q411_double_sweep_diameter", (s: SparkSession, d: String) => {
       import s.implicits._
       // One shared edge build for both sweeps: the lineitem self-join
-      // behind coPurchaseEdges dwarfs either frontier sweep.
-      val e = Components.prepareUndirected(coPurchaseEdges(s, d))
+      // behind coPurchaseEdges dwarfs either frontier sweep. The cached
+      // relation already satisfies the prepared contract — the
+      // order-key self-join emits BOTH directions, `distinct` dedups,
+      // and self-pairs are filtered — so re-running prepareUndirected's
+      // canonicalize+distinct+mirror would shuffle the whole edge set
+      // again for an identical result; pin the scan once instead.
+      val e = coPurchaseEdges(s, d).localCheckpoint(true)
       val b1 = Components.bfsLevelsPrepared(e, src = 1L, maxDepth = 6)
       def summarize(b: DataFrame, sweep: Int, src: Long) =
         b.agg(max(col("depth")).cast("long").as("ecc"),

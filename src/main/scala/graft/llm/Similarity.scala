@@ -616,6 +616,11 @@ object Similarity {
         col("embedding").as("e2")), Seq("v2"))
       .filter(cosineSim(col("e1"), col("e2")) >= tau)
       .select(col("v1"), col("v2"))
+      // Pinned: consumed three times below (both endpoint projections
+      // and the CC edge input) — without this the exact-confirm join
+      // re-attaches the float embeddings and re-scores every candidate
+      // pair once per consumer.
+      .localCheckpoint(true)
     val endpoints = confirmed.select(col("v1").as("id"))
       .union(confirmed.select(col("v2").as("id"))).distinct()
     val cc = Components.connectedComponentsStars(endpoints,
