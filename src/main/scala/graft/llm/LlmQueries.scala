@@ -94,6 +94,24 @@ object LlmQueries {
         .select("d1", "d2")
     }
 
+  /** Staged [[NearDup.jaccardPairs]] over documents (3-shingles,
+    * tau = 0.5, full (d1, d2, jaccard) output) — consumed by q35 (the
+    * operator itself), q294 (LSH tuning ground truth), and q314 (split
+    * leakage). */
+  private def jaccardPairs05(s: SparkSession, d: String): DataFrame =
+    staged(s, d, "jacpairs05") {
+      NearDup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 0.5)
+    }
+
+  /** Staged [[NearDup.minhashLshPairs]] (3-shingles, 16 bands x 4 rows,
+    * tau = 0.5, full (d1, d2, est_jaccard) output) — consumed by q36
+    * (the operator itself) and q223 (dedup end-to-end). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    staged(s, d, "mhpairs16x4") {
+      NearDup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 4, tau = 0.5)
+    }
+
   // Shared by q38 (window formulation) and q66 (custom bounded-heap
   // aggregator) — both must produce exactly this relation.
   private val knnOracle = """
@@ -231,7 +249,7 @@ object LlmQueries {
     // ~20% and filtering wins ~1.5x (both verified identical to this
     // formulation in NearDupSpec).
     ("q35_dedup_ngram_jaccard", (s: SparkSession, d: String) => {
-      NearDup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 0.5)
+      jaccardPairs05(s, d)
         .orderBy("d1", "d2")
     }, Some("""
       WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
@@ -257,8 +275,7 @@ object LlmQueries {
     // XxHashOracle) for the gram hashes and the 64 family rehashes, then
     // bands on raw signature slices — bit-for-bit signature parity.
     ("q36_dedup_minhash_lsh", (s: SparkSession, d: String) => {
-      NearDup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
-          n = 3, bands = 16, rowsPerBand = 4, tau = 0.5)
+      minhashPairs(s, d)
         .orderBy("d1", "d2")
     }, Some(XxHashOracle.minhashSql(n = 3, bands = 16, rowsPerBand = 4, tau = 0.5))),
 
@@ -352,7 +369,7 @@ object LlmQueries {
 
     // Embedding near-dup pairs (cosine >= tau), cell-blocked.
     ("q40_embed_neardup", (s: SparkSession, d: String) => {
-      Similarity.nearDupPairs(t(s, d, "embeddings"), "label", tau = 0.25)
+      embNearDupPairs(s, d)
         .orderBy("v1", "v2")
     }, Some("""
       SELECT a.vec_id AS v1, b.vec_id AS v2
@@ -1294,7 +1311,7 @@ object LlmQueries {
     // the oracle counts the same triangles with the id-ordered 3-way
     // self-join (a different orientation, same exact count).
     ("q148_triangle_count", (s: SparkSession, d: String) => {
-      val pairs = Similarity.nearDupPairs(t(s, d, "embeddings"), "label", tau = 0.25)
+      val pairs = embNearDupPairs(s, d)
         .select(col("v1").as("src"), col("v2").as("dst"))
       Components.triangleCount(pairs)
     }, Some("""
@@ -1970,8 +1987,7 @@ object LlmQueries {
     // closure, and the keeper aggregation in one DuckDB statement.
     ("q223_minhash_dedup_e2e", (s: SparkSession, d: String) => {
       val docs = t(s, d, "documents")
-      val pairs = NearDup.minhashLshPairs(docs, "doc_id", "text",
-          n = 3, bands = 16, rowsPerBand = 4, tau = 0.5)
+      val pairs = minhashPairs(s, d)
         .select(col("d1"), col("d2"))
       val endpoints = pairs.select(col("d1").as("id"))
         .union(pairs.select(col("d2").as("id"))).distinct()
@@ -2511,8 +2527,7 @@ object LlmQueries {
     // the id-ordered 3-way self-join and unnests each triangle to its
     // three corners; lcc is one double division of exact integers.
     ("q285_local_clustering", (s: SparkSession, d: String) => {
-      val pairs = Similarity.nearDupPairs(t(s, d, "embeddings"), "label",
-          tau = 0.25)
+      val pairs = embNearDupPairs(s, d)
         .select(col("v1").as("src"), col("v2").as("dst"))
       Components.localClustering(pairs).orderBy("v")
     }, Some("""
@@ -2617,8 +2632,7 @@ object LlmQueries {
     // touches doubles, in the same expression shape on both engines);
     // shuffles carry (node, degree) longs only.
     ("q292_degree_assortativity", (s: SparkSession, d: String) => {
-      val und = Similarity.nearDupPairs(t(s, d, "embeddings"), "label",
-          tau = 0.25)
+      val und = embNearDupPairs(s, d)
         .select(col("v1").as("src"), col("v2").as("dst"))
       val bid = und.union(und.select(col("dst").as("src"),
         col("src").as("dst")))
@@ -2676,8 +2690,7 @@ object LlmQueries {
     ("q294_lsh_tuning_eval", (s: SparkSession, d: String) => {
       import s.implicits._
       val docs = t(s, d, "documents")
-      val truth = NearDup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
-        .select("d1", "d2").localCheckpoint(true)
+      val truth = jaccardPairs05(s, d).select("d1", "d2")
       val sigs = NearDup.minhashSignatures(docs, "doc_id", "text",
         n = 3, k = 16).localCheckpoint(true)
       val configs = Seq((16, 1), (8, 2), (4, 4))
@@ -3035,7 +3048,7 @@ object LlmQueries {
     ("q314_split_leakage", (s: SparkSession, d: String) => {
       def split(c: org.apache.spark.sql.Column) =
         when(pmod(xxhash64(c), lit(100)) < 5, "val").otherwise("train")
-      NearDup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 0.5)
+      jaccardPairs05(s, d)
         .select(col("d1"), col("d2"), col("jaccard"),
           split(col("d1")).as("split1"), split(col("d2")).as("split2"))
         .filter(col("split1") =!= col("split2"))
