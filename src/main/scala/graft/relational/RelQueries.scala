@@ -3090,7 +3090,11 @@ object RelQueries {
       val users = t(s, d, "events").groupBy("user_id")
         .agg(count(lit(1)).as("n"),
           sum(Exact.dec(col("value"), 12)).as("sv"))
-      graft.streaming.Streams.upsertBatch(dir, Seq("user_id"), 16)(users, 0L)
+      // 8 buckets, not 16: the doomed keys (user_id % 7 = 3) land in
+      // every bucket regardless, so a wider modulus only doubles the
+      // staged-swap filesystem traffic this query pays twice (upsert +
+      // delete) — the O(touched) contract is exercised identically.
+      graft.streaming.Streams.upsertBatch(dir, Seq("user_id"), 8)(users, 0L)
       val doomed = users.filter(pmod(col("user_id"), lit(7)) === 3)
         .select("user_id")
       graft.streaming.Streams.deleteKeys(dir, Seq("user_id"), doomed,
@@ -7704,7 +7708,14 @@ object RelQueries {
     // layouts. The oracle derives layout membership from the same
     // min-day+15 cutoff on the raw events.
     ("q341_partition_evolution", (s: SparkSession, d: String) => {
-      val base = s"/tmp/graft_pe/${new java.io.File(d).getName}"
+      // Input-signed cache path (the PlanCache.inputSalt discipline):
+      // the two landed layouts are oracle-checked against the CURRENT
+      // events table, and the driver may regenerate /root/testdata
+      // while /tmp survives — an unsigned path would serve the previous
+      // generation's layout and fail the hash gate.
+      val evFile = new java.io.File(d, "events.parquet")
+      val base = s"/tmp/graft_pe/${new java.io.File(d).getName}" +
+        s"-${evFile.length()}-${evFile.lastModified()}"
       val ev = t(s, d, "events")
       if (!new java.io.File(s"$base/v2/_SUCCESS").exists()) {
         // 1-row metadata scalar sizes the layout cutoff
