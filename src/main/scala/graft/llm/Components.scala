@@ -413,12 +413,21 @@ object Components {
   def multiSourceBfs(edges: DataFrame, sources: Seq[Long],
       maxDepth: Int): DataFrame = {
     require(sources.nonEmpty, "sources must be non-empty")
-    val spark = edges.sparkSession
-    import spark.implicits._
     // Same [[prepareUndirected]] canonicalization and two-level dedup
     // window as [[bfsLevelsPrepared]] (the depth >= d-1 argument holds
     // per root independently).
-    val und = prepareUndirected(edges)
+    multiSourceBfsPrepared(prepareUndirected(edges), sources, maxDepth)
+  }
+
+  /** [[multiSourceBfs]] over an edge list already satisfying the
+    * [[prepareUndirected]] contract (both directions, no self-loops, no
+    * duplicates) — callers holding a staged symmetric relation skip the
+    * canonicalize+distinct+mirror reshuffle. */
+  def multiSourceBfsPrepared(und: DataFrame, sources: Seq[Long],
+      maxDepth: Int): DataFrame = {
+    require(sources.nonEmpty, "sources must be non-empty")
+    val spark = und.sparkSession
+    import spark.implicits._
     var levels = List(sources.map(r => (r, r, 0))
       .toDF("node", "root", "depth").localCheckpoint(true))
     var prev: DataFrame = null
@@ -526,11 +535,17 @@ object Components {
     * early-exit probe is metadata-sized.
     *
     * @param edges (src, dst, w) triples, w ≥ 0
+    * @param uniqueEdges caller guarantees one row per (src, dst) —
+    *        skips the parallel-edge min-fold shuffle (a staged distinct
+    *        relation with a functional weight column qualifies; the
+    *        fold over already-unique pairs is the identity)
     * @return (node, dist) — min ≤`rounds`-edge path weight from `src` */
-  def ssspRounds(edges: DataFrame, src: Long, rounds: Int): DataFrame = {
+  def ssspRounds(edges: DataFrame, src: Long, rounds: Int,
+      uniqueEdges: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.groupBy("src", "dst").agg(min(col("w")).as("w"))
+    val e = (if (uniqueEdges) edges.select("src", "dst", "w")
+             else edges.groupBy("src", "dst").agg(min(col("w")).as("w")))
       .localCheckpoint(true)
     var dist = Seq((src, 0L)).toDF("node", "dist").localCheckpoint(true)
     var frontier = dist

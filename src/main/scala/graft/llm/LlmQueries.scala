@@ -1881,7 +1881,12 @@ object LlmQueries {
     // oracle replays the same traversal as a depth-bounded recursive CTE
     // whose UNION dedup + MIN(depth) yields identical min-hop levels.
     ("q204_bfs_levels", (s: SparkSession, d: String) => {
-      Components.bfsLevels(coPurchaseEdges(s, d), src = 1L, maxDepth = 4)
+      // The staged co-purchase relation already satisfies the prepared
+      // contract (both directions, deduplicated, no self-loops) — see
+      // the q411 note; pin the scan instead of re-canonicalizing.
+      Components.bfsLevelsPrepared(
+          coPurchaseEdges(s, d).localCheckpoint(true),
+          src = 1L, maxDepth = 4)
         .groupBy("depth")
         .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("sum_node"))
         .orderBy("depth")
@@ -1962,9 +1967,13 @@ object LlmQueries {
     // optimization provably preserves each round's result, so the two
     // formulations hash-match. Exact int64 distances.
     ("q211_sssp_rounds", (s: SparkSession, d: String) => {
+      // Staged co-purchase pairs are unique and the weight is a pure
+      // function of (src, dst): the min-fold over parallel edges is the
+      // identity, so skip its shuffle.
       val e = coPurchaseEdges(s, d)
         .withColumn("w", lit(1L) + (col("src") + col("dst")) % 7)
-      Components.ssspRounds(e, src = 1L, rounds = 4).orderBy("node")
+      Components.ssspRounds(e, src = 1L, rounds = 4, uniqueEdges = true)
+        .orderBy("node")
     }, Some {
       val steps = (1 to 4).map { i =>
         s"""d$i AS (SELECT node, MIN(dist) AS dist FROM (
@@ -3392,7 +3401,9 @@ object LlmQueries {
     // any pairwise distance by min over L of d(u,L)+d(L,v). The oracle
     // recurses per root and pivots with MIN(CASE).
     ("q340_landmark_distances", (s: SparkSession, d: String) => {
-      val bfs = Components.multiSourceBfs(coPurchaseEdges(s, d),
+      // Staged symmetric relation — prepared contract holds (q411 note).
+      val bfs = Components.multiSourceBfsPrepared(
+        coPurchaseEdges(s, d).localCheckpoint(true),
         Seq(1L, 2L, 3L, 4L), maxDepth = 3)
       def dcol(r: Int) = coalesce(min(when(col("root") === r,
         col("depth"))), lit(-1)).cast("long").as(s"d$r")
