@@ -65,7 +65,7 @@ object LlmQueries {
     * /tmp survives — an unsigned path would then serve the PREVIOUS
     * generation's pairs and fail the hash gate. A stale signed dir
     * simply lingers unused. */
-  private def staged(s: SparkSession, d: String, key: String,
+  private[llm] def staged(s: SparkSession, d: String, key: String,
       srcTable: String)(build: => DataFrame): DataFrame = {
     val src = new java.io.File(d, s"$srcTable.parquet")
     val sig = s"${src.length()}-${src.lastModified()}"
