@@ -1883,9 +1883,10 @@ object LlmQueries {
     ("q204_bfs_levels", (s: SparkSession, d: String) => {
       // The staged co-purchase relation already satisfies the prepared
       // contract (both directions, deduplicated, no self-loops) — see
-      // the q411 note; pin the scan instead of re-canonicalizing.
-      Components.bfsLevelsPrepared(
-          coPurchaseEdges(s, d).localCheckpoint(true),
+      // the q411 note; each BFS round re-scans the staged parquet
+      // (cheaper than materializing the edge set into the block
+      // manager, measured on q411).
+      Components.bfsLevelsPrepared(coPurchaseEdges(s, d),
           src = 1L, maxDepth = 4)
         .groupBy("depth")
         .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("sum_node"))
@@ -3401,9 +3402,9 @@ object LlmQueries {
     // any pairwise distance by min over L of d(u,L)+d(L,v). The oracle
     // recurses per root and pivots with MIN(CASE).
     ("q340_landmark_distances", (s: SparkSession, d: String) => {
-      // Staged symmetric relation — prepared contract holds (q411 note).
-      val bfs = Components.multiSourceBfsPrepared(
-        coPurchaseEdges(s, d).localCheckpoint(true),
+      // Staged symmetric relation — prepared contract holds (q411 note);
+      // rounds re-scan the staged parquet directly.
+      val bfs = Components.multiSourceBfsPrepared(coPurchaseEdges(s, d),
         Seq(1L, 2L, 3L, 4L), maxDepth = 3)
       def dcol(r: Int) = coalesce(min(when(col("root") === r,
         col("depth"))), lit(-1)).cast("long").as(s"d$r")
@@ -5032,8 +5033,10 @@ object LlmQueries {
       // order-key self-join emits BOTH directions, `distinct` dedups,
       // and self-pairs are filtered — so re-running prepareUndirected's
       // canonicalize+distinct+mirror would shuffle the whole edge set
-      // again for an identical result; pin the scan once instead.
-      val e = coPurchaseEdges(s, d).localCheckpoint(true)
+      // again for an identical result; each sweep round re-scans the
+      // staged parquet directly (cheaper than materializing the edge
+      // set into the block manager — measured both ways).
+      val e = coPurchaseEdges(s, d)
       val b1 = Components.bfsLevelsPrepared(e, src = 1L, maxDepth = 6)
       def summarize(b: DataFrame, sweep: Int, src: Long) =
         b.agg(max(col("depth")).cast("long").as("ecc"),
