@@ -617,4 +617,83 @@ class ComponentsSpec extends SparkSpec {
       assert(got == bruteCycles(succ), s"trial=$trial succ=$succ")
     }
   }
+
+  test("doubled-graph CC derives original components + bipartiteness " +
+      "(the q298 one-pass derivation), random graphs") {
+    // q298 runs CC ONCE on the doubled graph (u—v', v—u') and derives
+    // both answers from it: (a) min over REAL ids of v's doubled
+    // component = v's ORIGINAL component label (a bipartite component
+    // splits into two parity copies, each still covering every member
+    // through mirrors; an odd component stays whole), and (b) v's
+    // component has an odd cycle iff v and its mirror land in the same
+    // doubled component. Pin both claims against brute references on
+    // random graphs — the query's oracle checks one dataset; this
+    // checks the theorem.
+    val off = 4294967296L
+    val rng = new scala.util.Random(47)
+    for (trial <- 1 to 4) {
+      val n = 4 + rng.nextInt(14)
+      val es = Seq.fill(4 + rng.nextInt(26)) {
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      if (es.nonEmpty) {
+        val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+        // Brute references: union-find components; bipartite via BFS
+        // 2-coloring inside each component.
+        val comp = bruteCC(verts, es)
+        val adj = (es ++ es.map(_.swap)).groupMap(_._1)(_._2)
+        def bipartite(members: Seq[Long]): Boolean = {
+          val color = scala.collection.mutable.Map[Long, Int]()
+          members.sorted.forall { s =>
+            color.contains(s) || {
+              color(s) = 0
+              var q = List(s)
+              var ok = true
+              while (q.nonEmpty && ok) {
+                val v = q.head; q = q.tail
+                adj.getOrElse(v, Nil).foreach { u =>
+                  if (!color.contains(u)) { color(u) = 1 - color(v); q ::= u }
+                  else if (color(u) == color(v)) ok = false
+                }
+              }
+              ok
+            }
+          }
+        }
+        val wantBip = comp.values.toSeq.distinct.map { c =>
+          c -> bipartite(comp.collect { case (v, cc) if cc == c => v }.toSeq)
+        }.toMap
+        // The q298 construction: doubled edges, one CC run, realMin +
+        // mirror-collision derivation.
+        val und = (es ++ es.map(_.swap)).toDF("src", "dst")
+        val vDf = verts.toDF("id")
+        val dVerts = vDf.union(vDf.select((col("id") + off).as("id")))
+        val dEdges = und.select(col("src"), (col("dst") + off).as("dst"))
+          .union(und.select(col("dst").as("src"),
+            (col("src") + off).as("dst")))
+        val cc2 = Components.connectedComponentsStars(dVerts, dEdges)
+          .localCheckpoint(true)
+        val realMin = cc2
+          .select(when(col("id") < off, col("id"))
+            .otherwise(col("id") - off).as("rid"), col("component"))
+          .groupBy("component").agg(min("rid").as("orig_comp"))
+        val gotComp = cc2.filter(col("id") < off)
+          .join(realMin, Seq("component"))
+          .select(col("id"), col("orig_comp"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotComp == comp, s"trial $trial components: es=$es")
+        val gotOdd = cc2.filter(col("id") < off)
+          .join(cc2.filter(col("id") >= off)
+            .select((col("id") - off).as("id"),
+              col("component").as("cm")), "id")
+          .select(col("id"), (col("component") === col("cm")).as("odd"))
+          .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+        verts.foreach { v =>
+          assert(gotOdd(v) == !wantBip(comp(v)),
+            s"trial $trial odd flag for $v: es=$es")
+        }
+      }
+    }
+  }
 }
