@@ -13,6 +13,21 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Resolved-relation cache — the catalog role a metastore plays on a
+    * real cluster. A bare `spark.read.parquet(path)` re-lists the path
+    * and re-reads footers for schema inference on EVERY call; a
+    * metastore-backed table resolves from cached metadata. Queries here
+    * read 1-5 tables each, so the per-resolution cost is a fixed tax on
+    * every invocation that a catalog would not charge. The cached
+    * object is just the analyzed (immutable) logical plan — no data is
+    * pinned. Keyed by session identity (plans are session-bound) and an
+    * input signature (length, mtime), so a regenerated input file within
+    * one JVM — the spec scenario; across driver rounds the JVM is fresh
+    * anyway — resolves anew instead of serving a stale schema/listing. */
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long, Long), (SparkSession, DataFrame)]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Defensive: Bench/Verify set this too, but query results must not
     // depend on who built the session.
@@ -22,7 +37,19 @@ object Tables {
     // ns->us handling). Integer `div` — a double division would lose
     // precision at 1.7e18 ns epochs.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+    val path = s"$dir/$name.parquet"
+    val f = new java.io.File(path)
+    val key = (path, f.length(), f.lastModified())
+    val hit = relCache.get(key)
+    if (hit != null && (hit._1 eq spark)) hit._2
+    else {
+      // Bound: specs spin up fresh sessions / regenerate inputs; the
+      // map must not accumulate dead-session plans without limit.
+      if (relCache.size > 256) relCache.clear()
+      val df = normalizeTs(spark.read.parquet(path))
+      relCache.put(key, (spark, df))
+      df
+    }
   }
 
   /** Normalizes the `ts` column to session-timezone TIMESTAMP regardless

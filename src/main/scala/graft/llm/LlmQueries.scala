@@ -24,12 +24,24 @@ object LlmQueries {
     * idempotent; a concurrent first-build races at worst into a
     * rewrite of identical bytes. */
   private def coPurchaseEdges(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    staged(s, d, "copurchase", "lineitem") {
+    coPurchaseWeighted(s, d).select("src", "dst")
+
+  /** Weighted co-purchase pair graph: one row per ordered (src, dst)
+    * part pair, w = number of lineitem row pairs sharing an order —
+    * symmetric counts, no self-pairs. The staged relation behind BOTH
+    * [[coPurchaseEdges]] (its (src, dst) projection — the groupBy
+    * collapses duplicate row pairs exactly where the former `distinct`
+    * did, so the row set is identical and the unread w column is
+    * parquet-pruned from every BFS re-scan) and the q344 matcher's
+    * weighted input, which previously re-derived the same multiset per
+    * invocation from its own lineitem pair explode. */
+  private def coPurchaseWeighted(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    staged(s, d, "copurchase_w", "lineitem") {
       val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
       li.as("a").join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey"))
         .filter(col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
+        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
     }
 
   /** Strong co-purchase graph — parts sharing >=2 distinct orders (the
@@ -59,22 +71,90 @@ object LlmQueries {
     * than recomputing per algorithm. Idempotent: a concurrent first
     * build races at worst into a rewrite of identical bytes.
     *
-    * The cache path embeds a (length, mtime) signature of the input
-    * table's files: these relations feed ORACLE-CHECKED outputs, and
-    * the driver may regenerate /root/testdata between rounds while
-    * /tmp survives — an unsigned path would then serve the PREVIOUS
-    * generation's pairs and fail the hash gate. A stale signed dir
-    * simply lingers unused. */
+    * The cache path embeds a (length, mtime, content-tag) signature of
+    * the input table's file: these relations feed ORACLE-CHECKED
+    * outputs, and the driver may regenerate /root/testdata between
+    * rounds while /tmp survives — an unsigned path would then serve the
+    * PREVIOUS generation's pairs and fail the hash gate. The content
+    * tag (CRC32 over the first+last 64 KB — the tail covers the parquet
+    * footer, whose row counts/column stats change with any data change)
+    * closes the residual hole where a regenerated input lands with
+    * identical byte length inside the filesystem's mtime granularity.
+    *
+    * Publication is crash-atomic and concurrent-safe: the build lands
+    * in a process-unique sibling tmp dir and is RENAMED into the signed
+    * path, so a killed build leaves only an unpublished tmp dir (swept
+    * once stale) and two racing builders resolve at the rename — the
+    * loser discards its copy and serves the winner's. Stale previous
+    * generations of the same key are deleted before a build so /tmp
+    * does not grow without bound across driver regenerations. */
   private[llm] def staged(s: SparkSession, d: String, key: String,
       srcTable: String)(build: => DataFrame): DataFrame = {
     val src = new java.io.File(d, s"$srcTable.parquet")
-    val sig = s"${src.length()}-${src.lastModified()}"
-    val dir =
-      s"/tmp/graft_edges/${new java.io.File(d).getName}/$key-$sig"
-    if (!new java.io.File(dir, "_SUCCESS").exists())
-      build.write.mode("overwrite").parquet(dir)
-    s.read.parquet(dir)
+    val sig = s"${src.length()}-${src.lastModified()}-${contentTag(src)}"
+    val parent =
+      new java.io.File(s"/tmp/graft_edges/${new java.io.File(d).getName}")
+    val dir = new java.io.File(parent, s"$key-$sig")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      sweepStale(parent, key, dir.getName)
+      val tmp = new java.io.File(parent,
+        s".$key-$sig.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+      build.write.mode("overwrite").parquet(tmp.toString)
+      try
+        java.nio.file.Files.move(tmp.toPath, dir.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e: java.nio.file.FileSystemException =>
+          if (new java.io.File(dir, "_SUCCESS").exists())
+            // Lost a concurrent-build race: the winner's copy is
+            // complete (rename is all-or-nothing); drop ours.
+            org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+          else if (dir.exists()) {
+            // A pre-upgrade half-written dir (the old in-place scheme)
+            // blocks the rename; replace it with the fresh build.
+            org.apache.commons.io.FileUtils.deleteDirectory(dir)
+            java.nio.file.Files.move(tmp.toPath, dir.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          } else throw e
+      }
+    }
+    s.read.parquet(dir.toString)
   }
+
+  /** Cheap content component for the staged-cache signature: CRC32 of
+    * the input file's first and last 64 KB. */
+  private[llm] def contentTag(f: java.io.File): String = {
+    if (!f.isFile) return "absent"
+    val crc = new java.util.zip.CRC32
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try {
+      val n = raf.length()
+      val head = new Array[Byte](math.min(65536L, n).toInt)
+      raf.readFully(head); crc.update(head)
+      if (n > 65536L) {
+        raf.seek(math.max(0L, n - 65536L))
+        val tail = new Array[Byte](65536)
+        raf.readFully(tail); crc.update(tail)
+      }
+      java.lang.Long.toHexString(crc.getValue)
+    } finally raf.close()
+  }
+
+  /** Deletes previous generations of `key`'s staged dir (any sibling
+    * `key-*` other than the current signature) and crash leftovers
+    * (`.key-*.tmp-*` older than an hour — never a LIVE concurrent
+    * builder's tmp dir, which is seconds old). */
+  private def sweepStale(parent: java.io.File, key: String,
+      current: String): Unit =
+    Option(parent.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+      val stale =
+        (f.getName.startsWith(s"$key-") && f.getName != current) ||
+          (f.getName.startsWith(s".$key-") &&
+            f.lastModified() < System.currentTimeMillis() - 3600000L)
+      if (stale)
+        try org.apache.commons.io.FileUtils.deleteDirectory(f)
+        catch { case _: java.io.IOException => () }
+    }
 
   /** Staged [[Similarity.nearDupPairs]] over the embeddings table at
     * tau = 0.25, label-cell blocking — the pair graph q88 (semantic
@@ -3492,26 +3572,15 @@ object LlmQueries {
       FROM tot, sp""")),
 
     ("q344_mutual_best_matching", (s: SparkSession, d: String) => {
-      // Per-order baskets explode their own line pairs (order size is
-      // basket-bounded), replacing the lineitem self-join: one
-      // groupBy(order) shuffle instead of shuffling both join sides —
-      // the q347 wedge discipline. Pair multiset (and so the weights)
-      // is identical to the a.pk < b.pk join form the oracle replays.
-      val li = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      // y <> x (not y > x) emits BOTH directions from the one explode,
-      // so the pair count IS the symmetric weighted relation and the
+      // The weighted pair multiset is the STAGED co-purchase relation
+      // (one row per ordered pair, w = shared row-pair count — both
+      // directions present with equal weights, no self-pairs), so the
       // matcher's union + groupBy-max re-symmetrization shuffle is
-      // skipped (symmetricInput) — each direction sees the same
-      // co-occurrence count, which is exactly the max the general path
-      // would have taken.
-      val e = li.groupBy("ok").agg(collect_list(col("pk")).as("pks"))
-        .select(explode(expr(
-          "flatten(transform(pks, x -> transform(" +
-            "filter(pks, y -> y <> x), y -> struct(x AS u, y AS v))))"))
-          .as("p"))
-        .groupBy(col("p.u").as("u"), col("p.v").as("v"))
-        .agg(count(lit(1)).as("w"))
+      // skipped (symmetricInput) and the heavy pair build is paid once
+      // per sf dir, not per invocation. Weights are identical to the
+      // a.pk < b.pk join form the oracle replays.
+      val e = coPurchaseWeighted(s, d)
+        .select(col("src").as("u"), col("dst").as("v"), col("w"))
       Components.mutualBestMatching(e, rounds = 4, symmetricInput = true)
         .orderBy("u")
     }, Some(matchingSql(4))),

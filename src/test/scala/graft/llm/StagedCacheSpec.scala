@@ -63,4 +63,65 @@ class StagedCacheSpec extends SparkSpec {
     assert(get().collect()(0).getLong(0) == 1000L,
       "signature must bust the cache when the input regenerates")
   }
+
+  test("content tag busts the cache even at identical length + mtime") {
+    // Same-length, same-mtime regeneration is the one case the
+    // (length, mtime) pair cannot see; the CRC content tag must differ.
+    val dir = Files.createTempDirectory("staged_spec3").toFile
+    val f = new java.io.File(dir, "t.parquet")
+    Files.write(f.toPath, Array.fill[Byte](1024)(1))
+    val mtime = f.lastModified()
+    val tag1 = LlmQueries.contentTag(f)
+    Files.write(f.toPath, Array.fill[Byte](1024)(2))
+    f.setLastModified(mtime)
+    assert(f.length() == 1024 && f.lastModified() == mtime)
+    assert(LlmQueries.contentTag(f) != tag1,
+      "same-length same-mtime regeneration must change the content tag")
+  }
+
+  test("a rebuild sweeps the previous generation's signed dir") {
+    val dir = Files.createTempDirectory("staged_spec4").toFile
+    def get() = LlmQueries.staged(spark, dir.toString, "k", "t") {
+      spark.read.parquet(new java.io.File(dir, "t.parquet").toString)
+        .agg(sum("v").as("s"))
+    }
+    writeInput(dir, Seq(1L, 2L))
+    get().collect()
+    val cacheParent = new java.io.File(s"/tmp/graft_edges/${dir.getName}")
+    def gens() = cacheParent.listFiles().filter(_.getName.startsWith("k-"))
+    assert(gens().length == 1)
+    val gen1 = gens().head.getName
+    writeInput(dir, Seq(10L, 20L, 30L))
+    val in = new java.io.File(dir, "t.parquet")
+    in.setLastModified(in.lastModified() + 2000)
+    assert(get().collect()(0).getLong(0) == 60L)
+    assert(gens().length == 1 && gens().head.getName != gen1,
+      "the stale generation must be deleted, not linger in /tmp")
+  }
+
+  test("a half-written dir at the signed path is replaced, not served") {
+    // Simulates a build killed mid-write under the pre-round-11 in-place
+    // scheme (or any corruption): a signed dir WITHOUT _SUCCESS must be
+    // rebuilt, and the rename-based publish must replace it.
+    val dir = Files.createTempDirectory("staged_spec5").toFile
+    writeInput(dir, Seq(5L, 6L))
+    var builds = 0
+    def get() = LlmQueries.staged(spark, dir.toString, "k", "t") {
+      builds += 1
+      spark.read.parquet(new java.io.File(dir, "t.parquet").toString)
+        .agg(sum("v").as("s"))
+    }
+    val in = new java.io.File(dir, "t.parquet")
+    val sig = s"${in.length()}-${in.lastModified()}-${LlmQueries.contentTag(in)}"
+    val signed = new java.io.File(s"/tmp/graft_edges/${dir.getName}/k-$sig")
+    signed.mkdirs()
+    Files.write(new java.io.File(signed, "part-garbage.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    assert(get().collect()(0).getLong(0) == 11L)
+    assert(builds == 1)
+    assert(new java.io.File(signed, "_SUCCESS").exists(),
+      "the replaced dir must be a complete publish")
+    assert(get().collect()(0).getLong(0) == 11L)
+    assert(builds == 1, "the replacement must then serve as a cache hit")
+  }
 }
