@@ -24,17 +24,23 @@ object LlmQueries {
     * idempotent; a concurrent first-build races at worst into a
     * rewrite of identical bytes. */
   private def coPurchaseEdges(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    coPurchaseWeighted(s, d).select("src", "dst")
+    staged(s, d, "copurchase", "lineitem") {
+      coPurchaseWeighted(s, d).select("src", "dst")
+    }
 
   /** Weighted co-purchase pair graph: one row per ordered (src, dst)
     * part pair, w = number of lineitem row pairs sharing an order —
-    * symmetric counts, no self-pairs. The staged relation behind BOTH
-    * [[coPurchaseEdges]] (its (src, dst) projection — the groupBy
-    * collapses duplicate row pairs exactly where the former `distinct`
-    * did, so the row set is identical and the unread w column is
-    * parquet-pruned from every BFS re-scan) and the q344 matcher's
-    * weighted input, which previously re-derived the same multiset per
-    * invocation from its own lineitem pair explode. */
+    * symmetric counts, no self-pairs. The q344 matcher consumes it
+    * directly; [[coPurchaseEdges]] stages its (src, dst) projection as
+    * its OWN two-column parquet (the groupBy collapses duplicate row
+    * pairs exactly where the former `distinct` did, so the row set is
+    * identical) rather than projecting the weighted file at read time:
+    * the BFS family re-scans this relation every round, and reading
+    * the wider file measured +1.5-1.9 s per BFS query on a matched
+    * pair (a round-scan's size estimate scales with the backing file,
+    * shifting plan choices inside the loops). Deriving the projection
+    * from the staged parent costs one cheap read-project-write at
+    * first touch instead of a second lineitem self-join. */
   private def coPurchaseWeighted(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     staged(s, d, "copurchase_w", "lineitem") {
       val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
