@@ -72,9 +72,20 @@ object Bench {
     val expected = names.size
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
-    // (name, per-rep times, failed) in completion order; all access under
-    // `lock` because the shutdown hook reads it from another thread.
-    val results = scala.collection.mutable.LinkedHashMap[String, (Seq[Double], Boolean)]()
+    // (name, per-rep wall times, per-rep process-CPU times, failed) in
+    // completion order; all access under `lock` because the shutdown
+    // hook reads it from another thread. CPU time (all JVM threads, via
+    // OperatingSystemMXBean) is the load-robust companion to wall time:
+    // external host load stretches wall but leaves the query's own CPU
+    // nearly unchanged, so cross-round CPU medians adjudicate
+    // code-regression-vs-loaded-host even harder than the calibration
+    // probe (round-11 same-code wall totals spread 284→454 s across
+    // windows).
+    val results = scala.collection.mutable.LinkedHashMap[
+      String, (Seq[Double], Seq[Double], Boolean)]()
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     // (queries completed when sampled, seconds) — host-load calibration.
     val calib = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     val lock = new Object
@@ -99,9 +110,10 @@ object Bench {
       lock.synchronized { calib += ((results.size, s)) }
     }
 
-    def snapshot(): Seq[(String, Seq[Double], Boolean)] = lock.synchronized {
-      results.toSeq.map { case (n, (ts, f)) => (n, ts, f) }
-    }
+    def snapshot(): Seq[(String, Seq[Double], Seq[Double], Boolean)] =
+      lock.synchronized {
+        results.toSeq.map { case (n, (ts, cs, f)) => (n, ts, cs, f) }
+      }
     def calibJson(): (String, Double) = lock.synchronized {
       val arr = calib.map { case (at, s) => s"""{"at":$at,"sec":$s}""" }
         .mkString("[", ",", "]")
@@ -113,16 +125,20 @@ object Bench {
     // it (monitors are reentrant, so the inner snapshot() is fine).
     def flushArtifact(): Unit = lock.synchronized {
       val snap = snapshot()
-      val total = snap.collect { case (_, ts, false) => median(ts) }.sum
-      val nFailed = snap.count(_._3)
-      val full = snap.map { case (n, ts, failed) =>
+      val total = snap.collect { case (_, ts, _, false) => median(ts) }.sum
+      val totalCpu = snap.collect { case (_, _, cs, false) => median(cs) }.sum
+      val nFailed = snap.count(_._4)
+      val full = snap.map { case (n, ts, cs, failed) =>
         "\"" + n + "\":{\"times\":" + ts.mkString("[", ",", "]") +
-          ",\"median\":" + median(ts) + ",\"failed\":" + failed + "}"
+          ",\"median\":" + median(ts) +
+          ",\"cpu\":" + cs.mkString("[", ",", "]") +
+          ",\"cpu_median\":" + median(cs) + ",\"failed\":" + failed + "}"
       }.mkString("{", ",", "}")
       val partial = nFailed > 0 || snap.size < expected
       val (calArr, calMed) = calibJson()
       val json =
         s"""{"sf":"$sfDir","reps":$reps,"total_median":$total,"failed":$nFailed,""" +
+          s""""total_cpu_median":$totalCpu,""" +
           s""""completed":${snap.size},"expected":$expected,"total_partial":$partial,""" +
           s""""calibration":$calArr,"calibration_median":$calMed,""" +
           s""""warmup_sec":$warmupSec,"queries":$full}"""
@@ -132,32 +148,34 @@ object Bench {
       Files.move(tmp, Paths.get(outPath),
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     }
-    def totals(): (Double, Int, Boolean, Int) = {
+    def totals(): (Double, Double, Int, Boolean, Int) = {
       val snap = snapshot()
-      val total = snap.collect { case (_, ts, false) => median(ts) }.sum
-      val nFailed = snap.count(_._3)
-      (total, nFailed, nFailed > 0 || snap.size < expected, snap.size)
+      val total = snap.collect { case (_, ts, _, false) => median(ts) }.sum
+      val totalCpu = snap.collect { case (_, _, cs, false) => median(cs) }.sum
+      val nFailed = snap.count(_._4)
+      (total, totalCpu, nFailed, nFailed > 0 || snap.size < expected,
+        snap.size)
     }
     def stdoutLine(): String = {
       val snap = snapshot()
-      val qs = snap.map { case (k, ts, failed) =>
+      val qs = snap.map { case (k, ts, _, failed) =>
         "\"" + k + "\":" + (if (failed) "null" else median(ts).toString)
       }.mkString("{", ",", "}")
-      val (total, nFailed, partial, completed) = totals()
+      val (total, _, nFailed, partial, completed) = totals()
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,""" +
         s""""completed":$completed,"expected":$expected,"total_partial":$partial,""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
     }
-    // Totals-only final line, small enough (~250 bytes) that the
+    // Totals-only final line, small enough (~300 bytes) that the
     // driver's stdout tail capture always contains it whole: per-query
     // data lives in the line above and in BENCH_FULL.json.
     def totalsLine(): String = {
-      val (total, nFailed, partial, completed) = totals()
+      val (total, totalCpu, nFailed, partial, completed) = totals()
       val (_, calMed) = calibJson()
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,""" +
         s""""completed":$completed,"expected":$expected,"total_partial":$partial,""" +
-        s""""calibration_median":$calMed,"queries":{},"sf":"$sfDir",""" +
-        s""""full":"$outPath"}"""
+        s""""total_cpu_median":$totalCpu,"calibration_median":$calMed,""" +
+        s""""queries":{},"sf":"$sfDir","full":"$outPath"}"""
     }
     def emitStdout(): Unit = {
       println(stdoutLine())
@@ -256,8 +274,9 @@ object Bench {
     var sinceCalib = 0
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      def rep(): (Double, Boolean) = {
+      def rep(): (Double, Double, Boolean) = {
         val t0 = System.nanoTime()
+        val c0 = osBean.getProcessCpuTime
         // A throwing query must not hide as a suspiciously fast number:
         // surface the name + error on stderr (stdout stays JSON-only)
         // AND mark it in the JSON so downstream comparisons cannot read
@@ -268,35 +287,39 @@ object Bench {
             false
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        val dc = (osBean.getProcessCpuTime - c0) / 1e9
         dropMemSinkViews() // outside the timed span: harness hygiene
-        (dt, ok)
+        (dt, dc, ok)
       }
-      val (t1, ok1) = rep()
+      val (t1, c1, ok1) = rep()
       // Over-budget first rep → a loaded host (or a genuinely heavy
       // query); one honest sample beats three that triple the overrun.
-      val (times, failed) =
-        if (!ok1) (Seq(t1), true)
+      val (times, cpus9, failed) =
+        if (!ok1) (Seq(t1), Seq(c1), true)
         else if (t1 > budgetSec) {
           if (reps > 1 && rescuePoolSec > 0) {
-            val (t2, ok2) = rep()
+            val (t2, c2, ok2) = rep()
             rescuePoolSec -= t2
-            if (ok2) (Seq(math.min(t1, t2)), false)
-            else {
+            if (ok2) {
+              // Report the min wall with ITS OWN cpu sample.
+              if (t2 < t1) (Seq(t2), Seq(c2), false)
+              else (Seq(t1), Seq(c1), false)
+            } else {
               // The free retry can only ADD information, never demote a
               // query whose first rep already produced a valid sample.
               System.err.println(
                 s"[bench] $name rescue retry failed; keeping first rep")
-              (Seq(t1), false)
+              (Seq(t1), Seq(c1), false)
             }
-          } else (Seq(t1), false)
+          } else (Seq(t1), Seq(c1), false)
         } else {
           var anyFail = false
           val rest = (2 to reps).map { _ =>
-            val (t, ok) = rep(); if (!ok) anyFail = true; t
+            val (t, c, ok) = rep(); if (!ok) anyFail = true; (t, c)
           }
-          (t1 +: rest, anyFail)
+          (t1 +: rest.map(_._1), c1 +: rest.map(_._2), anyFail)
         }
-      lock.synchronized { results.put(name, (times, failed)) }
+      lock.synchronized { results.put(name, (times, cpus9, failed)) }
       sinceCalib += 1
       if (sinceCalib >= 50) { sinceCalib = 0; sampleCalib() }
       flushArtifact()
