@@ -94,10 +94,13 @@ object Bench {
 
     // Host-load calibration probe: a fixed 20 M-row xxhash64 aggregate
     // whose plan never changes across rounds. On an idle 32-thread host
-    // it lands at a stable ~0.1-0.2 s; under the driver's loaded-host
-    // conditions it inflates by the same contention factor as the suite,
-    // so artifact readers can normalize totals (loaded vs idle) from the
-    // artifact alone instead of re-running a matched idle pair.
+    // it lands at a stable ~0.1-0.2 s; a loaded run shows an inflated /
+    // spiky trajectory. It is a COARSE FLAG, not a normalizer: host load
+    // is bursty and the probe samples only every 50 queries, so burst
+    // windows land on whichever query is running between samples (the
+    // round-11 driver run: probe median 1.13x idle while the suite total
+    // was 2.2x idle). The per-query CPU samples below are the
+    // quantitative load-robust companion.
     def calibOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 20000000L, 1L, 32)
@@ -148,38 +151,39 @@ object Bench {
       Files.move(tmp, Paths.get(outPath),
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     }
-    def totals(): (Double, Double, Int, Boolean, Int) = {
-      val snap = snapshot()
-      val total = snap.collect { case (_, ts, _, false) => median(ts) }.sum
-      val totalCpu = snap.collect { case (_, _, cs, false) => median(cs) }.sum
-      val nFailed = snap.count(_._4)
-      (total, totalCpu, nFailed, nFailed > 0 || snap.size < expected,
-        snap.size)
-    }
-    def stdoutLine(): String = {
+    // Both stdout lines derive from ONE snapshot taken under a single
+    // lock acquisition: the shutdown-hook emission races the main loop,
+    // and two independent snapshots could print a per-query map
+    // inconsistent with its own totals (a query inserted between them).
+    // Line 1 carries the per-query map; line 2 is totals-only, small
+    // enough (~300 bytes) that the driver's stdout tail capture always
+    // contains it whole.
+    def stdoutLines(): (String, String) = lock.synchronized {
       val snap = snapshot()
       val qs = snap.map { case (k, ts, _, failed) =>
         "\"" + k + "\":" + (if (failed) "null" else median(ts).toString)
       }.mkString("{", ",", "}")
-      val (total, _, nFailed, partial, completed) = totals()
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,""" +
-        s""""completed":$completed,"expected":$expected,"total_partial":$partial,""" +
-        s""""queries":$qs,"sf":"$sfDir"}"""
-    }
-    // Totals-only final line, small enough (~300 bytes) that the
-    // driver's stdout tail capture always contains it whole: per-query
-    // data lives in the line above and in BENCH_FULL.json.
-    def totalsLine(): String = {
-      val (total, totalCpu, nFailed, partial, completed) = totals()
+      val total = snap.collect { case (_, ts, _, false) => median(ts) }.sum
+      val totalCpu = snap.collect { case (_, _, cs, false) => median(cs) }.sum
+      val nFailed = snap.count(_._4)
+      val completed = snap.size
+      val partial = nFailed > 0 || completed < expected
       val (_, calMed) = calibJson()
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,""" +
-        s""""completed":$completed,"expected":$expected,"total_partial":$partial,""" +
-        s""""total_cpu_median":$totalCpu,"calibration_median":$calMed,""" +
-        s""""queries":{},"sf":"$sfDir","full":"$outPath"}"""
+      val line1 =
+        s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,""" +
+          s""""completed":$completed,"expected":$expected,"total_partial":$partial,""" +
+          s""""queries":$qs,"sf":"$sfDir"}"""
+      val line2 =
+        s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,""" +
+          s""""completed":$completed,"expected":$expected,"total_partial":$partial,""" +
+          s""""total_cpu_median":$totalCpu,"calibration_median":$calMed,""" +
+          s""""queries":{},"sf":"$sfDir","full":"$outPath"}"""
+      (line1, line2)
     }
     def emitStdout(): Unit = {
-      println(stdoutLine())
-      println(totalsLine())
+      val (l1, l2) = stdoutLines()
+      println(l1)
+      println(l2)
       System.out.flush()
     }
 
@@ -313,9 +317,14 @@ object Bench {
             }
           } else (Seq(t1), Seq(c1), false)
         } else {
+          // A failed later rep contributes NO samples: its near-instant
+          // wall/CPU would otherwise skew the artifact's per-query
+          // median (the query is excluded from totals either way, but
+          // the artifact must not mix valid and bogus samples).
           var anyFail = false
-          val rest = (2 to reps).map { _ =>
-            val (t, c, ok) = rep(); if (!ok) anyFail = true; (t, c)
+          val rest = (2 to reps).flatMap { _ =>
+            val (t, c, ok) = rep()
+            if (ok) Some((t, c)) else { anyFail = true; None }
           }
           (t1 +: rest.map(_._1), c1 +: rest.map(_._2), anyFail)
         }

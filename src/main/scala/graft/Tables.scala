@@ -20,13 +20,30 @@ object Tables {
     * read 1-5 tables each, so the per-resolution cost is a fixed tax on
     * every invocation that a catalog would not charge. The cached
     * object is just the analyzed (immutable) logical plan — no data is
-    * pinned. Keyed by session identity (plans are session-bound) and an
-    * input signature (length, mtime), so a regenerated input file within
-    * one JVM — the spec scenario; across driver rounds the JVM is fresh
-    * anyway — resolves anew instead of serving a stale schema/listing. */
+    * pinned.
+    *
+    * Keyed by SESSION IDENTITY (plans are session-bound; SparkSession
+    * does not override equals, so tuple equality IS reference equality
+    * — two live sessions resolving the same file coexist instead of
+    * overwriting each other's entry) plus the input signature
+    * (length, mtime, [[FileSig.contentTag]]). The content tag closes
+    * the hole a (length, mtime)-only signature leaves: a regenerated
+    * input with identical byte length inside the filesystem's mtime
+    * granularity — within one long-lived JVM (specs, interactive
+    * sessions) that would silently serve a stale analyzed plan into
+    * oracle-checked outputs. Same signature discipline as the staged
+    * pair-graph cache in [[graft.llm.LlmQueries]]. */
   private val relCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (String, Long, Long), (SparkSession, DataFrame)]()
+      (SparkSession, String, Long, Long, String), DataFrame]()
+
+  /** Eviction bound; package-visible so the spec can exercise the
+    * eviction path without resolving hundreds of relations. */
+  private[graft] var cacheBound = 256
+
+  /** Spec hook: the eviction contract needs a deterministic starting
+    * size, and suites share this JVM-wide map. */
+  private[graft] def cacheClear(): Unit = relCache.clear()
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Defensive: Bench/Verify set this too, but query results must not
@@ -39,15 +56,22 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/$name.parquet"
     val f = new java.io.File(path)
-    val key = (path, f.length(), f.lastModified())
+    val key = (spark, path, f.length(), f.lastModified(), FileSig.contentTag(f))
     val hit = relCache.get(key)
-    if (hit != null && (hit._1 eq spark)) hit._2
+    if (hit != null) hit
     else {
       // Bound: specs spin up fresh sessions / regenerate inputs; the
       // map must not accumulate dead-session plans without limit.
-      if (relCache.size > 256) relCache.clear()
+      // Evict OTHER sessions' entries first (dead spec sessions are the
+      // growth source) so the caller's hot set survives; full clear
+      // only if the caller alone exceeds the bound.
+      if (relCache.size > cacheBound) {
+        val it = relCache.keySet().iterator()
+        while (it.hasNext) if (!(it.next()._1 eq spark)) it.remove()
+        if (relCache.size > cacheBound) relCache.clear()
+      }
       val df = normalizeTs(spark.read.parquet(path))
-      relCache.put(key, (spark, df))
+      relCache.put(key, df)
       df
     }
   }

@@ -1052,9 +1052,18 @@ object Components {
       // both/single/e-rewrite ledger paid 3 driver jobs per layer.
       var trimming = nRemaining > 0
       var trimRounds = 0
-      // (One layer per materializing job — fusing two, like the
-      // coloring fusion, re-evaluated the inner layer's subtree and
-      // measured slower; see the colorToFixpoint note.)
+      // One layer per materializing job — MEASURED optimum, twice now.
+      // Round 9: fusing two coloring steps re-evaluated the inner
+      // subtree at each reference and tripled per-round time. Round 12
+      // re-tested the fusion hypothesis HERE, where the input `e` is
+      // materialized (so the inner layer's three re-evaluations are
+      // scans of in-memory blocks, not plan re-execution) and the edge
+      // set is metadata-scale (so the ~130 ms fixed job cost should
+      // dominate): an interleaved matched quad at sf0.1 still showed
+      // two layers per job SLOWER (wall 10.3/10.6 s vs 9.7/8.6 s; CPU
+      // 36 s vs 27-30 s — the CPU rise proves real extra work, not
+      // noise). The fused job's extra distinct/semi-join STAGES cost
+      // more than the saved job scheduling. Don't re-fuse.
       while (trimming && trimRounds < maxInner) {
         trimRounds += 1
         val (ne, n2, _) = matSummed(

@@ -115,36 +115,53 @@ object LlmQueries {
             // Lost a concurrent-build race: the winner's copy is
             // complete (rename is all-or-nothing); drop ours.
             org.apache.commons.io.FileUtils.deleteDirectory(tmp)
-          else if (dir.exists()) {
-            // A pre-upgrade half-written dir (the old in-place scheme)
-            // blocks the rename; replace it with the fresh build.
-            org.apache.commons.io.FileUtils.deleteDirectory(dir)
-            java.nio.file.Files.move(tmp.toPath, dir.toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          } else throw e
+          else if (dir.exists())
+            // A half-written dir (a build killed before rename under
+            // the pre-round-11 in-place scheme) blocks the rename.
+            // Replace it — under a file lock, because two processes
+            // that BOTH failed the initial rename would otherwise
+            // interleave check-then-delete and the second could delete
+            // the first's just-published complete dir. The lock
+            // serializes them; the loser re-checks _SUCCESS inside the
+            // lock and keeps the winner's copy.
+            withPublishLock(parent, key) {
+              if (new java.io.File(dir, "_SUCCESS").exists())
+                org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+              else {
+                org.apache.commons.io.FileUtils.deleteDirectory(dir)
+                java.nio.file.Files.move(tmp.toPath, dir.toPath,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              }
+            }
+          else throw e
       }
     }
     s.read.parquet(dir.toString)
   }
 
-  /** Cheap content component for the staged-cache signature: CRC32 of
-    * the input file's first and last 64 KB. */
-  private[llm] def contentTag(f: java.io.File): String = {
-    if (!f.isFile) return "absent"
-    val crc = new java.util.zip.CRC32
-    val raf = new java.io.RandomAccessFile(f, "r")
-    try {
-      val n = raf.length()
-      val head = new Array[Byte](math.min(65536L, n).toInt)
-      raf.readFully(head); crc.update(head)
-      if (n > 65536L) {
-        raf.seek(math.max(0L, n - 65536L))
-        val tail = new Array[Byte](65536)
-        raf.readFully(tail); crc.update(tail)
-      }
-      java.lang.Long.toHexString(crc.getValue)
-    } finally raf.close()
+  /** Serializes the rare replace-a-stale-dir publication path across
+    * processes (OS file lock on a sibling lockfile) AND across threads
+    * in this JVM (monitor — overlapping FileLocks in one JVM throw). */
+  private val publishMonitor = new Object
+  private def withPublishLock[T](parent: java.io.File, key: String)(
+      body: => T): T = publishMonitor.synchronized {
+    val lockFile = new java.io.File(parent, s".$key.lock")
+    val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try { val l = ch.lock(); try body finally l.release() }
+    finally ch.close()
   }
+
+  /** Content component for the staged-cache signature — see
+    * [[graft.FileSig.contentTag]]. Directory-shaped inputs (a
+    * multi-file parquet table, if the driver ever regenerates testdata
+    * that way) fold every contained file's (name, length, mtime) into
+    * the tag; the flat (length, mtime) of a directory does not change
+    * when files inside are rewritten, so without this the signature
+    * would silently weaken to a stale-serving one. */
+  private[llm] def contentTag(f: java.io.File): String =
+    graft.FileSig.contentTag(f)
 
   /** Deletes previous generations of `key`'s staged dir (any sibling
     * `key-*` other than the current signature) and crash leftovers

@@ -99,6 +99,39 @@ class StagedCacheSpec extends SparkSpec {
       "the stale generation must be deleted, not linger in /tmp")
   }
 
+  test("a directory-shaped input is content-signed per contained file") {
+    // A multi-file parquet table is a DIRECTORY: its own length/mtime do
+    // not change when a file inside is rewritten in place, so the
+    // signature must fold every contained file's (name, length, mtime)
+    // — otherwise a regenerated directory input silently serves the
+    // previous generation (the round-11 hardening gap).
+    import spark.implicits._
+    val dir = Files.createTempDirectory("staged_spec6").toFile
+    val in = new java.io.File(dir, "t.parquet")
+    def writeDirInput(rows: Seq[Long]): Unit =
+      rows.toDF("v").coalesce(1).write.mode("overwrite").parquet(in.toString)
+    writeDirInput(Seq(1L, 2L, 3L))
+    assert(in.isDirectory, "this contract is about directory inputs")
+    var builds = 0
+    def get() = LlmQueries.staged(spark, dir.toString, "k", "t") {
+      builds += 1
+      spark.read.parquet(in.toString).agg(sum("v").as("s"))
+    }
+    assert(get().collect()(0).getLong(0) == 6L)
+    assert(get().collect()(0).getLong(0) == 6L && builds == 1)
+    // Regenerate IN PLACE and pin the directory's own mtime back, so
+    // only the per-file components can distinguish the generations.
+    val dirMtime = in.lastModified()
+    writeDirInput(Seq(10L, 20L, 30L, 40L))
+    val inner = in.listFiles().find(_.getName.endsWith(".parquet")).get
+    inner.setLastModified(inner.lastModified() + 2000)
+    in.setLastModified(dirMtime)
+    assert(in.lastModified() == dirMtime)
+    assert(get().collect()(0).getLong(0) == 100L,
+      "per-file signature must bust the cache on an in-place dir rewrite")
+    assert(builds == 2)
+  }
+
   test("a half-written dir at the signed path is replaced, not served") {
     // Simulates a build killed mid-write under the pre-round-11 in-place
     // scheme (or any corruption): a signed dir WITHOUT _SUCCESS must be
