@@ -231,6 +231,21 @@ object Bench {
       "q24_session_window",                 // micro-batch engine + memory sink
       "q129_tws_map_counts",                // transformWithState state store
       "q210_stream_dedup_within_watermark", // watermarked stateful streaming
+      // Round-12 additions: a matched filtered A/B (trim vs
+      // SPARK_GRAFT_WARMUP=full over the 24-query streaming family,
+      // interleaved x2) measured the 3-representative trim leaving
+      // ~18% wall / ~28% CPU on the table when the family runs in
+      // ISOLATION (55.0/56.8 s vs 46.3/47.2 s) — each stateful shape
+      // JITs its own state-ser/de and join codegen that the three
+      // original representatives don't cover. In a full-suite run the
+      // 400+ preceding batch queries absorb most of this (the matched
+      // quad showed no streaming regression vs full-warmup r10 code),
+      // so four distinct-machinery representatives close the isolated
+      // gap without re-paying the full sweep:
+      "q135_stream_stream_join",            // symmetric hash join state
+      "q193_statestore_dedup_read",         // state-store readback source
+      "q84_json_sink_roundtrip",            // streaming file sink manifest
+      "q317_available_now_resume",          // AvailableNow + checkpoint resume
       "q42_jsonstat_flatten",               // JSON parse path
       "q53_avro_ocf_roundtrip",             // Avro read/write
       "q166_xml_roundtrip",                 // XML source
