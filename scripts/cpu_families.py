@@ -40,18 +40,25 @@ def family(name: str) -> str:
 
 
 def summarize(path: str):
+    # Degrade, don't crash, on non-full artifacts: a captured stdout
+    # totals line has "value" instead of "total_median" and per-query
+    # seconds (or null) instead of per-query dicts.
     d = json.load(open(path))
     wall = {}
     cpu = {}
     n = {}
-    for q, v in d["queries"].items():
+    for q, v in d.get("queries", {}).items():
+        if not isinstance(v, dict):
+            v = {"median": v, "failed": v is None}
         if v.get("failed"):
             continue
         f = family(q)
         wall[f] = wall.get(f, 0.0) + v["median"]
         cpu[f] = cpu.get(f, 0.0) + v.get("cpu_median", float("nan"))
         n[f] = n.get(f, 0) + 1
-    return wall, cpu, n, d.get("total_median"), d.get("total_cpu_median")
+    tw = d.get("total_median", d.get("value"))
+    return (wall, cpu, n, tw if tw is not None else float("nan"),
+            d.get("total_cpu_median"))
 
 
 def main():

@@ -16,27 +16,44 @@ package graft
   * recursive listing's (relative name, length, mtime) triples. A
   * directory's own length/mtime does NOT change when a file inside is
   * rewritten in place, so the flat file signature would silently go
-  * stale — this folds every contained file into the tag instead.
+  * stale — this folds every contained file into the tag instead. Scope
+  * of the guarantee: any regeneration that changes a contained file's
+  * NAME, length, or mtime tick is caught — which covers every
+  * Spark-style rewrite (fresh randomized part-file names per job) —
+  * but a byte-level in-place rewrite preserving all three per-file
+  * attributes is not (per-file content CRC would cost I/O proportional
+  * to the part count on every resolution; flat single-file inputs, the
+  * only shape the driver generates today, get the real content CRC).
+  *
+  * An input that vanishes or truncates mid-read (a concurrent
+  * regeneration) yields a unique never-cached sentinel instead of an
+  * exception, so the caller takes a cache MISS and re-resolves — the
+  * pre-content-tag behavior of a concurrent rewrite, not a new crash
+  * surface on every query that resolves the table.
   */
 object FileSig {
   def contentTag(f: java.io.File): String =
     if (f.isDirectory) dirTag(f)
     else if (!f.isFile) "absent"
-    else {
-      val crc = new java.util.zip.CRC32
-      val raf = new java.io.RandomAccessFile(f, "r")
+    else
       try {
-        val n = raf.length()
-        val head = new Array[Byte](math.min(65536L, n).toInt)
-        raf.readFully(head); crc.update(head)
-        if (n > 65536L) {
-          raf.seek(math.max(0L, n - 65536L))
-          val tail = new Array[Byte](65536)
-          raf.readFully(tail); crc.update(tail)
-        }
-        java.lang.Long.toHexString(crc.getValue)
-      } finally raf.close()
-    }
+        val crc = new java.util.zip.CRC32
+        val raf = new java.io.RandomAccessFile(f, "r")
+        try {
+          val n = raf.length()
+          val head = new Array[Byte](math.min(65536L, n).toInt)
+          raf.readFully(head); crc.update(head)
+          if (n > 65536L) {
+            raf.seek(math.max(0L, n - 65536L))
+            val tail = new Array[Byte](65536)
+            raf.readFully(tail); crc.update(tail)
+          }
+          java.lang.Long.toHexString(crc.getValue)
+        } finally raf.close()
+      } catch {
+        case _: java.io.IOException =>
+          s"unreadable-${System.nanoTime()}"
+      }
 
   private def dirTag(d: java.io.File): String = {
     val crc = new java.util.zip.CRC32

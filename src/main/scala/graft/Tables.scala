@@ -26,13 +26,22 @@ object Tables {
     * does not override equals, so tuple equality IS reference equality
     * — two live sessions resolving the same file coexist instead of
     * overwriting each other's entry) plus the input signature
-    * (length, mtime, [[FileSig.contentTag]]). The content tag closes
-    * the hole a (length, mtime)-only signature leaves: a regenerated
-    * input with identical byte length inside the filesystem's mtime
+    * (length, mtime, [[FileSig.contentTag]]). For single-file inputs
+    * (the only shape the driver generates) the content tag closes the
+    * hole a (length, mtime)-only signature leaves: a regenerated input
+    * with identical byte length inside the filesystem's mtime
     * granularity — within one long-lived JVM (specs, interactive
     * sessions) that would silently serve a stale analyzed plan into
-    * oracle-checked outputs. Same signature discipline as the staged
-    * pair-graph cache in [[graft.llm.LlmQueries]]. */
+    * oracle-checked outputs. Directory inputs get FileSig's per-file
+    * (name, length, mtime) tag — see its scaladoc for the exact scope.
+    * Same signature discipline as the staged pair-graph cache in
+    * [[graft.llm.LlmQueries]].
+    *
+    * Retention tradeoff of session-in-key: a dead session's entries
+    * linger until a miss crosses the bound (the sweep then clears all
+    * other-session entries) — at most `cacheBound` analyzed plans
+    * JVM-wide, a bounded cost accepted for not thrashing live
+    * sessions' entries. */
   private val relCache =
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String, Long, Long, String), DataFrame]()

@@ -129,8 +129,21 @@ object LlmQueries {
                 org.apache.commons.io.FileUtils.deleteDirectory(tmp)
               else {
                 org.apache.commons.io.FileUtils.deleteDirectory(dir)
-                java.nio.file.Files.move(tmp.toPath, dir.toPath,
-                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                // A builder that never entered this lock (its FIRST
+                // rename) can publish into the freed path between the
+                // delete and this move — that publication is complete
+                // (rename is all-or-nothing), so on a second rename
+                // failure re-check _SUCCESS and keep the winner's copy
+                // instead of failing the query.
+                try
+                  java.nio.file.Files.move(tmp.toPath, dir.toPath,
+                    java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                catch {
+                  case e2: java.nio.file.FileSystemException =>
+                    if (new java.io.File(dir, "_SUCCESS").exists())
+                      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+                    else throw e2
+                }
               }
             }
           else throw e
@@ -159,7 +172,10 @@ object LlmQueries {
     * that way) fold every contained file's (name, length, mtime) into
     * the tag; the flat (length, mtime) of a directory does not change
     * when files inside are rewritten, so without this the signature
-    * would silently weaken to a stale-serving one. */
+    * would silently weaken to a stale-serving one. (Scope: catches any
+    * rewrite that changes a per-file name/length/mtime — all
+    * Spark-style regenerations — not a byte-level in-place rewrite
+    * preserving all three; see FileSig's scaladoc.) */
   private[llm] def contentTag(f: java.io.File): String =
     graft.FileSig.contentTag(f)
 
