@@ -47,6 +47,7 @@ def summarize(path: str):
     wall = {}
     cpu = {}
     n = {}
+    cpu_missing = 0
     for q, v in d.get("queries", {}).items():
         if not isinstance(v, dict):
             v = {"median": v, "failed": v is None}
@@ -54,8 +55,18 @@ def summarize(path: str):
             continue
         f = family(q)
         wall[f] = wall.get(f, 0.0) + v["median"]
-        cpu[f] = cpu.get(f, 0.0) + v.get("cpu_median", float("nan"))
+        # Skip (and count) queries without a cpu_median rather than
+        # summing NaN — one missing field would otherwise poison the
+        # whole family's CPU sum.
+        c = v.get("cpu_median")
+        if c is None:
+            cpu_missing += 1
+        else:
+            cpu[f] = cpu.get(f, 0.0) + c
         n[f] = n.get(f, 0) + 1
+    if cpu_missing:
+        print(f"note: {path}: {cpu_missing} queries lack cpu_median "
+              f"(excluded from CPU sums)", file=sys.stderr)
     tw = d.get("total_median", d.get("value"))
     return (wall, cpu, n, tw if tw is not None else float("nan"),
             d.get("total_cpu_median"))
@@ -81,7 +92,8 @@ def main():
                 rw = wall.get(f, 0) / w0.get(f, 1e-9)
                 rc = cpu.get(f, 0) / c0.get(f, 1e-9)
                 cells.append(f"{rw:6.2f}|{rc:5.2f}")
-            rt = f"{tw / tw0:6.2f}|{(tc / tc0) if tc and tc0 else float('nan'):5.2f}"
+            rtw = tw / tw0 if tw0 else float("nan")
+            rt = f"{rtw:6.2f}|{(tc / tc0) if tc and tc0 else float('nan'):5.2f}"
             print(f"{p:42s} " + " ".join(f"{c:>22s}" for c in cells) +
                   f" {rt:>22s}")
 

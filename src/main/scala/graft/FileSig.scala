@@ -32,6 +32,13 @@ package graft
   * surface on every query that resolves the table.
   */
 object FileSig {
+  /** Paths already reported unreadable — the sentinel makes a failing
+    * input a recurring silent cache miss (rebuild-every-call for
+    * staged(), sweep-pressure in Tables), so surface the first failure
+    * per path on stderr instead of letting it hide as cost. */
+  private val loggedUnreadable =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def contentTag(f: java.io.File): String =
     if (f.isDirectory) dirTag(f)
     else if (!f.isFile) "absent"
@@ -51,7 +58,11 @@ object FileSig {
           java.lang.Long.toHexString(crc.getValue)
         } finally raf.close()
       } catch {
-        case _: java.io.IOException =>
+        case e: java.io.IOException =>
+          if (loggedUnreadable.add(f.getPath))
+            System.err.println(
+              s"graft.FileSig: ${f.getPath} unreadable (${e.getMessage}); " +
+                "callers will cache-miss and re-resolve on every access")
           s"unreadable-${System.nanoTime()}"
       }
 

@@ -41,14 +41,22 @@ object Tables {
     * linger until a miss crosses the bound (the sweep then clears all
     * other-session entries) — at most `cacheBound` analyzed plans
     * JVM-wide, a bounded cost accepted for not thrashing live
-    * sessions' entries. */
+    * sessions' entries. Corollary: TWO live sessions that each cross
+    * the bound concurrently see each other as "other sessions" and
+    * mutually evict — correctness is unaffected (eviction is only a
+    * cache miss and re-resolution), and no driver surface runs two
+    * sessions hot past the bound, so this degenerate mode is accepted
+    * rather than tracked with per-session bounds. */
   private val relCache =
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String, Long, Long, String), DataFrame]()
 
   /** Eviction bound; package-visible so the spec can exercise the
-    * eviction path without resolving hundreds of relations. */
-  private[graft] var cacheBound = 256
+    * eviction path without resolving hundreds of relations. Volatile:
+    * the spec hook writes it from the test thread while query threads
+    * read it — the JVM-default stale read would make the spec's
+    * lowered bound invisibly unpublished. */
+  @volatile private[graft] var cacheBound = 256
 
   /** Spec hook: the eviction contract needs a deterministic starting
     * size, and suites share this JVM-wide map. */

@@ -154,16 +154,29 @@ object LlmQueries {
 
   /** Serializes the rare replace-a-stale-dir publication path across
     * processes (OS file lock on a sibling lockfile) AND across threads
-    * in this JVM (monitor — overlapping FileLocks in one JVM throw). */
-  private val publishMonitor = new Object
+    * in this JVM (per-KEY monitor — overlapping FileLocks on one file
+    * in one JVM throw). Per-key rather than JVM-global so a peer
+    * process holding key A's OS lock stalls only this JVM's key-A
+    * threads, not every thread entering the rescue path for ANY key.
+    * The lockfile is not deleted here: delete-after-release races a
+    * concurrent opener onto the unlinked inode (it and a later creator
+    * of a fresh file at the path would then both "hold" the lock) —
+    * [[sweepStale]] reaps lockfiles instead, age-gated and only when
+    * provably unheld at that instant. */
+  private val publishMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
   private def withPublishLock[T](parent: java.io.File, key: String)(
-      body: => T): T = publishMonitor.synchronized {
+      body: => T): T = {
     val lockFile = new java.io.File(parent, s".$key.lock")
-    val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    try { val l = ch.lock(); try body finally l.release() }
-    finally ch.close()
+    val mon = publishMonitors
+      .computeIfAbsent(lockFile.getAbsolutePath, _ => new Object)
+    mon.synchronized {
+      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try { val l = ch.lock(); try body finally l.release() }
+      finally ch.close()
+    }
   }
 
   /** Content component for the staged-cache signature — see
@@ -180,9 +193,10 @@ object LlmQueries {
     graft.FileSig.contentTag(f)
 
   /** Deletes previous generations of `key`'s staged dir (any sibling
-    * `key-*` other than the current signature) and crash leftovers
+    * `key-*` other than the current signature), crash leftovers
     * (`.key-*.tmp-*` older than an hour — never a LIVE concurrent
-    * builder's tmp dir, which is seconds old). */
+    * builder's tmp dir, which is seconds old), and hour-old publish
+    * lockfiles (`.key.lock`) that no process currently holds. */
   private def sweepStale(parent: java.io.File, key: String,
       current: String): Unit =
     Option(parent.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
@@ -193,7 +207,30 @@ object LlmQueries {
       if (stale)
         try org.apache.commons.io.FileUtils.deleteDirectory(f)
         catch { case _: java.io.IOException => () }
+      else if (f.getName == s".$key.lock" &&
+          f.lastModified() < System.currentTimeMillis() - 3600000L)
+        reapLockfile(f)
     }
+
+  /** Reaps an hour-old publish lockfile, but only if no one holds it at
+    * this instant (tryLock succeeds ⇒ unheld; a tryLock that throws
+    * OverlappingFileLockException means a thread in THIS JVM holds it —
+    * also skip). Residual cross-process race, accepted under the
+    * documented sequential-use assumption: a process that opened the
+    * file before our delete and locks it after our release would hold
+    * the unlinked inode's lock while a later process locks a fresh
+    * file at the path — reaching that needs two publishers racing the
+    * sweep of an HOUR-old lockfile, and the rescue path that takes
+    * this lock only fires on a crashed prior build. */
+  private def reapLockfile(f: java.io.File): Unit =
+    try {
+      val ch = java.nio.channels.FileChannel.open(f.toPath,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val l = ch.tryLock()
+        if (l != null) { try { f.delete(); () } finally l.release() }
+      } finally ch.close()
+    } catch { case _: Exception => () }
 
   /** Staged [[Similarity.nearDupPairs]] over the embeddings table at
     * tau = 0.25, label-cell blocking — the pair graph q88 (semantic

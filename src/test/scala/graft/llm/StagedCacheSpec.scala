@@ -132,6 +132,36 @@ class StagedCacheSpec extends SparkSpec {
     assert(builds == 2)
   }
 
+  test("an hour-old unheld publish lockfile is reaped; a held one is not") {
+    // withPublishLock leaves its `.key.lock` behind by design (deleting
+    // after release races a concurrent opener onto the unlinked inode);
+    // sweepStale reaps them instead — age-gated and only when tryLock
+    // proves nobody holds the lock at that instant.
+    val dir = Files.createTempDirectory("staged_spec7").toFile
+    writeInput(dir, Seq(1L, 2L))
+    val cacheParent = new java.io.File(s"/tmp/graft_edges/${dir.getName}")
+    cacheParent.mkdirs()
+    val stale = new java.io.File(cacheParent, ".k.lock")
+    Files.write(stale.toPath, Array[Byte]())
+    stale.setLastModified(System.currentTimeMillis() - 2 * 3600000L)
+    val held = new java.io.File(cacheParent, ".kheld.lock")
+    Files.write(held.toPath, Array[Byte]())
+    held.setLastModified(System.currentTimeMillis() - 2 * 3600000L)
+    val ch = java.nio.channels.FileChannel.open(held.toPath,
+      java.nio.file.StandardOpenOption.WRITE)
+    val l = ch.lock()
+    try {
+      def get(key: String) = LlmQueries.staged(spark, dir.toString, key, "t") {
+        spark.read.parquet(new java.io.File(dir, "t.parquet").toString)
+          .agg(sum("v").as("s"))
+      }
+      get("k").collect()     // sweep for key k reaps the stale .k.lock
+      get("kheld").collect() // sweep for kheld must SKIP the held lock
+      assert(!stale.exists(), "hour-old unheld lockfile must be reaped")
+      assert(held.exists(), "a held lockfile must never be reaped")
+    } finally { l.release(); ch.close() }
+  }
+
   test("a half-written dir at the signed path is replaced, not served") {
     // Simulates a build killed mid-write under the pre-round-11 in-place
     // scheme (or any corruption): a signed dir WITHOUT _SUCCESS must be
