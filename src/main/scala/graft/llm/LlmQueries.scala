@@ -164,19 +164,23 @@ object LlmQueries {
     * [[sweepStale]] reaps lockfiles instead, age-gated and only when
     * provably unheld at that instant. */
   private val publishMonitors =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.locks.ReentrantLock]
+  private def publishMonitor(lockFile: java.io.File) =
+    publishMonitors.computeIfAbsent(lockFile.getAbsolutePath,
+      _ => new java.util.concurrent.locks.ReentrantLock)
   private def withPublishLock[T](parent: java.io.File, key: String)(
       body: => T): T = {
     val lockFile = new java.io.File(parent, s".$key.lock")
-    val mon = publishMonitors
-      .computeIfAbsent(lockFile.getAbsolutePath, _ => new Object)
-    mon.synchronized {
+    val mon = publishMonitor(lockFile)
+    mon.lock()
+    try {
       val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
       try { val l = ch.lock(); try body finally l.release() }
       finally ch.close()
-    }
+    } finally mon.unlock()
   }
 
   /** Content component for the staged-cache signature — see
@@ -213,24 +217,36 @@ object LlmQueries {
     }
 
   /** Reaps an hour-old publish lockfile, but only if no one holds it at
-    * this instant (tryLock succeeds ⇒ unheld; a tryLock that throws
-    * OverlappingFileLockException means a thread in THIS JVM holds it —
-    * also skip). Residual cross-process race, accepted under the
+    * this instant. Serialized against [[withPublishLock]] through the
+    * same per-key JVM lock — `tryLock` on the MONITOR, because a
+    * contended monitor means a live same-JVM holder (the lockfile is
+    * held, skip) and because blocking here would make /tmp hygiene wait
+    * on a publication. Holding the monitor also guarantees this JVM can
+    * never see its own transient FileLock from the reaper: without it, a
+    * thread entering withPublishLock during the microseconds the reaper
+    * holds the OS lock would get OverlappingFileLockException out of
+    * `ch.lock()` and fail the query instead of waiting. The OS-level
+    * tryLock then only contends with OTHER processes (unheld ⇒ safe to
+    * delete). Residual cross-process race, accepted under the
     * documented sequential-use assumption: a process that opened the
     * file before our delete and locks it after our release would hold
     * the unlinked inode's lock while a later process locks a fresh
     * file at the path — reaching that needs two publishers racing the
     * sweep of an HOUR-old lockfile, and the rescue path that takes
     * this lock only fires on a crashed prior build. */
-  private def reapLockfile(f: java.io.File): Unit =
-    try {
-      val ch = java.nio.channels.FileChannel.open(f.toPath,
-        java.nio.file.StandardOpenOption.WRITE)
+  private def reapLockfile(f: java.io.File): Unit = {
+    val mon = publishMonitor(f)
+    if (mon.tryLock())
       try {
-        val l = ch.tryLock()
-        if (l != null) { try { f.delete(); () } finally l.release() }
-      } finally ch.close()
-    } catch { case _: Exception => () }
+        val ch = java.nio.channels.FileChannel.open(f.toPath,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val l = ch.tryLock()
+          if (l != null) { try { f.delete(); () } finally l.release() }
+        } finally ch.close()
+      } catch { case _: Exception => () }
+      finally mon.unlock()
+  }
 
   /** Staged [[Similarity.nearDupPairs]] over the embeddings table at
     * tau = 0.25, label-cell blocking — the pair graph q88 (semantic
