@@ -2,6 +2,8 @@ package graft.llm
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -160,6 +162,65 @@ class StagedCacheSpec extends SparkSpec {
       assert(!stale.exists(), "hour-old unheld lockfile must be reaped")
       assert(held.exists(), "a held lockfile must never be reaped")
     } finally { l.release(); ch.close() }
+  }
+
+  test("concurrent same-key builders all serve the winner's publication") {
+    // The documented race: racing builders resolve at the rename — the
+    // loser discards its tmp copy and serves the winner's. Four threads
+    // hit a fresh key at once; every one must return the right answer,
+    // exactly one signed dir may exist afterwards, and no tmp litter.
+    val dir = Files.createTempDirectory("staged_spec8").toFile
+    writeInput(dir, Seq(7L, 8L))
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to 4).map { _ =>
+      new Thread(() =>
+        try results.add(
+          LlmQueries.staged(spark, dir.toString, "krace", "t") {
+            spark.read.parquet(new java.io.File(dir, "t.parquet").toString)
+              .agg(sum("v").as("s"))
+          }.collect()(0).getLong(0))
+        catch { case t: Throwable => errors.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"no builder may fail: ${errors.peek()}")
+    assert(results.size == 4 && results.asScala.forall(_ == 15L))
+    val parent = new java.io.File(s"/tmp/graft_edges/${dir.getName}")
+    val siblings = parent.listFiles().filter(_.getName.startsWith("krace"))
+    assert(siblings.length == 1 && new java.io.File(siblings(0), "_SUCCESS").exists())
+    assert(!parent.listFiles().exists(_.getName.startsWith(".krace-")),
+      "losers must delete their tmp copies")
+  }
+
+  test("contended rescue of a half-written dir stays serialized and correct") {
+    // Forces every builder through the withPublishLock rescue (a signed
+    // dir WITHOUT _SUCCESS blocks all first renames): the per-key
+    // ReentrantLock + OS file lock serialize the delete-and-republish,
+    // the losers re-check _SUCCESS inside the lock and keep the
+    // winner's copy. This is the path the round-13 lock rework touched.
+    val dir = Files.createTempDirectory("staged_spec9").toFile
+    writeInput(dir, Seq(9L, 10L))
+    val in = new java.io.File(dir, "t.parquet")
+    val sig = s"${in.length()}-${in.lastModified()}-${LlmQueries.contentTag(in)}"
+    val signed = new java.io.File(s"/tmp/graft_edges/${dir.getName}/krsc-$sig")
+    signed.mkdirs()
+    Files.write(new java.io.File(signed, "part-garbage.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to 4).map { _ =>
+      new Thread(() =>
+        try results.add(
+          LlmQueries.staged(spark, dir.toString, "krsc", "t") {
+            spark.read.parquet(in.toString).agg(sum("v").as("s"))
+          }.collect()(0).getLong(0))
+        catch { case t: Throwable => errors.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"no rescuer may fail: ${errors.peek()}")
+    assert(results.size == 4 && results.asScala.forall(_ == 19L))
+    assert(new java.io.File(signed, "_SUCCESS").exists(),
+      "the rescued dir must be a complete publish")
   }
 
   test("a half-written dir at the signed path is replaced, not served") {
