@@ -73,6 +73,13 @@ object GraftSqlBridge {
       n, new java.math.BigDecimal(s))
   }
 
+  /** The `EXPLAIN <mode>` text of `df`'s plan as a string (the Dataset
+    * API only prints it) — used by [[graft.PlanDump]] to commit the
+    * plan-shape evidence the optimization rounds are judged against. */
+  def explainString(df: DataFrame, mode: String): String =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
   /** Release the BlockManager blocks pinned by [[materializeTruncated]]
     * for `df` (no-op on any other DataFrame — `Dataset.unpersist` does
     * NOT reach these blocks, because the RDD persisted inside
