@@ -6872,7 +6872,7 @@ object LlmQueries {
       index.count()
       val stream = s.readStream.schema("doc_id LONG, text STRING")
         .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
-      val q = stream.writeStream
+      val w = stream.writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
           NearDup.minhashLshAgainstIndex(b, "doc_id", "text", index,
               n = 3, bands = 16, rowsPerBand = 4, tau = 0.5)
@@ -6880,8 +6880,16 @@ object LlmQueries {
           ()
         }
         .option("checkpointLocation", s"$root/ck")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(Trigger.AvailableNow())
+      // r13 OPT: input-sized shuffle partitions for the per-batch
+      // band/score joins inside foreachBatch (q135 discipline — there
+      // is no state store here, but each ~500-doc micro-batch otherwise
+      // runs its banded join + keeper aggregation at full session
+      // width).
+      graft.streaming.Streams.withSizedState(s, s"$d/documents.parquet") {
+        val q = w.start()
+        q.awaitTermination()
+      }
       index.unpersist()
       val nBatches = new java.io.File(s"$root/ck/commits")
         .listFiles().count(f => f.getName.forall(_.isDigit))

@@ -1144,9 +1144,15 @@ object RelQueries {
         .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("n"), col("sum_value"))
       val sink = s"q81_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = stream.writeStream.format("memory")
-        .queryName(sink).outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      // r13 OPT: size the state partition count to the stream's input
+      // (the q135 withSizedState discipline, guide §2 — a tiny input
+      // otherwise pays a full 32-partition state-store wave per
+      // micro-batch). Results are partition-count-independent.
+      graft.streaming.Streams.withSizedState(s, s"$d/events.parquet") {
+        val q = stream.writeStream.format("memory")
+          .queryName(sink).outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).orderBy("day", "event_type")
     }, Some("""
       SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
@@ -1293,6 +1299,11 @@ object RelQueries {
       val ord = t(s, d, "orders").select("o_orderkey", "o_custkey")
       // No .distinct() here: pageRankScaled dedups its edge list anyway,
       // and a second 2|E|-row shuffle would just precede that one.
+      // r13 NEGATIVE RESULT: checkpointing `sc` before the mirror union
+      // (to stop the join re-running once per union branch) measured
+      // FLAT wall and +12% CPU on a filtered A/B pair at sf0.1 — the
+      // broadcast join's two executions share their exchanges and cost
+      // less than the checkpoint's row copy. Don't re-try.
       val sc = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .select((col("l_suppkey") * 2).as("src"),
           (col("o_custkey") * 2 + 1).as("dst"))
@@ -1342,9 +1353,12 @@ object RelQueries {
         .select("user_id", "event_type")
         .dropDuplicates("user_id", "event_type")
       val sink = s"q96_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = stream.writeStream.format("memory")
-        .queryName(sink).outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      // r13 OPT: input-sized state partitions (q135 discipline).
+      graft.streaming.Streams.withSizedState(s, s"$d/events.parquet") {
+        val q = stream.writeStream.format("memory")
+          .queryName(sink).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).orderBy("user_id", "event_type")
     }, Some("""
       SELECT DISTINCT user_id, event_type FROM events
@@ -1723,9 +1737,14 @@ object RelQueries {
           col("session_window.end").as("session_end"),
           col("n_events"))
       val sink = s"q118_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = stream.writeStream.format("memory")
-        .queryName(sink).outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      // r13 OPT: input-sized state partitions (q135 discipline) — the
+      // session-window operator otherwise commits a full default-width
+      // state wave per micro-batch.
+      graft.streaming.Streams.withSizedState(s, s"$d/events.parquet") {
+        val q = stream.writeStream.format("memory")
+          .queryName(sink).outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).orderBy("user_id", "session_start")
     }, Some("""
       WITH x AS (SELECT user_id, ts,
@@ -1765,9 +1784,15 @@ object RelQueries {
           .select(col("user_id"), col("event_type"))
         val out = graft.streaming.Streams.userTypeCountsTws(s, stream)
         val sink = s"q129_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        val q = out.writeStream.format("memory")
-          .queryName(sink).outputMode("update").start()
-        try q.processAllAvailable() finally q.stop()
+        // r13 OPT: input-sized state partitions (q135 discipline) —
+        // with RocksDB each state partition is its own store instance,
+        // so a full-width wave pays 32 RocksDB open/commit cycles per
+        // micro-batch for a metadata-scale keyspace.
+        graft.streaming.Streams.withSizedState(s, s"$d/events.parquet") {
+          val q = out.writeStream.format("memory")
+            .queryName(sink).outputMode("update").start()
+          try q.processAllAvailable() finally q.stop()
+        }
         s.table(sink).groupBy("user_id", "event_type")
           .agg(max(col("n")).as("n"))
           .orderBy("user_id", "event_type")
@@ -2897,9 +2922,12 @@ object RelQueries {
         .select(date_format(col("window.start"), "yyyy-MM-dd").as("w_start"),
           col("event_type"), col("n"), col("sum_value"))
       val sink = s"q178_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = stream.writeStream.format("memory")
-        .queryName(sink).outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      // r13 OPT: input-sized state partitions (q135 discipline).
+      graft.streaming.Streams.withSizedState(s, s"$d/events.parquet") {
+        val q = stream.writeStream.format("memory")
+          .queryName(sink).outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).orderBy("w_start", "event_type")
     }, Some("""
       WITH x AS (SELECT event_type, value,
@@ -3216,10 +3244,16 @@ object RelQueries {
         .select("user_id", "event_type")
         .dropDuplicates("user_id", "event_type")
       val sink = s"q193_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = stream.writeStream.format("memory")
-        .queryName(sink).outputMode("append")
-        .option("checkpointLocation", ck).start()
-      try q.processAllAvailable() finally q.stop()
+      // r13 OPT: input-sized state partitions (q135 discipline); the
+      // statestore read-back discovers the count from the checkpoint,
+      // so the audit scan also drops from 32 near-empty tasks to the
+      // sized count.
+      graft.streaming.Streams.withSizedState(s, s"$d/events.parquet") {
+        val q = stream.writeStream.format("memory")
+          .queryName(sink).outputMode("append")
+          .option("checkpointLocation", ck).start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.read.format("statestore").load(ck)
         .select(col("key.user_id").as("user_id"),
           col("key.event_type").as("event_type"))
@@ -3244,10 +3278,13 @@ object RelQueries {
         .option("basePath", d).parquet(s"$d/events.parque[t]")
         .groupBy("user_id").count()
       val sink = s"q194_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = stream.writeStream.format("memory")
-        .queryName(sink).outputMode("update")
-        .option("checkpointLocation", ck).start()
-      try q.processAllAvailable() finally q.stop()
+      // r13 OPT: input-sized state partitions (q135 discipline, see q193).
+      graft.streaming.Streams.withSizedState(s, s"$d/events.parquet") {
+        val q = stream.writeStream.format("memory")
+          .queryName(sink).outputMode("update")
+          .option("checkpointLocation", ck).start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.read.format("statestore").load(ck)
         .select(col("key.user_id").as("user_id"),
           col("value.count").as("n"))
@@ -3406,8 +3443,14 @@ object RelQueries {
               VALUES (s.user_id, s.n, s.cents)""")
           (): Unit
         }
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      // r13 OPT: input-sized shuffle partitions for the per-batch
+      // aggregate + MERGE (q135 discipline — no state store here, but
+      // each half-table micro-batch otherwise runs its groupBy and the
+      // row-level MERGE join at full session width).
+      graft.streaming.Streams.withSizedState(s, s"$d/events.parquet") {
+        val qq = q.start()
+        try qq.processAllAvailable() finally qq.stop()
+      }
       s.table(tbl).orderBy("user_id")
     }, Some("""
       SELECT user_id, COUNT(*) AS n,
@@ -6737,6 +6780,10 @@ object RelQueries {
     ("q308_personalized_pagerank", (s: SparkSession, d: String) => {
       val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
       val ord = t(s, d, "orders").select("o_orderkey", "o_custkey")
+      // r13 NEGATIVE RESULT (same A/B as q94): checkpointing `sc` to
+      // dedup its three evaluations (two union branches + seeds)
+      // measured flat wall / flat CPU — the shared-exchange broadcast
+      // join re-runs are cheaper than the checkpoint copy. Don't re-try.
       val sc = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .select((col("l_suppkey") * 2).as("src"),
           (col("o_custkey") * 2 + 1).as("dst"))
@@ -7626,15 +7673,25 @@ object RelQueries {
         sum((Exact.dec(col("o_totalprice"), 12) * 100).cast("long"))
           .cast("long").as("m"))
       val mx = o.agg(max("last_d").as("mxd"))
+      // r13 OPT: each globalNtile range-partitions its input, and a
+      // RANGE exchange executes its child TWICE (boundary-sampling pass
+      // + map pass) plus once more for the ntile's count aggregate.
+      // Folded three deep over an UNMATERIALIZED spine, the per-customer
+      // aggregate re-ran ~20x (measured 24 s CPU for a 2.4 s query).
+      // Checkpointing the base and each fold output caps every stage at
+      // one evaluation — at 100 TB this is exactly the "materialize the
+      // decision table once" posture (guide §2.3/§3.3); scores are a
+      // pure function of the total order, so results are bit-identical.
       val base = o.crossJoin(broadcast(mx))
         .withColumn("recency", datediff(col("mxd"), col("last_d"))
           .cast("long"))
+        .localCheckpoint(true)
       val scored = Seq[(String, Seq[Column])](
         "r_score" -> Seq(col("recency").desc, col("o_custkey")),
         "f_score" -> Seq(col("f"), col("o_custkey")),
         "m_score" -> Seq(col("m"), col("o_custkey"))
       ).foldLeft(base) { case (df, (out, ord)) =>
-        graft.ops.Dist.globalNtile(df, ord, 5, out)
+        graft.ops.Dist.globalNtile(df, ord, 5, out).localCheckpoint(true)
       }
       scored
         .select(col("o_custkey"), col("recency"), col("f"), col("m"),
@@ -8056,9 +8113,17 @@ object RelQueries {
         s"""BEGIN
               DECLARE n BIGINT DEFAULT 0;
               DECLARE lo BIGINT DEFAULT 0;
-              DECLARE hi BIGINT DEFAULT 2147483648;
+              DECLARE hi BIGINT DEFAULT 0;
               DECLARE mid BIGINT DEFAULT 0;
               SET n = (SELECT COUNT(*) FROM $vn WHERE o_orderstatus = 'F');
+              -- r13 OPT: seed the upper bound from the data instead of
+              -- 2^31 — (n+1)^2 > n always, so the invariant
+              -- lo^2 <= n < hi^2 holds and the result is unchanged at
+              -- every scale, while the WHILE runs ~log2(n) iterations
+              -- (17 at sf0.1) instead of a fixed 31. Each iteration is
+              -- 3 statements through the scripting engine at ~30 ms of
+              -- driver-side analysis each — the query's whole cost.
+              SET hi = n + 1;
               WHILE hi - lo > 1 DO
                 SET mid = (lo + hi) DIV 2;
                 IF mid * mid <= n THEN
@@ -9263,9 +9328,13 @@ object RelQueries {
           sum((Exact.dec(col("value"), 16) * 100).cast("long")
             * col("rate")).as("amount_cents"))
       val sink = s"q394_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = joined.writeStream.format("memory")
-        .queryName(sink).outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      // r13 OPT: input-sized state partitions (q135 discipline) for the
+      // streaming aggregation above the broadcast PIT join.
+      graft.streaming.Streams.withSizedState(s, s"$d/events.parquet") {
+        val q = joined.writeStream.format("memory")
+          .queryName(sink).outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).select("event_type", "rate", "n", "amount_cents")
         .orderBy("event_type", "rate")
     }, Some("""
