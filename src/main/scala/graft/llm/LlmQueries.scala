@@ -5197,6 +5197,14 @@ object LlmQueries {
       // again for an identical result; each sweep round re-scans the
       // staged parquet directly (cheaper than materializing the edge
       // set into the block manager — measured both ways).
+      // r13 NEGATIVE RESULT (third alternative measured): a COLUMNAR
+      // in-memory cache of the edge relation (persist MEMORY_AND_DISK
+      // → InMemoryRelation) for the ~12 sweep rounds was A/B'd against
+      // this parquet re-scan — wall 4.00→3.87 s (inside the window's
+      // control drift) with CPU 32.6→37.8 s (+16%): the cache
+      // build+decode costs more than the vectorized snappy re-scan.
+      // Row-format block-manager materialization lost earlier (r12).
+      // The re-scan stands; don't re-try either cache form.
       val e = coPurchaseEdges(s, d)
       val b1 = Components.bfsLevelsPrepared(e, src = 1L, maxDepth = 6)
       def summarize(b: DataFrame, sweep: Int, src: Long) =
