@@ -3115,9 +3115,13 @@ object RelQueries {
     ("q187_targeted_delete", (s: SparkSession, d: String) => {
       val dir = s"/tmp/graft_del/${new java.io.File(d).getName}/state"
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      // r13 OPT: the per-user aggregate feeds BOTH the upsert batch and
+      // the doomed-key filter — without the pin the events scan+aggregate
+      // runs twice (guide §2.4 repeated-subtree discipline).
       val users = t(s, d, "events").groupBy("user_id")
         .agg(count(lit(1)).as("n"),
           sum(Exact.dec(col("value"), 12)).as("sv"))
+        .localCheckpoint(true)
       // 8 buckets, not 16: the doomed keys (user_id % 7 = 3) land in
       // every bucket regardless, so a wider modulus only doubles the
       // staged-swap filesystem traffic this query pays twice (upsert +

@@ -147,7 +147,14 @@ object Streams {
             .unionByName(incoming)
         }
       val staging = new org.apache.hadoop.fs.Path(statePath, s".staging-$batchId")
-      merged.write.mode("overwrite").partitionBy("__bucket")
+      // r13 OPT: cluster rows by bucket before the partitioned write so
+      // each touched bucket lands as one file per holding task instead of
+      // (shuffle partitions × buckets) fragments — the read-back, the
+      // swap loop, and every later targeted rewrite pay per file (guide
+      // §6 small-files). One task per bucket group IS the production
+      // posture: nBuckets is sized so a bucket rewrites in one task.
+      merged.repartition(col("__bucket"))
+        .write.mode("overwrite").partitionBy("__bucket")
         .parquet(staging.toString)
       touched.foreach { b =>
         val live = new org.apache.hadoop.fs.Path(statePath, s"__bucket=$b")
@@ -277,7 +284,9 @@ object Streams {
         .join(dk.select(keys.map(col): _*), keys, "left_anti")
       val staging =
         new org.apache.hadoop.fs.Path(statePath, s".staging-del-$batchId")
-      remaining.write.mode("overwrite").partitionBy("__bucket")
+      // r13 OPT: same bucket-grained clustering as upsertBatch's write.
+      remaining.repartition(col("__bucket"))
+        .write.mode("overwrite").partitionBy("__bucket")
         .parquet(staging.toString)
       touched.foreach { b =>
         val live = new org.apache.hadoop.fs.Path(statePath, s"__bucket=$b")
