@@ -4881,6 +4881,12 @@ object LlmQueries {
         val root = s"/tmp/graft_q400/${new java.io.File(d).getName}"
         org.apache.commons.io.FileUtils.deleteDirectory(
           new java.io.File(root))
+        // r13 OPT negatives (measured, do not re-try): (1) localCheckpoint
+        // on ev — the row copy costs more CPU than the second scan+hash it
+        // saves (family A/B: CPU 7.21 -> 8.66/9.86 s, wall flat); (2)
+        // RocksDB changelog checkpointing — no wall win here, see q129's
+        // pin (1-2 sized stores x 1 batch per drain = snapshot commit is
+        // already tiny; the TTL sleep + 2 query startups are the floor).
         val ev = t(s, d, "events").select(col("user_id"),
           pmod(xxhash64(col("event_id")), lit(2)).as("half"))
         def drain(): Unit =

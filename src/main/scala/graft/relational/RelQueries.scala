@@ -1777,6 +1777,14 @@ object RelQueries {
       val prior = s.conf.getOption(providerKey)
       s.conf.set(providerKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // r13 OPT negative (measured, do not re-try): RocksDB changelog
+      // checkpointing (spark.sql.streaming.stateStore.rocksdb.
+      // changelogCheckpointing.enabled=true) A/B'd at sf0.1 on the
+      // q129+q400 family — q129 paired-min wall 1.84 -> 2.23 s (+21%),
+      // CPU flat. With input-sized state (1-2 store instances) and 1-2
+      // micro-batches the full-snapshot commit is already tiny; the
+      // changelog path just adds a delta-file write + async maintenance.
+      // The lever only pays when store count x batch count is large.
       try {
         val raw = s.read.parquet(s"$d/events.parquet")
         val stream = s.readStream.schema(raw.schema)
