@@ -21,7 +21,25 @@ object GraftSqlBridge {
     * 100% of samples in SizeInBytesOnlyStatsPlanVisitor →
     * BigInteger.multiplyToomCook3). Rebuilding from the raw RDD gives
     * the LogicalRDD default statistics instead, which also means the
-    * result is never auto-broadcast — correct for BSP loop state. */
+    * result is never auto-broadcast — correct for BSP loop state.
+    *
+    * r13 OPT negative (measured, do not re-try): rebuilding with the
+    * executed plan's outputPartitioning/outputOrdering preserved (what
+    * `LogicalRDD.fromDataset` does) to skip the next round's Exchange.
+    * A synthetic pointer-jump probe won −15%/round, but the real BSP
+    * family A/B (12 queries, 2 cold legs/side, interleaved, sf0.1,
+    * `BENCH_R13OPT_matpart_{before,after}_{a,b}.json`) measured total
+    * wall +2.1% with the after legs in QUIETER windows, and two real
+    * CPU regressions: q316 +41%, q88 +62%. Two causes: (a) the loops
+    * re-key between rounds (stars CC: (src,dst)-distinct → groupBy(src)
+    * → canon re-exprs), so the preserved placement almost never
+    * satisfies the next requirement; (b) where it does fire it is
+    * harmful — `withLoopShuffle` sizes loop state to 1-4 partitions, and
+    * a preserved HashPartitioning carries that loop-sized numPartitions
+    * OUT of the loop, so EnsureRequirements co-partitions the downstream
+    * corpus-sized join side down to 1-4 tasks instead of re-exchanging
+    * at session width (q316/q88's label join). Unknown partitioning on
+    * materialized loop state is load-bearing, not an accident. */
   def materializeTruncated(df: DataFrame): DataFrame = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     val spark = ds.sparkSession
