@@ -910,19 +910,25 @@ object Components {
     // round doubled the per-round fixed cost of this many-round loop
     var r0 = matSummed(nodes.select(col("id"), col("id").as("c")), 1)
     var ptr = r0._1
+    val nNodes = r0._2 // constant: step() keeps every id (union with p)
     var digest = r0._3
     var converged = false
     var inner = 0
     // One propagation step: c'(v) = max(c(v), max over in-edges of
     // c(u), c(c(v))) — edge relax plus pointer jump, monotone
-    // non-decreasing per vertex.
+    // non-decreasing per vertex. The color-state sides carry a
+    // [[bcIfSmall]] hint (exact count nNodes): without it each round's
+    // two joins are SortMergeJoins over stats-less materialized state.
     def step(p: DataFrame): DataFrame = {
       val fromEdges = e
-        .join(p.select(col("id").as("src"), col("c").as("cand")),
+        .join(bcIfSmall(
+            p.select(col("id").as("src"), col("c").as("cand")), nNodes),
           Seq("src"))
         .select(col("dst").as("id"), col("cand"))
       val fromJump = p.as("p")
-        .join(p.select(col("id").as("c0"), col("c").as("cand")).as("j"),
+        .join(bcIfSmall(
+            p.select(col("id").as("c0"), col("c").as("cand")), nNodes)
+            .as("j"),
           col("p.c") === col("j.c0"))
         .select(col("p.id").as("id"), col("cand"))
       p.select(col("id"), col("c").as("cand"))
@@ -1042,6 +1048,31 @@ object Components {
     }
   }
 
+  /** Broadcast hint for a loop-round join side whose EXACT row count
+    * the loop already carries (from [[matSummed]]'s in-job checksums).
+    * Materialized loop state deliberately has no statistics (see
+    * GraftSqlBridge.materializeTruncated — LogicalRDD default stats =
+    * never auto-broadcast, which is correct for the EDGE relation), and
+    * [[withLoopShuffle]] turns AQE off for metadata-scale rounds, so
+    * the planner can neither plan nor runtime-convert these joins to
+    * broadcast: every per-round semi/anti/equi join against a
+    * vertex-state side otherwise becomes SortMergeJoin — two exchanges
+    * plus two sorts of per-round relations, pure critical-path stage
+    * waves at the local job floor. The hint restores exactly the
+    * decision the planner would make WITH stats: gate on the session's
+    * own `autoBroadcastJoinThreshold` (no new constant; `-1` disables
+    * this too), sized as rows × 32 B — two longs of data plus
+    * HashedRelation overhead. At corpus scale the known count exceeds
+    * the threshold and the join keeps its shuffle plan — the decision
+    * is re-made per round from exact data, never a local[32] constant. */
+  private[llm] def bcIfSmall(df: DataFrame, rows: Long): DataFrame = {
+    val thresh = org.apache.spark.sql.GraftSqlBridge
+      .autoBroadcastThreshold(df.sparkSession)
+    if (rows >= 0 && thresh > 0 && rows * 32L <= thresh)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+  }
+
   private def sccBody(edges: DataFrame, maxOuter: Int,
       maxInner: Int): DataFrame = {
     // Per-round job ledger: every mat carries its row count in the SAME
@@ -1086,9 +1117,9 @@ object Components {
       while (trimming && trimRounds < maxInner) {
         trimRounds += 1
         val (ne, n2, _) = matSummed(
-          e.join(e.select(col("dst").as("src")).distinct(),
+          e.join(bcIfSmall(e.select(col("dst").as("src")).distinct(), nE),
               Seq("src"), "left_semi")
-            .join(e.select(col("src").as("dst")).distinct(),
+            .join(bcIfSmall(e.select(col("src").as("dst")).distinct(), nE),
               Seq("dst"), "left_semi"), -1)
         if (n2 == nE) { trimming = false; unmat(ne) }
         else { unmat(e); e = ne; nE = n2 }
@@ -1102,7 +1133,7 @@ object Components {
         .union(e.select(col("dst").as("id"))).distinct(), -1)
       if (nCore < nRemaining) {
         val (single, _, _) = matSummed(
-          remaining.join(core, Seq("id"), "left_anti")
+          remaining.join(bcIfSmall(core, nCore), Seq("id"), "left_anti")
             .select(col("id"), col("id").as("c")), -1)
         assignedParts += single // forced `single` → old remaining done
         unmat(remaining)
@@ -1114,27 +1145,34 @@ object Components {
         val fwd = colorToFixpoint(remaining, e, maxInner)
         // Phase 2: reverse coloring on class-restricted reversed edges.
         val ec = e
-          .join(fwd.select(col("id").as("src"), col("c").as("cs")),
-            Seq("src"))
-          .join(fwd.select(col("id").as("dst"), col("c").as("cd")),
-            Seq("dst"))
+          .join(bcIfSmall(
+              fwd.select(col("id").as("src"), col("c").as("cs")),
+              nRemaining), Seq("src"))
+          .join(bcIfSmall(
+              fwd.select(col("id").as("dst"), col("c").as("cd")),
+              nRemaining), Seq("dst"))
           .filter(col("cs") === col("cd"))
           .select(col("dst").as("src"), col("src").as("dst"))
           .transform(mat)
         val rev = colorToFixpoint(remaining, ec, maxInner)
         val (found, nFound, _) = matSummed(fwd
-          .join(rev.select(col("id"), col("c").as("rc")), Seq("id"))
+          .join(bcIfSmall(
+              rev.select(col("id"), col("c").as("rc")), nRemaining),
+            Seq("id"))
           .filter(col("c") === col("rc"))
           .select(col("id"), col("c")), -1)
         assignedParts += found // buffered: do NOT unmat
-        val (nr, nRem, _) = matSummed(remaining.join(found.select("id"),
+        val (nr, nRem, _) = matSummed(remaining.join(
+          bcIfSmall(found.select("id"), nFound),
           Seq("id"), "left_anti"), -1)
         unmat(remaining)
         remaining = nr
         nRemaining = nRem
         val (ne, nE2, _) = matSummed(
-          e.join(found.select(col("id").as("src")), Seq("src"), "left_anti")
-            .join(found.select(col("id").as("dst")), Seq("dst"), "left_anti")
+          e.join(bcIfSmall(found.select(col("id").as("src")), nFound),
+              Seq("src"), "left_anti")
+            .join(bcIfSmall(found.select(col("id").as("dst")), nFound),
+              Seq("dst"), "left_anti")
             .select("src", "dst"), -1)
         unmat(e)
         e = ne

@@ -114,4 +114,12 @@ object GraftSqlBridge {
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** The session's `autoBroadcastJoinThreshold` in bytes, via SQLConf's
+    * own typed accessor — which, unlike re-parsing the string value,
+    * accepts both size strings ("10MB") and the documented plain `-1`
+    * that disables auto-broadcast. */
+  def autoBroadcastThreshold(spark: SparkSession): Long =
+    spark.asInstanceOf[classic.SparkSession]
+      .sessionState.conf.autoBroadcastJoinThreshold
 }

@@ -696,4 +696,33 @@ class ComponentsSpec extends SparkSpec {
       }
     }
   }
+
+  test("bcIfSmall: loop-state joins broadcast on exact count, shuffle " +
+      "at corpus scale, and respect a disabled threshold") {
+    import org.apache.spark.sql.GraftSqlBridge
+    // Both sides materialized → stats-less LogicalRDDs, the exact shape
+    // of a BSP round: without the hint the planner CANNOT broadcast.
+    val edges = GraftSqlBridge.materializeTruncated(
+      (0L until 100L).map(i => (i, i + 1)).toDF("src", "dst"))
+    val state = GraftSqlBridge.materializeTruncated(
+      (0L until 100L).map(i => (i, i)).toDF("id", "c"))
+    def plan(side: org.apache.spark.sql.DataFrame): String =
+      edges.join(side.withColumnRenamed("id", "src"), Seq("src"))
+        .queryExecution.executedPlan.toString
+    assert(!plan(state).contains("BroadcastHashJoin"),
+      "stats-less baseline must not auto-broadcast")
+    // Exact count under the session threshold → BroadcastHashJoin.
+    assert(plan(Components.bcIfSmall(state, 100L))
+      .contains("BroadcastHashJoin"))
+    // Corpus-scale count → the hint must NOT fire (shuffle plan kept).
+    assert(!plan(Components.bcIfSmall(state, 10L * 1000 * 1000 * 1000))
+      .contains("BroadcastHashJoin"))
+    // autoBroadcastJoinThreshold = -1 disables the hint too.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try assert(!plan(Components.bcIfSmall(state, 100L))
+      .contains("BroadcastHashJoin"))
+    finally spark.conf.set(key, old)
+  }
 }
