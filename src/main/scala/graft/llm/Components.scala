@@ -648,6 +648,15 @@ object Components {
     // the aggregate (nb is never null there) and later rounds carry
     // the survivor set forward.
     var active: DataFrame = null
+    // Exact count of `active` (known from each round's summed
+    // materialization) — feeds [[bcIfSmall]] hints on every join of the
+    // EDGE relation against vertex-sized state: those sides are
+    // stats-less materialized frames the planner can only SortMergeJoin
+    // (exchanging the edge relation — the algorithm's biggest — on src
+    // and again on dst every round). The hint is gated on the session
+    // broadcast threshold with the exact count, so corpus-scale rounds
+    // keep their shuffle plans (the q372 discipline, change #7).
+    var nActive: Long = -1L
     val misParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var r = 0
     var done = false
@@ -663,37 +672,49 @@ object Components {
       // subtree from both the survivor anti-join and the output union
       // in one fused job re-evaluated that aggregate three times and
       // was measured SLOWER (7.8 s vs 5.6 s idle at sf0.1), not faster.
+      // nbrMin's group count is bounded by the active count (e's src
+      // keys are exactly the active set), so the hint bound is exact.
       val flaggedPlan =
         if (r == 1) nbrMin.select(col("v"),
           (pri < col("nb")).cast("long").as("w"))
-        else active.join(nbrMin, Seq("v"), "left")
+        else active.join(bcIfSmall(nbrMin, nActive), Seq("v"), "left")
           .select(col("v"),
             (col("nb").isNull || pri < col("nb")).cast("long").as("w"))
       // flagged backs this round's misParts slice, so it stays pinned
       // for the call's lifetime — vertex-sized and shrinking
       // geometrically, unlike the per-round EDGE relation below.
-      val flagged = materializeTruncated(flaggedPlan)
+      // Summing the 0/1 winner flag in the materializing job gives the
+      // exact winner count for free (same job, no extra action).
+      val (flagged, nFlag, wSum) = materializeTruncatedSummed(flaggedPlan, 1)
+      val nWinners = wSum.longValueExact()
       misParts += flagged.filter(col("w") === 1L)
         .select(col("v"), lit(r.toLong).as("mis_round"))
       val nbrOfWinners = e
-        .join(flagged.filter(col("w") === 1L).select(col("v").as("src")),
+        .join(bcIfSmall(
+            flagged.filter(col("w") === 1L).select(col("v").as("src")),
+            nWinners),
           Seq("src"), "left_semi")
         .select(col("dst").as("v")).distinct()
       // Survivor materialization doubles as the emptiness probe (count
       // folded into the materializing job — no separate isEmpty action).
+      // nbrOfWinners ⊆ the active set (e is active×active), so nFlag
+      // bounds it exactly enough for the gate.
       val (nextActive, nAct, _) = materializeTruncatedSummed(
         flagged.filter(col("w") === 0L).select("v")
-          .join(nbrOfWinners, Seq("v"), "left_anti"), -1)
+          .join(bcIfSmall(nbrOfWinners, nFlag), Seq("v"), "left_anti"), -1)
       done = nAct == 0L
       val prevE = e
       val prevActive = active
       if (!done && r < rounds) {
         e = materializeTruncated(e
-          .join(nextActive.select(col("v").as("src")), Seq("src"), "left_semi")
-          .join(nextActive.select(col("v").as("dst")), Seq("dst"), "left_semi")
+          .join(bcIfSmall(nextActive.select(col("v").as("src")), nAct),
+            Seq("src"), "left_semi")
+          .join(bcIfSmall(nextActive.select(col("v").as("dst")), nAct),
+            Seq("dst"), "left_semi")
           .select("src", "dst"))
       }
       active = nextActive
+      nActive = nAct
       // Every consumer of the previous round's frames has now executed
       // (flagged, nextActive, next e are all materialized) — release
       // their blocks so a many-round run doesn't pin every round's
