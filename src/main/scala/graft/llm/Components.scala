@@ -110,16 +110,25 @@ object Components {
       .filter(col("src") =!= col("dst")).distinct()
     def bidir(df: DataFrame): DataFrame = df
       .union(df.select(col("dst").as("src"), col("src").as("dst")))
-    def largeStar(df: DataFrame): DataFrame = {
+    // Each half-round joins the (bidirected) edge relation against its
+    // per-source min aggregate — a vertex-sized side the planner can
+    // only SortMergeJoin (stats-less materialized input, AQE off for
+    // metadata-scale rounds). [[bcIfSmall]] with the round's exact edge
+    // count as the bound (distinct src keys ≤ edge rows; bidir ≤ 2×)
+    // broadcasts the aggregate instead, removing the edge relation's
+    // per-half-round exchange+sort; corpus-scale rounds fail the gate
+    // and keep their shuffle plans (the q372/q433 discipline).
+    def largeStar(df: DataFrame, bound: Long): DataFrame = {
       val nbr = bidir(df)
       val mins = nbr.groupBy("src").agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("mn"), col("src")).as("m"))
-      canon(nbr.join(mins, "src").filter(col("dst") > col("src"))
+      canon(nbr.join(bcIfSmall(mins, 2L * bound), "src")
+        .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst")))
     }
-    def smallStar(df: DataFrame): DataFrame = {
+    def smallStar(df: DataFrame, bound: Long): DataFrame = {
       val mins = df.groupBy("src").agg(min(col("dst")).as("m"))
-      canon(df.join(mins, "src")
+      canon(df.join(bcIfSmall(mins, bound), "src")
         .select(col("dst").as("src"), col("m").as("dst"))
         .union(mins.select(col("src"), col("m").as("dst"))))
     }
@@ -138,7 +147,8 @@ object Components {
     withLoopShuffle(edges.sparkSession, cnt0) {
     while (!converged && rounds < maxIters) {
       val nR = matSummed(
-        withH(smallStar(largeStar(e.select("src", "dst")))), 2)
+        withH(smallStar(largeStar(e.select("src", "dst"), cnt0),
+          2L * cnt0)), 2)
       unmat(e)
       e = nR._1
       converged = nR._2 == cnt0 && nR._3.compareTo(sum0) == 0
@@ -150,8 +160,12 @@ object Components {
           s" t=${System.nanoTime() / 1000000L % 100000000}")
     }
     }
+    // At the fixpoint e holds one edge per non-root vertex — exactly
+    // cnt0 rows, so the label attach can broadcast it when small.
     val labels = vertices
-      .join(e.select(col("src").as("id"), col("dst").as("root")), Seq("id"), "left")
+      .join(bcIfSmall(
+          e.select(col("src").as("id"), col("dst").as("root")), cnt0),
+        Seq("id"), "left")
       .select(col("id"), coalesce(col("root"), col("id")).as("component"))
     (labels, rounds)
   }
