@@ -518,13 +518,23 @@ object Components {
     // while the matched set is small; at corpus scale the runtime plan
     // flips to shuffle — the scale-adaptive posture.
     var matched: DataFrame = null
+    // Exact cumulative matched-vertex count (from the summed
+    // materialization below) → [[bcIfSmall]] hints on the anti-join
+    // sides. AQE is on here (edge-sized loop shuffles), but its runtime
+    // SMJ→broadcast conversion only fires AFTER both sides' shuffle
+    // files are written — the static hint removes the e0 relation's
+    // per-round shuffle writes entirely. Corpus-scale matched sets fail
+    // the gate and keep the runtime-adaptive shuffle plan.
+    var nMatched = -1L
     var out: DataFrame = null
     withLoopShuffle(spark, n0) {
       for (r <- 1 to rounds) {
         val live = if (matched == null) e0
           else e0
-            .join(matched.select(col("x").as("u")), Seq("u"), "left_anti")
-            .join(matched.select(col("x").as("v")), Seq("v"), "left_anti")
+            .join(bcIfSmall(matched.select(col("x").as("u")), nMatched),
+              Seq("u"), "left_anti")
+            .join(bcIfSmall(matched.select(col("x").as("v")), nMatched),
+              Seq("v"), "left_anti")
         // best neighbor per vertex as a partial-aggregable argmax —
         // max(struct(w, -v)) = (max weight, then min id), identical to
         // the former `row_number over (w desc, v asc) = 1` window but
@@ -545,8 +555,10 @@ object Components {
         if (r < rounds) {
           val prevMatched = matched
           val mvNew = m.select(explode(array(col("u"), col("v"))).as("x"))
-          matched = mat(if (prevMatched == null) mvNew
-            else prevMatched.unionByName(mvNew))
+          val mR = matSummed(if (prevMatched == null) mvNew
+            else prevMatched.unionByName(mvNew), -1)
+          matched = mR._1
+          nMatched = mR._2
           unmat(prevMatched)
         }
       }
@@ -876,11 +888,16 @@ object Components {
     */
   def functionalGraphCycles(succ: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    var df = succ.select(col("id"), col("p"), col("id").as("mn"))
-      .transform(mat)
+    // The doubling state is |V| rows EXACTLY, every round (p is a total
+    // function) — one summed materialization up front gives the count
+    // that lets [[bcIfSmall]] broadcast the self-join's build side and
+    // the closing joins (stats-less mat frames otherwise SortMergeJoin
+    // every round — the q372/q433/q344 discipline).
+    var (df, nV, _) = matSummed(
+      succ.select(col("id"), col("p"), col("id").as("mn")), -1)
     for (_ <- 1 to rounds) {
       val next = df.as("a")
-        .join(df.as("b"), col("a.p") === col("b.id"))
+        .join(bcIfSmall(df, nV).as("b"), col("a.p") === col("b.id"))
         .select(col("a.id").as("id"), col("b.p").as("p"),
           least(col("a.mn"), col("b.mn")).as("mn"))
         .transform(mat)
@@ -889,10 +906,11 @@ object Components {
     }
     val anchors = df.select(col("p")).distinct()
     val cycleMin = df.select(col("id").as("p"), col("mn"))
-      .join(anchors, Seq("p"), "left_semi")
+      .join(bcIfSmall(anchors, nV), Seq("p"), "left_semi")
     df.select(col("id"), col("p"))
-      .join(cycleMin, Seq("p"))
-      .join(anchors.select(col("p").as("id"), lit(true).as("__cyc")),
+      .join(bcIfSmall(cycleMin, nV), Seq("p"))
+      .join(bcIfSmall(anchors.select(col("p").as("id"),
+          lit(true).as("__cyc")), nV),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("__cyc"), lit(false)).as("on_cycle"),
         col("mn").as("cycle_id"))
